@@ -1,0 +1,133 @@
+"""Single-pass data-quality profiler (SURVEY.md §2.2 P4/P10, §2.4 A2/A9/A10).
+
+The engine's flagship DQ operator. The reference computes per-column validity
+with one Spark job per column (reference lib/utils.py:187-195 — a ~40-job
+loop) and zero/missing fractions driver-side in pandas
+(app/LSTM_AE_enhanced.py:32-39). Here the whole profile — count, null/NaN
+fraction, zero fraction, mean, stddev, min, max, p25/p50/p75/p90/p95 — is ONE
+aggregation over the table: one scan, one reduce, no shuffle of row data.
+
+At 100 TB this is the difference between 40 full scans and 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType, NumericType
+
+PROFILE_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.95)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """Numeric column roles from the schema (reference lib/utils.py:17-36
+    infers categorical vs numerical from Spark types at runtime)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+
+
+def _is_float(df: DataFrame, c: str) -> bool:
+    return isinstance(df.schema[c].dataType, (DoubleType, FloatType))
+
+
+def _valid(df: DataFrame, c: str):
+    """Non-null and (for float types) non-NaN — the reference's validity
+    predicate (lib/utils.py:191: ``isNotNull() & ~isnan()``)."""
+    cond = F.col(c).isNotNull()
+    if _is_float(df, c):
+        cond = cond & ~F.isnan(F.col(c))
+    return cond
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, exact_quantiles: bool = False) -> DataFrame:
+    """Profile numeric columns in a single aggregation.
+
+    Returns one row per column: (column, n_rows, n_valid, null_frac,
+    zero_frac, mean, stddev, min, max, p25, p50, p75, p90, p95).
+
+    ``exact_quantiles=True`` uses exact ``percentile`` (one extra sort-based
+    agg per column — fine at test SF); default ``percentile_approx`` with a
+    10k accuracy parameter is the 100 TB path (t-digest-style sketch,
+    mergeable, bounded memory).
+    """
+    cols = columns or numeric_columns(df)
+    pct_fn = "percentile" if exact_quantiles else "percentile_approx"
+    q_array = "array(" + ", ".join(str(q) for q in PROFILE_QUANTILES) + ")"
+
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        valid = _valid(df, c)
+        vc = F.when(valid, F.col(c))  # NULL out invalid values for stats
+        aggs.extend(
+            [
+                F.count(vc).alias(f"{c}__n_valid"),
+                F.avg((~valid).cast("double")).alias(f"{c}__null_frac"),
+                F.avg((valid & (F.col(c) == 0)).cast("double")).alias(f"{c}__zero_frac"),
+                F.avg(vc).alias(f"{c}__mean"),
+                F.stddev_samp(vc).alias(f"{c}__stddev"),
+                F.min(vc).alias(f"{c}__min"),
+                F.max(vc).alias(f"{c}__max"),
+                # All quantiles in ONE sort/sketch per column, not one each.
+                F.expr(f"{pct_fn}({c}, {q_array})").alias(f"{c}__pcts"),
+            ]
+        )
+
+    wide = df.agg(*aggs)
+
+    # Unpivot driver-side: the wide agg row is tiny (O(cols) scalars).
+    stats = ["n_valid", "null_frac", "zero_frac", "mean", "stddev", "min", "max"] + [
+        f"p{int(q * 100)}" for q in PROFILE_QUANTILES
+    ]
+    def _stat(c: str, s: str):
+        if s.startswith("p") and s[1:].isdigit():
+            i = [f"p{int(q * 100)}" for q in PROFILE_QUANTILES].index(s)
+            return F.col(f"{c}__pcts").getItem(i).cast("double").alias(s)
+        return F.col(f"{c}__{s}").cast("double").alias(s)
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"{c}__n_valid").cast("bigint").alias("n_valid"),
+            *[_stat(c, s) for s in stats[1:]],
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def valid_columns(df: DataFrame, columns: list[str] | None = None, min_valid: int = 1) -> list[str]:
+    """Columns with at least ``min_valid`` non-null/non-NaN values — the
+    reference's feature-validity filter (lib/utils.py:187-203), collapsed
+    from one job per column into one job total."""
+    cols = columns or numeric_columns(df)
+    if not cols:
+        return []
+    row = df.agg(
+        *[F.count(F.when(_valid(df, c), F.lit(1))).alias(c) for c in cols]
+    ).first()
+    return [c for c in cols if row[c] >= min_valid]
+
+
+def prune_low_quality(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_zero_frac: float = 0.95,
+    max_missing_frac: float = 0.95,
+) -> list[str]:
+    """Feature-quality pruning (reference P10, app/LSTM_AE_enhanced.py:32-39:
+    drop features >95% zero or >95% missing) in one aggregation."""
+    cols = columns or numeric_columns(df)
+    if not cols:
+        return []
+    aggs = []
+    for c in cols:
+        valid = _valid(df, c)
+        aggs.append(F.avg((~valid).cast("double")).alias(f"{c}__miss"))
+        aggs.append(F.avg((valid & (F.col(c) == 0)).cast("double")).alias(f"{c}__zero"))
+    row = df.agg(*aggs).first()
+    return [
+        c
+        for c in cols
+        if (row[f"{c}__miss"] or 0.0) <= max_missing_frac
+        and (row[f"{c}__zero"] or 0.0) <= max_zero_frac
+    ]

@@ -1,0 +1,103 @@
+"""Relational core operators (SURVEY.md §2.2 P1-P10, §2.6 L1-L7).
+
+Projections, predicates, casts, schema alignment, deterministic sampling,
+shuffling, and set ops — the reference performs several of these driver-side
+in pandas/numpy (P9, L4-L6); here they are all distributed DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
+
+# Knuth multiplicative-hash constant: portable deterministic pseudo-random
+# stream computable identically in Spark SQL and DuckDB (plain bigint math),
+# unlike engine-specific hash()/rand(seed).
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def project(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Explicit column projection (reference P1, app/IsolationForest_AE.py:25-75).
+
+    Catalyst pushes this down to the scan's ReadSchema — at 100 TB selecting
+    43 of 170 columns is a ~4× I/O cut on columnar storage.
+    """
+    return df.select(*columns)
+
+
+def split_by_label(df: DataFrame, label: str = "failure") -> tuple[DataFrame, DataFrame]:
+    """Normal/failure split (reference P3, app/AE_model.py:42-43).
+
+    Both filters push down to the scan; the two branches share the cached
+    upstream plan if the caller persists it.
+    """
+    normal = df.where(F.col(label) == F.lit(0))
+    anomalous = df.where(F.col(label) == F.lit(1))
+    return normal, anomalous
+
+
+def cast_columns(df: DataFrame, columns: list[str], dtype: DataType | str) -> DataFrame:
+    """Bulk cast (reference P5 bool→int app/AE_model.py:33-40, P6 ts→string).
+
+    One ``withColumns`` call (single projection node) instead of the
+    reference's per-column ``withColumn`` loop, which builds a deep plan.
+    """
+    return df.withColumns({c: F.col(c).cast(dtype) for c in columns})
+
+
+def align_schema(df: DataFrame, reference: DataFrame) -> DataFrame:
+    """Schema alignment (reference P7+P8, app/test_AE.py:50-67).
+
+    Adds reference-only columns as typed nulls, drops extras, and orders
+    columns to match — the training schema is the source of truth.
+    """
+    ref_fields = {f.name: f.dataType for f in reference.schema.fields}
+    have = set(df.columns)
+    missing = {name: F.lit(None).cast(t) for name, t in ref_fields.items() if name not in have}
+    if missing:
+        df = df.withColumns(missing)
+    return df.select(*[F.col(name).cast(t) for name, t in ref_fields.items()])
+
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int = 42, with_replacement: bool = False) -> DataFrame:
+    """Bernoulli/Poisson row sampling (reference L4, driver-side pandas
+    ``df.sample`` in app/data_augmentation_enhanced.py:229-237). Fully
+    distributed, no shuffle."""
+    return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+
+
+def sample_exact(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Exact-n random sample via sort on rand(seed) + limit (TakeOrdered —
+    no full sort materialization)."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def sample_hash(df: DataFrame, key: str, percent: int) -> DataFrame:
+    """Deterministic engine-portable sample: keep rows whose Knuth
+    multiplicative hash of ``key`` falls in the lowest ``percent``% of the
+    32-bit space. Reproducible across engines (oracle-checkable, unlike
+    rand(seed)) and across runs — the property the reference reaches for
+    with ``random_state=42`` (app/data_augmentation_enhanced.py:230)."""
+    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
+    return df.where(bucket < F.lit(int(_MOD * percent / 100)))
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Full-row shuffle (reference L5, pandas ``sample(frac=1)``)."""
+    return df.orderBy(F.rand(seed))
+
+
+def union_aligned(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union by name with automatic null-fill for missing columns
+    (reference L6, pandas ``pd.concat`` in app/data_augmentation_enhanced.py:246)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def top_k(df: DataFrame, order_col: str, k: int, *tiebreak: str) -> DataFrame:
+    """Top-k by a score column, descending (reference W3: anomaly report
+    sorted by reconstruction_error desc). Spark executes sort+limit as
+    TakeOrderedAndProject — O(k) memory per partition, no global sort."""
+    cols = [F.desc(order_col)] + [F.asc(c) for c in tiebreak]
+    return df.orderBy(*cols).limit(k)

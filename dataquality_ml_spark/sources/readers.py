@@ -1,0 +1,99 @@
+"""Sources (SURVEY.md §2.1 S1-S5).
+
+The reference loads daily snapshot CSVs with ``inferSchema=True`` everywhere
+(reference app/AE_model.py:25-29 and 7 sibling sites) — schema inference costs
+an extra full scan per load. This engine's readers take an explicit schema
+fast path and fall back to inference only on request.
+
+At 100 TB the scan is the dominant cost: always parquet/Iceberg with column
+pruning + predicate pushdown; CSV is an ingest-only format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    bigint (``spark.sql.legacy.parquet.nanosAsLong``); we restore proper
+    timestamps. Footer-only read, no data scan."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; pass ``columns`` to prune at the scan (ReadSchema).
+
+    TIMESTAMP(NANOS) columns are converted back to Spark timestamps
+    (truncated to micros, matching what DuckDB/Arrow readers produce).
+    """
+    # Defensive: the driver may hand us a session built without this conf;
+    # it is a dynamic SQL conf, safe to set at read time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    nanos = set(_nanos_ts_columns(path)) & set(df.columns)
+    if nanos:
+        df = df.withColumns(
+            {c: F.expr(f"timestamp_micros({c} div 1000)") for c in nanos}
+        )
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan (reference S1, app/AE_model.py:25-29).
+
+    Explicit ``schema`` avoids the inference double-scan; ``infer=True``
+    reproduces the reference behavior for ad-hoc exploration.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog table scan (reference S2, app/main.py:16-22 — Iceberg SQL)."""
+    return spark.table(name)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables for one scale factor."""
+    return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}
