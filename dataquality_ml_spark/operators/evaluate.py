@@ -1,0 +1,116 @@
+"""Evaluation operators (SURVEY.md §2.4 A11-A13).
+
+The reference computes confusion counts, detection rate, FPR, precision, F1
+and ROC/AUC driver-side in numpy/sklearn (reference
+app/IsolationForest_AE.py:369-396, app/test_AE.py:240-274,
+lib/utils.py:117-151). Here they are grouped aggregations and window sweeps —
+the 2×2 confusion matrix is a groupBy over two booleans; AUC is the
+Mann-Whitney rank statistic computed with analytic windows (ties handled by
+midranks, exactly matching sklearn.roc_auc_score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_counts(df: DataFrame, pred: str = "is_anomaly", actual: str = "actual_failure") -> DataFrame:
+    """2×2 confusion counts (reference A11) — one grouped aggregation."""
+    return (
+        df.groupBy(F.col(pred).cast("boolean").alias(pred), F.col(actual).cast("boolean").alias(actual))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(pred, actual)
+    )
+
+
+def confusion_metrics(df: DataFrame, pred: str = "is_anomaly", actual: str = "actual_failure") -> DataFrame:
+    """Detection rate / FPR / precision / F1 as one row (reference
+    app/test_AE.py:250-274 formulas), derived from a single aggregation —
+    no row data leaves the executors."""
+    p = F.col(pred).cast("boolean")
+    a = F.col(actual).cast("boolean")
+    agg = df.agg(
+        F.count(F.when(p & a, 1)).alias("tp"),
+        F.count(F.when(p & ~a, 1)).alias("fp"),
+        F.count(F.when(~p & ~a, 1)).alias("tn"),
+        F.count(F.when(~p & a, 1)).alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    detection = tp / F.greatest(tp + fn, F.lit(1))
+    fpr = fp / F.greatest(fp + tn, F.lit(1))
+    precision = tp / F.greatest(tp + fp, F.lit(1))
+    f1 = 2 * precision * detection / F.greatest(precision + detection, F.lit(1e-12))
+    return agg.select(
+        tp, fp, tn, fn,
+        F.round(detection, 4).alias("detection_rate"),
+        F.round(fpr, 4).alias("false_positive_rate"),
+        F.round(precision, 4).alias("precision"),
+        F.round(f1, 4).alias("f1"),
+    )
+
+
+def roc_auc(df: DataFrame, score: str, label: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U statistic with midranks
+    (equivalent to trapezoidal sklearn.roc_auc_score, reference A12).
+
+    AUC = (Σ midrank(positives) − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+
+    The global rank needs a total order: Spark plans the unpartitioned
+    window as a single-partition sort. Exact AUC is inherently a global
+    order statistic; at 100 TB use :func:`roc_auc_binned`.
+    """
+    w_rank = Window.partitionBy().orderBy(F.col(score))
+    ranked = df.select(
+        F.col(label).cast("boolean").alias("__y"),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.col(score).alias("__s"),
+    ).withColumn("__midrank", F.avg("__rn").over(Window.partitionBy("__s")))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__y"), F.col("__midrank"))).alias("rank_sum"),
+        F.count(F.when(F.col("__y"), 1)).alias("np"),
+        F.count(F.when(~F.col("__y"), 1)).alias("nn"),
+    )
+    auc = (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2) / (
+        F.col("np") * F.col("nn")
+    )
+    return agg.select(F.round(auc, 4).alias("auc"), "np", "nn")
+
+
+def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> DataFrame:
+    """Scale path for AUC: quantize scores into ``bins`` buckets (one
+    aggregation, fully parallel), then apply the midrank formula to the
+    per-bucket (n_pos, n_neg) histogram — O(bins) driver work, error
+    bounded by bucket width. This is how AUC survives 100 TB."""
+    lohi = df.agg(F.min(score).alias("lo"), F.max(score).alias("hi")).first()
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(
+        F.lit(bins - 1), F.floor((F.col(score) - F.lit(lo)) / F.lit(width))
+    ).alias("__b")
+    hist = (
+        df.select(bucket, F.col(label).cast("boolean").alias("__y"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.when(F.col("__y"), 1)).alias("np"),
+            F.count(F.when(~F.col("__y"), 1)).alias("nn"),
+        )
+        .orderBy("__b")
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    scored = hist.select(
+        F.col("np"),
+        F.col("nn"),
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("nn_below"),
+    )
+    # pairs won = positives beat all negatives in lower buckets + half of ties in-bucket
+    agg = scored.agg(
+        F.sum(F.col("np") * F.col("nn_below") + F.col("np") * F.col("nn") / 2).alias("won"),
+        F.sum("np").alias("np"),
+        F.sum("nn").alias("nn"),
+    )
+    return agg.select(
+        F.round(F.col("won") / (F.col("np") * F.col("nn")), 4).alias("auc"),
+        "np",
+        "nn",
+    )

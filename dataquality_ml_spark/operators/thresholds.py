@@ -1,0 +1,85 @@
+"""Anomaly-threshold operators (SURVEY.md §2.4 A7/A8, §2.8 M13).
+
+The reference derives thresholds driver-side with numpy over collected error
+arrays (``np.percentile(errors, 95)`` reference app/AE_model.py:197,234;
+``Q3 + 1.5*IQR`` app/LSTM_AE.py:513-517) — the engine computes them as Spark
+aggregations and applies them with a JVM-side comparison (M13:
+``withColumn("is_anomaly", col > lit(t))``, app/IsolationForest_AE.py:350).
+
+All operators return DataFrames; scalar thresholds cross the driver boundary
+only as single aggregate values (the allowed crossing — SURVEY §3 boundary
+rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percentile_threshold(df: DataFrame, col: str, q: float, exact: bool = True) -> float:
+    """Threshold = q-th percentile of ``col`` (reference A7: P95/P90/P72).
+
+    ``exact=True`` reproduces numpy's linear interpolation exactly (small /
+    test SF); ``exact=False`` is the 100 TB path (mergeable approx sketch).
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    return df.agg(F.expr(f"{fn}({col}, {q})").alias("t")).first()["t"]
+
+
+def iqr_threshold(df: DataFrame, col: str, k: float = 1.5, exact: bool = True) -> float:
+    """Threshold = Q3 + k·IQR (reference A8, app/LSTM_AE.py:513-517)."""
+    fn = "percentile" if exact else "percentile_approx"
+    row = df.agg(F.expr(f"{fn}({col}, array(0.25, 0.75))").alias("qs")).first()
+    q1, q3 = row["qs"]
+    return q3 + k * (q3 - q1)
+
+
+def flag_anomalies(df: DataFrame, score_col: str, threshold: float, out: str = "is_anomaly") -> DataFrame:
+    """M13: boolean flag column from a scalar threshold."""
+    return df.withColumn(out, F.col(score_col) > F.lit(threshold))
+
+
+def zscore(df: DataFrame, col: str, out: str = "zscore") -> DataFrame:
+    """Whole-table z-score via an unpartitioned analytic window.
+
+    Spark plans ``avg/stddev over ()`` as a single-partition window — fine
+    for derived error columns, but at 100 TB prefer :func:`zscore_agg`
+    (aggregate → broadcast scalar), which keeps full parallelism.
+    """
+    w = Window.partitionBy()
+    mu = F.avg(col).over(w)
+    sigma = F.stddev_samp(col).over(w)
+    return df.withColumn(out, (F.col(col) - mu) / sigma)
+
+
+def zscore_agg(df: DataFrame, col: str, out: str = "zscore") -> DataFrame:
+    """Scale path for :func:`zscore`: one aggregation computes (μ, σ), the
+    normalization is then an embarrassingly parallel projection. Two narrow
+    jobs, zero shuffles of row data."""
+    row = df.agg(F.avg(col).alias("mu"), F.stddev_samp(col).alias("sigma")).first()
+    return df.withColumn(out, (F.col(col) - F.lit(row["mu"])) / F.lit(row["sigma"]))
+
+
+def clip_outliers(df: DataFrame, col: str, lo_q: float = 0.01, hi_q: float = 0.99, exact: bool = True) -> DataFrame:
+    """Winsorize to [P(lo), P(hi)] (reference app/LSTM_AE_enhanced.py:58-69,
+    driver-side numpy clip → here ``greatest(lo, least(hi, col))``)."""
+    fn = "percentile" if exact else "percentile_approx"
+    row = df.agg(F.expr(f"{fn}({col}, array({lo_q}, {hi_q}))").alias("qs")).first()
+    lo, hi = row["qs"]
+    return df.withColumn(col, F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col))))
+
+
+def impute_mean(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Mean imputation (reference A3/M1, Imputer(strategy="mean")
+    lib/utils.py:209-213) as one stats aggregation + one projection."""
+    row = df.agg(*[F.avg(F.col(c)).alias(c) for c in cols]).first()
+    return df.withColumns({c: F.coalesce(F.col(c), F.lit(row[c])) for c in cols})
+
+
+def impute_median(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """Median imputation (reference A4/M1, Imputer(strategy="median")
+    app/IsolationForest_AE.py:116-121)."""
+    fn = "percentile" if exact else "percentile_approx"
+    row = df.agg(*[F.expr(f"{fn}({c}, 0.5)").alias(c) for c in cols]).first()
+    return df.withColumns({c: F.coalesce(F.col(c), F.lit(row[c])) for c in cols})

@@ -210,3 +210,346 @@ def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ===========================================================================
+# Thresholds / anomaly flags / evaluation (SURVEY §2.4 A7-A13, §2.8 M13)
+# ===========================================================================
+from dataquality_ml_spark.operators import evaluate as ev  # noqa: E402
+from dataquality_ml_spark.operators import relational as rel  # noqa: E402
+from dataquality_ml_spark.operators import sequences as seq  # noqa: E402
+from dataquality_ml_spark.operators import thresholds as th  # noqa: E402
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sigma FROM events
+    )
+    SELECT e.event_id, ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e, stats s
+    WHERE ABS((e.value - s.mu) / s.sigma) > 2.5
+    ORDER BY e.event_id
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events")
+    z = th.zscore_agg(ev_df, "value")
+    return (
+        z.where(F.abs(F.col("zscore")) > 2.5)
+        .select("event_id", F.round("zscore", 4).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "iqr_outlier_counts",
+    oracle="""
+    WITH qs AS (
+      SELECT QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+      FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n_outliers
+    FROM events e, qs
+    WHERE e.value > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def iqr_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events")
+    t = th.iqr_threshold(ev_df, "value", k=1.5, exact=True)
+    return (
+        th.flag_anomalies(ev_df, "value", t)
+        .where(F.col("is_anomaly"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "confusion_p90",
+    oracle="""
+    WITH t AS (SELECT QUANTILE_CONT(value, 0.90) AS thr FROM events),
+    flags AS (
+      SELECT (e.value > t.thr) AS p, (e.event_type = 'error') AS a
+      FROM events e, t
+    ),
+    c AS (
+      SELECT
+        COUNT(*) FILTER (WHERE p AND a)         AS tp,
+        COUNT(*) FILTER (WHERE p AND NOT a)     AS fp,
+        COUNT(*) FILTER (WHERE NOT p AND NOT a) AS tn,
+        COUNT(*) FILTER (WHERE NOT p AND a)     AS fn
+      FROM flags
+    )
+    SELECT tp, fp, tn, fn,
+      ROUND(tp / GREATEST(tp + fn, 1), 4)  AS detection_rate,
+      ROUND(fp / GREATEST(fp + tn, 1), 4)  AS false_positive_rate,
+      ROUND(tp / GREATEST(tp + fp, 1), 4)  AS precision,
+      ROUND(2.0 * (tp / GREATEST(tp + fp, 1)) * (tp / GREATEST(tp + fn, 1))
+            / GREATEST(tp / GREATEST(tp + fp, 1) + tp / GREATEST(tp + fn, 1), 1e-12), 4) AS f1
+    FROM c
+    """,
+)
+def confusion_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events")
+    t = th.percentile_threshold(ev_df, "value", 0.90, exact=True)
+    flagged = th.flag_anomalies(ev_df, "value", t).withColumn(
+        "actual_failure", F.col("event_type") == "error"
+    )
+    return ev.confusion_metrics(flagged)
+
+
+@register(
+    "roc_auc_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT (event_type = 'error') AS y,
+             ROW_NUMBER() OVER (ORDER BY value) AS rn,
+             value AS s
+      FROM events
+    ),
+    mid AS (
+      SELECT y, AVG(rn) OVER (PARTITION BY s) AS midrank FROM ranked
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN y THEN midrank END) AS rank_sum,
+             COUNT(*) FILTER (WHERE y)     AS np,
+             COUNT(*) FILTER (WHERE NOT y) AS nn
+      FROM mid
+    )
+    SELECT ROUND((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4) AS auc, np, nn
+    FROM agg
+    """,
+)
+def roc_auc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events").withColumn(
+        "label", F.col("event_type") == "error"
+    )
+    return ev.roc_auc(ev_df, "value", "label")
+
+
+@register(
+    "string_index_freq",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS freq,
+           CAST(DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, event_type) - 1 AS BIGINT) AS idx
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def string_index_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered categorical index (reference A6/M2: StringIndexer
+    orders by descending frequency, lib/utils.py:205-208) with a
+    deterministic tie-break the MLlib version lacks."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events")
+    counts = ev_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("event_type"))
+    return (
+        counts.withColumn("idx", (F.dense_rank().over(w) - 1).cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Sequences / analytic windows (SURVEY §2.5 W1-W3)
+# ===========================================================================
+@register(
+    "seq_window_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(w_mean, 4) AS w_mean,
+           ROUND(w_min, 4)  AS w_min,
+           ROUND(w_max, 4)  AS w_max
+    FROM (
+      SELECT event_id, user_id,
+        COUNT(value) OVER w AS w_count,
+        AVG(value)  OVER w AS w_mean,
+        MIN(value)  OVER w AS w_min,
+        MAX(value)  OVER w AS w_max
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    WHERE w_count = 20
+    ORDER BY event_id
+    """,
+)
+def seq_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable shadow of the sequence operator (W1): same per-key
+    ordered 20-row frame, scalar stats instead of collect_list."""
+    ev_df = _t(spark, sf_dir, "events")
+    s = seq.sequence_stats(ev_df, "user_id", "ts", "value", n=20, tiebreak="event_id")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.round("w_mean", 4).alias("w_mean"),
+        F.round("w_min", 4).alias("w_min"),
+        F.round("w_max", 4).alias("w_max"),
+    ).orderBy("event_id")
+
+
+@register(
+    "gap_check_events",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_gaps
+    FROM (
+      SELECT user_id,
+        EXTRACT(EPOCH FROM ts) - LAG(EXTRACT(EPOCH FROM ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_seconds
+      FROM events
+    )
+    WHERE gap_seconds > 3600
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def gap_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events").withColumn(
+        "__ord", F.col("ts").cast("double") + F.col("event_id") * F.lit(0.0)
+    )
+    # deterministic ordering: (ts, event_id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev_df.withColumn("gap_seconds", gap)
+        .where(F.col("gap_seconds") > 3600)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "topk_by_value",
+    oracle="""
+    SELECT event_id, ROUND(value, 4) AS value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+)
+def topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 top-anomalies ordering: TakeOrderedAndProject, not a full sort."""
+    ev_df = _t(spark, sf_dir, "events")
+    return rel.top_k(ev_df, "value", 100, "event_id").select(
+        "event_id", F.round("value", 4).alias("value")
+    )
+
+
+# ===========================================================================
+# Sampling / set ops / rollup (SURVEY §2.6 L4-L6 + engine-native extras)
+# ===========================================================================
+@register(
+    "sample_hash_10pct",
+    oracle="""
+    SELECT event_id, user_id
+    FROM events
+    WHERE (event_id * 2654435761) % 4294967296 < 429496729
+    ORDER BY event_id
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic 10% sample (reference L4 random_state=42
+    semantics, but reproducible across engines and cluster sizes)."""
+    ev_df = _t(spark, sf_dir, "events")
+    return rel.sample_hash(ev_df, "event_id", 10).select("event_id", "user_id").orderBy("event_id")
+
+
+@register(
+    "union_align_events",
+    oracle="""
+    SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, CAST(NULL AS DOUBLE) AS value, user_id FROM events WHERE event_type = 'signup'
+    ORDER BY event_id
+    """,
+)
+def union_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6+P7: unionByName with automatic null-fill for missing columns
+    (reference pd.concat + manual lit(None) alignment)."""
+    ev_df = _t(spark, sf_dir, "events")
+    a = ev_df.where(F.col("event_type") == "purchase").select("event_id", "value")
+    b = ev_df.where(F.col("event_type") == "signup").select("event_id", "user_id")
+    return rel.union_aligned(a, b).orderBy("event_id")
+
+
+@register(
+    "events_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP))
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation — grouping-sets surface the reference
+    lacks entirely (SURVEY §2.4 note); free in Spark, map-side partial agg."""
+    ev_df = _t(spark, sf_dir, "events")
+    return (
+        ev_df.withColumn("day", F.date_trunc("day", "ts"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
+    )
+
+
+# ===========================================================================
+# Imputation (SURVEY §2.4 A3/A4, §2.8 M1) — nulls synthesized via predicate
+# because the testdata has none (value < 1 → NULL).
+# ===========================================================================
+@register(
+    "impute_mean_value",
+    oracle="""
+    WITH nulled AS (
+      SELECT event_id, CASE WHEN value >= 1 THEN value END AS v FROM events
+    ),
+    m AS (SELECT AVG(v) AS mean_v FROM nulled)
+    SELECT n.event_id, ROUND(COALESCE(n.v, m.mean_v), 4) AS value_imputed
+    FROM nulled n, m
+    ORDER BY n.event_id
+    """,
+)
+def impute_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events").select(
+        "event_id", F.when(F.col("value") >= 1, F.col("value")).alias("v")
+    )
+    imputed = th.impute_mean(ev_df, ["v"])
+    return imputed.select(
+        "event_id", F.round("v", 4).alias("value_imputed")
+    ).orderBy("event_id")
+
+
+@register(
+    "impute_median_value",
+    oracle="""
+    WITH nulled AS (
+      SELECT event_id, CASE WHEN value >= 1 THEN value END AS v FROM events
+    ),
+    m AS (SELECT QUANTILE_CONT(v, 0.5) AS med_v FROM nulled)
+    SELECT n.event_id, ROUND(COALESCE(n.v, m.med_v), 4) AS value_imputed
+    FROM nulled n, m
+    ORDER BY n.event_id
+    """,
+)
+def impute_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = _t(spark, sf_dir, "events").select(
+        "event_id", F.when(F.col("value") >= 1, F.col("value")).alias("v")
+    )
+    imputed = th.impute_median(ev_df, ["v"], exact=True)
+    return imputed.select(
+        "event_id", F.round("v", 4).alias("value_imputed")
+    ).orderBy("event_id")
