@@ -1,0 +1,278 @@
+"""Deduplication operators (SURVEY.md §7 step 9 — first-class training-data
+pipeline ops): exact, MinHash-LSH, SimHash, and n-gram-Jaccard near-dup.
+
+Scale design:
+- Exact + fingerprint dedup: hash-groupBy, one shuffle on the fingerprint.
+- MinHash: signatures are pure array expressions per row (NO shuffle, no
+  UDF); candidate pairs come from the LSH band bucket join — never a cross
+  join. Verification joins only candidate pairs back to their shingle sets.
+- SimHash: two hash-partitioned aggregations (token tf, then per-doc bit
+  sums) — linear, skew-resistant.
+- n-gram Jaccard: shingle inverted-index join; at 100 TB add a stop-shingle
+  frequency cap before the self-join (the df-cap parameter).
+
+The hash primitives are engine-portable (md5-based, ``functions.scalar``)
+so every operator here is DuckDB-oracle-checkable — unlike MLlib's
+MinHashLSH whose hash seeds are JVM-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.functions.scalar import (
+    bow_fingerprint,
+    portable_hash32,
+    portable_hash60,
+    shingles,
+    tokens,
+)
+
+# MinHash universe: smallest prime > 2^32. Multipliers stay < 2^20 so
+# a*h + b < 2^52 — exact in int64 AND float64, identical in every engine.
+MINHASH_P = 4_294_967_311
+_LCG_M, _LCG_A, _LCG_C = 2**31, 1103515245, 12345
+
+
+def minhash_perms(num: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants shared with the oracle."""
+    x, out = seed, []
+    for _ in range(num):
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        a = (x % (2**20 - 1)) + 1
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        b = x % (2**20)
+        out.append((a, b))
+    return out
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the bag-of-words fingerprint: one hash aggregation,
+    keeper = min id per group (deterministic, unlike dropDuplicates)."""
+    return (
+        df.select(F.col(id_col), bow_fingerprint(text_col).alias("bow_fp"))
+        .groupBy("bow_fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, shingles) pairs — the shared input of the near-dup family.
+
+    Repartitions on the id first: document corpora often arrive in few fat
+    files, and shingling is the CPU-heavy step — without this the whole
+    corpus tokenizes in however many partitions the scan produced. One
+    cheap shuffle of raw text buys full-cluster parallelism downstream.
+    """
+    t = tokens(text_col)
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), shingles(t, k).alias("shs"))
+        .where(F.size("shs") > 0)
+    )
+
+
+def minhash_signatures(
+    sh_df: DataFrame, num_perms: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc as ``num_perms`` array-min expressions over
+    the shingle array — evaluated inside codegen, zero shuffles."""
+    perms = minhash_perms(num_perms)
+
+    def _perm_min(a: int, b: int):
+        # single-arg closure (default-arg lambdas read as multi-arg HOFs)
+        return F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+            )
+        )
+
+    # md5 each shingle ONCE; the 16 permutations are then cheap integer
+    # arithmetic over the hash array (16× less hashing work).
+    hashed = sh_df.withColumn("__hs", F.transform(F.col("shs"), portable_hash32))
+    sig = F.array(*[_perm_min(a, b) for a, b in perms])
+    return hashed.select(F.col(id_col), F.col("shs"), sig.alias("sig"))
+
+
+def _bucket_pairs(df: DataFrame, bucket_col: str, id_col: str, max_bucket: int | None = None) -> DataFrame:
+    """All (id_a < id_b) pairs sharing a bucket, via groupBy + in-bucket
+    expansion — ONE shuffle on the bucket key instead of a self-join that
+    computes the upstream plan twice. Pair multiplicity = number of shared
+    buckets (callers distinct() or count() as needed).
+
+    ``max_bucket`` skips pathological buckets (boilerplate shingles at
+    100 TB) — the standard LSH skew guard; None = exact.
+    """
+    grouped = (
+        df.groupBy(bucket_col)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return grouped.select(
+        F.col(bucket_col), F.explode(pairs).alias("p")
+    ).select(bucket_col, "p.id_a", "p.id_b")
+
+
+def minhash_candidates(
+    sig_df: DataFrame, bands: int = 4, rows: int = 4, id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all ``rows`` signature slots of any
+    band become a candidate pair. Bucket grouping + in-bucket pair
+    expansion — never a cross join, single shuffle."""
+    band_key = lambda b: F.concat_ws(  # noqa: E731
+        "-",
+        F.lit(str(b)),
+        F.concat_ws(
+            ",", F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string"))
+        ),
+    )
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(F.array(*[band_key(b) for b in range(bands)])).alias("band"),
+    )
+    return _bucket_pairs(banded, "band", id_col, max_bucket).select("id_a", "id_b").distinct()
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh_df: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (shingle arrays are distinct,
+    so intersect/union sizes are set semantics)."""
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perms: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    bucket-join → exact-Jaccard verify."""
+    # The shingle relation feeds three plan branches (signatures + both
+    # sides of the verify join); cache it so tokenization/shingling runs
+    # once. Small: one row per doc.
+    sh = with_shingles(df, text_col, id_col, k).cache()
+    sig = minhash_signatures(sh, num_perms, id_col)
+    cand = minhash_candidates(sig, bands, rows, id_col)
+    return jaccard_verify(cand, sh, threshold, id_col).orderBy("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via the shingle inverted index (exact, no LSH recall
+    loss): explode shingles, self-join on shingle, count shared, Jaccard.
+
+    ``max_df`` drops shingles occurring in more than that many docs before
+    the self-join (stop-shingle cap) — the knob that keeps the join from
+    exploding on boilerplate at 100 TB.
+    """
+    sh = with_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.select(F.col(id_col), F.size("shs").alias("n_sh"))
+    # Bucket on a 60-bit hash of the shingle, not the string: ~8× smaller
+    # shuffle keys, same pairs (collision odds ~n²/2^61).
+    ex = sh.select(
+        F.col(id_col),
+        F.explode(F.transform("shs", portable_hash60)).alias("s"),
+    )
+    if max_df is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(freq.where(F.col("df") <= max_df).select("s"), "s")
+    # Shared-shingle counting via bucket expansion (one shuffle on the
+    # shingle hash); pair multiplicity = |A ∩ B|.
+    inter = (
+        _bucket_pairs(ex, "s", id_col, max_bucket=None)
+        .select("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """TF-weighted SimHash fingerprint: per-token 32-bit hash, bit-wise
+    ±tf vote, sign → fingerprint. Two hash aggregations, both on keys that
+    shard evenly (id, token)."""
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", portable_hash32(F.col("w")))
+    )
+    bit_sums = tf.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs = identical SimHash (Hamming 0 — extend by banding
+    the fingerprint for Hamming ≤ k at scale)."""
+    fps = simhash(df, text_col, id_col)
+    return (
+        _bucket_pairs(fps, "simhash", id_col)
+        .select("id_a", "id_b", "simhash")
+        .orderBy("id_a", "id_b")
+    )

@@ -553,3 +553,220 @@ def impute_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imputed.select(
         "event_id", F.round("v", 4).alias("value_imputed")
     ).orderBy("event_id")
+
+
+# ===========================================================================
+# Text analysis + dedup over `documents` (SURVEY §7 step 9)
+# ===========================================================================
+from dataquality_ml_spark.operators import dedup as dd  # noqa: E402
+from dataquality_ml_spark.operators import text as tx  # noqa: E402
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, trim(lower(text)) AS norm, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)"
+)
+_SH_CTE = (
+    "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') "
+    "for i in generate_series(1, len(t)-4)]) AS shs FROM toks WHERE len(t) >= 5)"
+)
+
+
+@register(
+    "token_stats_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(norm) AS n_chars_norm,
+           ROUND((length(norm) - (len(t) - 1)) / CAST(len(t) AS DOUBLE), 4) AS avg_token_len
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+
+@register(
+    "text_quality_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT d.doc_id,
+      length(d.text) AS n_chars,
+      len(t.t) AS n_tokens,
+      ROUND((length(d.text) - length(regexp_replace(d.text, '[.!?,;:]', '', 'g')))
+            / CAST(length(d.text) AS DOUBLE), 4) AS punct_ratio,
+      ROUND((length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+            / CAST(length(d.text) AS DOUBLE), 4) AS digit_ratio,
+      ROUND(len(list_filter(t.t, w -> w IN ({_STOP_SQL}))) / CAST(len(t.t) AS DOUBLE), 4) AS stopword_frac,
+      (len(t.t) >= 10
+        AND (length(d.text) - length(regexp_replace(d.text, '[.!?,;:]', '', 'g'))) / CAST(length(d.text) AS DOUBLE) <= 0.1
+        AND (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) / CAST(length(d.text) AS DOUBLE) <= 0.2
+      ) AS is_high_quality
+    FROM documents d JOIN toks t USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_quality(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(tx.LANG_MARKERS)
+    score_exprs = ",\n      ".join(
+        "len(list_filter(t, w -> w IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs)
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+    WITH {_TOKS_CTE},
+    scored AS (SELECT doc_id, {score_exprs} FROM toks),
+    best_t AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id,
+      CASE WHEN best = 0 THEN 'unknown' {case} ELSE 'unknown' END AS pred_lang,
+      {cols}
+    FROM best_t
+    ORDER BY doc_id
+    """
+
+
+@register("lang_id_docs", oracle=_lang_id_oracle())
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "fingerprint_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+      md5(norm) AS text_fp,
+      md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fp
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM toks
+    GROUP BY 1
+    ORDER BY keep_id
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_exact(_t(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.8
+    )
+
+
+def _simhash_oracle() -> str:
+    bits = 32
+    bit_sums = ",\n      ".join(
+        f"SUM(tf * (CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH {_TOKS_CTE},
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    h AS (SELECT doc_id, tf, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tf),
+    bitsums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM fps a JOIN fps b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@register("simhash_dup_pairs", oracle=_simhash_oracle())
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    perms = dd.minhash_perms(16)
+    p = dd.MINHASH_P
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(shs, s -> "
+        f"({a} * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) + {b}) % {p}), 'min') AS s{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_rows = []
+    for b in range(4):
+        key = f"'{b}-' || " + " || ',' || ".join(
+            f"CAST(s{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_rows.append(f"SELECT doc_id, {key} AS band FROM sigs")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    sigs AS (SELECT doc_id, shs, {sig_exprs} FROM sh),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+        len(list_filter(sa.shs, s -> list_contains(sb.shs, s))) AS n_inter,
+        len(sa.shs) AS n_a, len(sb.shs) AS n_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4) AS jaccard
+    FROM verified
+    WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """
+
+
+@register("minhash_dedup_pairs", oracle=_minhash_oracle())
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), k=5, num_perms=16, bands=4, rows=4, threshold=0.8
+    )
