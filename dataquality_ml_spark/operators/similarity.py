@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (SURVEY.md §7 step 9).
+
+The embedding column is a plain ``array<float>`` — SQL-queryable, Arrow-
+friendly, no VectorUDT (SURVEY §7 "what's hard": keep features as arrays,
+convert only at MLlib boundaries).
+
+Three tiers, matching how ANN actually scales:
+1. ``knn_bruteforce`` — exact cosine top-k as pure SQL array expressions
+   (zip_with/aggregate): the correctness baseline, oracle-checkable.
+2. ``knn_pandas``    — same exact semantics through an Arrow-batched pandas
+   UDF doing one BLAS matmul per batch: the single-node throughput path
+   (~10-100× over per-element expression eval at wide batch sizes).
+3. ``ivf_assign`` / ``knn_ivf`` — inverted-file partitioning: assign every
+   vector to its nearest centroid (one broadcast join), search only the
+   probed cluster. This is the 100 TB path: the full cross product never
+   materializes; each query touches 1/n_clusters of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a, b):
+    """Cosine similarity between two array<float> columns — JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``query_df`` is broadcast (queries are few); the corpus side streams —
+    the join is a broadcast nested loop producing |corpus|×|queries| rows
+    but never shuffling the corpus. Rank window partitions by query id.
+
+    Ranking uses the ROUNDED similarity (4 dp) with the neighbor id as
+    tie-break so the result is bit-stable across engines and runs.
+    """
+    q = F.broadcast(
+        query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = emb_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_pandas(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same exact semantics as :func:`knn_bruteforce`, executed as one
+    numpy matmul per Arrow batch against the driver-broadcast, L2-normalized
+    query matrix. Scale shape: corpus streams through executors in batches;
+    only (batch × k) candidate rows survive per batch before the global
+    top-k reduction."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb_df.sparkSession
+    qrows = query_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            c = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ mat.T  # (batch, n_queries)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(ids)),
+                    "sim": np.round(sims.T.ravel(), 4),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = emb_df.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def centroids_by_label(
+    emb_df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per label — a k-means-style centroid table
+    computed as posexplode → groupBy(label, pos) → avg → re-assemble.
+    Two shuffles over (rows × dim) scalars; linear and skew-free."""
+    return (
+        emb_df.select(F.col(label_col), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        # rounded so the centroid is bit-identical across engines
+        # (summation order differs between Spark partitions and the oracle)
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col(label_col).alias("centroid_id"),
+            F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    emb_df: DataFrame,
+    centroid_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (IVF list build).
+    Centroids broadcast; one pass over the corpus, no shuffle of vectors."""
+    c = F.broadcast(centroid_df)
+    scored = emb_df.join(c).withColumn(
+        "sim", F.round(cosine_sim(F.col(vec_col), F.col("centroid")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select(F.col(id_col), F.col("centroid_id").alias("assigned_centroid"), "sim")
+    )
+
+
+def knn_ivf(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    centroid_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with IVF probe=1: queries search only the corpus vectors
+    assigned to the query's own nearest centroid. Recall < 1 by design;
+    the candidate set per query is |corpus|/n_centroids."""
+    assign = ivf_assign(emb_df, centroid_df, id_col, vec_col).select(
+        id_col, "assigned_centroid"
+    )
+    corpus = emb_df.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("assigned_centroid").alias("c_cluster"),
+    )
+    q_assign = ivf_assign(query_df, centroid_df, id_col, vec_col)
+    q = F.broadcast(
+        query_df.join(q_assign.select(id_col, "assigned_centroid"), id_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("assigned_centroid").alias("q_cluster"),
+        )
+    )
+    scored = (
+        corpus.join(
+            q,
+            (F.col("c_cluster") == F.col("q_cluster"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

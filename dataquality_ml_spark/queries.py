@@ -770,3 +770,136 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"), k=5, num_perms=16, bands=4, rows=4, threshold=0.8
     )
+
+
+# ===========================================================================
+# Similarity search over `embeddings` (SURVEY §7 step 9)
+# ===========================================================================
+from dataquality_ml_spark.operators import similarity as sim  # noqa: E402
+
+_COS_SQL = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+_KNN_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) AS sim
+      FROM q, c WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+def _queries_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+
+
+@register("knn_bruteforce", oracle=_KNN_ORACLE)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(emb, _queries_vecs(spark, sf_dir), k=5)
+
+
+@register("knn_pandas", oracle=_KNN_ORACLE)
+def knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact semantics as knn_bruteforce, via Arrow-batched numpy
+    matmul (the throughput path) — held to the same oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_pandas(emb, _queries_vecs(spark, sf_dir), k=5)
+
+
+_CENT_CTE = """
+    e AS (
+      SELECT label, vec_id,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS centroid_id, list(m ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, ROUND(AVG(x), 6) AS m FROM e GROUP BY 1, 2)
+      GROUP BY 1
+    )"""
+
+
+@register(
+    "ivf_assign",
+    oracle=f"""
+    WITH {_CENT_CTE},
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+        ROUND(list_dot_product(v.emb, c.centroid)
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) v, cent c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, centroid_id AS assigned_centroid, sim
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.centroids_by_label(emb)
+    return sim.ivf_assign(emb, cents).orderBy("vec_id")
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+    WITH {_CENT_CTE},
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assign_scored AS (
+      SELECT v.vec_id, c.centroid_id,
+        ROUND(list_dot_product(v.emb, c.centroid)
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+      FROM vecs v, cent c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT v.vec_id AS query_id, v.emb AS qv, a.cluster AS q_cluster
+      FROM vecs v JOIN assign a USING (vec_id) WHERE v.vec_id < 10
+    ),
+    c AS (
+      SELECT v.vec_id AS neighbor_id, v.emb AS cv, a.cluster AS c_cluster
+      FROM vecs v JOIN assign a USING (vec_id)
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) AS sim
+      FROM q JOIN c ON c_cluster = q_cluster AND neighbor_id != query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.centroids_by_label(emb)
+    return sim.knn_ivf(emb, _queries_vecs(spark, sf_dir), cents, k=5)
