@@ -1,0 +1,193 @@
+"""Array-native feature pipeline (SURVEY.md §2.8 M1-M6, §7 step 3).
+
+Re-provides the reference's feature pipeline — role inference
+(reference lib/utils.py:17-36), valid-column filtering (lib/utils.py:187-203),
+mean/median imputation (lib/utils.py:209-213, app/IsolationForest_AE.py:116-121),
+frequency-ordered categorical indexing with unseen-kept semantics
+(lib/utils.py:205-208, handleInvalid="keep"), z-score scaling
+(lib/utils.py:233-238), and the assembler's keep-vs-skip row behavior
+(lib/utils.py:228-232 vs app/IsolationForest_AE.py:124-129) — with two
+deliberate engineering changes:
+
+1. **One stats pass.** The reference runs one Spark job per column for
+   validity plus one per ML stage for stats (~40+ jobs). Here a single
+   aggregation computes every count/mean/median/σ, and one small groupBy per
+   categorical column computes the frequency tables.
+2. **array<double> features, not VectorUDT.** Features stay SQL-queryable
+   (and DuckDB-checkable); convert with ``array_to_vector`` only at an
+   MLlib boundary.
+
+The fitted model is a plain JSON-serializable dict — the artifact registry
+the reference lacked (its test path *refit* the pipeline, SURVEY §3.3
+drift hazard; loading the artifact makes train/test transforms identical
+by construction).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, NumericType, StringType
+
+
+@dataclass
+class FeatureModel:
+    """Fitted feature-pipeline parameters (the only state that crosses the
+    driver boundary — O(cols + categories) scalars, never rows)."""
+
+    numeric_cols: list[str] = field(default_factory=list)
+    bool_cols: list[str] = field(default_factory=list)
+    categorical_cols: list[str] = field(default_factory=list)
+    impute: dict[str, float] = field(default_factory=dict)
+    mean: dict[str, float] = field(default_factory=dict)
+    std: dict[str, float] = field(default_factory=dict)
+    # cat col -> ordered category list (descending frequency, ties by value)
+    categories: dict[str, list[str]] = field(default_factory=dict)
+    strategy: str = "mean"
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "FeatureModel":
+        return cls(**json.loads(s))
+
+    @property
+    def feature_names(self) -> list[str]:
+        return (
+            [f"{c}_idx" for c in self.categorical_cols]
+            + [f"{c}_scaled" for c in self.numeric_cols]
+            + list(self.bool_cols)
+        )
+
+
+def infer_roles(df: DataFrame, label_col: str | None = "failure", exclude: tuple[str, ...] = ()) -> dict[str, list[str]]:
+    """Column roles from Spark types (reference lib/utils.py:9-36:
+    StringType → categorical, NumericType → numerical, BooleanType →
+    boolean; the label column is identified by name)."""
+    roles: dict[str, list[str]] = {"categorical": [], "numeric": [], "boolean": []}
+    for f_ in df.schema.fields:
+        if f_.name == label_col or f_.name in exclude:
+            continue
+        if isinstance(f_.dataType, BooleanType):
+            roles["boolean"].append(f_.name)
+        elif isinstance(f_.dataType, NumericType):
+            roles["numeric"].append(f_.name)
+        elif isinstance(f_.dataType, StringType):
+            roles["categorical"].append(f_.name)
+    return roles
+
+
+def fit_features(
+    df: DataFrame,
+    roles: dict[str, list[str]] | None = None,
+    label_col: str | None = "failure",
+    strategy: str = "mean",
+    exact_median: bool = True,
+    min_valid: int = 1,
+) -> FeatureModel:
+    """Fit the pipeline: ONE aggregation for numeric stats (validity +
+    impute value + μ/σ), one tiny groupBy per categorical column for
+    frequency tables. Fit-on-normal is the caller's contract (pass the
+    ``failure == 0`` slice, reference app/AE_model.py:42-48)."""
+    from dataquality_ml_spark.operators.profile import _valid
+
+    roles = roles or infer_roles(df, label_col)
+    num, cats, bools = roles["numeric"], roles["categorical"], roles["boolean"]
+
+    aggs = []
+    for c in num:
+        valid = _valid(df, c)
+        vc = F.when(valid, F.col(c))
+        aggs.append(F.count(vc).alias(f"{c}__n"))
+        aggs.append(F.avg(vc).alias(f"{c}__mean"))
+        aggs.append(F.stddev_samp(vc).alias(f"{c}__std"))
+        if strategy == "median":
+            fn = "percentile" if exact_median else "percentile_approx"
+            aggs.append(F.expr(f"{fn}({c}, 0.5)").alias(f"{c}__med"))
+    row = df.agg(*aggs).first() if aggs else None
+
+    model = FeatureModel(strategy=strategy, bool_cols=list(bools))
+    for c in num:
+        if row[f"{c}__n"] < min_valid:
+            # 100%-invalid columns are dropped, reference lib/utils.py:187-199
+            continue
+        model.numeric_cols.append(c)
+        model.mean[c] = float(row[f"{c}__mean"])
+        model.std[c] = float(row[f"{c}__std"] or 0.0)
+        model.impute[c] = float(
+            row[f"{c}__med"] if strategy == "median" else row[f"{c}__mean"]
+        )
+
+    for c in cats:
+        freq = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .count()
+            .orderBy(F.desc("count"), F.asc(c))
+            .collect()
+        )
+        model.categorical_cols.append(c)
+        model.categories[c] = [r[c] for r in freq]
+    return model
+
+
+def apply_features(
+    df: DataFrame,
+    model: FeatureModel,
+    mode: str = "keep",
+    out: str = "features",
+) -> DataFrame:
+    """Transform with fitted parameters — pure column expressions, fully
+    parallel, zero shuffles.
+
+    ``mode="keep"``: unseen categories get index = n_categories (the
+    StringIndexer handleInvalid="keep" extra bucket); numeric nulls/NaNs are
+    imputed. ``mode="skip"``: rows with any invalid numeric are dropped
+    (VectorAssembler handleInvalid="skip", the IF/LSTM path's silent
+    row-drop the reference depends on).
+    """
+    feats: list = []
+    for c in model.categorical_cols:
+        cats = model.categories[c]
+        expr = F.lit(float(len(cats)))  # unseen/null → the "keep" bucket
+        for i, v in enumerate(cats):
+            expr = F.when(F.col(c) == v, float(i)).otherwise(expr)
+        feats.append(expr.alias(f"{c}_idx"))
+
+    if mode == "skip":
+        cond = F.lit(True)
+        for c in model.numeric_cols:
+            valid = F.col(c).isNotNull()
+            if df.schema[c].dataType.typeName() in ("double", "float"):
+                valid = valid & ~F.isnan(F.col(c))
+            cond = cond & valid
+        df = df.where(cond)
+
+    for c in model.numeric_cols:
+        imputed = F.coalesce(
+            F.when(~F.isnan(F.col(c).cast("double")), F.col(c).cast("double")),
+            F.lit(model.impute[c]),
+        )
+        sd = model.std[c] if model.std[c] > 0 else 1.0
+        feats.append(((imputed - F.lit(model.mean[c])) / F.lit(sd)).alias(f"{c}_scaled"))
+
+    for c in model.bool_cols:
+        # bool→int cast, reference app/AE_model.py:33-40
+        feats.append(F.col(c).cast("int").cast("double").alias(c))
+
+    named = df.select("*", *feats)
+    return named.withColumn(out, F.array(*[F.col(n) for n in model.feature_names]))
+
+
+def save_model(model: FeatureModel, path: str) -> None:
+    with open(path, "w") as f:
+        f.write(model.to_json())
+
+
+def load_model(path: str) -> FeatureModel:
+    with open(path) as f:
+        return FeatureModel.from_json(f.read())

@@ -1,0 +1,87 @@
+"""MLlib feature pipeline — reference-parity path (SURVEY.md §2.8 M1-M6).
+
+Reproduces the reference's Pipeline exactly where a consumer wants VectorUDT
+outputs for MLlib estimators: Imputer (mean or median) → StringIndexer×N
+(frequency-ordered, handleInvalid="keep") → VectorAssembler (keep or skip)
+→ StandardScaler(withMean, withStd). Cited semantics:
+
+- AE path: in-place imputation, assembler handleInvalid="keep"
+  (reference lib/utils.py:205-252)
+- IF/LSTM path: "_imputed" copies, median strategy, assembler "skip"
+  (drops rows with any NaN — app/IsolationForest_AE.py:115-135)
+
+Prefer ``ml.features`` (array-native, oracle-checkable, single stats pass)
+for new code; this wrapper exists for drop-in reference parity and for
+feeding MLlib estimators.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import Imputer, StandardScaler, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+
+from dataquality_ml_spark.ml.features import infer_roles
+from dataquality_ml_spark.operators.profile import valid_columns
+
+
+def build_feature_pipeline(
+    df: DataFrame,
+    label_col: str | None = "failure",
+    strategy: str = "mean",
+    assembler_invalid: str = "keep",
+    in_place_impute: bool = True,
+    with_scaling: bool = True,
+) -> Pipeline:
+    """Assemble the stage list with the reference's semantics. Column
+    validity is checked in ONE aggregation (valid_columns), not the
+    reference's per-column job loop."""
+    roles = infer_roles(df, label_col)
+    numeric = valid_columns(df, roles["numeric"])
+    cats = roles["categorical"]
+    bools = roles["boolean"]
+
+    stages = []
+    if numeric:
+        out_cols = numeric if in_place_impute else [f"{c}_imputed" for c in numeric]
+        stages.append(
+            Imputer(strategy=strategy, inputCols=numeric, outputCols=out_cols)
+        )
+        num_out = out_cols
+    else:
+        num_out = []
+    idx_cols = []
+    for c in cats:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+        )
+        idx_cols.append(f"{c}_idx")
+    assemble_in = idx_cols + num_out + bools
+    stages.append(
+        VectorAssembler(
+            inputCols=assemble_in,
+            outputCol="features_unscaled" if with_scaling else "features",
+            handleInvalid=assembler_invalid,
+        )
+    )
+    if with_scaling:
+        stages.append(
+            StandardScaler(
+                inputCol="features_unscaled",
+                outputCol="features",
+                withMean=True,
+                withStd=True,
+            )
+        )
+    return Pipeline(stages=stages)
+
+
+def fit_on_normal(
+    df: DataFrame, label_col: str = "failure", **kwargs
+) -> PipelineModel:
+    """The fit-on-normal contract (reference app/AE_model.py:42-48): fit
+    stages on the ``label == 0`` slice only, transform anything after."""
+    from pyspark.sql import functions as F
+
+    normal = df.where(F.col(label_col) == F.lit(0))
+    return build_feature_pipeline(df, label_col=label_col, **kwargs).fit(normal)

@@ -70,7 +70,7 @@ def knn_bruteforce(
     c = emb_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(q, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -114,7 +114,7 @@ def knn_pandas(
                 {
                     "query_id": np.repeat(ids, n),
                     "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(ids)),
-                    "sim": np.round(sims.T.ravel(), 4),
+                    "sim": np.round(sims.T.ravel(), 4) + 0.0,
                 }
             )
             yield out[out.query_id != out.neighbor_id]
@@ -161,7 +161,7 @@ def ivf_assign(
     Centroids broadcast; one pass over the corpus, no shuffle of vectors."""
     c = F.broadcast(centroid_df)
     scored = emb_df.join(c).withColumn(
-        "sim", F.round(cosine_sim(F.col(vec_col), F.col("centroid")), 6)
+        "sim", F.round(cosine_sim(F.col(vec_col), F.col("centroid")), 6) + F.lit(0.0)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
@@ -204,7 +204,7 @@ def knn_ivf(
             (F.col("c_cluster") == F.col("q_cluster"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

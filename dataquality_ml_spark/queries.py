@@ -789,7 +789,7 @@ _KNN_ORACLE = f"""
     ),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
     scored AS (
-      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) AS sim
+      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) + 0 AS sim
       FROM q, c WHERE neighbor_id != query_id
     ),
     ranked AS (
@@ -842,7 +842,7 @@ _CENT_CTE = """
     scored AS (
       SELECT v.vec_id, c.centroid_id,
         ROUND(list_dot_product(v.emb, c.centroid)
-          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) + 0 AS sim
       FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) v, cent c
     ),
     ranked AS (
@@ -868,7 +868,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign_scored AS (
       SELECT v.vec_id, c.centroid_id,
         ROUND(list_dot_product(v.emb, c.centroid)
-          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) + 0 AS sim
       FROM vecs v, cent c
     ),
     assign AS (
@@ -886,7 +886,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vecs v JOIN assign a USING (vec_id)
     ),
     scored AS (
-      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) AS sim
+      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) + 0 AS sim
       FROM q JOIN c ON c_cluster = q_cluster AND neighbor_id != query_id
     ),
     ranked AS (
@@ -903,3 +903,169 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.centroids_by_label(emb)
     return sim.knn_ivf(emb, _queries_vecs(spark, sf_dir), cents, k=5)
+
+
+# ===========================================================================
+# ML feature pipeline + anomaly scoring (SURVEY §2.8; §7 steps 3-6)
+# ===========================================================================
+from dataquality_ml_spark.ml import augment as aug  # noqa: E402
+from dataquality_ml_spark.ml import detectors as det  # noqa: E402
+from dataquality_ml_spark.ml import features as feat  # noqa: E402
+
+_FEAT_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _lineitem_features(spark: SparkSession, sf_dir: str):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", *_FEAT_NUM
+    )
+    model = feat.fit_features(
+        li,
+        roles={"numeric": _FEAT_NUM, "categorical": ["l_returnflag"], "boolean": []},
+        label_col=None,
+    )
+    return feat.apply_features(li, model), model
+
+
+@register(
+    "standardize_features",
+    oracle=f"""
+    WITH stats AS (
+      SELECT {", ".join(f"AVG({c}) AS {c}_mu, STDDEV_SAMP({c}) AS {c}_sd" for c in _FEAT_NUM)}
+      FROM lineitem
+    ),
+    freq AS (
+      SELECT l_returnflag AS cat,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_returnflag) - 1 AS DOUBLE) AS idx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+      f.idx AS l_returnflag_idx,
+      {", ".join(f"ROUND((l.{c} - s.{c}_mu) / s.{c}_sd, 4) + 0 AS {c}_scaled" for c in _FEAT_NUM)}
+    FROM lineitem l, stats s
+    JOIN freq f ON f.cat = l.l_returnflag
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature pipeline (impute→index→scale) as a SQL-checkable query:
+    one stats aggregation at fit, pure projections at apply."""
+    transformed, model = _lineitem_features(spark, sf_dir)
+    return transformed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag_idx",
+        *[
+            (F.round(F.col(f"{c}_scaled"), 4) + F.lit(0.0)).alias(f"{c}_scaled")
+            for c in _FEAT_NUM
+        ],
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "mae_baseline_anomalies",
+    oracle=f"""
+    WITH stats AS (
+      SELECT {", ".join(f"AVG({c}) AS {c}_mu, GREATEST(VAR_SAMP({c}), 1e-6) AS {c}_var" for c in _FEAT_NUM)}
+      FROM lineitem
+    ),
+    scored AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+        ({" + ".join(f"ABS(l.{c} - s.{c}_mu) / s.{c}_var" for c in _FEAT_NUM)}) / {len(_FEAT_NUM)} AS err
+      FROM lineitem l, stats s
+    ),
+    thr AS (SELECT QUANTILE_CONT(err, 0.95) AS t FROM scored)
+    SELECT s.l_orderkey, s.l_linenumber, ROUND(s.err, 4) AS err
+    FROM scored s, thr
+    WHERE s.err > thr.t
+    ORDER BY s.l_orderkey, s.l_linenumber
+    """,
+)
+def mae_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's variance-normalized MAE scoring loop
+    (lib/utils.py:39-63: |x - x̂|/clamp(var, 1e-6) averaged over features,
+    threshold = P95 of errors, app/AE_model.py:197) with the mean vector as
+    the reconstruction — fully SQL-expressible, fully distributed."""
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        *[F.avg(c).alias(f"{c}_mu") for c in _FEAT_NUM],
+        *[F.greatest(F.var_samp(c), F.lit(1e-6)).alias(f"{c}_var") for c in _FEAT_NUM],
+    ).first()
+    err = sum(
+        F.abs(F.col(c) - F.lit(row[f"{c}_mu"])) / F.lit(row[f"{c}_var"])
+        for c in _FEAT_NUM
+    ) / len(_FEAT_NUM)
+    scored = li.select("l_orderkey", "l_linenumber", err.alias("err"))
+    t = th_ops.percentile_threshold(scored, "err", 0.95, exact=True)
+    return (
+        scored.where(F.col("err") > F.lit(t))
+        .select("l_orderkey", "l_linenumber", F.round("err", 4).alias("err"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register("pca_ae_anomalies")  # non-SQL-expressible (SVD fit) → rows-only check
+def pca_ae_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-autoencoder anomaly detection, end to end: single-pass fit
+    stats → sampled SVD fit on the driver → distributed Arrow-batched
+    scoring → P95 threshold → flagged rows (reference AE lifecycle,
+    SURVEY §3.2, without the collect-everything step)."""
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    transformed, model = _lineitem_features(spark, sf_dir)
+    x = det.collect_feature_sample(transformed, max_rows=50_000)
+    ae = det.PCAAutoencoder.fit(x, n_components=3)
+    scored = det.score_distributed(transformed, ae)
+    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=True)
+    return (
+        scored.where(F.col("score") > F.lit(t))
+        .select("l_orderkey", "l_linenumber", F.round("score", 4).alias("score"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register("iforest_anomalies")  # non-SQL-expressible → rows-only check
+def iforest_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest anomaly detection: sampled fit (ψ=256 per tree),
+    broadcast forest, distributed scoring, P95 threshold (reference IF
+    lifecycle app/IsolationForest_AE.py:191-290 re-expressed)."""
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    transformed, _ = _lineitem_features(spark, sf_dir)
+    x = det.collect_feature_sample(transformed, max_rows=20_000)
+    forest = det.IsolationForest(n_estimators=50, max_samples=256, seed=42).fit(x)
+    scored = det.score_distributed(transformed, forest)
+    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=True)
+    return (
+        scored.where(F.col("score") > F.lit(t))
+        .select("l_orderkey", "l_linenumber", F.round("score", 4).alias("score"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "smote_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN event_type = 'purchase'
+                THEN GREATEST(COUNT(*), 3000) ELSE COUNT(*) END AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def smote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOTE oversampling of the minority class to a target count
+    (reference M12); class counts are deterministic and oracle-checked,
+    the synthesized feature values are covered by unit tests."""
+    ev_df = _t(spark, sf_dir, "events")
+    out = aug.smote_oversample(
+        ev_df, "event_type", "purchase", 3000, ["value"], seed=42
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,160 @@
+"""Feature-pipeline and detector semantics tests (SURVEY.md §5 item 2):
+imputation values, indexer frequency order + unseen handling, keep-vs-skip
+row behavior, scaler stats — asserted against hand-computed fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.ml import augment as aug
+from dataquality_ml_spark.ml import detectors as det
+from dataquality_ml_spark.ml import features as feat
+
+
+@pytest.fixture(scope="module")
+def telemetry(spark):
+    """Mini drive-telemetry fixture (FIXTURES.md fixture 1): nulls, NaN,
+    an all-null column, categorical with a clear frequency order."""
+    rows = [
+        # (serial, model, smart_1, smart_2, smart_dead, failure)
+        ("a", "m1", 1.0, 10.0, None, 0),
+        ("b", "m1", 2.0, None, None, 0),
+        ("c", "m2", 3.0, 30.0, None, 0),
+        ("d", "m1", 4.0, float("nan"), None, 0),
+        ("e", "m3", None, 50.0, None, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "serial string, model string, smart_1 double, smart_2 double, smart_dead double, failure int"
+    )
+
+
+def test_fit_features_stats(telemetry):
+    model = feat.fit_features(
+        telemetry,
+        roles={"numeric": ["smart_1", "smart_2", "smart_dead"], "categorical": ["model"], "boolean": []},
+        label_col="failure",
+    )
+    # all-null column auto-dropped (reference lib/utils.py:187-199)
+    assert "smart_dead" not in model.numeric_cols
+    # mean over valid values only: smart_1 = (1+2+3+4)/4
+    assert model.impute["smart_1"] == pytest.approx(2.5)
+    # NaN excluded like null: smart_2 = (10+30+50)/3
+    assert model.impute["smart_2"] == pytest.approx(30.0)
+    # frequency order: m1(3) > m2(1) = m3(1) → tie by value
+    assert model.categories["model"] == ["m1", "m2", "m3"]
+
+
+def test_apply_features_keep_vs_skip(telemetry):
+    model = feat.fit_features(
+        telemetry,
+        roles={"numeric": ["smart_1", "smart_2"], "categorical": ["model"], "boolean": []},
+        label_col="failure",
+    )
+    kept = feat.apply_features(telemetry, model, mode="keep")
+    assert kept.count() == 5  # keep imputes, drops nothing
+    skipped = feat.apply_features(telemetry, model, mode="skip")
+    # rows b (null smart_2), d (NaN smart_2), e (null smart_1) dropped —
+    # the assembler handleInvalid="skip" silent row-drop (M3)
+    assert skipped.count() == 2
+
+    row_a = kept.where(F.col("serial") == "a").first()
+    # z-score: (1.0 - 2.5) / std([1,2,3,4]) = -1.5 / 1.2909944...
+    assert row_a["smart_1_scaled"] == pytest.approx(-1.1618, abs=1e-4)
+    # model=m1 → idx 0
+    assert row_a["model_idx"] == 0.0
+    # imputed NaN row: smart_2 of d → mean 30 → scaled 0
+    row_d = kept.where(F.col("serial") == "d").first()
+    assert row_d["smart_2_scaled"] == pytest.approx(0.0)
+
+
+def test_apply_features_unseen_category(spark, telemetry):
+    model = feat.fit_features(
+        telemetry,
+        roles={"numeric": ["smart_1"], "categorical": ["model"], "boolean": []},
+        label_col="failure",
+    )
+    test_df = spark.createDataFrame(
+        [("z", "m_new", 1.0, None, None, 0)],
+        "serial string, model string, smart_1 double, smart_2 double, smart_dead double, failure int",
+    )
+    out = feat.apply_features(test_df, model, mode="keep").first()
+    # unseen → the extra "keep" bucket = n_categories (StringIndexer
+    # handleInvalid="keep", reference lib/utils.py:206)
+    assert out["model_idx"] == 3.0
+
+
+def test_feature_model_roundtrip(telemetry, tmp_path):
+    model = feat.fit_features(telemetry, label_col="failure")
+    path = str(tmp_path / "model.json")
+    feat.save_model(model, path)
+    loaded = feat.load_model(path)
+    assert loaded == model
+
+
+def test_pca_ae_detects_planted_outlier(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(0, 1, size=(500, 4))
+    base[:, 1] = base[:, 0] * 2 + rng.normal(0, 0.01, 500)  # low-rank structure
+    planted = np.array([[8.0, -16.0, 0.0, 0.0]])  # breaks the correlation
+    x = np.vstack([base, planted])
+    ae = det.PCAAutoencoder.fit(x[:-1], n_components=2)
+    errs = ae.reconstruction_error(x)
+    assert errs[-1] > np.percentile(errs[:-1], 99)
+
+
+def test_iforest_detects_planted_outlier(spark):
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, size=(1000, 3))
+    x[-1] = [10, 10, 10]
+    forest = det.IsolationForest(n_estimators=50, max_samples=256, seed=42).fit(x)
+    s = forest.score_samples(x)
+    assert s[-1] == max(s)
+    # deterministic under the seed
+    s2 = det.IsolationForest(n_estimators=50, max_samples=256, seed=42).fit(x).score_samples(x)
+    assert np.allclose(s, s2)
+
+
+def test_score_distributed_matches_local(spark):
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, size=(200, 3))
+    ae = det.PCAAutoencoder.fit(x, n_components=2)
+    local = ae.reconstruction_error(x)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)], "id long, features array<double>"
+    )
+    dist = {r["id"]: r["score"] for r in det.score_distributed(df, ae).collect()}
+    for i in range(200):
+        assert math.isclose(dist[i], local[i], rel_tol=1e-9)
+
+
+def test_smote_counts_and_range(spark):
+    df = spark.createDataFrame(
+        [(float(i), "maj") for i in range(100)] + [(0.0, "min"), (10.0, "min"), (20.0, "min")],
+        "value double, label string",
+    )
+    out = aug.smote_oversample(df, "label", "min", 10, ["value"], seed=42)
+    counts = {r["label"]: r["n"] for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"maj": 100, "min": 10}
+    # synthetic values interpolate existing minority points
+    vals = [r["value"] for r in out.where(F.col("label") == "min").collect()]
+    assert all(0.0 <= v <= 20.0 for v in vals)
+
+
+def test_mllib_pipeline_parity(telemetry):
+    from dataquality_ml_spark.ml.mllib_pipeline import build_feature_pipeline
+
+    pipe = build_feature_pipeline(telemetry, label_col="failure", assembler_invalid="keep")
+    fitted = pipe.fit(telemetry.where(F.col("failure") == 0))
+    out = fitted.transform(telemetry)
+    assert "features" in out.columns
+    assert out.count() == 5
+    skip_pipe = build_feature_pipeline(
+        telemetry, label_col="failure", assembler_invalid="skip", strategy="median", in_place_impute=False
+    )
+    # imputation fills nulls before assembly, so "skip" only drops rows
+    # whose *categorical index* or bool inputs are invalid — none here
+    assert skip_pipe.fit(telemetry).transform(telemetry).count() == 5

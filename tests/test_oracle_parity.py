@@ -20,7 +20,7 @@ def _normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return f"{v:.4f}"
+            return f"{round(v, 4) + 0.0:.4f}"  # round, then canonicalize -0.0
         if isinstance(v, list):
             return tuple(norm_val(x) for x in v)
         return str(v)
