@@ -1,0 +1,92 @@
+"""Multimodal column plumbing (SURVEY.md §7 step 9: image/audio/video as
+opaque ``binary`` columns with typed metadata).
+
+The Spark-side mechanics — schema, partitioning, Arrow batch shape, UDF
+signatures — are real and tested; the actual media decoding is STUBBED
+(``decode_stub``) because no image/audio libraries exist in this container.
+Swapping the stub for PIL/librosa/ffmpeg changes only the function body:
+the batch iterator contract (``mapInPandas`` over binary + metadata
+columns, bounded batches via maxRecordsPerBatch) is exactly what a real
+decoder needs at 100 TB — media bytes never leave the executor, only
+fixed-width features come back.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: schema of the decoded-feature output (id + fixed-width feature vector)
+FEATURE_SCHEMA = "id long, width int, height int, n_bytes long, features array<float>"
+
+
+def attach_binary_metadata(
+    df: DataFrame, bin_col: str, id_col: str
+) -> DataFrame:
+    """Typed metadata for an opaque binary column — pure JVM expressions:
+    payload size, content hash (dedup key), magic-byte sniff."""
+    b = F.col(bin_col)
+    return df.select(
+        F.col(id_col),
+        F.length(b).alias("n_bytes"),
+        F.md5(b).alias("content_hash"),
+        F.substring(F.hex(b), 1, 8).alias("magic"),
+    )
+
+
+def decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic fake decoder standing in for an image library.
+
+    Raises ``NotImplementedError`` for empty payloads (the real-decoder
+    failure path callers must handle); otherwise derives a fake
+    (width, height) and an 8-dim feature vector from the bytes. Replace
+    with a real decode (PIL / torchvision / ffmpeg) in production.
+    """
+    if not payload:
+        raise NotImplementedError("empty payload: no media decoder in this environment")
+    w = 16 + payload[0] % 64
+    h = 16 + payload[-1] % 64
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    feats = np.array(
+        [
+            arr.mean(),
+            arr.std(),
+            arr.min(),
+            arr.max(),
+            float(len(arr)),
+            float(w),
+            float(h),
+            float(arr.sum() % 997),
+        ],
+        dtype=np.float32,
+    )
+    return w, h, feats
+
+
+def decode_features(
+    df: DataFrame, bin_col: str, id_col: str
+) -> DataFrame:
+    """Decode + feature-extract over binary payloads via ``mapInPandas``:
+    per-partition Arrow batches in, fixed-width feature rows out. Corrupt /
+    empty payloads are skipped (counted rows lost = input − output)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "n_bytes": [], "features": []}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    w, h, feats = decode_stub(bytes(payload) if payload is not None else b"")
+                except NotImplementedError:
+                    continue
+                out["id"].append(rid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(payload))
+                out["features"].append(feats.tolist())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=FEATURE_SCHEMA)

@@ -1,0 +1,74 @@
+"""Structured Streaming scoring mode (SURVEY.md §2.9, §7 step 10).
+
+The reference is batch-only (scheduled daily, README.md:5); this optional
+mode scores arriving events continuously with the same operators:
+
+- event-time tumbling/sliding windows with a watermark for late data,
+- anomaly flagging against a FROZEN threshold artifact (the batch-derived
+  scalar — state the reference keeps in a txt file, here a plain float
+  loaded per batch or closed over),
+- ``foreachBatch`` to reuse any batch operator (M13 flagging, report sink)
+  unchanged on each micro-batch.
+
+Scale notes: the windowed aggregation is stateful but bounded by the
+watermark horizon; keys shard across executors; no state grows with total
+stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str | None = "event_type",
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked sliding/tumbling window aggregation over a stream —
+    count/mean/max per (key, window). Late rows beyond the watermark drop;
+    state is bounded."""
+    keys = [F.window(ts_col, window_duration, slide or window_duration)]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("mean_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def flag_stream(
+    stream_df: DataFrame, score_col: str, threshold: float, out: str = "is_anomaly"
+) -> DataFrame:
+    """M13 on a stream: stateless row-wise comparison against the frozen
+    batch-derived threshold — identical expression as the batch operator."""
+    return stream_df.withColumn(out, F.col(score_col) > F.lit(threshold))
+
+
+def score_with_batch_operator(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch bridge: apply any batch operator/sink to each
+    micro-batch (how the engine reuses its scoring/report operators in
+    streaming mode). Returns the started StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,85 @@
+"""Streaming scoring mode + multimodal plumbing + plan-property tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.operators import multimodal as mm
+from dataquality_ml_spark.sources.readers import read_parquet
+from dataquality_ml_spark.streaming import score_stream as ss
+
+
+def test_streaming_windowed_flagging(spark, tmp_path):
+    """events parquet replayed as a file stream → watermarked windowed agg
+    → threshold flags applied per micro-batch via foreachBatch."""
+    src = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    stream_dir = str(tmp_path / "in")
+    src.limit(2000).write.parquet(stream_dir)
+
+    # frozen batch-derived threshold artifact (the engine contract): P99 of
+    # the historical batch, applied unchanged to the stream
+    from dataquality_ml_spark.operators.thresholds import percentile_threshold
+
+    t = percentile_threshold(src, "value", 0.99, exact=True)
+
+    stream = spark.readStream.schema(src.schema).parquet(stream_dir)
+    stats = ss.windowed_stats(stream, window_duration="1 hour", watermark="2 hours")
+    flagged = ss.flag_stream(stats, "max_value", threshold=t)
+
+    collected: list = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(flagged_row.asDict() for flagged_row in batch_df.collect())
+
+    q = ss.score_with_batch_operator(
+        flagged, sink, checkpoint=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert collected, "stream produced no windows"
+    assert {"n", "mean_value", "max_value", "is_anomaly"} <= set(collected[0].keys())
+    assert any(r["is_anomaly"] for r in collected)  # max value 490 > 400
+    assert any(not r["is_anomaly"] for r in collected)
+
+
+def test_multimodal_decode_plumbing(spark):
+    """Binary column → metadata extraction (JVM-side) and stub decode via
+    mapInPandas with the real batch contract."""
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    with_bin = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    meta = mm.attach_binary_metadata(with_bin, "payload", "doc_id")
+    m = meta.first()
+    assert m["n_bytes"] > 0 and len(m["content_hash"]) == 32
+
+    feats = mm.decode_features(with_bin, "payload", "doc_id")
+    rows = feats.collect()
+    assert len(rows) == docs.count()  # no empty payloads here
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(16 <= r["width"] < 80 for r in rows)
+
+
+def test_decode_stub_failure_path():
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"")
+
+
+def test_plan_properties(spark):
+    """The scale assertions (SURVEY §4): pushdown, pruning, broadcast."""
+    from dataquality_ml_spark import plans
+    import dataquality_ml_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    fpc = q.queries()["filter_project_cast"](spark, sf)
+    assert any("event_type" in f for f in plans.pushed_filters(fpc))
+    read_cols = plans.read_schema_columns(fpc)
+    assert "props" in read_cols and "ts" not in read_cols  # pruned
+
+    rev = q.queries()["revenue_by_nation"](spark, sf)
+    assert plans.has_broadcast_join(rev)
+
+    q1 = q.queries()["q1_pricing_summary"](spark, sf)
+    # scan → partial agg → exchange on group keys → final agg → sort
+    # exchange (+ AQE wrapper) — anything more means a lost partial agg
+    assert plans.count_shuffles(q1) <= 4
