@@ -1069,3 +1069,270 @@ def smote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Extended relational coverage: join variants, ranking, pivot, sessionization
+# (engine-native capabilities the reference lacked entirely — SURVEY §2.3)
+# ===========================================================================
+@register(
+    "q3_top_unshipped",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → star join → agg → top-k.
+    customer is broadcast; the lineitem⋈orders shuffle carries only
+    filter-surviving rows (both predicates push to the scans)."""
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one large order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no finished order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-1 via ranking window — one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_order_priority",
+    oracle=f"""
+    SELECT o_orderstatus,
+      {", ".join(
+          'COUNT(*) FILTER (WHERE o_orderpriority = ' + chr(39) + p + chr(39) + ') AS "' + p + '"'
+          for p in _PRIORITIES
+      )}
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list → deterministic columns, single-pass
+    conditional aggregation, no second distinct scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "distinct_suppliers_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expands to a two-phase plan in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN EXTRACT(EPOCH FROM ts) - LAG(EXTRACT(EPOCH FROM ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+          THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap → cumulative-sum session ids.
+    Two analytic windows over one shuffle on user_id, then a grouped agg —
+    the batch equivalent of a session window in streaming."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sessions = ev_df.withColumn(
+        "new_session", F.when(gap > 1800, 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_idx").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "above_brand_avg_parts",
+    oracle="""
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS p_retailprice,
+           ROUND(brand_avg, 2) AS brand_avg
+    FROM (
+      SELECT p_partkey, p_brand, p_retailprice,
+             AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part
+    )
+    WHERE p_retailprice > 1.2 * brand_avg
+    ORDER BY p_partkey
+    """,
+)
+def above_brand_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (price > 1.2× its group average) as a
+    single analytic window — no self-join, one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > 1.2 * F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.round("brand_avg", 2).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
