@@ -1417,3 +1417,191 @@ def sequence_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id", "event_id")
     )
+
+
+# ===========================================================================
+# Threshold sweep (Youden), winsorize, grouped-map, column pruning, seq-AE
+# ===========================================================================
+@register(
+    "youden_threshold",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS s, (event_type = 'error') AS y FROM events
+    ),
+    totals AS (
+      SELECT COUNT(*) FILTER (WHERE y) AS p, COUNT(*) FILTER (WHERE NOT y) AS n
+      FROM scored
+    ),
+    sweep AS (
+      SELECT s,
+        SUM(CASE WHEN y THEN 1 ELSE 0 END) OVER (ORDER BY s DESC
+          ROWS UNBOUNDED PRECEDING) AS tp,
+        SUM(CASE WHEN y THEN 0 ELSE 1 END) OVER (ORDER BY s DESC
+          ROWS UNBOUNDED PRECEDING) AS fp,
+        ROW_NUMBER() OVER (PARTITION BY s ORDER BY s) AS dedup_rn
+      FROM scored
+    ),
+    j AS (
+      SELECT s, ROUND(CAST(tp AS DOUBLE) / t.p - CAST(fp AS DOUBLE) / t.n, 4) AS youden_j
+      FROM (SELECT s, MAX(tp) AS tp, MAX(fp) AS fp FROM sweep GROUP BY s), totals t
+    )
+    SELECT ROUND(s, 4) AS best_threshold, youden_j
+    FROM j
+    ORDER BY youden_j DESC, s ASC
+    LIMIT 1
+    """,
+)
+def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's-J optimal threshold (reference A12 fallback,
+    app/AE_model_enhanced.py:163-168): sweep every distinct score as a
+    candidate threshold via one descending cumulative window; J = TPR−FPR.
+    At 100 TB the same sweep runs over the binned histogram
+    (evaluate.roc_auc_binned structure)."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events")
+    scored = ev_df.select(
+        F.col("value").alias("s"), (F.col("event_type") == "error").alias("y")
+    )
+    tot = scored.agg(
+        F.count(F.when(F.col("y"), 1)).alias("p"),
+        F.count(F.when(~F.col("y"), 1)).alias("n"),
+    ).first()
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    sweep = scored.withColumn(
+        "tp", F.sum(F.when(F.col("y"), 1).otherwise(0)).over(w)
+    ).withColumn("fp", F.sum(F.when(F.col("y"), 0).otherwise(1)).over(w))
+    per_s = sweep.groupBy("s").agg(F.max("tp").alias("tp"), F.max("fp").alias("fp"))
+    j = per_s.select(
+        F.col("s"),
+        F.round(
+            F.col("tp").cast("double") / tot["p"] - F.col("fp").cast("double") / tot["n"], 4
+        ).alias("youden_j"),
+    )
+    return (
+        j.orderBy(F.desc("youden_j"), F.asc("s"))
+        .limit(1)
+        .select(F.round("s", 4).alias("best_threshold"), "youden_j")
+    )
+
+
+@register(
+    "winsorize_events",
+    oracle="""
+    WITH qs AS (
+      SELECT QUANTILE_CONT(value, 0.01) AS lo, QUANTILE_CONT(value, 0.99) AS hi
+      FROM events
+    )
+    SELECT e.event_id,
+           ROUND(GREATEST(qs.lo, LEAST(qs.hi, e.value)), 4) AS value_clipped
+    FROM events e, qs
+    ORDER BY e.event_id
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping to [P1, P99] (reference app/LSTM_AE_enhanced.py:58-69,
+    driver-side numpy → here greatest/least over broadcast scalars)."""
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    ev_df = _t(spark, sf_dir, "events").select("event_id", "value")
+    clipped = th_ops.clip_outliers(ev_df, "value", 0.01, 0.99, exact=True)
+    return clipped.select(
+        "event_id", F.round("value", 4).alias("value_clipped")
+    ).orderBy("event_id")
+
+
+@register(
+    "group_zscore_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) + 0 AS group_z
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map surface (applyInPandas): per-group z-score computed by a
+    pandas function per event_type group, held to the identical SQL-window
+    oracle. Demonstrates the custom-stateful-operator escape hatch with
+    verified parity; one shuffle on the group key."""
+    import pandas as pd
+
+    ev_df = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def gz(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        pdf = pdf.assign(group_z=((pdf["value"] - mu) / sd).round(4) + 0.0)
+        return pdf[["event_id", "event_type", "group_z"]]
+
+    return (
+        ev_df.groupBy("event_type")
+        .applyInPandas(gz, schema="event_id long, event_type string, group_z double")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "prune_feature_columns",
+    oracle="""
+    SELECT col AS "column", keep FROM (
+      SELECT 'l_quantity' AS col,
+        (AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END) <= 0.95
+         AND AVG(CASE WHEN l_quantity = 0 THEN 1.0 ELSE 0.0 END) <= 0.95) AS keep
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+        (AVG(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END) <= 0.95
+         AND AVG(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END) <= 0.95)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax',
+        (AVG(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END) <= 0.95
+         AND AVG(CASE WHEN l_tax = 0 THEN 1.0 ELSE 0.0 END) <= 0.95)
+      FROM lineitem
+    )
+    ORDER BY "column"
+    """,
+)
+def prune_feature_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-quality pruning (reference P10: drop features >95% zero or
+    missing) surfaced as a (column, keep) relation — one aggregation for
+    all columns."""
+    from dataquality_ml_spark.operators.profile import prune_low_quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    kept = set(prune_low_quality(li, cols))
+    return spark.createDataFrame(
+        [(c, c in kept) for c in sorted(cols)], "column string, keep boolean"
+    )
+
+
+@register("seq_pca_anomalies")  # non-SQL-expressible (SVD) → rows-only check
+def seq_pca_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model path (reference LSTM-AE lifecycle, M8) with the
+    engine's deterministic stand-in: 20-step per-user value windows (W1)
+    flattened to 20-dim vectors, PCA-AE fitted on a bounded sample, scored
+    distributed, P95-flagged — windows keep (user_id, event_id) keys so
+    scores join back by key, not position (the W2 fix)."""
+    from dataquality_ml_spark.operators import sequences as seq_ops
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    ev_df = _t(spark, sf_dir, "events")
+    seqs = seq_ops.sequences(
+        ev_df, "user_id", "ts", "value", n=20, out="sequence", tiebreak="event_id"
+    ).select(
+        "user_id", "event_id", F.col("sequence").cast("array<double>").alias("features")
+    )
+    x = det.collect_feature_sample(seqs, max_rows=30_000)
+    ae = det.PCAAutoencoder.fit(x, n_components=4)
+    scored = det.score_distributed(seqs, ae).select(
+        "user_id", "event_id", "score"
+    ).cache()
+    t = th_ops.percentile_threshold(scored, "score", 0.95, exact=False)
+    return (
+        scored.where(F.col("score") > F.lit(t))
+        .select("user_id", "event_id", F.round("score", 4).alias("score"))
+        .orderBy("user_id", "event_id")
+    )

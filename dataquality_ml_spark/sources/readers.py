@@ -57,7 +57,15 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     # it is a dynamic SQL conf, safe to set at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    nanos = set(_nanos_ts_columns(path)) & set(df.columns)
+    from pyspark.sql.types import LongType
+
+    # Convert only columns Spark actually read as bigint: INT96 timestamps
+    # also look like nanos to Arrow but Spark reads them natively.
+    nanos = {
+        c
+        for c in set(_nanos_ts_columns(path)) & set(df.columns)
+        if isinstance(df.schema[c].dataType, LongType)
+    }
     if nanos:
         df = df.withColumns(
             {c: F.expr(f"timestamp_micros({c} div 1000)") for c in nanos}
