@@ -1605,3 +1605,178 @@ def seq_pca_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.round("score", 4).alias("score"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ===========================================================================
+# As-of join, TF-IDF, embedding near-dup (beyond-reference operators)
+# ===========================================================================
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           ROUND(p.value, 4) AS purchase_value,
+           v.event_id AS prior_view_id,
+           ROUND(v.value, 4) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior (or
+    simultaneous) view. Implemented as union + per-key carry-forward window
+    (operators.asof) — one shuffle, linear state; checked against DuckDB's
+    native ASOF JOIN."""
+    from dataquality_ml_spark.operators.asof import asof_join
+
+    ev_df = _t(spark, sf_dir, "events")
+    purchases = ev_df.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev_df.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    joined = asof_join(purchases, views, key="user_id", ts="ts", value_cols=["view_id", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("view_id_asof").alias("prior_view_id"),
+        F.round("value_asof", 4).alias("view_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING (w), n
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, w) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, w AS term, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF ln((N+1)/(df+1)), top-3 terms per doc.
+    Two hash aggregations (tf by (doc,term), df by term) + a broadcast of
+    the tiny df table — no HashingTF collisions, exact and oracle-checked."""
+    from pyspark.sql import Window
+
+    from dataquality_ml_spark.functions.scalar import tokens
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("tfidf"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_CENT_CTE},
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assign_scored AS (
+      SELECT v.vec_id, c.centroid_id,
+        ROUND(list_dot_product(v.emb, c.centroid)
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+      FROM vecs v, cent c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    members AS (
+      SELECT v.vec_id, v.emb, sqrt(list_dot_product(v.emb, v.emb)) AS nrm, a.cluster
+      FROM vecs v JOIN assign a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) + 0 AS cos_sim
+      FROM members a JOIN members b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM pairs WHERE cos_sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: IVF cluster bucketing bounds
+    the pair space (intra-cluster only — the LSH-style recall/cost trade),
+    exact cosine verification at threshold 0.4 (this corpus has no
+    high-cosine duplicates; the threshold is set to exercise the operator). The all-pairs cross
+    product never materializes."""
+    from dataquality_ml_spark.operators import similarity as sim_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim_ops.centroids_by_label(emb)
+    assign = sim_ops.ivf_assign(emb, cents).select(
+        "vec_id", F.col("assigned_centroid").alias("cluster")
+    )
+    # precompute each vector's norm once (vs once per pair: ~3x less work)
+    members = emb.join(assign, "vec_id").select(
+        "vec_id",
+        "embedding",
+        sim_ops._norm(F.col("embedding")).alias("nrm"),
+        "cluster",
+    )
+    a = members.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cluster",
+    )
+    b = members.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                sim_ops._dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+    return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
