@@ -60,7 +60,7 @@ class FeatureModel:
         return (
             [f"{c}_idx" for c in self.categorical_cols]
             + [f"{c}_scaled" for c in self.numeric_cols]
-            + list(self.bool_cols)
+            + [f"{c}_int" for c in self.bool_cols]
         )
 
 
@@ -176,8 +176,9 @@ def apply_features(
         feats.append(((imputed - F.lit(model.mean[c])) / F.lit(sd)).alias(f"{c}_scaled"))
 
     for c in model.bool_cols:
-        # bool→int cast, reference app/AE_model.py:33-40
-        feats.append(F.col(c).cast("int").cast("double").alias(c))
+        # bool→int cast, reference app/AE_model.py:33-40; distinct alias so
+        # select("*", ...) never duplicates the source column name
+        feats.append(F.col(c).cast("int").cast("double").alias(f"{c}_int"))
 
     named = df.select("*", *feats)
     return named.withColumn(out, F.array(*[F.col(n) for n in model.feature_names]))
