@@ -1,0 +1,118 @@
+"""High-level facade: the workflows a user of the reference runs today,
+as a handful of composable calls.
+
+Reference workflow → engine call:
+
+- load daily snapshot, cast bools, split normal/failure
+  (app/AE_model.py:25-43)                      → ``DQEngine.load`` + ``split``
+- profile column health (lib/utils.py:187-203) → ``profile``
+- fit feature pipeline on normal rows
+  (lib/utils.py:154-269)                       → ``fit_features``
+- train detector, derive threshold
+  (app/AE_model.py:111-246)                    → ``fit_detector``
+- score a table, flag anomalies, report
+  (app/test_AE.py:109-307)                     → ``score`` + ``evaluate``
+
+All returns are DataFrames or small artifact objects; nothing row-sized
+touches the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.ml import detectors as det
+from dataquality_ml_spark.ml import features as feat
+from dataquality_ml_spark.operators import evaluate as ev
+from dataquality_ml_spark.operators import profile as prof
+from dataquality_ml_spark.operators import relational as rel
+from dataquality_ml_spark.operators import thresholds as th
+from dataquality_ml_spark.sources import readers
+
+
+@dataclass
+class FittedDetector:
+    """Model + frozen threshold — the engine's artifact pair (the reference
+    keeps these as a .keras file and a loose threshold .txt)."""
+
+    features: feat.FeatureModel
+    model: object
+    threshold: float
+    threshold_q: float
+
+
+class DQEngine:
+    def __init__(self, spark: SparkSession | None = None):
+        from dataquality_ml_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+
+    # -- ingestion ---------------------------------------------------------
+    def load(self, path: str, fmt: str = "parquet", **kw) -> DataFrame:
+        if fmt == "parquet":
+            return readers.read_parquet(self.spark, path)
+        if fmt == "csv":
+            return readers.read_csv(self.spark, path, **kw)
+        return readers.read_table(self.spark, path)
+
+    def split(self, df: DataFrame, label: str = "failure"):
+        return rel.split_by_label(df, label)
+
+    # -- profiling ---------------------------------------------------------
+    def profile(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+        return prof.profile(df, columns)
+
+    def prune_columns(self, df: DataFrame, columns: list[str] | None = None) -> list[str]:
+        return prof.prune_low_quality(df, columns)
+
+    # -- feature pipeline + detector --------------------------------------
+    def fit_detector(
+        self,
+        train_df: DataFrame,
+        label: str = "failure",
+        roles: dict | None = None,
+        detector: str = "pca",
+        n_components: int = 4,
+        threshold_q: float = 0.95,
+        sample_rows: int = 100_000,
+        exact_threshold: bool = False,
+    ) -> FittedDetector:
+        """Fit on the normal slice, derive the threshold from TRAIN errors
+        (reference app/AE_model.py:42-48, :197) — one artifact out."""
+        normal = train_df.where(F.col(label) == F.lit(0)) if label in train_df.columns else train_df
+        fm = feat.fit_features(normal, roles=roles, label_col=label)
+        transformed = feat.apply_features(normal, fm)
+        x = det.collect_feature_sample(transformed, max_rows=sample_rows)
+        if detector == "pca":
+            model = det.PCAAutoencoder.fit(x, n_components=n_components)
+        elif detector == "iforest":
+            model = det.IsolationForest(n_estimators=100, max_samples=256, seed=42).fit(x)
+        else:
+            raise ValueError(f"unknown detector: {detector}")
+        scored = det.score_distributed(transformed, model).select("score")
+        t = th.percentile_threshold(scored, "score", threshold_q, exact=exact_threshold)
+        return FittedDetector(fm, model, float(t), threshold_q)
+
+    def score(self, df: DataFrame, fitted: FittedDetector) -> DataFrame:
+        """Transform with the SAME artifact (no refit drift), score
+        distributed, flag against the frozen threshold."""
+        transformed = feat.apply_features(df, fitted.features)
+        scored = det.score_distributed(transformed, fitted.model)
+        return th.flag_anomalies(scored, "score", fitted.threshold)
+
+    # -- evaluation --------------------------------------------------------
+    def evaluate(self, scored_df: DataFrame, label: str = "failure") -> DataFrame:
+        flagged = scored_df.withColumn("actual_failure", F.col(label) == 1)
+        return ev.confusion_metrics(flagged)
+
+    def auc(self, scored_df: DataFrame, label: str = "failure") -> DataFrame:
+        return ev.roc_auc(
+            scored_df.withColumn("__y", F.col(label) == 1), "score", "__y"
+        )
+
+    def report(self, scored_df: DataFrame, k: int = 1000) -> DataFrame:
+        """Top-k anomaly report sorted by score desc (reference W3/S6)."""
+        return rel.top_k(scored_df.where(F.col("is_anomaly")), "score", k)

@@ -1746,13 +1746,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = sim_ops.ivf_assign(emb, cents).select(
         "vec_id", F.col("assigned_centroid").alias("cluster")
     )
-    # precompute each vector's norm once (vs once per pair: ~3x less work)
+    # precompute each vector's norm once (vs once per pair: ~3x less work);
+    # cache: both pair sides read this relation (assignment has a window agg
+    # upstream that would otherwise run twice)
     members = emb.join(assign, "vec_id").select(
         "vec_id",
         "embedding",
         sim_ops._norm(F.col("embedding")).alias("nrm"),
         "cluster",
-    )
+    ).cache()
     a = members.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
@@ -1766,7 +1768,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
     )
     pairs = (
-        a.join(b, "cluster")
+        # broadcast one side: the pair space explodes AFTER the join, so a
+        # shuffle join would move every wide embedding row; broadcast keeps
+        # the corpus side streaming in place
+        a.join(F.broadcast(b), "cluster")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",

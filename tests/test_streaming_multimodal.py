@@ -83,3 +83,40 @@ def test_plan_properties(spark):
     # scan → partial agg → exchange on group keys → final agg → sort
     # exchange (+ AQE wrapper) — anything more means a lost partial agg
     assert plans.count_shuffles(q1) <= 4
+
+
+def test_stateful_ew_anomaly_stream(spark, tmp_path):
+    """applyInPandasWithState: per-key EW mean/var state over a replayed
+    event stream; planted spikes must flag, and state must persist across
+    micro-batches."""
+    import pandas as pd
+
+    from dataquality_ml_spark.streaming.stateful import ew_anomaly_stream
+
+    # two micro-batch files replayed in order: steady values + two spikes
+    rows1 = [(uid, eid, 10.0 + (eid % 3) * 0.1) for uid in (1, 2) for eid in range(20)]
+    rows2 = [(uid, eid, 10.0 + (eid % 3) * 0.1) for uid in (1, 2) for eid in range(20, 38)]
+    rows2 += [(1, 38, 500.0), (2, 39, -500.0)]  # planted spikes
+    src = str(tmp_path / "stream_src")
+    schema = "user_id long, event_id long, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    flagged = ew_anomaly_stream(stream, key_col="user_id", z_threshold=5.0)
+
+    out: list = []
+    q = (
+        flagged.writeStream.foreachBatch(
+            lambda df, _id: out.extend(r.asDict() for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    spikes = {(r["key"], r["event_id"]) for r in out}
+    assert (1, 38) in spikes and (2, 39) in spikes, f"spikes not flagged: {out}"
+    # steady values must NOT flag
+    assert all(abs(r["value"]) > 100 for r in out), f"false positives: {out}"
