@@ -1785,3 +1785,146 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= 0.4)
     )
     return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# Statistical aggregates, time buckets, regex, histogram
+# ===========================================================================
+@register(
+    "corr_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           ROUND(CORR(l_discount, l_tax), 4)                 AS disc_tax_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped correlation/covariance — the feature-relationship profiling
+    a DQ pass runs before model training (single 2-phase hash agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+            F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(value, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (one sort-agg per group; approx sketch is
+    the 100 TB path — same expression with percentile_approx)."""
+    ev_df = _t(spark, sf_dir, "events")
+    return (
+        ev_df.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "monthly_order_stats",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value,
+           ROUND(AVG(o_totalprice), 4) AS avg_value
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-bucket aggregation (date_trunc partitions align with the
+    storage partitioning a daily-snapshot table would use)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "regexp_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value,
+           length(props) AS props_len
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+)
+def regexp_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from semi-structured payloads (JVM regexp,
+    stays in codegen)."""
+    ev_df = _t(spark, sf_dir, "events")
+    return (
+        ev_df.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+            F.length("props").alias("props_len"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((e.value - rng.lo) / ((rng.hi - rng.lo) / 20.0)) AS BIGINT), 19) AS bucket
+      FROM events e, rng
+    )
+    SELECT bucket, COUNT(*) AS n
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram: one min/max pass + one bucket groupBy —
+    the DQ distribution sketch (reference draws these driver-side with
+    matplotlib; the engine emits the aggregate table that feeds them)."""
+    ev_df = _t(spark, sf_dir, "events")
+    rng = ev_df.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    width = (rng["hi"] - rng["lo"]) / 20.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(rng["lo"])) / F.lit(width)).cast("bigint"),
+        F.lit(19),
+    )
+    return (
+        ev_df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
