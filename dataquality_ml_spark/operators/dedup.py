@@ -79,27 +79,37 @@ def with_shingles(
     )
 
 
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, int-hashed distinct shingle set): md5 each shingle ONCE, keep
+    only the compact bigint array — what signatures AND verification
+    consume, so the cached relation is ints, not strings (~8× smaller)."""
+    sh = with_shingles(df, text_col, id_col, k)
+    return sh.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(F.col("shs"), portable_hash32)).alias("hs"),
+    )
+
+
 def minhash_signatures(
     sh_df: DataFrame, num_perms: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash signature per doc as ``num_perms`` array-min expressions over
-    the shingle array — evaluated inside codegen, zero shuffles."""
+    the hashed-shingle array — evaluated inside codegen, zero shuffles."""
     perms = minhash_perms(num_perms)
 
     def _perm_min(a: int, b: int):
         # single-arg closure (default-arg lambdas read as multi-arg HOFs)
         return F.array_min(
             F.transform(
-                F.col("__hs"),
+                F.col("hs"),
                 lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
             )
         )
 
-    # md5 each shingle ONCE; the 16 permutations are then cheap integer
-    # arithmetic over the hash array (16× less hashing work).
-    hashed = sh_df.withColumn("__hs", F.transform(F.col("shs"), portable_hash32))
     sig = F.array(*[_perm_min(a, b) for a, b in perms])
-    return hashed.select(F.col(id_col), F.col("shs"), sig.alias("sig"))
+    return sh_df.select(F.col(id_col), sig.alias("sig"))
 
 
 def _bucket_pairs(df: DataFrame, bucket_col: str, id_col: str, max_bucket: int | None = None) -> DataFrame:
@@ -149,14 +159,16 @@ def minhash_candidates(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh_df: DataFrame, threshold: float, id_col: str = "doc_id"
+    pairs: DataFrame, sh_df: DataFrame, threshold: float, id_col: str = "doc_id",
+    shingle_col: str = "hs",
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (shingle arrays are distinct,
-    so intersect/union sizes are set semantics)."""
-    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
-    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    union = F.size("shs_a") + F.size("shs_b") - inter
+    so intersect/union sizes are set semantics). Works on the int-hashed
+    shingle sets — cheap long comparisons instead of string compares."""
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -179,15 +191,15 @@ def minhash_dedup_pairs(
     rows: int = 4,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    """Full MinHash+LSH near-dup pipeline: shingle → hash → sign → band →
     bucket-join → exact-Jaccard verify."""
-    # The shingle relation feeds three plan branches (signatures + both
-    # sides of the verify join); cache it so tokenization/shingling runs
-    # once. Small: one row per doc.
-    sh = with_shingles(df, text_col, id_col, k).cache()
-    sig = minhash_signatures(sh, num_perms, id_col)
+    # The hashed-shingle relation feeds three plan branches (signatures +
+    # both sides of the verify join); cache it so tokenization/shingling/
+    # hashing runs once. Compact: one bigint array per doc.
+    hs = with_hashed_shingles(df, text_col, id_col, k).cache()
+    sig = minhash_signatures(hs, num_perms, id_col)
     cand = minhash_candidates(sig, bands, rows, id_col)
-    return jaccard_verify(cand, sh, threshold, id_col).orderBy("id_a", "id_b")
+    return jaccard_verify(cand, hs, threshold, id_col).orderBy("id_a", "id_b")
 
 
 def ngram_jaccard_pairs(

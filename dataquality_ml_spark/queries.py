@@ -729,8 +729,7 @@ def _minhash_oracle() -> str:
     perms = dd.minhash_perms(16)
     p = dd.MINHASH_P
     sig_exprs = ",\n      ".join(
-        f"list_aggregate(list_transform(shs, s -> "
-        f"({a} * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) + {b}) % {p}), 'min') AS s{i}"
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {p}), 'min') AS s{i}"
         for i, (a, b) in enumerate(perms)
     )
     band_rows = []
@@ -743,7 +742,12 @@ def _minhash_oracle() -> str:
     return f"""
     WITH {_TOKS_CTE},
     {_SH_CTE},
-    sigs AS (SELECT doc_id, shs, {sig_exprs} FROM sh),
+    hsh AS (
+      SELECT doc_id, list_distinct(list_transform(shs,
+        s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))) AS hs
+      FROM sh
+    ),
+    sigs AS (SELECT doc_id, hs, {sig_exprs} FROM hsh),
     bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -751,11 +755,11 @@ def _minhash_oracle() -> str:
     ),
     verified AS (
       SELECT c.id_a, c.id_b,
-        len(list_filter(sa.shs, s -> list_contains(sb.shs, s))) AS n_inter,
-        len(sa.shs) AS n_a, len(sb.shs) AS n_b
+        len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS n_inter,
+        len(sa.hs) AS n_a, len(sb.hs) AS n_b
       FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b
+      JOIN hsh sa ON sa.doc_id = c.id_a
+      JOIN hsh sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b,
            ROUND(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4) AS jaccard

@@ -66,8 +66,8 @@ def test_minhash_estimates_jaccard(spark):
     from dataquality_ml_spark.operators import dedup as dd
 
     docs = read_parquet(spark, "/root/testdata/sf0.01/documents.parquet")
-    sh = dd.with_shingles(docs)
-    sig = dd.minhash_signatures(sh, num_perms=16)
+    hs = dd.with_hashed_shingles(docs)
+    sig = dd.minhash_signatures(hs, num_perms=16)
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()
     sigs = {r["doc_id"]: r["sig"] for r in sig.collect()}
     for p in pairs[:10]:
