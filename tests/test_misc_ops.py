@@ -73,3 +73,52 @@ def test_minhash_estimates_jaccard(spark):
     for p in pairs[:10]:
         agree = sum(a == b for a, b in zip(sigs[p.id_a], sigs[p.id_b])) / 16
         assert agree >= 0.5, f"high-jaccard pair {p.id_a},{p.id_b} agrees only {agree}"
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key pre-co-locates them: the join
+    plan has NO Exchange on the joined relations — the 100 TB pattern for
+    repeated joins on the same key (pay one shuffle at write time, never
+    again at read time)."""
+    from dataquality_ml_spark import plans
+    from dataquality_ml_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    orders = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    for name, df, key in (("li_b", li, "l_orderkey"), ("ord_b", orders, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast; disable so the plan shows the
+        # bucketed sort-merge path a big-table join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("li_b")
+            .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = plans.formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the only Exchange allowed is the one for the final groupBy —
+        # neither join input may re-shuffle
+        join_part = plan.split("Join")[0]
+        assert "Exchange" not in join_part, f"join inputs shuffled:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_percentile_approx_accuracy(spark):
+    """The scale-path quantile sketch stays within its documented error
+    bound of the exact percentile on real data."""
+    from dataquality_ml_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.01/events.parquet")
+    exact = ev.agg(F.expr("percentile(value, 0.95)")).first()[0]
+    approx = ev.agg(F.expr("percentile_approx(value, 0.95, 10000)")).first()[0]
+    # rank error <= n/accuracy; translate loosely to value space
+    assert abs(exact - approx) / exact < 0.01
