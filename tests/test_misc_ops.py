@@ -101,10 +101,12 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         )
         plan = plans.formatted_plan(joined)
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        # the only Exchange allowed is the one for the final groupBy —
-        # neither join input may re-shuffle
-        join_part = plan.split("Join")[0]
-        assert "Exchange" not in join_part, f"join inputs shuffled:\n{plan}"
+        # no Exchange may partition on the JOIN keys — the buckets already
+        # co-locate them; the only allowed shuffle is the final groupBy's
+        import re
+
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "orderkey" not in m.group(1), f"join inputs shuffled:\n{plan}"
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
