@@ -36,12 +36,53 @@ from dataquality_ml_spark.sources import readers
 @dataclass
 class FittedDetector:
     """Model + frozen threshold — the engine's artifact pair (the reference
-    keeps these as a .keras file and a loose threshold .txt)."""
+    keeps these as a .keras file and a loose threshold .txt; here one JSON
+    document holds features + weights + threshold so they can never drift
+    apart)."""
 
     features: feat.FeatureModel
     model: object
     threshold: float
     threshold_q: float
+
+    def save(self, path: str) -> None:
+        import json
+
+        if isinstance(self.model, det.PCAAutoencoder):
+            kind, blob = "pca", self.model.to_json()
+        elif isinstance(self.model, det.IsolationForest):
+            kind, blob = "iforest", json.dumps(self.model.to_state())
+        else:
+            raise TypeError(f"unsupported model: {type(self.model)}")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "features": self.features.to_json(),
+                    "model_kind": kind,
+                    "model": blob,
+                    "threshold": self.threshold,
+                    "threshold_q": self.threshold_q,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "FittedDetector":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        model = (
+            det.PCAAutoencoder.from_json(d["model"])
+            if d["model_kind"] == "pca"
+            else det.IsolationForest.from_state(json.loads(d["model"]))
+        )
+        return cls(
+            features=feat.FeatureModel.from_json(d["features"]),
+            model=model,
+            threshold=d["threshold"],
+            threshold_q=d["threshold_q"],
+        )
 
 
 class DQEngine:

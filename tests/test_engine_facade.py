@@ -53,3 +53,57 @@ def test_facade_iforest_path(spark):
     )
     scored = eng.score(telemetry.where(F.col("date") == "2024-12-25"), fitted)
     assert scored.where(F.col("is_anomaly")).count() > 0
+
+
+def test_detector_artifact_roundtrip(spark, tmp_path):
+    """One JSON artifact holds features+weights+threshold; a reloaded
+    detector scores identically (the reference's loose .keras + .txt pair
+    can drift — this cannot)."""
+    eng = DQEngine(spark)
+    telemetry = spark.createDataFrame(_fixture_rows(), SCHEMA)
+    train = telemetry.where(F.col("date") < "2024-12-25")
+    test = telemetry.where(F.col("date") == "2024-12-25")
+    fitted = eng.fit_detector(
+        train,
+        roles={"numeric": ["smart_1", "smart_2"], "categorical": ["model"], "boolean": []},
+        detector="pca",
+        n_components=1,
+    )
+    path = str(tmp_path / "detector.json")
+    fitted.save(path)
+
+    from dataquality_ml_spark.engine import FittedDetector
+
+    reloaded = FittedDetector.load(path)
+    assert reloaded.threshold == fitted.threshold
+    a = {(r["serial_number"]): r["score"] for r in eng.score(test, fitted).collect()}
+    b = {(r["serial_number"]): r["score"] for r in eng.score(test, reloaded).collect()}
+    assert a == b
+
+
+def test_wide_schema_single_pass(spark):
+    """Wide-schema handling (reference's 170-column enhanced path,
+    app/data_augmentation_enhanced.py:26-188): the profiler and the feature
+    fit must stay ONE aggregation even at 150 numeric columns (no per-column
+    job loop, no codegen blowup)."""
+    import numpy as np
+
+    from dataquality_ml_spark.ml import features as feat
+    from dataquality_ml_spark.operators import profile as prof
+
+    n_cols, n_rows = 150, 2000
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1, size=(n_rows, n_cols)).round(4).tolist()
+    cols = [f"smart_{i}" for i in range(n_cols)]
+    df = spark.createDataFrame(data, schema=", ".join(f"{c} double" for c in cols))
+
+    p = prof.profile(df, columns=cols)
+    assert p.count() == n_cols
+
+    model = feat.fit_features(
+        df, roles={"numeric": cols, "categorical": [], "boolean": []}, label_col=None
+    )
+    assert len(model.numeric_cols) == n_cols
+    out = feat.apply_features(df, model)
+    row = out.select("features").first()
+    assert len(row["features"]) == n_cols
