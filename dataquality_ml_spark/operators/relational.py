@@ -112,3 +112,29 @@ def top_k(df: DataFrame, order_col: str, k: int, *tiebreak: str) -> DataFrame:
     TakeOrderedAndProject — O(k) memory per partition, no global sort."""
     cols = [F.desc(order_col)] + [F.asc(c) for c in tiebreak]
     return df.orderBy(*cols).limit(k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the left side gets a deterministic salt in
+    [0, salt) derived from a row hash; the (small-ish) right side is
+    replicated ``salt`` times so every (key, salt) bucket joins locally.
+    Breaks a single hot key into ``salt`` shuffle partitions.
+
+    Result is row-identical to ``left.join(right, key, how)``. AQE's skew
+    handling covers most cases at runtime; explicit salting is for when a
+    single key exceeds what one task can hold even after AQE splits.
+    """
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1932,3 +1932,91 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+# ===========================================================================
+# Set ops, JSON struct parsing, skew-salted join
+# ===========================================================================
+@register(
+    "user_type_set_ops",
+    oracle="""
+    WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT 'both' AS segment, COUNT(*) AS n FROM (
+      SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM erroring)
+    UNION ALL
+    SELECT 'purchase_only', COUNT(*) FROM (
+      SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM erroring)
+    ORDER BY segment
+    """,
+)
+def user_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (the reference only had concat/union)."""
+    ev_df = _t(spark, sf_dir, "events")
+    purchasers = ev_df.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev_df.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchasers.intersect(erroring).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("segment"), "n"
+    )
+    only = purchasers.exceptAll(erroring.intersect(purchasers)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("purchase_only").alias("segment"), "n")
+    return both.unionByName(only).orderBy("segment")
+
+
+@register(
+    "parse_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           (CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0) AS k_mod10
+    FROM events
+    WHERE event_type = 'signup'
+    ORDER BY event_id
+    """,
+)
+def parse_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct (vs get_json_object string probing) —
+    schema-on-read for semi-structured columns; one pass, codegen'd."""
+    ev_df = _t(spark, sf_dir, "events")
+    parsed = ev_df.where(F.col("event_type") == "signup").withColumn(
+        "p", F.from_json("props", "k int")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10 == 0).alias("k_mod10"),
+    ).orderBy("event_id")
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (relational.salted_join): row-identical to the
+    plain join — the oracle IS the plain join — while spreading any hot
+    orderkey over 8 salt buckets."""
+    from dataquality_ml_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
