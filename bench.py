@@ -34,6 +34,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
+        # queries cache intermediates internally; clear between queries so
+        # shared sub-plans don't cross-subsidize timings
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
