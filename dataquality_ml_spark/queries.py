@@ -2020,3 +2020,103 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ===========================================================================
+# Declarative DQ rule engine + quantile-box anomaly rule
+# ===========================================================================
+@register(
+    "dq_rule_report",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT 'in_range(l_discount)' AS rule, 'in_range' AS kind,
+           COUNT(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1) AS n_violations,
+           ROUND(COUNT(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1)
+                 / CAST(n.total AS DOUBLE), 6) AS violation_frac
+    FROM lineitem, n GROUP BY n.total
+    UNION ALL
+    SELECT 'in_set(l_returnflag)', 'in_set',
+           COUNT(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')),
+           ROUND(COUNT(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R'))
+                 / CAST(n.total AS DOUBLE), 6)
+    FROM lineitem, n GROUP BY n.total
+    UNION ALL
+    SELECT 'not_null(l_shipdate)', 'not_null',
+           COUNT(*) FILTER (WHERE l_shipdate IS NULL),
+           ROUND(COUNT(*) FILTER (WHERE l_shipdate IS NULL) / CAST(n.total AS DOUBLE), 6)
+    FROM lineitem, n GROUP BY n.total
+    UNION ALL
+    SELECT 'references(l_orderkey->orders)', 'references',
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           ROUND((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) / CAST(n.total AS DOUBLE), 6)
+    FROM n
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)', 'unique',
+           COALESCE((SELECT SUM(cnt) FROM (
+             SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber
+           ) WHERE cnt > 1), 0),
+           ROUND(COALESCE((SELECT SUM(cnt) FROM (
+             SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber
+           ) WHERE cnt > 1), 0) / CAST(n.total AS DOUBLE), 6)
+    FROM n
+    ORDER BY rule
+    """,
+)
+def dq_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ checks (operators.rules): all row-level rules in ONE
+    scan, uniqueness as a grouped count, referential integrity as an
+    anti-join — the reusable form of the checks the reference hard-codes."""
+    from dataquality_ml_spark.operators import rules as R
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return R.run_checks(
+        li,
+        [
+            R.not_null("l_shipdate"),
+            R.in_range("l_discount", 0, 0.1),
+            R.in_set("l_returnflag", ["A", "N", "R"]),
+            R.unique(["l_orderkey", "l_linenumber"]),
+            R.references(["l_orderkey"], orders.select(F.col("o_orderkey")), ["o_orderkey"], "orders"),
+        ],
+    )
+
+
+@register(
+    "box_rule_anomalies",
+    oracle="""
+    WITH qs AS (
+      SELECT QUANTILE_CONT(l_quantity, 0.01) AS q_lo, QUANTILE_CONT(l_quantity, 0.99) AS q_hi,
+             QUANTILE_CONT(l_extendedprice, 0.01) AS p_lo, QUANTILE_CONT(l_extendedprice, 0.99) AS p_hi
+      FROM lineitem
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+      (CAST(l.l_quantity < qs.q_lo OR l.l_quantity > qs.q_hi AS INTEGER)
+       + CAST(l.l_extendedprice < qs.p_lo OR l.l_extendedprice > qs.p_hi AS INTEGER)) AS n_outside
+    FROM lineitem l, qs
+    WHERE (CAST(l.l_quantity < qs.q_lo OR l.l_quantity > qs.q_hi AS INTEGER)
+       + CAST(l.l_extendedprice < qs.p_lo OR l.l_extendedprice > qs.p_hi AS INTEGER)) >= 1
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def box_rule_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-box anomaly rule: flag rows with any feature outside its
+    [P1, P99] box — the simplest interpretable detector; one quantile pass
+    + one projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_quantity, array(0.01, 0.99))").alias("q"),
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("p"),
+    ).first()
+    (q_lo, q_hi), (p_lo, p_hi) = row["q"], row["p"]
+    outside = (
+        ((F.col("l_quantity") < q_lo) | (F.col("l_quantity") > q_hi)).cast("int")
+        + ((F.col("l_extendedprice") < p_lo) | (F.col("l_extendedprice") > p_hi)).cast("int")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", outside.alias("n_outside"))
+        .where(F.col("n_outside") >= 1)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
