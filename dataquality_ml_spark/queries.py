@@ -412,9 +412,7 @@ def seq_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gap_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev_df = _t(spark, sf_dir, "events").withColumn(
-        "__ord", F.col("ts").cast("double") + F.col("event_id") * F.lit(0.0)
-    )
+    ev_df = _t(spark, sf_dir, "events")
     # deterministic ordering: (ts, event_id)
     from pyspark.sql import Window
 
@@ -2119,4 +2117,33 @@ def box_rule_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", outside.alias("n_outside"))
         .where(F.col("n_outside") >= 1)
         .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE (event_id * 2654435761) % 4294967296 <
+          CASE event_type WHEN 'error' THEN 4294967296 ELSE 429496729 END
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep ALL of the rare class
+    ('error') and 10% of everything else — the class-rebalancing read
+    pattern for training-data pipelines (engine-portable hash, no
+    rand(seed) divergence across engines or cluster sizes)."""
+    ev_df = _t(spark, sf_dir, "events")
+    bucket = (F.col("event_id").cast("bigint") * F.lit(2654435761)) % F.lit(4294967296)
+    keep = F.when(F.col("event_type") == "error", F.lit(4294967296)).otherwise(
+        F.lit(429496729)
+    )
+    return (
+        ev_df.where(bucket < keep)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
     )
