@@ -124,3 +124,41 @@ def test_percentile_approx_accuracy(spark):
     approx = ev.agg(F.expr("percentile_approx(value, 0.95, 10000)")).first()[0]
     # rank error <= n/accuracy; translate loosely to value space
     assert abs(exact - approx) / exact < 0.01
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Property check: asof_join (union + carry-forward) must equal the
+    brute-force 'latest right row at-or-before left.ts per key' computed in
+    plain Python, including ties and missing-prior cases."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    keys = [1, 2, 3]
+    left_rows = [(k, t, f"L{k}-{t}") for k in keys for t in sorted(rnd.sample(range(100), 6))]
+    right_rows = [(k, t, float(t * 10)) for k in keys for t in sorted(rnd.sample(range(100), 4))]
+    # force an exact-tie timestamp for key 1
+    lt = left_rows[0][1]
+    right_rows.append((1, lt, 999.0))
+
+    left = spark.createDataFrame(left_rows, "k long, ts long, tag string")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double")
+
+    from dataquality_ml_spark.operators.asof import asof_join
+
+    out = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in asof_join(left, right, key="k", ts="ts", value_cols=["v"]).collect()
+    }
+
+    for k, t, _ in left_rows:
+        prior = [rv for rk, rt, rv in right_rows if rk == k and rt <= t]
+        expected = prior[-1] if prior else None
+        # ties: latest by ts; among equal ts the carry-forward takes the
+        # last unioned right row — emulate by taking max-ts then last value
+        if prior:
+            max_ts = max(rt for rk, rt, rv in right_rows if rk == k and rt <= t)
+            cands = [rv for rk, rt, rv in right_rows if rk == k and rt == max_ts]
+            assert out[(k, t)] in cands, f"key={k} ts={t}: {out[(k, t)]} not in {cands}"
+        else:
+            assert out[(k, t)] is None
