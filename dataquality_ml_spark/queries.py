@@ -2147,3 +2147,118 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Composite corpus-curation pipeline + categorical profiling
+# ===========================================================================
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    quality AS (
+      SELECT d.doc_id, t.t
+      FROM documents d JOIN toks t USING (doc_id)
+      WHERE len(t.t) >= 10
+        AND (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+            / CAST(length(d.text) AS DOUBLE) <= 0.2
+    ),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp FROM quality)
+      GROUP BY fp
+    ),
+    {_SH_CTE.replace(
+        "FROM toks WHERE len(t) >= 5",
+        "FROM toks WHERE len(t) >= 5 AND doc_id IN (SELECT doc_id FROM exact_keep)",
+    )},
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_dups AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    )
+    SELECT doc_id FROM exact_keep
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    ORDER BY doc_id
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE query: quality
+    filter (length + digit density) → exact dedup (bag-of-words keeper) →
+    near-dup removal (inverted-index Jaccard ≥ 0.8, higher id dropped) →
+    surviving doc ids. Composes only already-oracle-verified operators;
+    every stage stays distributed."""
+    from dataquality_ml_spark.operators import dedup as dd_ops
+    from dataquality_ml_spark.operators import text as tx_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = tx_ops.text_quality(docs)
+    kept_q = docs.join(
+        quality.where(
+            (F.col("n_tokens") >= 10) & (F.col("digit_ratio") <= 0.2)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    exact_keep = dd_ops.dedup_exact(kept_q).select(F.col("keep_id").alias("doc_id"))
+    deduped = kept_q.join(exact_keep, "doc_id")
+    near = dd_ops.ngram_jaccard_pairs(deduped, k=5, threshold=0.8).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return exact_keep.join(near, "doc_id", "left_anti").orderBy("doc_id")
+
+
+_CAT_PROFILE_COLS = [("event_type", "events"), ("lang", "documents"), ("source", "documents")]
+
+
+def _cat_profile_oracle() -> str:
+    parts = []
+    for col, table in _CAT_PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{table}.{col}' AS "column",
+               COUNT(DISTINCT {col}) AS n_distinct,
+               ROUND(AVG(CASE WHEN {col} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_frac,
+               (SELECT {col} FROM {table} WHERE {col} IS NOT NULL
+                GROUP BY {col} ORDER BY COUNT(*) DESC, {col} LIMIT 1) AS top_value,
+               (SELECT COUNT(*) FROM {table} t2 WHERE t2.{col} =
+                 (SELECT {col} FROM {table} WHERE {col} IS NOT NULL
+                  GROUP BY {col} ORDER BY COUNT(*) DESC, {col} LIMIT 1)) AS top_freq
+        FROM {table}""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+@register("profile_categorical", oracle=_cat_profile_oracle())
+def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical column profiling: cardinality, null fraction, modal
+    value + frequency — one grouped agg per column, results unioned (the
+    string-side complement of the numeric profiler)."""
+    out = None
+    for col, table in _CAT_PROFILE_COLS:
+        df = _t(spark, sf_dir, table)
+        counts = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), F.asc(col))
+            .limit(1)
+        ).first()
+        stats = df.agg(
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.avg(F.col(col).isNull().cast("double")), 6).alias("null_frac"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("column"),
+            "n_distinct",
+            "null_frac",
+            F.lit(counts[col]).alias("top_value"),
+            F.lit(counts["freq"]).cast("bigint").alias("top_freq"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("column")
