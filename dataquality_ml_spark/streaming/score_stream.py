@@ -72,3 +72,16 @@ def score_with_batch_operator(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated key tuples arriving within the
+    watermark horizon (state = one entry per key, expired by event time —
+    bounded, unlike an unwatermarked distinct which grows forever). The
+    streaming face of the batch dedup operators."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates(keys)

@@ -120,3 +120,35 @@ def test_stateful_ew_anomaly_stream(spark, tmp_path):
     assert (1, 38) in spikes and (2, 39) in spikes, f"spikes not flagged: {out}"
     # steady values must NOT flag
     assert all(abs(r["value"]) > 100 for r in out), f"false positives: {out}"
+
+
+def test_streaming_dedup_and_file_sink(spark, tmp_path):
+    """Watermarked streaming dedup + parquet file sink: duplicate event_ids
+    injected across micro-batches come out exactly once."""
+    from dataquality_ml_spark.streaming.score_stream import dedup_stream
+
+    src_dir = str(tmp_path / "dsrc")
+    schema = "event_id long, ts timestamp, value double"
+    rows1 = [(i, "2024-01-01 10:00:00", float(i)) for i in range(50)]
+    rows2 = [(i, "2024-01-01 10:30:00", float(i)) for i in range(25, 75)]  # 25 dups
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    deduped = dedup_stream(stream, ["event_id"], watermark="2 hours")
+
+    out_dir = str(tmp_path / "dout")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 75  # 100 rows in, 25 duplicates dropped
+    assert result.select("event_id").distinct().count() == 75
