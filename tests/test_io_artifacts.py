@@ -33,10 +33,9 @@ def test_csv_inference_matches_reference_behavior(spark, tmp_path):
     out = str(tmp_path / "infer_csv")
     writers.write_csv_report(src, out)
     back = readers.read_csv(spark, out, infer=True)
-    assert dict((f.name, f.dataType.typeName()) for f in back.schema.fields) == {
-        "event_id": "integer" if src.count() < 2**31 else "long",
-        "value": "double",
-    } or back.schema["value"].dataType.typeName() == "double"
+    types = {f.name: f.dataType.typeName() for f in back.schema.fields}
+    assert types["value"] == "double"
+    assert types["event_id"] in ("integer", "long")
 
 
 def test_parquet_sink_partitioned(spark, tmp_path):

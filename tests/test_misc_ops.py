@@ -130,7 +130,6 @@ def test_asof_join_matches_bruteforce(spark):
     """Property check: asof_join (union + carry-forward) must equal the
     brute-force 'latest right row at-or-before left.ts per key' computed in
     plain Python, including ties and missing-prior cases."""
-    import itertools
     import random
 
     rnd = random.Random(7)

@@ -89,8 +89,6 @@ def test_stateful_ew_anomaly_stream(spark, tmp_path):
     """applyInPandasWithState: per-key EW mean/var state over a replayed
     event stream; planted spikes must flag, and state must persist across
     micro-batches."""
-    import pandas as pd
-
     from dataquality_ml_spark.streaming.stateful import ew_anomaly_stream
 
     # two micro-batch files replayed in order: steady values + two spikes
