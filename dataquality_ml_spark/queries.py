@@ -2262,3 +2262,125 @@ def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out.orderBy("column")
+
+
+# ===========================================================================
+# Time-series resampling + anomaly-run detection (telemetry ops)
+# ===========================================================================
+@register(
+    "resample_hourly_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             DATE_TRUNC('hour', MIN(ts)) AS lo,
+             DATE_TRUNC('hour', MAX(ts)) AS hi
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin
+      FROM bounds
+    ),
+    agg AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS bin,
+             ROUND(AVG(value), 4) AS mean_value
+      FROM events WHERE user_id < 20
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT g.user_id, g.bin, a.mean_value,
+        COUNT(a.mean_value) OVER (PARTITION BY g.user_id ORDER BY g.bin
+          ROWS UNBOUNDED PRECEDING) AS grp
+      FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.bin = g.bin
+    )
+    SELECT user_id, CAST(bin AS TIMESTAMP) AS bin,
+      ROUND(MAX(mean_value) OVER (PARTITION BY user_id, grp), 4) AS value_ffill,
+      (mean_value IS NULL) AS was_gap
+    FROM joined
+    ORDER BY user_id, bin
+    """,
+)
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: hourly bins per key over each key's own
+    span (sequence() explode — no driver-side calendar), left join of
+    per-bin aggregates, forward-fill via running count + max-over-group
+    (gaps marked). One shuffle on the key."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    bounds = ev_df.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bin"),
+    )
+    agg = (
+        ev_df.groupBy("user_id", F.date_trunc("hour", "ts").alias("bin"))
+        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+    )
+    joined = grid.join(agg, ["user_id", "bin"], "left")
+    w = Window.partitionBy("user_id").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grp = F.count("mean_value").over(w)
+    out = joined.withColumn("grp", grp)
+    w_grp = Window.partitionBy("user_id", "grp")
+    return out.select(
+        "user_id",
+        "bin",
+        F.round(F.max("mean_value").over(w_grp), 4).alias("value_ffill"),
+        F.col("mean_value").isNull().alias("was_gap"),
+    ).orderBy("user_id", "bin")
+
+
+@register(
+    "anomaly_runs",
+    oracle="""
+    WITH thr AS (SELECT QUANTILE_CONT(value, 0.90) AS t FROM events),
+    flagged AS (
+      SELECT e.user_id, e.event_id, e.ts, (e.value > thr.t) AS hot,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      FROM events e, thr
+    ),
+    islands AS (
+      SELECT user_id, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp,
+             event_id
+      FROM flagged WHERE hot
+    )
+    SELECT user_id,
+           MIN(event_id) AS run_start_event,
+           COUNT(*) AS run_length
+    FROM islands
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, run_start_event
+    """,
+)
+def anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly persistence: runs of >= 3 consecutive above-P90 events per
+    key via the gaps-and-islands row_number difference — distinguishes
+    sustained drift from isolated spikes (what the reference's per-row
+    thresholding cannot express)."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events")
+    from dataquality_ml_spark.operators import thresholds as th_ops
+
+    t = th_ops.percentile_threshold(ev_df, "value", 0.90, exact=True)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev_df.withColumn("rn", F.row_number().over(w_all)).where(
+        F.col("value") > F.lit(t)
+    )
+    w_hot = Window.partitionBy("user_id").orderBy("rn")
+    islands = flagged.withColumn("grp", F.col("rn") - F.row_number().over(w_hot))
+    return (
+        islands.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("run_start_event"),
+            F.count(F.lit(1)).alias("run_length"),
+        )
+        .where(F.col("run_length") >= 3)
+        .select("user_id", "run_start_event", "run_length")
+        .orderBy("user_id", "run_start_event")
+    )
