@@ -1002,7 +1002,9 @@ def mae_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col(c) - F.lit(row[f"{c}_mu"])) / F.lit(row[f"{c}_var"])
         for c in _FEAT_NUM
     ) / len(_FEAT_NUM)
-    scored = li.select("l_orderkey", "l_linenumber", err.alias("err"))
+    # cache the 3-column error projection: the exact-percentile pass and
+    # the final filter both consume it (uncached = two lineitem scans)
+    scored = li.select("l_orderkey", "l_linenumber", err.alias("err")).cache()
     t = th_ops.percentile_threshold(scored, "err", 0.95, exact=True)
     return (
         scored.where(F.col("err") > F.lit(t))
@@ -1019,7 +1021,11 @@ def pca_ae_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §3.2, without the collect-everything step)."""
     from dataquality_ml_spark.operators import thresholds as th_ops
 
+    # cache the transformed features: the sample count, the sample collect
+    # and the scoring pass all consume them — uncached, the fit-stats agg +
+    # projection pipeline would re-run per consumer (3× the scan cost)
     transformed, model = _lineitem_features(spark, sf_dir)
+    transformed = transformed.cache()
     x = det.collect_feature_sample(transformed, max_rows=50_000)
     ae = det.PCAAutoencoder.fit(x, n_components=3)
     # cache the scored projection: the threshold aggregation and the final
@@ -1044,7 +1050,10 @@ def iforest_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle app/IsolationForest_AE.py:191-290 re-expressed)."""
     from dataquality_ml_spark.operators import thresholds as th_ops
 
+    # same caching rationale as pca_ae_anomalies: 3 consumers of the
+    # feature projection (count, sample, score)
     transformed, _ = _lineitem_features(spark, sf_dir)
+    transformed = transformed.cache()
     x = det.collect_feature_sample(transformed, max_rows=20_000)
     forest = det.IsolationForest(n_estimators=50, max_samples=256, seed=42).fit(x)
     scored = det.score_distributed(transformed, forest).select(
@@ -1595,7 +1604,7 @@ def seq_pca_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev_df, "user_id", "ts", "value", n=20, out="sequence", tiebreak="event_id"
     ).select(
         "user_id", "event_id", F.col("sequence").cast("array<double>").alias("features")
-    )
+    ).cache()  # window + collect_list is the expensive stage; 3 consumers
     x = det.collect_feature_sample(seqs, max_rows=30_000)
     ae = det.PCAAutoencoder.fit(x, n_components=4)
     scored = det.score_distributed(seqs, ae).select(
@@ -2202,13 +2211,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     quality = tx_ops.text_quality(docs)
-    kept_q = docs.join(
+    # slim to (doc_id, text) and cache: both the exact-dedup stage and the
+    # shingling stage retokenize this relation — uncached each would re-run
+    # the scan + quality join
+    kept_q = docs.select("doc_id", "text").join(
         quality.where(
             (F.col("n_tokens") >= 10) & (F.col("digit_ratio") <= 0.2)
         ).select("doc_id"),
         "doc_id",
+    ).cache()
+    # exact_keep feeds the near-dup input AND the final anti-join — cache
+    # the tiny id set instead of re-fingerprinting the corpus twice
+    exact_keep = (
+        dd_ops.dedup_exact(kept_q).select(F.col("keep_id").alias("doc_id")).cache()
     )
-    exact_keep = dd_ops.dedup_exact(kept_q).select(F.col("keep_id").alias("doc_id"))
     deduped = kept_q.join(exact_keep, "doc_id")
     near = dd_ops.ngram_jaccard_pairs(deduped, k=5, threshold=0.8).select(
         F.col("id_b").alias("doc_id")
