@@ -60,6 +60,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: from a NEW batch, keep only documents whose
+    content fingerprint (a) is not already in the existing corpus and
+    (b) is the first occurrence within the batch itself.
+
+    This is the daily-append path of a training-data pipeline: the corpus
+    side reduces to DISTINCT fingerprints (one narrow column — at 100 TB
+    this is the only state the check needs, and it is exactly what you'd
+    persist as a bloom/fingerprint table between runs), then a left-anti
+    join drops already-seen content. Batch-internal dedup reuses the
+    min-id-per-group keeper rule of ``dedup_exact``.
+    """
+    corpus_fps = corpus_df.select(
+        bow_fingerprint(text_col).alias("bow_fp")
+    ).distinct()
+    batch = new_df.select(F.col(id_col), bow_fingerprint(text_col).alias("bow_fp"))
+    first_in_batch = batch.groupBy("bow_fp").agg(F.min(id_col).alias(id_col))
+    return first_in_batch.join(corpus_fps, "bow_fp", "left_anti").select(id_col)
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

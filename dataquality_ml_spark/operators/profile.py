@@ -131,3 +131,29 @@ def prune_low_quality(
         if (row[f"{c}__miss"] or 0.0) <= max_missing_frac
         and (row[f"{c}__zero"] or 0.0) <= max_zero_frac
     ]
+
+
+def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
+    """Top-N most frequent values of ``col`` with their share of all rows —
+    the skew report that decides whether a key needs salting (SURVEY §7
+    'skewed keys → salting or AQE skew-join': this operator finds them).
+
+    One scan: groupBy collapses to |distinct| rows; the total for the share
+    and the rank both run as windows over those GROUPED rows. Deterministic
+    tie-break on the value keeps the cut stable across engines.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    rnk = Window.orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("share", F.col("n") / F.sum("n").over(tot))
+        .withColumn("rank", F.row_number().over(rnk))
+        .where(F.col("rank") <= top_n)
+        .orderBy("rank")
+    )

@@ -213,3 +213,104 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (SimHash-style) LSH over embeddings
+# ---------------------------------------------------------------------------
+def rhp_planes(dim: int, n_planes: int, seed: str = "rhp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, derived per-component from
+    md5 — NOT engine RNG, so Spark and the DuckDB oracle share the exact
+    same planes as plain float literals. Components are uniform in [-1, 1];
+    for sign-of-dot-product LSH the component distribution only shifts the
+    collision-probability curve, it does not break the ANN contract."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        comp = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:8]
+            comp.append(round(int(h, 16) / 0xFFFFFFFF * 2.0 - 1.0, 6))
+        planes.append(comp)
+    return planes
+
+
+def rhp_signature(vec_col, planes: list[list[float]], bits_per_band: int) -> list:
+    """Banded sign-bit signature of a vector: one integer bucket id per
+    band, band b = bits [b·k, (b+1)·k). Sign bits come from the ROUNDED
+    dot product (6 dp) so the boundary decision is engine-portable.
+    Pure array expressions — JVM-side, no UDF."""
+    n_bands = len(planes) // bits_per_band
+    bands = []
+    for b in range(n_bands):
+        acc = F.lit(0)
+        for i in range(bits_per_band):
+            plane = planes[b * bits_per_band + i]
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            bit = (F.round(_dot(vec_col, lit_plane), 6) >= 0).cast("int")
+            acc = acc + bit * F.lit(2**i)
+        bands.append(acc.alias(f"band_{b}"))
+    return bands
+
+
+def rhp_near_dup_pairs(
+    emb_df: DataFrame,
+    n_planes: int = 12,
+    bits_per_band: int = 6,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via banded random-hyperplane LSH + exact cosine
+    verify — the embedding analogue of MinHash-LSH for text (band match ⇒
+    candidate; multiple bands recover the recall a single long signature
+    loses). The all-pairs product never materializes: candidates are built
+    per band by a groupBy on the band bucket (same machinery as MinHash's
+    ``_bucket_pairs``), unioned, de-duplicated, then verified.
+
+    Scale shape: 2 narrow shuffles (bucket groupBys) + one broadcast-free
+    self-join ON PRECOMPUTED bucket ids; per-band bucket count 2^bits keeps
+    bucket sizes ~n/2^bits, the knob to retune as n grows.
+    """
+    from dataquality_ml_spark.operators.dedup import _bucket_pairs
+
+    planes = rhp_planes(64, n_planes)
+    n_bands = n_planes // bits_per_band
+    sig = emb_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *rhp_signature(F.col(vec_col), planes, bits_per_band),
+    ).cache()  # consumed once per band for candidates + once for verify
+
+    cand = None
+    for b in range(n_bands):
+        pairs_b = _bucket_pairs(
+            sig.select(id_col, F.col(f"band_{b}").alias("bucket")), "bucket", id_col
+        ).select("id_a", "id_b")
+        cand = pairs_b if cand is None else cand.unionAll(pairs_b)
+    cand = cand.distinct()
+
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b_side = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b_side, "id_b")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 4)
+            + F.lit(0.0),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )

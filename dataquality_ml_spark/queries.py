@@ -2400,3 +2400,253 @@ def anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "run_start_event", "run_length")
         .orderBy("user_id", "run_start_event")
     )
+
+
+# ===========================================================================
+# Distribution drift (PSI / KS / chi-square), skew profiling, incremental
+# dedup, RHP-LSH — round-1 continuation batch
+# ===========================================================================
+from dataquality_ml_spark.operators import drift as dr_ops  # noqa: E402
+
+_DRIFT_SPLIT = "2024-01-16"  # events span 2024-01; halves make ref vs cur
+
+
+@register(
+    "drift_psi_events",
+    oracle=f"""
+    WITH ref AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER))) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cur AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER))) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+    j AS (
+      SELECT s.bin,
+        COALESCE(r.n, 0) / (SELECT CAST(SUM(n) AS DOUBLE) FROM ref) AS p_ref,
+        COALESCE(c.n, 0) / (SELECT CAST(SUM(n) AS DOUBLE) FROM cur) AS p_cur
+      FROM spine s LEFT JOIN ref r USING (bin) LEFT JOIN cur c USING (bin)
+    ),
+    t AS (
+      SELECT bin, p_ref, p_cur,
+        (GREATEST(p_cur, 1e-6) - GREATEST(p_ref, 1e-6))
+          * LN(GREATEST(p_cur, 1e-6) / GREATEST(p_ref, 1e-6)) AS psi_term
+      FROM j
+    )
+    SELECT bin,
+      ROUND(p_ref, 6) + 0 AS p_ref,
+      ROUND(p_cur, 6) + 0 AS p_cur,
+      ROUND(psi_term, 6) + 0 AS psi_term,
+      ROUND(SUM(psi_term) OVER (), 6) + 0 AS psi_total
+    FROM t ORDER BY bin
+    """,
+)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    events month over fixed equi-width value bins — the per-bin drift
+    decomposition plus the headline scalar in one O(bins) result."""
+    ev_df = _t(spark, sf_dir, "events")
+    ref = ev_df.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT)))
+    cur = ev_df.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT)))
+    out = dr_ops.psi_bins(ref, cur, "value", lo=0.0, hi=500.0, bins=10)
+    return out.select(
+        "bin",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["p_ref", "p_cur", "psi_term", "psi_total"]
+        ],
+    ).orderBy("bin")
+
+
+@register(
+    "ks_drift_events",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+      UNION ALL
+      SELECT value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+    ),
+    per_v AS (SELECT v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM tagged GROUP BY v),
+    cdf AS (
+      SELECT
+        SUM(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / CAST(SUM(n_a) OVER () AS DOUBLE) AS cdf_a,
+        SUM(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / CAST(SUM(n_b) OVER () AS DOUBLE) AS cdf_b,
+        SUM(n_a) OVER () AS tot_a,
+        SUM(n_b) OVER () AS tot_b
+      FROM per_v
+    )
+    SELECT ROUND(MAX(ABS(cdf_a - cdf_b)), 6) + 0 AS ks_d,
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b
+    FROM cdf
+    """,
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance between the two halves of the events
+    month (grouped-value ECDF sweep; see drift.ks_statistic for the binned
+    100 TB variant)."""
+    ev_df = _t(spark, sf_dir, "events")
+    ref = ev_df.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT)))
+    cur = ev_df.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT)))
+    out = dr_ops.ks_statistic(ref, cur, "value")
+    return out.select(
+        (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )
+
+
+@register(
+    "chi2_event_type_dow",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS a, CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    cont AS (SELECT a, dow, COUNT(*) AS o FROM base GROUP BY a, dow),
+    marg_a AS (SELECT a, SUM(o) AS ma FROM cont GROUP BY a),
+    marg_b AS (SELECT dow, SUM(o) AS mb FROM cont GROUP BY dow),
+    m AS (
+      SELECT g.a, g.dow, g.ma, g.mb, COALESCE(c.o, 0) AS o,
+        SUM(COALESCE(c.o, 0)) OVER () AS n
+      FROM (SELECT * FROM marg_a CROSS JOIN marg_b) g
+      LEFT JOIN cont c ON c.a = g.a AND c.dow = g.dow
+    ),
+    e AS (SELECT a, dow, o, ma * mb / CAST(n AS DOUBLE) AS e, n FROM m)
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 4) + 0 AS chi2,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM e
+    """,
+)
+def chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event_type distributed evenly over
+    day-of-week? (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday —
+    the -1 shift aligns them.)"""
+    ev_df = _t(spark, sf_dir, "events").select(
+        F.col("event_type"), (F.dayofweek("ts") - 1).alias("dow")
+    )
+    out = dr_ops.chi2_independence(ev_df, "event_type", "dow")
+    return out.select(
+        (F.round("chi2", 4) + F.lit(0.0)).alias("chi2"),
+        F.col("dof"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "heavy_hitters_users",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS value, COUNT(*) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT value, n,
+        n / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, value) AS INTEGER) AS rank
+      FROM counts
+    )
+    SELECT value, n, ROUND(share, 6) + 0 AS share, rank
+    FROM r WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report: the 10 heaviest user_ids in events with their share of
+    all rows — the diagnostic that decides salting/AQE-skew handling."""
+    out = prof.heavy_hitters(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+    return out.select(
+        "value", "n", (F.round("share", 6) + F.lit(0.0)).alias("share"), "rank"
+    ).orderBy("rank")
+
+
+@register(
+    "incremental_dedup_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fp
+      FROM toks
+    ),
+    corpus AS (SELECT DISTINCT bow_fp FROM fp WHERE doc_id % 5 <> 0),
+    batch_first AS (
+      SELECT bow_fp, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 5 = 0 GROUP BY 1
+    )
+    SELECT doc_id FROM batch_first
+    WHERE bow_fp NOT IN (SELECT bow_fp FROM corpus)
+    ORDER BY doc_id
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-append dedup: treat doc_id % 5 == 0 as today's batch and the
+    rest as the standing corpus; keep only batch docs whose content
+    fingerprint is new (vs corpus AND within-batch)."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dd.incremental_dedup(new_batch, corpus).orderBy("doc_id")
+
+
+def _rhp_oracle() -> str:
+    """Oracle for banded random-hyperplane LSH: the plane literals are
+    generated by the SAME deterministic md5 derivation the Spark operator
+    uses, inlined as DOUBLE[] literals."""
+    from dataquality_ml_spark.operators.similarity import rhp_planes
+
+    planes = rhp_planes(64, 12)
+    bands_sql = []
+    for b in range(2):
+        bits = []
+        for i in range(6):
+            lit = "[" + ", ".join(repr(v) for v in planes[b * 6 + i]) + "]"
+            bits.append(
+                f"(CASE WHEN ROUND(list_dot_product(emb, {lit}), 6) >= 0 "
+                f"THEN {2**i} ELSE 0 END)"
+            )
+        bands_sql.append(" + ".join(bits) + f" AS band_{b}")
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sig AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+             {", ".join(bands_sql)}
+      FROM vecs
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+        ROUND(list_dot_product(sa.emb, sb.emb) / (sa.nrm * sb.nrm), 4) + 0 AS cos_sim
+      FROM cand
+      JOIN sig sa ON sa.vec_id = id_a
+      JOIN sig sb ON sb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM verified
+    WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
+    """
+
+
+@register("rhp_lsh_pairs", oracle=_rhp_oracle())
+def rhp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via banded random-hyperplane LSH
+    (2 bands × 6 sign bits) with exact cosine verification — the
+    SimHash-for-vectors alternative to IVF bucketing (embedding_near_dup):
+    no centroid fit pass, collision probability driven purely by angle."""
+    return sim.rhp_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_planes=12, bits_per_band=6, threshold=0.4
+    )

@@ -1,0 +1,148 @@
+"""Unit tests for the drift (PSI/KS/chi-square), skew-profiling,
+incremental-dedup and RHP-LSH operators — statistical behavior on planted
+distributions, beyond the oracle hash parity covered in
+test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.operators import drift
+from dataquality_ml_spark.operators.dedup import incremental_dedup
+from dataquality_ml_spark.operators.profile import heavy_hitters
+from dataquality_ml_spark.operators.similarity import rhp_near_dup_pairs, rhp_planes
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "x double")
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    df = _vals(spark, [i % 10 for i in range(1000)])
+    out = drift.psi_bins(df, df, "x", lo=0.0, hi=10.0, bins=10).collect()
+    assert len(out) == 10
+    assert all(abs(r["psi_term"]) < 1e-12 for r in out)
+    assert abs(out[0]["psi_total"]) < 1e-12
+
+
+def test_psi_detects_planted_shift(spark):
+    ref = _vals(spark, [1] * 900 + [8] * 100)
+    cur = _vals(spark, [1] * 100 + [8] * 900)  # mass moved across bins
+    out = drift.psi_bins(ref, cur, "x", lo=0.0, hi=10.0, bins=10).collect()
+    total = out[0]["psi_total"]
+    assert total > 0.2, f"swapped 80% of mass but PSI={total}"
+    # bins that lost and gained mass contribute symmetrically here
+    terms = {r["bin"]: r["psi_term"] for r in out}
+    assert terms[1] > 0 and terms[8] > 0  # both (p-q)ln(p/q) terms positive
+
+
+def test_psi_out_of_range_values_clamp_to_edge_bins(spark):
+    ref = _vals(spark, [-5.0, 50.0])  # below lo and above hi
+    out = drift.psi_bins(ref, ref, "x", lo=0.0, hi=10.0, bins=5).collect()
+    by_bin = {r["bin"]: r["p_ref"] for r in out}
+    assert by_bin[0] == 0.5 and by_bin[4] == 0.5
+
+
+def test_ks_same_sample_is_zero_and_shift_is_large(spark):
+    a = _vals(spark, range(500))
+    assert drift.ks_statistic(a, a, "x").first()["ks_d"] == 0.0
+    b = _vals(spark, range(400, 900))  # shifted by 400 of 500 → D = 0.8
+    r = drift.ks_statistic(a, b, "x").first()
+    assert abs(r["ks_d"] - 0.8) < 1e-9
+    assert (r["n_a"], r["n_b"]) == (500, 500)
+
+
+def test_ks_binned_approximates_exact(spark):
+    a = _vals(spark, [i % 97 for i in range(2000)])
+    b = _vals(spark, [(i * 7) % 113 for i in range(2000)])
+    exact = drift.ks_statistic(a, b, "x").first()["ks_d"]
+    binned = drift.ks_statistic(a, b, "x", bins=50, lo=0.0, hi=113.0).first()["ks_d"]
+    # binned D underestimates by at most ~the max per-bin mass (≈1/50·2)
+    assert binned <= exact + 1e-9
+    assert abs(binned - exact) < 0.06
+
+
+def test_chi2_independent_vs_dependent(spark):
+    # independent: b = i%2 varies within every a group identically
+    rows = [(str(i % 3), i % 2) for i in range(600)]
+    ind = spark.createDataFrame(rows, "a string, b int")
+    r = drift.chi2_independence(ind, "a", "b").first()
+    assert r["chi2"] < 1e-9 and r["dof"] == 2 and r["n"] == 600
+    # perfectly dependent: b determined by a → chi2 = n·(min(|A|,|B|)-1)
+    dep = spark.createDataFrame([(str(i % 2), i % 2) for i in range(600)], "a string, b int")
+    r2 = drift.chi2_independence(dep, "a", "b").first()
+    assert abs(r2["chi2"] - 600.0) < 1e-6  # n·(2-1)·(2-1) for a 2×2
+
+
+def test_chi2_matches_hand_computation(spark):
+    # contingency [[30, 10], [20, 40]] → chi2 = 100·(30·40-10·20)²/(40·60·50·50)
+    rows = (
+        [("x", 0)] * 30 + [("x", 1)] * 10 + [("y", 0)] * 20 + [("y", 1)] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b int")
+    expected = 100 * (30 * 40 - 10 * 20) ** 2 / (40 * 60 * 50 * 50)
+    got = drift.chi2_independence(df, "a", "b").first()["chi2"]
+    assert abs(got - expected) < 1e-9
+
+
+def test_heavy_hitters_shares_and_ties(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"]], "k string"
+    )
+    out = heavy_hitters(df, "k", top_n=3).collect()
+    assert [(r["value"], r["n"], r["rank"]) for r in out] == [
+        ("a", 5, 1),
+        ("b", 3, 2),  # tie with c broken by value asc
+        ("c", 3, 3),
+    ]
+    assert abs(out[0]["share"] - 5 / 12) < 1e-12
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Hello   WORLD"),  # dup of corpus doc 2 after normalization
+            (11, "something new"),
+            (12, "something new"),  # batch-internal dup → keep min id 11
+            (13, "entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
+    assert kept == [11, 13]
+
+
+def test_rhp_planes_deterministic_and_bounded():
+    p1 = rhp_planes(64, 12)
+    p2 = rhp_planes(64, 12)
+    assert p1 == p2
+    assert all(-1.0 <= v <= 1.0 for plane in p1 for v in plane)
+    assert len({tuple(p) for p in p1}) == 12  # distinct planes
+
+
+def test_rhp_lsh_finds_planted_near_duplicate(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [v + rng.gauss(0, 0.01) for v in base]  # cosine ≈ 1
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = rhp_near_dup_pairs(df, threshold=0.9).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in pairs), (
+        "near-identical vector pair must share at least one LSH band"
+    )
+
+
+def test_ks_null_values_ignored(spark):
+    a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    r = drift.ks_statistic(a, a, "x").first()
+    assert r["n_a"] == 2 and r["ks_d"] == 0.0
