@@ -50,12 +50,18 @@ def build_feature_pipeline(
         num_out = out_cols
     else:
         num_out = []
-    idx_cols = []
-    for c in cats:
+    idx_cols = [f"{c}_idx" for c in cats]
+    if cats:
+        # ONE multi-column StringIndexer instead of N single-column stages:
+        # one fit job computes every frequency table in a single pass over
+        # the data (SURVEY §2.8 M2 scale note — the reference fits 26
+        # separate indexers, 26 aggregation jobs). Per-column semantics
+        # (frequencyDesc order, handleInvalid="keep") are identical.
         stages.append(
-            StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+            StringIndexer(
+                inputCols=list(cats), outputCols=idx_cols, handleInvalid="keep"
+            )
         )
-        idx_cols.append(f"{c}_idx")
     assemble_in = idx_cols + num_out + bools
     stages.append(
         VectorAssembler(

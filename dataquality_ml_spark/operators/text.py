@@ -43,6 +43,33 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-style pre-tokenization pattern, restricted to constructs RE2 and
+# Java regex treat identically (no lookahead): contraction suffixes, then
+# space-prefixed letter runs, digit runs, and symbol runs.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def subword_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token counting: split normalized text with the GPT-2-style
+    regex above (the standard LLM-pipeline proxy for tokenizer cost before
+    the real tokenizer runs) and report the subword count plus the
+    chars-per-token compression ratio. Pure regexp_extract_all — JVM-side,
+    no UDF, identical under DuckDB's RE2."""
+    df = ensure_parallelism(df)
+    norm = normalize_text(text_col)
+    toks = F.regexp_extract_all(norm, F.lit(BPE_SPLIT_PATTERN), 0)
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_subword_tokens"),
+        F.round(
+            F.when(n > 0, F.length(norm) / n).otherwise(F.lit(0.0)), 4
+        ).alias("chars_per_token"),
+    )
+
+
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality scoring: length, punctuation/digit density, stopword ratio,
     and a composite keep/drop flag — the standard pre-training corpus

@@ -2650,3 +2650,99 @@ def rhp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rhp_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), n_planes=12, bits_per_band=6, threshold=0.4
     )
+
+
+# ===========================================================================
+# Subword tokenization, decile/Pareto analytics
+# ===========================================================================
+@register(
+    "subword_tokens_docs",
+    oracle=f"""
+    SELECT doc_id,
+      len(regexp_extract_all(trim(lower(text)),
+        '{{0}}')) AS n_subword_tokens,
+      ROUND(CASE WHEN len(regexp_extract_all(trim(lower(text)), '{{0}}')) > 0
+            THEN length(trim(lower(text)))
+                 / CAST(len(regexp_extract_all(trim(lower(text)), '{{0}}')) AS DOUBLE)
+            ELSE 0.0 END, 4) AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """.replace("{0}", r"''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+"),
+)
+def subword_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts per document (GPT-2-style regex split;
+    the LLM-pipeline tokenizer-cost proxy)."""
+    return tx.subword_token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "value_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT decile, COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile boundaries of the event value distribution — the
+    ranking-family analytic the reference never had; deterministic
+    tie-break via event_id."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev_df.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "event_type_pareto",
+    oracle="""
+    WITH s AS (SELECT event_type, SUM(value) AS tot FROM events
+               WHERE value IS NOT NULL GROUP BY 1)
+    SELECT event_type,
+      ROUND(tot, 4) AS tot,
+      ROUND(tot / SUM(tot) OVER (), 6) + 0 AS share,
+      ROUND(SUM(tot) OVER (ORDER BY tot DESC, event_type
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            / SUM(tot) OVER (), 6) + 0 AS cum_share
+    FROM s ORDER BY cum_share
+    """,
+)
+def event_type_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-share) breakdown of total value by event_type:
+    running share ordered heaviest-first — the 'which 20% carries 80%'
+    report, all windows over the tiny grouped relation."""
+    from pyspark.sql import Window
+
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("tot"))
+    )
+    run = Window.orderBy(F.desc("tot"), F.asc("event_type")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy()
+    return s.select(
+        "event_type",
+        F.round("tot", 4).alias("tot"),
+        (F.round(F.col("tot") / F.sum("tot").over(tot_w), 6) + F.lit(0.0)).alias("share"),
+        (F.round(F.sum("tot").over(run) / F.sum("tot").over(tot_w), 6) + F.lit(0.0)).alias(
+            "cum_share"
+        ),
+    ).orderBy("cum_share")

