@@ -1,0 +1,112 @@
+"""Connected components over a pair/edge relation — the cluster-resolution
+step of every dedup pipeline (near-dup PAIRS are not deliverable; the
+training pipeline needs CLUSTERS with one canonical keeper per cluster,
+e.g. the MinHash banding output of dedup.py fed through this).
+
+Algorithm: min-label propagation with pointer jumping (the DataFrame form
+of large-star/small-star — Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14). Each iteration (a) pulls the min label
+across neighbors, then (b) pointer-jumps: re-labels every node with its
+label's *own* label, halving label-chain depth. Together these converge
+in O(log diameter) iterations instead of O(diameter) — a 33-node path
+resolves in ~6 rounds, and real near-dup graphs (tiny star/clique
+clusters) in 2-3.
+
+Scale shape per iteration: two shuffle joins on narrow (node, label)
+rows + one groupBy min. Each iteration's result is localCheckpoint-ed
+(eager): `.cache()` alone is NOT enough — the logical plan tree still
+compounds per iteration and after ~25 rounds the driver OOMs just
+*rendering* the plan. Checkpointing truncates lineage to the
+materialized blocks, keeping per-iteration planning O(1). On a real
+cluster use `checkpoint()` against reliable storage instead (survives
+executor loss); localCheckpoint is the right call in local mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected edges into components: returns (node, component)
+    where component = min node id reachable — a deterministic canonical
+    representative (the keeper in dedup usage).
+
+    Isolated nodes don't appear (callers union them back if the full node
+    relation matters; for dedup, non-paired docs are trivially their own
+    keeper and never need the join).
+    """
+    sym = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionAll(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = sym.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
+    labels = labels.select(
+        "node", F.least(F.col("node"), F.col("nbr_min")).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # (a) candidate label via neighbors: min over nbr's current component
+        via_nbr = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        stepped = labels.join(via_nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+            ).alias("component"),
+        )
+        # (b) pointer jump: component -> that component's own label, halving
+        # chain depth each round (turns O(diameter) into O(log diameter))
+        jump = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("comp2")
+        )
+        new_labels = (
+            stepped.join(jump, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("comp2", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster table from near-dup pairs: (doc_id, keep_id,
+    cluster_size). keep_id = min id in the component; rows with
+    doc_id != keep_id are the ones an exact-once corpus drops."""
+    comp = connected_components(pairs, id_a, id_b)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -2746,3 +2746,54 @@ def event_type_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     ).orderBy("cum_share")
+
+
+# ===========================================================================
+# Duplicate-cluster resolution (connected components over near-dup pairs)
+# ===========================================================================
+from dataquality_ml_spark.operators import graph as gr  # noqa: E402
+
+
+@register(
+    "dup_clusters_docs",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_SH_CTE},
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY node)
+    SELECT doc_id, keep_id,
+           COUNT(*) OVER (PARTITION BY keep_id) AS cluster_size
+    FROM comp ORDER BY doc_id
+    """,
+)
+def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into duplicate CLUSTERS via iterative
+    min-label connected components — (doc_id, keep_id=min id in component,
+    cluster_size). The step that turns pairwise dedup output into the
+    keep/drop decision a corpus build actually executes."""
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.8
+    ).select("id_a", "id_b")
+    return gr.dedup_clusters(pairs).orderBy("doc_id")

@@ -146,3 +146,49 @@ def test_ks_null_values_ignored(spark):
     a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
     r = drift.ks_statistic(a, a, "x").first()
     assert r["n_a"] == 2 and r["ks_d"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup clusters
+# ---------------------------------------------------------------------------
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (diameter > 1 iteration) and a separate triangle must
+    both collapse to their min-id representative."""
+    from dataquality_ml_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+
+
+def test_dedup_clusters_sizes_and_keepers(spark):
+    from dataquality_ml_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[7]["keep_id"] == 3 and rows[9]["keep_id"] == 3
+    assert rows[3]["cluster_size"] == 3
+    assert rows[20]["keep_id"] == 20 and rows[20]["cluster_size"] == 2
+    # drop set = nodes whose id != keeper
+    drops = sorted(d for d, r in rows.items() if r["keep_id"] != d)
+    assert drops == [7, 9, 21]
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 33-node path needs ~log-diameter doubling or linear propagation;
+    the operator must reach the fixpoint within its max_iter budget."""
+    from dataquality_ml_spark.operators.graph import connected_components
+
+    n = 33
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges, max_iter=40).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n
