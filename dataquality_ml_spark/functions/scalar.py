@@ -44,11 +44,18 @@ def portable_hash60(col: Column | str) -> Column:
 
 def shingles(tok_col: Column, k: int) -> Column:
     """Distinct k-word shingles from a token array (w-shingling for
-    MinHash / Jaccard dedup). Pure array expressions — no UDF, no shuffle."""
+    MinHash / Jaccard dedup). Pure array expressions — no UDF, no shuffle.
+
+    Guarded for docs shorter than k tokens: Spark's ``sequence(1, n)``
+    turns DESCENDING for n < 1 and the resulting index 0 makes ``slice``
+    throw — short docs yield an empty array instead."""
     idx = F.sequence(F.lit(1), F.size(tok_col) - (k - 1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, k)))
-    )
+    return F.when(
+        F.size(tok_col) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def bow_fingerprint(col: Column | str) -> Column:

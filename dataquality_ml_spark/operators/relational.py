@@ -7,7 +7,7 @@ in pandas/numpy (P9, L4-L6); here they are all distributed DataFrame plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType
 
@@ -138,3 +138,56 @@ def salted_join(
     )
     out = l_salted.join(r_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    n_per_group: int,
+    margin: int = 4,
+) -> DataFrame:
+    """Deterministic per-group quota sample: keep the ``n_per_group`` rows
+    with the smallest Knuth hash of ``key`` within each group (per-domain /
+    per-source caps in corpus balancing). Engine-portable: the same rows
+    win in any engine, any partitioning, any run.
+
+    Scale shape: a naive `row_number() over (partition by group)` sorts
+    EVERY row of a 100 TB corpus inside few fat group partitions — the
+    window itself becomes the skew bottleneck. Instead: (1) aggregate
+    per-group counts (map-side combinable, tiny result), (2) broadcast a
+    per-group hash cutoff admitting ~margin*n candidates, (3) filter the
+    corpus with a narrow scan (no shuffle of non-candidates), (4) exact
+    row_number only over the ~margin*n survivors per group. The window
+    input shrinks from |corpus| to ~margin*n*|groups| rows.
+
+    margin=4 makes the hash cutoff miss a true top-n row only if the n-th
+    smallest of cnt uniform hashes exceeds 4x its expectation — vanishing
+    for n >= 10 (Chernoff); correctness vs the naive window is asserted in
+    tests and by the DuckDB oracle, which computes the naive form.
+    """
+    h = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cutoff = counts.select(
+        group_col,
+        F.when(
+            F.col("_cnt") <= F.lit(margin * n_per_group), F.lit(_MOD)
+        )
+        .otherwise(
+            (F.lit(_MOD).cast("double") * margin * n_per_group / F.col("_cnt"))
+            .cast("bigint")
+        )
+        .alias("_cut"),
+    )
+    cand = (
+        df.withColumn("_h", h)
+        .join(F.broadcast(cutoff), group_col)
+        .where(F.col("_h") < F.col("_cut"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_h", key)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_h", "_cut")
+        .withColumnRenamed("_rn", "sample_rank")
+    )

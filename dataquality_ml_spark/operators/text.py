@@ -140,3 +140,61 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(normalize_text(text_col)).alias("text_fp"),
         bow_fingerprint(text_col).alias("bow_fp"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_token_max: float = 0.7,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-token
+    fraction (1 - distinct/total) and top-bigram fraction (share of all
+    bigrams taken by the single most frequent one). ``is_repetitive`` is the
+    drop decision a corpus filter executes (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 repetition filters; thresholds per that paper's
+    top-2-gram rule).
+
+    Scale shape: dup_token_frac is a pure narrow array expression. The
+    top-bigram mode requires a per-(doc, bigram) count — explode + two-level
+    hash aggregate keyed by doc_id, so partial (map-side) aggregation
+    absorbs the per-doc repetition before the shuffle; the shuffled rows
+    are (doc, distinct-bigram) not (doc, bigram-instance).
+    """
+    df = ensure_parallelism(df)
+    t = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        t.alias("t"),
+        F.size(t).alias("n_tokens"),
+        F.round(1 - F.size(F.array_distinct(t)) / F.size(t), 4).alias(
+            "dup_token_frac"
+        ),
+    ).where(F.col("n_tokens") >= 2)
+    bigram = base.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+            )
+        ).alias("bg"),
+    )
+    counted = bigram.groupBy(id_col, "n_tokens", "dup_token_frac", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counted.groupBy(id_col, "n_tokens", "dup_token_frac").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_frac",
+        (
+            (F.col("dup_token_frac") > dup_token_max)
+            | (F.col("top_bigram_frac") > top_bigram_max)
+        ).alias("is_repetitive"),
+    )

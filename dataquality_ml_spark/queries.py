@@ -2797,3 +2797,97 @@ def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=5, threshold=0.8
     ).select("id_a", "id_b")
     return gr.dedup_clusters(pairs).orderBy("doc_id")
+
+
+# ===========================================================================
+# Corpus hygiene: decontamination, repetition filtering, quota sampling
+# ===========================================================================
+from dataquality_ml_spark.operators import decontam as dc  # noqa: E402
+
+
+@register(
+    "decontam_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM ex JOIN documents USING (doc_id) WHERE source = 'src0'),
+    corp AS (SELECT ex.doc_id, ex.s FROM ex JOIN documents USING (doc_id) WHERE source <> 'src0')
+    SELECT doc_id, COUNT(DISTINCT s) AS n_overlap
+    FROM corp JOIN bench USING (s)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    held-out set (source='src0' stands in for an eval benchmark). The
+    benchmark reduces to a broadcast set of shingle hashes — the corpus
+    side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return dc.contamination_report(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        k=5,
+    ).orderBy("doc_id")
+
+
+@register(
+    "repetition_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    base AS (
+      SELECT doc_id, t, len(t) AS n_tokens,
+             ROUND(1 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4) AS dup_token_frac
+      FROM toks WHERE len(t) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS bg
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_bigram_frac
+      FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac, t.top_bigram_frac,
+           (b.dup_token_frac > 0.7 OR t.top_bigram_frac > 0.18) AS is_repetitive
+    FROM base b JOIN top t USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate-token fraction +
+    top-bigram share per doc, with the drop decision as a boolean."""
+    return tx.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "quota_sample_sources",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS sample_rank
+      FROM h
+    )
+    SELECT doc_id, source, sample_rank FROM r
+    WHERE sample_rank <= 10
+    ORDER BY source, sample_rank
+    """,
+)
+def quota_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (corpus domain balancing): keep the 10
+    hash-smallest docs per source. Two-phase (broadcast hash cutoff, then
+    exact rank over ~4x10 survivors/group) so the window never sorts the
+    full corpus; the oracle computes the naive single-window form — equal
+    output proves the pruning is lossless."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        rel.quota_sample(docs, "source", "doc_id", 10)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
