@@ -198,3 +198,40 @@ def repetition_stats(
             | (F.col("top_bigram_frac") > top_bigram_max)
         ).alias("is_repetitive"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style statistical quality score: mean unigram log-probability
+    per document under the corpus's own token distribution (Wenzek et al.
+    2020 use an LM perplexity; the unigram form is the model-free variant
+    a pure SQL engine can own). Low scores = rare-token gibberish; high =
+    natural high-frequency text. Output: (doc_id, n_tokens, mean_logprob).
+
+    Two aggregation passes, both shuffle-light:
+      1. corpus token frequencies — explode + groupBy(token), map-side
+         combinable, result is |vocab| rows (tiny vs corpus);
+      2. per-doc mean log P(token) — join exploded tokens to the
+         BROADCAST vocab table, then groupBy(doc_id).
+    At 100 TB the vocab relation stays broadcastable (natural-language
+    vocab growth is ~Heaps' law, sublinear); if a corpus ever exceeded
+    that, pass 2 degrades gracefully to a shuffle join on token.
+    """
+    df = ensure_parallelism(df)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # corpus total comes from the (tiny, cached) vocab agg — no separate
+    # count pass over the exploded corpus
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    total = counts.agg(F.sum("tf")).first()[0]
+    vocab = counts.select(
+        "tok", F.log(F.col("tf") / F.lit(float(total))).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("mean_logprob"),
+        )
+    )

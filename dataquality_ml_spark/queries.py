@@ -1757,45 +1757,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = sim_ops.ivf_assign(emb, cents).select(
         "vec_id", F.col("assigned_centroid").alias("cluster")
     )
-    # precompute each vector's norm once (vs once per pair: ~3x less work);
-    # cache: both pair sides read this relation (assignment has a window agg
-    # upstream that would otherwise run twice)
-    members = emb.join(assign, "vec_id").select(
-        "vec_id",
-        "embedding",
-        sim_ops._norm(F.col("embedding")).alias("nrm"),
-        "cluster",
-    ).cache()
-    a = members.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        "cluster",
-    )
-    b = members.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "cluster",
-    )
-    pairs = (
-        # broadcast one side: the pair space explodes AFTER the join, so a
-        # shuffle join would move every wide embedding row; broadcast keeps
-        # the corpus side streaming in place
-        a.join(F.broadcast(b), "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                sim_ops._dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                4,
-            )
-            + F.lit(0.0),
-        )
-        .where(F.col("cos_sim") >= 0.4)
-    )
-    return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
+    members = emb.join(assign, "vec_id").select("vec_id", "embedding", "cluster")
+    # one BLAS GEMM per cluster (applyInPandas) instead of an interpreted
+    # fold per pair — the pair space never materializes as Spark rows at
+    # all; only the >= threshold survivors come back through Arrow
+    pairs = sim_ops.cluster_pair_sims(members, threshold=0.4)
+    return pairs.orderBy("id_a", "id_b")
 
 
 # ===========================================================================
@@ -2891,3 +2858,24 @@ def quota_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "sample_rank")
         .orderBy("source", "sample_rank")
     )
+
+
+@register(
+    "unigram_logprob_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS tf FROM tk GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS total FROM cnt),
+    v AS (SELECT tok, ln(tf / CAST(total AS DOUBLE)) AS logp FROM cnt, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(logp), 4) AS mean_logprob
+    FROM tk JOIN v USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality score: per-doc mean unigram
+    log-probability under the corpus's own token distribution (model-free
+    perplexity filter). Vocab agg is broadcast back against the corpus."""
+    return tx.unigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")

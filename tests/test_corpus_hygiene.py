@@ -29,8 +29,7 @@ def test_contamination_report_planted_overlap(spark):
     rows = {r["doc_id"]: r["n_overlap"] for r in contamination_report(corpus, bench).collect()}
     assert set(rows) == {1, 3}
     assert rows[3] == 1
-    # doc 1 shares 2 shingles: "alpha..epsilon" and "beta..zeta"? No —
-    # bench has only ONE 5-gram, so overlap counts distinct SHARED shingles.
+    # bench has a single 5-gram, so each flagged doc shares exactly one
     assert rows[1] == 1
 
 
@@ -100,3 +99,98 @@ def test_quota_sample_group_smaller_than_quota(spark):
     df = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id long, source string")
     out = quota_sample(df, "source", "doc_id", 10).collect()
     assert len(out) == 2 and {r["sample_rank"] for r in out} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-prob quality
+# ---------------------------------------------------------------------------
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from dataquality_ml_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),  # all high-frequency
+            (2, "the the xqzt wvbn"),  # half rare singletons
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["mean_logprob"] > rows[2]["mean_logprob"]
+    assert rows[1]["n_tokens"] == 4
+    # doc 1: P(the)=6/8 -> mean log = ln(0.75)
+    import math
+
+    assert rows[1]["mean_logprob"] == round(math.log(6 / 8), 4)
+
+
+# ---------------------------------------------------------------------------
+# BLAS cluster pair similarity (vectorized near-dup verification)
+# ---------------------------------------------------------------------------
+def test_cluster_pair_sims_matches_expression_path(spark):
+    """The GEMM path must round-match the pure-SQL fold per pair, including
+    across block boundaries (block=4 forces multi-block row sweeps)."""
+    import random
+
+    from dataquality_ml_spark.operators.similarity import (
+        _dot,
+        _norm,
+        cluster_pair_sims,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cluster_pair_sims(df, threshold=-1.0, block=4).collect()
+    )
+    a = df.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        "cluster",
+    )
+    b = df.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        "cluster",
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.round(
+                    _dot(F.col("ea"), F.col("eb"))
+                    / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cos_sim"),
+        )
+        .collect()
+    )
+    assert len(got) == len(want) == 2 * (15 * 14 // 2)
+    assert got == want
+
+
+def test_cluster_pair_sims_threshold_and_singleton(spark):
+    from dataquality_ml_spark.operators.similarity import cluster_pair_sims
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.001], 0),  # ~identical to 1
+            (3, [0.0, 1.0], 0),  # orthogonal
+            (9, [1.0, 1.0], 5),  # singleton cluster -> no pairs
+        ],
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cluster_pair_sims(df, 0.9).collect()}
+    assert pairs == {(1, 2)}
