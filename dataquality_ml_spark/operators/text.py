@@ -235,3 +235,44 @@ def unigram_logprob(
             F.round(F.avg("logp"), 4).alias("mean_logprob"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    long-document preprocessing step before tokenization/packing in a
+    training pipeline (and the retrieval-chunking step in RAG corpora).
+    Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Chunk starts step by ``chunk - overlap``; the final chunk may be short
+    but never consists solely of overlap (starts stop at len - overlap).
+    Docs shorter than one chunk yield themselves whole.
+
+    Pure array expressions + posexplode — narrow, no shuffle, codegen-able;
+    output rows scale ~len/stride per doc, produced streaming per input
+    partition."""
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("chunk must exceed overlap")
+    df = ensure_parallelism(df)
+    t = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(t) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(t, s, chunk))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )

@@ -2879,3 +2879,51 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability under the corpus's own token distribution (model-free
     perplexity filter). Vocab agg is broadcast back against the corpus."""
     return tx.unigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "chunk_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    st AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1), 12)) AS s FROM toks),
+    ch AS (SELECT doc_id, s, t[s:s+15] AS c FROM st)
+    SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_idx,
+           len(c) AS n_chunk_tokens, array_to_string(c, ' ') AS chunk_text
+    FROM ch
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk=16, overlap=4) — the
+    long-document split step before packing/tokenization."""
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk=16, overlap=4
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "pack_sequences_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    n AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM n
+    )
+    SELECT doc_id, n_tokens, strt // 256 AS seq_id, strt % 256 AS seq_offset
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (budget=256) in doc_id order via the
+    distributed prefix sum — the oracle computes the naive single-window
+    form; equality proves the partition-offset recomposition is exact."""
+    from dataquality_ml_spark.operators.packing import pack_sequences
+
+    n_df = tx.token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return pack_sequences(n_df, budget=256).orderBy("doc_id")

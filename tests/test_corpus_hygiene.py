@@ -194,3 +194,45 @@ def test_cluster_pair_sims_threshold_and_singleton(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in cluster_pair_sims(df, 0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sequence packing
+# ---------------------------------------------------------------------------
+def test_chunk_documents_overlap_and_short_doc(spark):
+    from dataquality_ml_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: chunks at 1, 5, 9
+            (2, "a b"),  # shorter than one chunk -> itself
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk=6, overlap=2).collect()
+    )
+    assert rows[0] == (1, 0, 6, "w0 w1 w2 w3 w4 w5")
+    assert rows[1] == (1, 1, 6, "w4 w5 w6 w7 w8 w9")
+    # start 9 > len-overlap=8 is not emitted; exactly 2 full chunks
+    assert [r for r in rows if r[0] == 1][-1][1] == 1
+    assert rows[-1] == (2, 0, 2, "a b")
+    # every adjacent chunk pair shares exactly `overlap` tokens
+    assert rows[0][3].split()[-2:] == rows[1][3].split()[:2]
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark):
+    from dataquality_ml_spark.operators.packing import pack_sequences
+
+    rows = [(i, 10 + (i * 7) % 13) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, budget=64).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        assert got[i] == (acc // 64, acc % 64), f"doc {i}"
+        acc += n
+    assert len(got) == 500
