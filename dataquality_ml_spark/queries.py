@@ -2927,3 +2927,58 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens"
     )
     return pack_sequences(n_df, budget=256).orderBy("doc_id")
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region and
+    one order year. The customer-nation = supplier-nation predicate makes
+    this the classic join-reordering test; all dims broadcast, the only
+    shuffle is lineitem x orders, and the date filter pushes to the
+    orders scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )

@@ -34,3 +34,30 @@ def write_iceberg(df: DataFrame, table: str, mode: str = "createOrReplace") -> N
         writer.append()
     else:
         raise ValueError(f"unknown mode: {mode}")
+
+
+def write_parquet_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Compacted, sort-clustered parquet layout: range-repartition on the
+    sort keys (each output file owns a disjoint key range) and sort within
+    partitions (row groups inside a file are ordered too). Downstream
+    range/point predicates on the sort keys then skip whole files via
+    parquet column statistics — the poor-man's Z-order, and the right
+    default layout for append-heavy tables re-compacted on a schedule.
+
+    ``target_files`` controls compaction: small-file storms (one file per
+    streaming micro-batch / per task) are the top cause of slow scans on
+    big tables; re-writing N-thousand tiny files into `target_files`
+    range-clustered ones is the maintenance op this implements.
+    """
+    cols = [df[c] for c in sort_cols]
+    if target_files:
+        df = df.repartitionByRange(target_files, *cols)
+    else:
+        df = df.repartitionByRange(*cols)
+    df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

@@ -90,3 +90,35 @@ def test_binned_auc_approximates_exact(spark):
     exact = ev.roc_auc(df, "value", "label").first()["auc"]
     binned = ev.roc_auc_binned(df, "value", "label", bins=10000).first()["auc"]
     assert abs(exact - binned) < 0.001
+
+
+def test_sorted_compaction_layout(spark, tmp_path):
+    """write_parquet_sorted must produce the requested file count, with
+    files owning DISJOINT sort-key ranges (parquet footer min/max) — the
+    property that lets range predicates skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).selectExpr(
+        "cast(id * 2654435761 % 4294967296 as long) as k", "id as v"
+    ).repartition(16)  # scrambled input, many partitions
+    out = str(tmp_path / "sorted_parquet")
+    writers.write_parquet_sorted(df, out, sort_cols=["k"], target_files=4)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ks = [
+            (md.row_group(i).column(0).statistics.min,
+             md.row_group(i).column(0).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(k[0] for k in ks), max(k[1] for k in ks)))
+    ranges.sort()
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 10_000
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "file key ranges overlap — no skip potential"
