@@ -375,3 +375,83 @@ def cluster_pair_sims(
     return members.select(cluster_col, id_col, vec_col).groupBy(
         cluster_col
     ).applyInPandas(_pairs, "id_a long, id_b long, cos_sim double")
+
+
+def _sq_dist(vec_col, cent: list[float]):
+    """Squared euclidean distance to a literal centroid — JVM-side fold."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    emb_df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over an array<float> column, returning the
+    trained centroids (the IVF coarse quantizer's codebook).
+
+    Deterministic throughout — engine-portable init (the k vectors with
+    the smallest Knuth hash of their id, a reproducible pseudo-random
+    draw) and fixed iteration count — so the whole fit is expressible as
+    unrolled SQL and oracle-checkable, unlike seeded-random inits.
+
+    Scale shape per iteration: assignment is a narrow scan (k literal-
+    centroid distance folds per row, argmin via least/when — no join, no
+    shuffle); the update is posexplode to (cluster, dim, value) rows and
+    one map-side-combinable avg keyed by (cluster, dim) — shuffle volume
+    k*dim rows AFTER partial agg, independent of corpus size. Centroids
+    (k x dim doubles) live on the driver between iterations — they are
+    model parameters, not data.
+    """
+    h = (F.col(id_col).cast("bigint") * F.lit(2654435761)) % F.lit(4294967296)
+    init = (
+        emb_df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = kmeans_assign(emb_df, cents, id_col, vec_col)
+        rows = (
+            assigned.join(emb_df.select(id_col, vec_col), id_col)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(cents))}
+        for r in rows:
+            new[r["cluster"]][r["pos"]] = r["m"]
+        cents = [
+            [new[c][p] for p in sorted(new[c])] if new[c] else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def kmeans_assign(
+    emb_df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) for the nearest centroid — argmin over k literal
+    distance expressions, ties to the lowest centroid id. Narrow scan,
+    zero shuffle; codegen keeps all k folds in one stage."""
+    dists = [_sq_dist(F.col(vec_col), c) for c in cents]
+    best = F.least(*dists)
+    cluster = F.lit(len(cents) - 1)
+    for j in range(len(cents) - 2, -1, -1):
+        cluster = F.when(dists[j] == best, F.lit(j)).otherwise(cluster)
+    return emb_df.select(F.col(id_col), cluster.alias("cluster"))

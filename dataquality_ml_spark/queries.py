@@ -2982,3 +2982,63 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "nation")
     )
+
+
+def _kmeans_oracle(k: int = 4) -> str:
+    """Unrolled 2-iteration Lloyd k-means in DuckDB: init (hash-smallest k
+    vectors) -> assign -> recompute means -> assign -> recompute -> final
+    assignment. Mirrors kmeans_fit(iters=2) + kmeans_assign exactly."""
+
+    def assign(src_vecs: str, cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.emb, c.emb), c.cid
+               ) AS rn
+        FROM {src_vecs} v CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(assign_t: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT cid, list(m ORDER BY pos) AS emb FROM (
+        SELECT cluster AS cid, pos, AVG(val) AS m FROM (
+          SELECT a.cluster, unnest(v.emb) AS val,
+                 generate_subscripts(v.emb, 1) AS pos
+          FROM {assign_t} a JOIN vecs v USING (vec_id)
+        ) GROUP BY cluster, pos
+      ) GROUP BY cid
+    )"""
+
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    init AS (
+      SELECT emb, rk - 1 AS cid FROM (
+        SELECT emb, ROW_NUMBER() OVER (
+          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rk
+        FROM vecs
+      ) WHERE rk <= {k}
+    ),
+    {assign("vecs", "init", "a1")},
+    {update("a1", "c1")},
+    {assign("vecs", "c1", "a2")},
+    {update("a2", "c2")},
+    {assign("vecs", "c2", "a3")}
+    SELECT vec_id, cluster FROM a3 ORDER BY vec_id
+    """
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle(4))
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=4, 2 iterations, deterministic
+    hash init) then final assignment — the IVF codebook trainer as a
+    fully oracle-checked iterative algorithm."""
+    from dataquality_ml_spark.operators import similarity as sim_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
+    return sim_ops.kmeans_assign(emb, cents).orderBy("vec_id")

@@ -85,3 +85,39 @@ def dedup_stream(
     bounded, unlike an unwatermarked distinct which grows forever). The
     streaming face of the batch dedup operators."""
     return stream_df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def session_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: dynamic-gap session windows per key
+    (``F.session_window`` — a session closes when no event arrives for
+    ``gap``). The streaming twin of the batch gaps-and-islands
+    ``sessionize_events`` operator: same session semantics, but windows
+    merge incrementally as micro-batches arrive and emit on watermark
+    expiry.
+
+    State is one open session per active key, bounded by the watermark
+    horizon — this is the aggregation Structured Streaming maintains in
+    the state store, sharded by key across executors.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

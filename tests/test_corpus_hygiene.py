@@ -236,3 +236,30 @@ def test_pack_sequences_matches_naive_prefix_sum(spark):
         assert got[i] == (acc // 64, acc % 64), f"doc {i}"
         acc += n
     assert len(got) == 500
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means
+# ---------------------------------------------------------------------------
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three well-separated planted blobs must each map to one k-means
+    cluster (whatever the cluster ids are) after 3 iterations."""
+    import random
+
+    from dataquality_ml_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    rng = random.Random(11)
+    blobs = [(-10.0, -10.0), (0.0, 10.0), (10.0, -5.0)]
+    rows = [
+        (i, [bx + rng.gauss(0, 0.5), by + rng.gauss(0, 0.5)])
+        for i in range(90)
+        for (bx, by) in [blobs[i % 3]]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, iters=3)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    for b in range(3):
+        members = {got[i] for i in range(90) if i % 3 == b}
+        assert len(members) == 1, f"blob {b} split across clusters {members}"
+    assert len({got[b] for b in (0, 1, 2)}) == 3, "blobs merged"

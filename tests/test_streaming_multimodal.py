@@ -150,3 +150,53 @@ def test_streaming_dedup_and_file_sink(spark, tmp_path):
     result = spark.read.parquet(out_dir)
     assert result.count() == 75  # 100 rows in, 25 duplicates dropped
     assert result.select("event_id").distinct().count() == 75
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Events within the gap merge into one session per key; a gap larger
+    than the threshold starts a new session. Run as a file-source stream
+    in two micro-batches to exercise incremental session merging."""
+    import json
+    import os
+
+    from dataquality_ml_spark.streaming.score_stream import session_stats
+
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long, value double"
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for ts, uid, v in rows:
+                f.write(json.dumps({"ts": ts, "user_id": uid, "value": v}) + "\n")
+
+    # user 1: two events 10 min apart (one session), then one 2h later
+    write_batch("b1.json", [
+        ("2024-01-01T00:00:00", 1, 1.0),
+        ("2024-01-01T00:10:00", 1, 2.0),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = session_stats(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.json", [("2024-01-01T02:00:00", 1, 5.0)])
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["session_start"].isoformat()): r
+            for r in spark.sql("select * from sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert len(rows) == 2
+    first = rows[(1, "2024-01-01T00:00:00")]
+    assert first["n_events"] == 2 and first["total_value"] == 3.0
+    # session end = last event + gap
+    assert first["session_end"].isoformat() == "2024-01-01T00:40:00"
+    second = rows[(1, "2024-01-01T02:00:00")]
+    assert second["n_events"] == 1 and second["total_value"] == 5.0
