@@ -3042,3 +3042,50 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
     return sim_ops.kmeans_assign(emb, cents).orderBy("vec_id")
+
+
+@register(
+    "errors_after_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, COUNT(er.event_id) AS n_errors_1h
+    FROM p LEFT JOIN events er
+      ON er.event_type = 'error' AND er.ts >= p.s AND er.ts < p.e
+    GROUP BY p.purchase_id
+    ORDER BY p.purchase_id
+    """,
+)
+def errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: error events landing within 1 hour after each
+    purchase, zero-preserving counts. The inequality join becomes an
+    equi-join on exploded hour buckets + exact range post-filter
+    (operators.interval) — no nested-loop, no cartesian; the oracle runs
+    the naive inequality join."""
+    from dataquality_ml_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    hits = (
+        interval_join(errors, purchases, "err_ts", "s", "e", 3600)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_errors_1h"))
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(hits, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_errors_1h", F.lit(0)).alias("n_errors_1h"),
+        )
+        .orderBy("purchase_id")
+    )

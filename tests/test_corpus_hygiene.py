@@ -263,3 +263,54 @@ def test_kmeans_recovers_planted_clusters(spark):
         members = {got[i] for i in range(90) if i % 3 == b}
         assert len(members) == 1, f"blob {b} split across clusters {members}"
     assert len({got[b] for b in (0, 1, 2)}) == 3, "blobs merged"
+
+
+# ---------------------------------------------------------------------------
+# Interval join
+# ---------------------------------------------------------------------------
+def test_interval_join_bucket_boundaries(spark):
+    """Points exactly at start (inclusive), end (exclusive), and intervals
+    spanning multiple buckets must all resolve correctly."""
+    from dataquality_ml_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 1000.0), (2, 4600.0), (3, 8200.0), (4, 999.9)],
+        "pid long, t double",
+    )
+    iv = spark.createDataFrame(
+        [(10, 1000.0, 8200.0)], "iid long, s double, e double"
+    )  # spans 3 hour-buckets
+    got = sorted(
+        r["pid"]
+        for r in interval_join(pts, iv, "t", "s", "e", 3600).collect()
+    )
+    # 1: t==start -> in; 2: mid -> in; 3: t==end -> OUT (exclusive); 4: before
+    assert got == [1, 2]
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from dataquality_ml_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame([(1, 50.0), (2, 500.0)], "pid long, t double")
+    iv = spark.createDataFrame([(7, 0.0, 100.0)], "iid long, s double, e double")
+    rows = {r["pid"]: r["iid"] for r in interval_join(pts, iv, "t", "s", "e", 60, how="left").collect()}
+    assert rows == {1: 7, 2: None}
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    """The manufactured bucket key must turn the range join into an
+    equi-join — no BroadcastNestedLoopJoin / CartesianProduct in the plan."""
+    from dataquality_ml_spark.operators.interval import interval_join
+
+    pts = spark.range(100).selectExpr("id as pid", "cast(id * 60 as double) as t")
+    iv = spark.range(10).selectExpr(
+        "id as iid", "cast(id * 600 as double) as s", "cast(id * 600 + 300 as double) as e"
+    )
+    plan = (
+        interval_join(pts, iv, "t", "s", "e", 600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
