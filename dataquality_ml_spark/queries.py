@@ -3089,3 +3089,122 @@ def errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "melt_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of lineitem measures — the reshape every
+    per-column profiler runs before a grouped aggregate. Native `unpivot`
+    (one narrow generate, no shuffle); the 1-in-100 orderkey filter only
+    bounds result transfer."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@register(
+    "user_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(DATE_TRUNC('month', ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_month, DATE_TRUNC('month', e.ts) AS act_month
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_month,
+           CAST(DATE_DIFF('month', cohort_month, act_month) AS BIGINT) AS months_since,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_month, months_since
+    ORDER BY cohort_month, months_since
+    """,
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen month,
+    counted per month-offset of later activity. Two aggregations keyed by
+    user_id then (cohort, offset) — the first-seen relation joins back
+    broadcast (distinct users << events)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_month",
+            F.date_trunc("month", F.col("ts")).alias("act_month"),
+        )
+        .distinct()
+    )
+    months_since = (
+        (F.year("act_month") - F.year("cohort_month")) * 12
+        + (F.month("act_month") - F.month("cohort_month"))
+    ).cast("bigint")
+    return (
+        activity.select(
+            F.to_date("cohort_month").alias("cohort_month"),
+            months_since.alias("months_since"),
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, ROUND(revenue, 2) AS revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 4) AS pct_change
+    FROM m ORDER BY month
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly revenue with LAG percent change.
+    The global-order window runs over the AGGREGATED relation (one row per
+    month) — never over the raw fact table."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("pct_change"),
+    ).orderBy("month")

@@ -105,3 +105,38 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables for one scale factor."""
     return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: str | StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON ingest that splits clean rows from quarantined ones
+    — the data-quality ingest contract: never drop malformed input
+    silently (DROPMALFORMED), never fail the batch (FAILFAST); land bad
+    rows in a quarantine relation for inspection/replay.
+
+    Returns (good, quarantine): good has exactly ``schema``'s columns;
+    quarantine carries the raw offending line in ``raw_record``.
+
+    The parsed frame is cached before splitting — Spark refuses a query
+    that references ONLY the corrupt-record column of a JSON scan (it
+    would have to re-parse with different semantics), and the two outputs
+    would otherwise parse the input twice anyway.
+    """
+    if isinstance(schema, str):
+        parsed = StructType.fromDDL(schema)
+    else:
+        parsed = schema
+    full = parsed.add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, bad

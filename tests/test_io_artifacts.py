@@ -122,3 +122,24 @@ def test_sorted_compaction_layout(spark, tmp_path):
     assert total == 10_000
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b, "file key ranges overlap — no skip potential"
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    """Malformed JSON lines land in quarantine with the raw text; clean
+    rows parse to the declared schema. Nothing is dropped or fatal."""
+    from dataquality_ml_spark.sources.readers import read_json_with_quarantine
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": 2.5}\n'
+        "this is not json\n"
+        '{"id": "not_an_int_but_null_ok"}\n'
+        '{"id": 3, "v": 9.0}\n'
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), "id long, v double")
+    good_rows = {r["id"]: r["v"] for r in good.collect()}
+    bad_rows = sorted(r["raw_record"] for r in bad.collect())
+    assert good_rows == {1: 2.5, 3: 9.0}
+    assert len(bad_rows) == 2
+    assert "this is not json" in bad_rows[1] or "this is not json" in bad_rows[0]
+    assert good.columns == ["id", "v"]
