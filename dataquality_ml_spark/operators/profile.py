@@ -133,6 +133,49 @@ def prune_low_quality(
     ]
 
 
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Distribution-shape profile of categorical columns: cardinality,
+    Shannon entropy (nats), and Gini impurity — one row per column.
+
+    Complements :func:`heavy_hitters` (which shows the head of the
+    distribution) with scalar summaries of the WHOLE distribution: entropy
+    near 0 flags a near-constant column, entropy near ln(n_distinct) flags a
+    uniform one — the signal used to pick partition/salt keys.
+
+    Single scan: each row is exploded into (column, value) pairs (a narrow
+    generate — no shuffle), then ONE groupBy collapses to O(Σ distinct)
+    rows; the entropy sum itself is a second agg over those grouped rows,
+    which is negligible at any scale.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("column")
+    p = F.col("c") / F.sum("c").over(tot)
+    return (
+        counts.withColumn("p", p)
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            (-F.sum(F.col("p") * F.log(F.col("p")))).alias("entropy"),
+            (1 - F.sum(F.col("p") * F.col("p"))).alias("gini"),
+        )
+    )
+
+
 def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
     """Top-N most frequent values of ``col`` with their share of all rows —
     the skew report that decides whether a key needs salting (SURVEY §7

@@ -276,3 +276,70 @@ def chunk_documents(
         F.size("_chunk").alias("n_chunk_tokens"),
         F.concat_ws(" ", "_chunk").alias("chunk_text"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams ranked by pointwise
+    mutual information, PMI = ln(P(ab) / (P(a)·P(b))).
+
+    High-PMI bigrams are multi-word expressions ("new york") that a
+    whitespace tokenizer should arguably keep together — a standard corpus
+    diagnostic before vocabulary building.
+
+    Scale shape: bigram construction is a pure array expression per document
+    (zip each token with its successor — narrow, no window, no shuffle);
+    counting is two map-side-combined hash aggs (bigrams, unigrams). The
+    unigram vocabulary is small by Zipf's law, so both probability lookups
+    are BROADCAST joins against the bigram counts; the corpus-size totals
+    ride along in a 1-row broadcast. Nothing here depends on corpus order.
+    """
+    df = ensure_parallelism(df)
+    t = tokens(text_col)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    bc = (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uc = (
+        df.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = bc.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+        uc.agg(F.sum("c").alias("n_uni"))
+    )
+
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    u1 = uc.select(F.col("tok").alias("_w1"), F.col("c").alias("c_a"))
+    u2 = uc.select(F.col("tok").alias("_w2"), F.col("c").alias("c_b"))
+    # Identical expression tree to the SQL oracle so IEEE doubles agree:
+    # LN((c_ab/n_bi) / ((c_a/n_uni) * (c_b/n_uni))).
+    pmi = F.log(
+        (F.col("c_ab") / F.col("n_bi"))
+        / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+    )
+    return (
+        bc.where(F.col("c_ab") >= min_count)
+        .withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(F.broadcast(u1), "_w1")
+        .join(F.broadcast(u2), "_w2")
+        .crossJoin(F.broadcast(totals))
+        .select("bigram", "c_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(top_k)
+    )

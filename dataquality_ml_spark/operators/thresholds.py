@@ -70,6 +70,49 @@ def clip_outliers(df: DataFrame, col: str, lo_q: float = 0.01, hi_q: float = 0.9
     return df.withColumn(col, F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col))))
 
 
+def mad_robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust per-group outlier report via Median Absolute Deviation.
+
+    A heavier-tailed alternative to the reference's P95/IQR thresholds (A7/A8):
+    median and MAD are 50%-breakdown estimators, so a contaminated error
+    distribution can't drag its own threshold the way μ/σ or even Q3+1.5·IQR
+    can. Flag rule: |x − med| > k · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4) makes
+    MAD consistent with σ under normality; k=3.5 is the usual cut).
+
+    Three grouped aggregations (med → MAD → counts), each a map-side-combined
+    shuffle on ``group_col`` only; per-group scalars move through broadcast
+    joins, so no row ever visits the driver. ``exact=False`` switches both
+    medians to the mergeable approx sketch for the 100 TB path.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    med = df.groupBy(group_col).agg(
+        F.expr(f"{fn}({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr(f"{fn}(abs_dev, 0.5)").alias("mad")
+    )
+    thr = F.lit(k) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("abs_dev") > thr, F.lit(1))).alias("n_outliers"),
+        )
+    )
+
+
 def impute_mean(df: DataFrame, cols: list[str]) -> DataFrame:
     """Mean imputation (reference A3/M1, Imputer(strategy="mean")
     lib/utils.py:209-213) as one stats aggregation + one projection."""

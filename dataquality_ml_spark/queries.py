@@ -3208,3 +3208,8 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("pct_change"),
     ).orderBy("month")
+
+
+# Extended catalog (registers additional queries into this module's
+# registry on import — must stay the last statement of the module).
+from dataquality_ml_spark import queries_ext as _queries_ext  # noqa: E402,F401

@@ -1,0 +1,326 @@
+"""Extended query catalog (round-1 continuation): multi-way join shapes,
+rolling/rank window analytics, robust outlier stats, and corpus collocation
+mining. Registered into the same ``queries()``/``oracle_sql()`` registry as
+``dataquality_ml_spark.queries`` — same conventions (explicit aliases,
+rounded floats, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.operators import profile as prof
+from dataquality_ml_spark.operators import text as tx
+from dataquality_ml_spark.operators import thresholds as th
+from dataquality_ml_spark.queries import _t, register
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: aggregate → HAVING → join back to the fact's parents.
+# The lineitem agg collapses to per-order rows BEFORE any join (map-side
+# partial agg, one shuffle on l_orderkey); orders joins it on the same key
+# (AQE picks shuffle-hash/broadcast by the surviving row count — at 100 TB
+# the HAVING filter is what keeps the probe side small). customer is a
+# broadcast dim.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, ROUND(b.sum_qty, 2) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipped between two nations by year. The nation
+# filter is applied to the DIMENSIONS first (supplier/customer each
+# broadcast-joined against a 2-row filtered nation table), so lineitem rows
+# from every other nation pair are dropped at the first join instead of
+# after a 6-way join; the date range pushes into the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    pair = ("NATION_3", "NATION_7")
+    n_small = nation.where(F.col("n_name").isin(*pair))
+    supp_n = supplier.join(
+        F.broadcast(n_small.select(F.col("n_nationkey").alias("s_nationkey"),
+                                   F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    cust_n = customer.join(
+        F.broadcast(n_small.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    ).select("c_custkey", "cust_nation")
+
+    li_f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        li_f.join(F.broadcast(supp_n), li_f.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li_f.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(volume), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time window: 7-day rolling spend per user. The raw stream is
+# FIRST collapsed to per-(user, day) partials (one keyed shuffle), and the
+# RANGE window runs over that much smaller relation, partitioned by user —
+# never a global window, never the raw fact table. Ordering key is an
+# integer day number so the range frame is engine-portable.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_user_value",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, SUM(value) AS dv
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, day, ROUND(dv, 2) AS day_value,
+           ROUND(SUM(dv) OVER (
+             PARTITION BY user_id
+             ORDER BY datediff('day', DATE '1990-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_7d
+    FROM daily
+    ORDER BY user_id, day
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("dv"))
+    day_num = F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")).cast("long")
+    w = Window.partitionBy("user_id").orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        F.round("dv", 2).alias("day_value"),
+        F.round(F.sum("dv").over(w), 2).alias("rolling_7d"),
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position analytics: percent_rank + cume_dist of order value
+# within its priority class. Both functions are rank-based (tie-stable, no
+# float accumulation), partitioned by priority — full parallelism across
+# partitions; no global window.
+# ---------------------------------------------------------------------------
+@register(
+    "percent_rank_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outliers: median / MAD (50%-breakdown estimators — an
+# anomaly burst can't drag its own threshold the way P95 or Q3+1.5·IQR can).
+# Operator: operators/thresholds.py::mad_robust_outliers.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outliers_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, ABS(e.value - m.med) AS abs_dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(md.mad), 4) AS mad,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN d.abs_dev > 3.5 * 1.4826 * md.mad THEN 1 END) AS n_outliers
+    FROM dev d JOIN mad md USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    rep = th.mad_robust_outliers(events, "value", "event_type", k=3.5)
+    return rep.select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n",
+        "n_outliers",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Categorical distribution shape: cardinality, Shannon entropy, Gini — the
+# profile that picks partition/salt keys. Operator:
+# operators/profile.py::categorical_entropy (single scan, stacked explode).
+# ---------------------------------------------------------------------------
+@register(
+    "entropy_profile_docs",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'lang' AS col_name, lang AS val FROM documents
+      UNION ALL
+      SELECT 'source' AS col_name, source AS val FROM documents
+    ),
+    counts AS (
+      SELECT col_name, val, COUNT(*) AS c FROM stacked GROUP BY col_name, val
+    ),
+    tot AS (SELECT col_name, SUM(c) AS n FROM counts GROUP BY col_name)
+    SELECT c.col_name AS "column",
+           COUNT(*) AS n_distinct,
+           ROUND(-SUM((c.c / t.n) * LN(c.c / t.n)), 4) + 0 AS entropy,
+           ROUND(1 - SUM((c.c / t.n) * (c.c / t.n)), 4) + 0 AS gini
+    FROM counts c JOIN tot t USING (col_name)
+    GROUP BY c.col_name
+    ORDER BY c.col_name
+    """,
+)
+def entropy_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rep = prof.categorical_entropy(docs, ["lang", "source"])
+    return rep.select(
+        "column",
+        "n_distinct",
+        (F.round("entropy", 4) + F.lit(0.0)).alias("entropy"),
+        (F.round("gini", 4) + F.lit(0.0)).alias("gini"),
+    ).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top-20 bigrams by PMI (min support 5). Operator:
+# operators/text.py::bigram_pmi — narrow array-zip bigrams, two hash aggs,
+# broadcast vocabulary joins, deterministic (rounded-PMI, bigram) cut.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_pmi_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] AS bgs
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT bg AS bigram, COUNT(*) AS c_ab
+      FROM (SELECT unnest(bgs) AS bg FROM big) GROUP BY bg
+    ),
+    uc AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    nb AS (SELECT SUM(c_ab) AS n_bi FROM bc),
+    nu AS (SELECT SUM(c) AS n_uni FROM uc)
+    SELECT b.bigram, b.c_ab,
+           ROUND(LN((b.c_ab / nb.n_bi)
+                    / ((u1.c / nu.n_uni) * (u2.c / nu.n_uni))), 4) AS pmi
+    FROM bc b
+    JOIN uc u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+    JOIN uc u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE b.c_ab >= 5
+    ORDER BY pmi DESC, b.bigram
+    LIMIT 20
+    """,
+)
+def bigram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_pmi(docs, min_count=5, top_k=20)
