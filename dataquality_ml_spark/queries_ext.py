@@ -324,3 +324,180 @@ def entropy_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return tx.bigram_pmi(docs, min_count=5, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: high-balance suppliers vs customers per nation. Both
+# inputs are AGGREGATED before the join (tiny keyed relations), and the
+# >9900 filter makes each side sparse, so genuine left-only/right-only rows
+# exercise the outer semantics; COALESCE fills the holes.
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_nation_balance",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_supp,
+             ROUND(SUM(s_acctbal), 2) AS supp_bal
+      FROM supplier WHERE s_acctbal > 9900 GROUP BY s_nationkey
+    ),
+    c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_cust,
+             ROUND(SUM(c_acctbal), 2) AS cust_bal
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+    )
+    SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+           COALESCE(s.n_rich_supp, 0) AS n_rich_supp,
+           COALESCE(s.supp_bal, 0.0) AS supp_bal,
+           COALESCE(c.n_rich_cust, 0) AS n_rich_cust,
+           COALESCE(c.cust_bal, 0.0) AS cust_bal
+    FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    s = (
+        supplier.where(F.col("s_acctbal") > 9900)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_supp"),
+            F.round(F.sum("s_acctbal"), 2).alias("supp_bal"),
+        )
+    )
+    c = (
+        customer.where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("cust_bal"),
+        )
+    )
+    return (
+        s.join(c, s.s_nk == c.c_nk, "full_outer")
+        .select(
+            F.coalesce("s_nk", "c_nk").alias("nationkey"),
+            F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+            F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS through the SQL surface (spark.sql over
+# temp views — every other query uses the DataFrame API; this one proves the
+# engine's SQL entry point end-to-end). Catalyst decorrelates both
+# subqueries into a left-semi and a left-anti join on o_custkey; no
+# per-row subquery execution survives in the physical plan.
+# ---------------------------------------------------------------------------
+_EXISTS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM {customer} c
+WHERE EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "exists_urgent_no_fail",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
+def exists_urgent_no_fail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(_EXISTS_SQL.format(customer="v_customer", orders="v_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy duplicate candidates via edit distance with a blocking key: part
+# names within the same brand at levenshtein ≤ 2. The brand equi-join is
+# the blocking step — the quadratic pair space exists only INSIDE each
+# brand bucket (a hash join, never a cartesian product); levenshtein runs
+# JVM-side as a post-join filter. For unblocked fuzzy matching at 100 TB,
+# the LSH family (minhash_dedup_pairs / rhp_lsh_pairs) is the scale path.
+# ---------------------------------------------------------------------------
+@register(
+    "levenshtein_brand_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+)
+def levenshtein_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(dist <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", dist.alias("dist"))
+        .orderBy("key_a", "key_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata with a real oracle: build an opaque binary payload
+# (utf-8 bytes of the text — same plumbing as image/audio bytes), then the
+# engine's attach_binary_metadata computes size / content-hash / magic
+# sniff as pure JVM expressions. This oracle-checks the metadata half of
+# the multimodal contract; the decode half stays a tested stub
+# (operators/multimodal.py::decode_features).
+# ---------------------------------------------------------------------------
+@register(
+    "binary_docs_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           substring(hex(encode(text)), 1, 8) AS magic,
+           (octet_length(encode(text)) = length(text)) AS is_ascii
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def binary_docs_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_ml_spark.operators.multimodal import attach_binary_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.length("text").alias("n_chars"),
+    )
+    meta = attach_binary_metadata(payload, "payload", "doc_id")
+    return (
+        meta.join(payload.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "content_hash",
+            "magic",
+            (F.col("n_bytes") == F.col("n_chars")).alias("is_ascii"),
+        )
+        .orderBy("doc_id")
+    )

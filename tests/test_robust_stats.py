@@ -94,3 +94,26 @@ def test_bigram_pmi_short_docs_and_cut(spark):
     assert len(out) == 1
     # "p q" and "x y" have identical structure → identical PMI; "p q" < "x y".
     assert out[0]["bigram"] == "p q"
+
+
+def test_exists_subqueries_decorrelate_to_semi_anti(spark):
+    # The SQL-surface EXISTS / NOT EXISTS query must compile to semi/anti
+    # hash joins — no per-row subquery execution in the physical plan.
+    from dataquality_ml_spark.queries_ext import exists_urgent_no_fail
+
+    plan = exists_urgent_no_fail(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan
+
+
+def test_full_outer_join_preserves_unmatched_sides(spark):
+    from dataquality_ml_spark.queries_ext import full_outer_nation_balance
+
+    rows = full_outer_nation_balance(spark, "/root/testdata/sf0.01").collect()
+    # The >9900 filter makes the sides sparse: at sf0.01 some nations have
+    # rich customers but no rich supplier (and the join must keep them).
+    assert any(r["n_rich_supp"] == 0 and r["n_rich_cust"] > 0 for r in rows)
+    assert all(r["n_rich_supp"] > 0 or r["n_rich_cust"] > 0 for r in rows)
