@@ -501,3 +501,133 @@ def binary_docs_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate ratio — share of March-1996 revenue
+# from PROMO parts. One month of lineitem (date range pushes into the scan)
+# broadcast-joins the part dim; numerator and denominator come out of the
+# SAME single aggregation (CASE inside SUM), not two passes.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    li_f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return li_f.join(F.broadcast(part), li_f.l_partkey == part.p_partkey).agg(
+        F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_share_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-table predicates (OR of brand ×
+# size-range × quantity-range conjunctions). Catalyst extracts the common
+# join key and pushes the per-side halves of each disjunct down to the
+# scans (part: brand/size; lineitem: quantity) before the broadcast join;
+# the residual OR runs as the join filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    def clause(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        clause("Brand#12", 15, 1, 11)
+        | clause("Brand#23", 25, 10, 20)
+        | clause("Brand#34", 35, 20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping: all 4 aggregation levels of (event_type, day-of-week) in
+# one pass — Spark expands the cube in the partial aggregate (map-side),
+# so the fact table is still scanned once. The grouping id is computed
+# explicitly as grouping(a)*2 + grouping(b) so both engines agree bit-for-
+# bit; null group keys are labeled 'ALL'. (Spark dayofweek is 1=Sunday;
+# DuckDB dow is 0=Sunday — the -1 shift aligns them.)
+# ---------------------------------------------------------------------------
+@register(
+    "cube_events_type_dow",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+           GROUPING(event_type) * 2 + GROUPING(dow) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT event_type, CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow, value
+      FROM events
+    )
+    GROUP BY CUBE (event_type, dow)
+    ORDER BY gid, event_type, dow
+    """,
+)
+def cube_events_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        "value",
+    )
+    gid = (F.grouping("event_type") * 2 + F.grouping("dow")).cast("bigint")
+    return (
+        events.cube("event_type", "dow")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+        .orderBy("gid", "event_type", "dow")
+    )

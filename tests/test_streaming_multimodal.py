@@ -200,3 +200,60 @@ def test_streaming_session_window(spark, tmp_path):
     assert first["session_end"].isoformat() == "2024-01-01T00:40:00"
     second = rows[(1, "2024-01-01T02:00:00")]
     assert second["n_events"] == 1 and second["total_value"] == 5.0
+
+
+def test_transform_with_state_ew_anomaly_stream(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API): same EW detector
+    semantics as the applyInPandasWithState path — planted spikes flag,
+    state persists across micro-batches — under the RocksDB state store
+    the new API requires."""
+    # The transformWithState state-server protocol needs protobuf, which
+    # this container doesn't ship (and installs are off-limits) — gated
+    # skip, same policy as the Iceberg-jar test.
+    pytest.importorskip("google.protobuf")
+    from dataquality_ml_spark.streaming.stateful import ew_anomaly_stream_tws
+
+    rows1 = [(uid, eid, 10.0 + (eid % 3) * 0.1) for uid in (1, 2) for eid in range(20)]
+    rows2 = [(uid, eid, 10.0 + (eid % 3) * 0.1) for uid in (1, 2) for eid in range(20, 38)]
+    rows2 += [(1, 38, 500.0), (2, 39, -500.0)]  # planted spikes
+    src = str(tmp_path / "tws_src")
+    schema = "user_id long, event_id long, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        flagged = ew_anomaly_stream_tws(stream, key_col="user_id", z_threshold=5.0)
+
+        out: list = []
+        q = (
+            flagged.writeStream.foreachBatch(
+                lambda df, _id: out.extend(r.asDict() for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    spikes = {(r["key"], r["event_id"]) for r in out}
+    assert (1, 38) in spikes and (2, 39) in spikes, f"spikes not flagged: {out}"
+    assert all(abs(r["value"]) > 100 for r in out), f"false positives: {out}"
