@@ -32,7 +32,7 @@ def _hashed_shingle_rows(
     sh = with_shingles(df, text_col, id_col, k)
     return sh.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.transform(F.col("shs"), portable_hash60))
         ).alias("s"),
     )

@@ -97,10 +97,15 @@ def with_shingles(
     from dataquality_ml_spark.operators.relational import ensure_parallelism
 
     t = tokens(text_col)
+    # Filter on the CHEAP equivalent predicate (shingles() is empty exactly
+    # when the doc has < k tokens), not on size(shs): a filter on the alias
+    # inlines the whole shingle expression into the predicate, which then
+    # evaluates interpreted once for the filter and again for the
+    # projection — measured 13× slower at sf0.1 for identical output.
     return (
         ensure_parallelism(df)
+        .where(F.size(t) >= k)
         .select(F.col(id_col), shingles(t, k).alias("shs"))
-        .where(F.size("shs") > 0)
     )
 
 
@@ -157,8 +162,13 @@ def _bucket_pairs(df: DataFrame, bucket_col: str, id_col: str, max_bucket: int |
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
+    # explode_outer, NOT explode: plain explode makes Catalyst's
+    # InferFiltersFromGenerate rule inline the whole pair-expansion
+    # expression into an inferred size()>0 filter, evaluating it twice per
+    # group interpreted. The size(ids) > 1 guard above already makes the
+    # pair array non-empty, so _outer is semantically identical.
     return grouped.select(
-        F.col(bucket_col), F.explode(pairs).alias("p")
+        F.col(bucket_col), F.explode_outer(pairs).alias("p")
     ).select(bucket_col, "p.id_a", "p.id_b")
 
 
@@ -176,9 +186,11 @@ def minhash_candidates(
             ",", F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string"))
         ),
     )
+    # _outer: the band array is a non-empty literal-length array; plain
+    # explode would re-evaluate all band keys inside an inferred filter.
     banded = sig_df.select(
         F.col(id_col),
-        F.explode(F.array(*[band_key(b) for b in range(bands)])).alias("band"),
+        F.explode_outer(F.array(*[band_key(b) for b in range(bands)])).alias("band"),
     )
     return _bucket_pairs(banded, "band", id_col, max_bucket).select("id_a", "id_b").distinct()
 
@@ -242,13 +254,19 @@ def ngram_jaccard_pairs(
     the self-join (stop-shingle cap) — the knob that keeps the join from
     exploding on boilerplate at 100 TB.
     """
-    sh = with_shingles(df, text_col, id_col, k).cache()
+    # No cache: since the cheap-filter fix in with_shingles, recomputing the
+    # shingle arrays per branch costs ~0.3s at sf0.1 while materializing the
+    # string arrays into the columnar cache cost ~3s — the cache was the
+    # bottleneck, not the recompute.
+    sh = with_shingles(df, text_col, id_col, k)
     sizes = sh.select(F.col(id_col), F.size("shs").alias("n_sh"))
     # Bucket on a 60-bit hash of the shingle, not the string: ~8× smaller
-    # shuffle keys, same pairs (collision odds ~n²/2^61).
-    ex = sh.select(
-        F.col(id_col),
-        F.explode(F.transform("shs", portable_hash60)).alias("s"),
+    # shuffle keys, same pairs (collision odds ~n²/2^61). Hash AFTER the
+    # explode (per flat row, inside codegen) rather than inside a transform
+    # lambda (interpreted per array element).
+    # (_outer: shs is non-empty by construction; see _bucket_pairs note.)
+    ex = sh.select(F.col(id_col), F.explode_outer("shs").alias("_s")).select(
+        F.col(id_col), portable_hash60(F.col("_s")).alias("s")
     )
     if max_df is not None:
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -288,7 +306,7 @@ def simhash(
 
     tf = (
         ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", portable_hash32(F.col("w")))

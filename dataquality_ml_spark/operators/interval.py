@@ -40,7 +40,7 @@ def interval_join(
         raise ValueError("interval_join supports how='inner'|'left'")
     b_lo = F.floor(F.col(start_col).cast("double") / bucket_seconds).cast("long")
     b_hi = F.floor(F.col(end_col).cast("double") / bucket_seconds).cast("long")
-    iv = intervals.withColumn("_b", F.explode(F.sequence(b_lo, b_hi)))
+    iv = intervals.withColumn("_b", F.explode_outer(F.sequence(b_lo, b_hi)))
     pt = points.withColumn(
         "_b", F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long")
     )

@@ -176,7 +176,7 @@ def repetition_stats(
         id_col,
         "n_tokens",
         "dup_token_frac",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.col("n_tokens") - 1),
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
@@ -219,7 +219,7 @@ def unigram_logprob(
     that, pass 2 degrades gracefully to a shuffle join on token.
     """
     df = ensure_parallelism(df)
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok"))
     # corpus total comes from the (tiny, cached) vocab agg — no separate
     # count pass over the exploded corpus
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).cache()
@@ -269,7 +269,7 @@ def chunk_documents(
     chunks = F.transform(starts, lambda s: F.slice(t, s, chunk))
     return df.select(
         F.col(id_col),
-        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+        F.posexplode_outer(chunks).alias("chunk_idx", "_chunk"),
     ).select(
         id_col,
         "chunk_idx",
@@ -309,12 +309,12 @@ def bigram_pmi(
     ).otherwise(F.array().cast("array<string>"))
 
     bc = (
-        df.select(F.explode(bigrams).alias("bigram"))
+        df.select(F.explode_outer(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
     uc = (
-        df.select(F.explode(t).alias("tok"))
+        df.select(F.explode_outer(t).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )

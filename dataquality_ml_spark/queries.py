@@ -1693,7 +1693,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     n_docs = docs.count()
-    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    words = docs.select("doc_id", F.explode_outer(tokens("text")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     scored = tf.join(F.broadcast(df_tbl), "w").select(
@@ -2296,7 +2296,7 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = bounds.select(
         "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bin"),
+        F.explode_outer(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bin"),
     )
     agg = (
         ev_df.groupBy("user_id", F.date_trunc("hour", "ts").alias("bin"))

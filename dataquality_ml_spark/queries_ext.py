@@ -450,12 +450,19 @@ def levenshtein_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # Two pruning layers before the full edit distance, both result-neutral:
+    # |len(a)-len(b)| <= 2 is a necessary condition for dist <= 2 (one
+    # cheap comparison kills most of the in-brand pair space), and the
+    # 3-arg levenshtein runs the banded O(len·k) DP with early exit,
+    # returning -1 past the threshold instead of finishing the O(len²)
+    # table. The oracle computes the plain distance — same surviving rows.
+    close_len = F.abs(F.length("name_a") - F.length("name_b")) <= 2
+    dist_k = F.levenshtein("name_a", "name_b", 2)
     return (
         a.join(b, "brand")
         .where(F.col("key_a") < F.col("key_b"))
-        .where(dist <= 2)
-        .select("key_a", "key_b", "name_a", "name_b", dist.alias("dist"))
+        .where(close_len & (dist_k >= 0))
+        .select("key_a", "key_b", "name_a", "name_b", dist_k.alias("dist"))
         .orderBy("key_a", "key_b")
     )
 
