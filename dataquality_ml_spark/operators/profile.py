@@ -200,3 +200,105 @@ def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
         .where(F.col("rank") <= top_n)
         .orderBy("rank")
     )
+
+
+def exact_quantiles_grouped(
+    df: DataFrame, columns: list[str], qs: list[float] | tuple[float, ...] = PROFILE_QUANTILES
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles that scale: grouped value counts
+    instead of Spark's ``percentile`` aggregate.
+
+    ``percentile(c, ...)`` funnels every (value, count) pair of every column
+    into a single final aggregation buffer — O(distinct values) memory on
+    one task, which is exactly the pattern that dies at 100 TB. Here the
+    heavy lifting is a ``groupBy(column, value)`` count (map-side combined,
+    fully parallel shuffle) followed by a per-column cumulative window over
+    the DISTINCT values only; each value row knows its sorted index range
+    [cum-cnt, cum), so the two order statistics every quantile needs
+    (floor/ceil of q·(n-1)) are picked up with a conditional aggregation.
+    Matches ``percentile`` / DuckDB ``quantile_cont`` bit-for-bit (same
+    lo + frac·(hi-lo) interpolation on IEEE doubles).
+
+    Returns (column, q, val). At bench SF the single-buffer aggregate is
+    faster (fewer stages); this operator is the documented path once
+    distinct values per column stop fitting one executor's memory.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("v"))
+                        for c in columns
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+    )
+    gc = pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("column").orderBy("v")
+    cum = gc.withColumn("cum", F.sum("cnt").over(w))
+    n = gc.groupBy("column").agg(F.sum("cnt").alias("n"))
+    cum = cum.join(F.broadcast(n), "column")
+
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    # Keep only the value rows whose index range contains k or k+1 for some
+    # quantile — everything else is dropped before the final (tiny) agg.
+    targets = F.filter(
+        F.transform(
+            q_arr,
+            lambda q: F.struct(
+                q.alias("q"),
+                F.floor(q * (F.col("n") - 1)).alias("k"),
+                (q * (F.col("n") - 1) - F.floor(q * (F.col("n") - 1))).alias("frac"),
+            ),
+        ),
+        lambda s: (
+            (s["k"] >= F.col("cum") - F.col("cnt")) & (s["k"] < F.col("cum"))
+        )
+        | ((s["k"] + 1 >= F.col("cum") - F.col("cnt")) & (s["k"] + 1 < F.col("cum"))),
+    )
+    tagged = cum.select(
+        "column",
+        "v",
+        (F.col("cum") - F.col("cnt")).alias("start"),
+        F.col("cum").alias("end"),
+        F.explode(targets).alias("s"),
+    )
+    return (
+        tagged.groupBy("column", F.col("s.q").alias("q"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("s.k") >= F.col("start")) & (F.col("s.k") < F.col("end")),
+                    F.col("v"),
+                )
+            ).alias("v_lo"),
+            F.max(
+                F.when(
+                    (F.col("s.k") + 1 >= F.col("start")) & (F.col("s.k") + 1 < F.col("end")),
+                    F.col("v"),
+                )
+            ).alias("v_hi"),
+            F.first("s.frac").alias("frac"),
+        )
+        .select(
+            "column",
+            "q",
+            # Spark's percentile and DuckDB's quantile_cont both evaluate
+            # lo*(1-f) + hi*f (not lo + f*(hi-lo) — one ulp apart on IEEE
+            # doubles); the equality guard avoids re-rounding lo when both
+            # order statistics land on the same value.
+            F.when(
+                F.col("v_hi").isNull() | (F.col("v_hi") == F.col("v_lo")), F.col("v_lo")
+            )
+            .otherwise(
+                F.col("v_lo") * (1 - F.col("frac")) + F.col("v_hi") * F.col("frac")
+            )
+            .alias("val"),
+        )
+    )

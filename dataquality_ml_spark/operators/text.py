@@ -308,15 +308,28 @@ def bigram_pmi(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    bc = (
-        df.select(F.explode_outer(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+    # ONE corpus scan: tag unigrams and bigrams into a single exploded
+    # stream and count them together, then split the (vocab-sized, cached)
+    # result. The naive two-agg shape re-tokenized the corpus once per
+    # consumer (totals + PMI lookups = 4-5 scans of the text column).
+    tagged = (
+        df.select(
+            F.explode_outer(
+                F.concat(
+                    F.transform(t, lambda x: F.struct(F.lit("u").alias("ty"), x.alias("g"))),
+                    F.transform(bigrams, lambda b: F.struct(F.lit("b").alias("ty"), b.alias("g"))),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.ty", "p.g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
-    uc = (
-        df.select(F.explode_outer(t).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+    bc = tagged.where(F.col("ty") == "b").select(
+        F.col("g").alias("bigram"), F.col("cnt").alias("c_ab")
+    )
+    uc = tagged.where(F.col("ty") == "u").select(
+        F.col("g").alias("tok"), F.col("cnt").alias("c")
     )
     totals = bc.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
         uc.agg(F.sum("c").alias("n_uni"))

@@ -439,8 +439,13 @@ def exists_urgent_no_fail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def levenshtein_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+
     part = _t(spark, sf_dir, "part")
-    a = part.select(
+    # The probe side MUST be repartitioned: part is one small parquet file,
+    # so the broadcast join would otherwise stream every in-brand pair
+    # (~n²/|brands|, the actual cost of this query) through 1-2 tasks.
+    a = ensure_parallelism(part).select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_brand").alias("brand"),
@@ -637,4 +642,497 @@ def cube_events_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
         .orderBy("gid", "event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the pure scan-and-aggregate forecast query. No join, no
+# group — the whole plan is a parquet scan with EVERY predicate pushed down
+# (date range + two numeric ranges land in PushedFilters) feeding a single
+# partial/final agg. At 100 TB this is I/O-bound by design: row-group
+# min/max statistics prune most of the table before a byte is decoded.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting. Fact⋈fact on the order key
+# (the only shuffle), customer/nation broadcast, top-20 by revenue with a
+# deterministic key tie-break. The date filter on orders halves the probe
+# side before the join — Catalyst pushes it below.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1993-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1994-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1994-10-01").cast("timestamp"))
+    )
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of orders-per-customer, INCLUDING the
+# zero-order customers — the left outer join is load-bearing (an inner join
+# silently drops the most interesting bucket). Two aggregations: per-key
+# count, then a histogram over the counts (second agg is over |customers|
+# rows, not the fact table).
+# ---------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-part average quantity)
+# decorrelated into an aggregate + equi-join. The per-part avg collapses
+# lineitem to |parts| rows before joining back — broadcast at this SF,
+# shuffle-hash at 100 TB (AQE decides); either way the correlation never
+# becomes a per-row subquery execution.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty.withColumnRenamed("l_partkey", "a_partkey"),
+              F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (adapted: l_returnflag='R' stands in for the reference
+# schema's late-delivery columns, absent from this testdata): suppliers
+# whose 'R' lineitems sit in multi-supplier orders where NO OTHER supplier
+# returned — a semi-join AND an anti-join against the same fact table.
+# Both EXISTS/NOT EXISTS decorrelate to one re-aggregation of lineitem per
+# order (n_supp, n_bad_supp) joined once — not two correlated probes.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_returning_supplier",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN per_order po ON po.l_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_ret = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    ).withColumnRenamed("l_orderkey", "po_orderkey")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (adapted: c_mktsegment stands in for the reference
+# schema's phone country code): positive-balance customers above the
+# segment-independent average balance with NO orders at all. The scalar
+# subquery is a 1-row broadcast; the NOT EXISTS decorrelates to a
+# left-anti join against the distinct order custkeys.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH cut AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, cut
+    WHERE c.c_acctbal > cut.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cut = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(cut))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicate-text signal (RefinedWeb/Gopher "duplicate n-grams
+# across the corpus"): for each doc, the fraction of its DISTINCT 5-gram
+# hashes that also occur in some other document. One explode + one global
+# frequency agg + one join back — the frequency table is vocabulary-sized
+# (Zipf), so the join-back broadcasts at any realistic shingle cardinality
+# per executor, and the corpus text itself is scanned once.
+# ---------------------------------------------------------------------------
+from dataquality_ml_spark.queries import _SH_CTE, _TOKS_CTE  # noqa: E402
+
+
+@register(
+    "cross_doc_ngram_dup",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    freq AS (SELECT s, COUNT(*) AS n_docs FROM ex GROUP BY s)
+    SELECT e.doc_id,
+           COUNT(*) AS n_sh,
+           ROUND(AVG(CASE WHEN f.n_docs > 1 THEN 1.0 ELSE 0.0 END), 4) + 0 AS dup_frac
+    FROM ex e JOIN freq f USING (s)
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_ml_spark.functions.scalar import portable_hash60
+    from dataquality_ml_spark.operators.dedup import with_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = (
+        with_shingles(docs, "text", "doc_id", k=5)
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct("shs")).alias("_s"),
+        )
+        .select("doc_id", portable_hash60(F.col("_s")).alias("s"))
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            (
+                F.round(
+                    F.avg(F.when(F.col("n_docs") > 1, 1.0).otherwise(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation, shuffle-scalable: midranks from grouped value
+# counts (midrank(v) = rows_below(v) + (ties+1)/2) instead of a global
+# row_number window — the window over DISTINCT values is |distinct| rows
+# per column, never the fact table, and the join back to rows is a plain
+# equi-join on the value. Pearson corr of the midranks = Spearman rho.
+# ---------------------------------------------------------------------------
+@register(
+    "spearman_qty_price",
+    oracle="""
+    WITH rx AS (
+      SELECT l_quantity AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    mx AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS mr
+      FROM rx
+    ),
+    ry AS (
+      SELECT l_extendedprice AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    my AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS mr
+      FROM ry
+    )
+    SELECT ROUND(CORR(mx.mr, my.mr), 6) + 0 AS spearman_rho,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN mx ON mx.v = l.l_quantity
+    JOIN my ON my.v = l.l_extendedprice
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def midranks(col: str):
+        gc = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return gc.select(
+            "v",
+            (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias("mr"),
+        )
+
+    mx = midranks("l_quantity").withColumnsRenamed({"v": "vx", "mr": "mrx"})
+    my = midranks("l_extendedprice").withColumnsRenamed({"v": "vy", "mr": "mry"})
+    return (
+        li.join(F.broadcast(mx), li.l_quantity == mx.vx)
+        .join(my, li.l_extendedprice == my.vy)
+        .agg(
+            (F.round(F.corr("mrx", "mry"), 6) + F.lit(0.0)).alias("spearman_rho"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: view → click → purchase, strictly ordered by each user's
+# FIRST occurrence of each stage. One conditional-min aggregation per user
+# (single keyed shuffle of 3 small timestamps — the classic funnel without
+# ever self-joining the event stream), then one global roll-up.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS n_full_funnel
+    FROM per_user
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_click_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN's grid-based cousin, exactly computable):
+# bucket embeddings into fixed cells on the first two dimensions, keep
+# cells with >= minpts points, connect 8-adjacent dense cells with the
+# engine's pointer-jumping connected components, and label points by their
+# cell's component. Every step is a hash agg or a broadcast join on the
+# TINY dense-cell relation — the 64-dim vectors themselves never shuffle.
+# Oracle: recursive-CTE transitive closure over the same dense-cell graph.
+# ---------------------------------------------------------------------------
+@register(
+    "grid_density_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT) AS y
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT x, y, CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR) AS cell, COUNT(*) AS c
+      FROM pts GROUP BY x, y
+    ),
+    dense AS (SELECT * FROM cells WHERE c >= 8),
+    edges AS (
+      SELECT a.cell AS a, b.cell AS b
+      FROM dense a JOIN dense b
+        ON b.x BETWEEN a.x - 1 AND a.x + 1
+       AND b.y BETWEEN a.y - 1 AND a.y + 1
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS cell, MIN(r) AS cluster FROM reach GROUP BY node)
+    SELECT p.vec_id,
+           CAST(p.x AS VARCHAR) || ':' || CAST(p.y AS VARCHAR) AS cell,
+           COALESCE(comp.cluster, 'noise') AS cluster
+    FROM pts p
+    LEFT JOIN comp ON comp.cell = CAST(p.x AS VARCHAR) || ':' || CAST(p.y AS VARCHAR)
+    ORDER BY p.vec_id
+    """,
+)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_ml_spark.operators import graph as gr
+
+    h, minpts = 0.1, 8
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") / h).cast("bigint").alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") / h).cast("bigint").alias("y"),
+    )
+    cell_str = F.concat_ws(":", F.col("x").cast("string"), F.col("y").cast("string"))
+    cells = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    dense = cells.where(F.col("c") >= minpts).select(
+        "x", "y", cell_str.alias("cell")
+    ).cache()
+    a = dense.select(F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("cell").alias("id_a"))
+    b = dense.select(F.col("x").alias("bx"), F.col("y").alias("by"), F.col("cell").alias("id_b"))
+    # 8-neighborhood + self-pairs; self-edges keep isolated dense cells as
+    # their own single-cell cluster (connected_components drops isolated
+    # nodes otherwise).
+    edges = a.join(
+        F.broadcast(b),
+        F.col("bx").between(F.col("ax") - 1, F.col("ax") + 1)
+        & F.col("by").between(F.col("ay") - 1, F.col("ay") + 1),
+    ).select("id_a", "id_b")
+    comp = gr.connected_components(edges).withColumnRenamed("node", "cell")
+    return (
+        pts.select("vec_id", cell_str.alias("cell"))
+        .join(F.broadcast(comp), "cell", "left_outer")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("component", F.lit("noise")).alias("cluster"),
+        )
+        .orderBy("vec_id")
     )

@@ -140,3 +140,24 @@ def read_json_with_quarantine(
         F.col("_corrupt_record").alias("raw_record")
     )
     return good, bad
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — vectorized reader, predicate pushdown and column pruning
+    behave like the parquet path (assert via .explain: PushedFilters)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal raw-asset ingest: Spark's binaryFile source yields one row
+    per file — (path, modificationTime, length, content:binary) — which is
+    the contract ``operators.multimodal.attach_binary_metadata`` and
+    ``decode_features`` build on. Image/audio/video bytes stay opaque
+    binary until a (stubbed) decode UDF runs; partition parallelism comes
+    from the file listing, so many small assets parallelize for free.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -61,3 +61,10 @@ def write_parquet_sorted(
     else:
         df = df.repartitionByRange(*cols)
     df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — same columnar statistics/pushdown story as parquet, kept
+    so the engine can land in ORC-standardized warehouses without an extra
+    conversion hop."""
+    df.write.mode(mode).orc(path)

@@ -143,3 +143,38 @@ def test_json_quarantine_split(spark, tmp_path):
     assert len(bad_rows) == 2
     assert "this is not json" in bad_rows[1] or "this is not json" in bad_rows[0]
     assert good.columns == ["id", "v"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    from dataquality_ml_spark.sources.readers import read_orc, read_parquet
+    from dataquality_ml_spark.sources.writers import write_orc
+
+    src = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"])
+    assert back.count() == src.count()
+    plan = back.where(F.col("o_totalprice") > 1000)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_binary_file_source_multimodal_contract(spark, tmp_path):
+    from dataquality_ml_spark.operators.multimodal import attach_binary_metadata
+    from dataquality_ml_spark.sources.readers import read_binary_files
+
+    # fake image assets: PNG magic + deterministic payload; one .txt decoy
+    # excluded by the glob
+    png_magic = bytes.fromhex("89504e470d0a1a0a")
+    for i in range(3):
+        (tmp_path / f"img_{i}.png").write_bytes(png_magic + bytes([i]) * (10 + i))
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    meta = attach_binary_metadata(df, "content", "path")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in meta.collect()}
+    assert len(rows) == 3
+    for i in range(3):
+        r = rows[f"img_{i}.png"]
+        assert r["n_bytes"] == 8 + 10 + i
+        assert r["magic"] == "89504E47"  # PNG signature survives ingest

@@ -52,3 +52,24 @@ def test_align_schema(spark, sf_dir):
     assert aligned.columns == ["event_id", "value", "event_type"]
     assert aligned.schema["value"].dataType == ref.schema["value"].dataType
     assert aligned.where(F.col("value").isNotNull()).count() == 0  # filled as nulls
+
+
+def test_exact_quantiles_grouped_matches_percentile(spark, sf_dir):
+    import pytest
+
+    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = [0.25, 0.5, 0.75, 0.9, 0.95]
+    got = {
+        (r["column"], r["q"]): r["val"]
+        for r in exact_quantiles_grouped(li, cols, qs).collect()
+    }
+    q_sql = ", ".join(str(q) for q in qs)
+    ref = li.agg(
+        *[F.expr(f"percentile({c}, array({q_sql}))").alias(c) for c in cols]
+    ).first()
+    for c in cols:
+        for i, q in enumerate(qs):
+            assert got[(c, q)] == pytest.approx(ref[c][i], rel=0, abs=0), (c, q)
