@@ -1136,3 +1136,167 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed ordinary least squares via the normal equations AS AGGREGATES:
+# the five raw sums (Σx, Σy, Σxy, Σx², Σy²) are one map-side-combined pass
+# over the fact table — the d×d Gram matrix generalization is how the
+# engine fits any linear model at 100 TB without collecting rows. The
+# oracle spells out the SAME closed forms over the same raw sums.
+# ---------------------------------------------------------------------------
+@register(
+    "linreg_price_on_qty",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+             SUM(l_quantity * l_extendedprice) AS sxy,
+             SUM(l_quantity * l_quantity) AS sxx,
+             SUM(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem
+    )
+    SELECT n,
+      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+      ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+      ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def linreg_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES), fully
+# deterministic: uniform u from the engine-portable md5 hash of the key,
+# priority = -ln(u)/w, global top-k by SMALLEST priority. Spark executes
+# this as TakeOrdered (per-partition top-k + driver merge of k·p rows) —
+# no global sort; inclusion probability stays proportional to o_totalprice.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_orders",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(-LN((CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) / o_totalprice, 10)
+             AS priority
+    FROM orders
+    ORDER BY priority, o_orderkey
+    LIMIT 25
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    orders = _t(spark, sf_dir, "orders")
+    u = (portable_hash32(F.col("o_orderkey").cast("string")).cast("double") + 0.5) / F.lit(
+        4294967296.0
+    )
+    priority = -F.log(u) / F.col("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round(priority, 10).alias("priority"),
+        )
+        .orderBy("priority", "o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average for IRREGULARLY sampled series: each reading holds
+# until the next one (step interpolation), so its weight is the gap to the
+# next event. One lead() window per user (single keyed shuffle, ordered
+# by event time with a deterministic tie-break), then a per-user ratio
+# aggregate. The plain AVG is wrong whenever sampling density correlates
+# with the value — this is the standard fix.
+# ---------------------------------------------------------------------------
+@register(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value,
+             epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt) / SUM(dt), 4) AS tw_avg,
+           ROUND(AVG(value), 4) AS naive_avg,
+           COUNT(*) AS n_gaps
+    FROM g WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.lead(F.col("ts").cast("double")).over(w) - F.col("ts").cast("double")
+    g = ev.select("user_id", "value", dt.alias("dt"))
+    return (
+        g.where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("tw_avg"),
+            F.round(F.avg("value"), 4).alias("naive_avg"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation composition: language-ID predictions cross-tabulated against
+# the labeled lang column — the A11 confusion-matrix pattern applied to a
+# text operator (every (label, prediction) cell, zero cells omitted).
+# ---------------------------------------------------------------------------
+from dataquality_ml_spark.queries import _lang_id_oracle  # noqa: E402
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    SELECT d.lang, p.pred_lang, COUNT(*) AS n
+    FROM ({_lang_id_oracle()}) p
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    ORDER BY d.lang, p.pred_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = tx.language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

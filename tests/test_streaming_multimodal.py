@@ -257,3 +257,41 @@ def test_transform_with_state_ew_anomaly_stream(spark, tmp_path):
     spikes = {(r["key"], r["event_id"]) for r in out}
     assert (1, 38) in spikes and (2, 39) in spikes, f"spikes not flagged: {out}"
     assert all(abs(r["value"]) > 100 for r in out), f"false positives: {out}"
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a micro-batch stream enriched against a static
+    broadcast dimension — the standard pattern for attaching reference
+    data (thresholds, dimension attributes) to a live stream. The static
+    side is re-resolved per micro-batch, never shuffled with the stream."""
+    src_dir = str(tmp_path / "ssrc")
+    rows = [(i, i % 3, float(i)) for i in range(60)]
+    spark.createDataFrame(rows, "event_id long, dim_id long, value double").coalesce(
+        2
+    ).write.mode("append").parquet(src_dir)
+
+    dim = spark.createDataFrame(
+        [(0, "bronze", 1.0), (1, "silver", 2.0), (2, "gold", 3.0)],
+        "dim_id long, tier string, mult double",
+    )
+    stream = spark.readStream.schema("event_id long, dim_id long, value double").parquet(
+        src_dir
+    )
+    enriched = stream.join(F.broadcast(dim), "dim_id").select(
+        "event_id", "tier", (F.col("value") * F.col("mult")).alias("scaled")
+    )
+    out_dir = str(tmp_path / "sout")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 60
+    gold = result.where(F.col("tier") == "gold")
+    assert gold.count() == 20
+    # dim_id=2 rows carry value*3.0
+    assert gold.where(F.col("scaled") != F.col("event_id") * 3.0).count() == 0
