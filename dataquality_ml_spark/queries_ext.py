@@ -1300,3 +1300,115 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate outliers via Mahalanobis distance, 2-feature closed form:
+# raw-sum aggregates → sample covariance → analytic 2×2 inverse → quadratic
+# form per row. One stats pass + one scan with the 1-row stats broadcast —
+# the d-dimensional version is the same shape with a d×d Gram matrix
+# solved driver-side (see linreg_price_on_qty). Cutoff = χ²(2df, p=0.001).
+# Both engines compute the identical raw-sum expression tree.
+# ---------------------------------------------------------------------------
+@register(
+    "mahalanobis_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+             SUM(l_quantity * l_extendedprice) AS sxy,
+             SUM(l_quantity * l_quantity) AS sxx,
+             SUM(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem
+    ),
+    c AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS cxx,
+             (syy - sy * sy / n) / (n - 1) AS cyy,
+             (sxy - sx * sy / n) / (n - 1) AS cxy
+      FROM s
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(((l_quantity - mx) * (l_quantity - mx) * cyy
+                  - 2 * (l_quantity - mx) * (l_extendedprice - my) * cxy
+                  + (l_extendedprice - my) * (l_extendedprice - my) * cxx)
+                 / (cxx * cyy - cxy * cxy), 4) AS d2
+    FROM lineitem, c
+    WHERE ROUND(((l_quantity - mx) * (l_quantity - mx) * cyy
+                 - 2 * (l_quantity - mx) * (l_extendedprice - my) * cxy
+                 + (l_extendedprice - my) * (l_extendedprice - my) * cxx)
+                / (cxx * cyy - cxy * cxy), 4) > 13.8155
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sy") / n).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias("cxx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias("cyy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias("cxy"),
+    )
+    dx, dy = x - F.col("mx"), y - F.col("my")
+    d2 = F.round(
+        (dx * dx * F.col("cyy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("cxx"))
+        / (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")),
+        4,
+    )
+    return (
+        li.crossJoin(F.broadcast(c))
+        .select("l_orderkey", "l_linenumber", d2.alias("d2"))
+        .where(F.col("d2") > 13.8155)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supervised training-set builder from an event stream: lag-window features
+# (previous 3 readings) + the current value as label, per user in event-time
+# order. ONE keyed window shuffle produces every row of the design matrix —
+# the standard autoregressive feature layout, built without ever collecting
+# a series to the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "lag_features_trainset",
+    oracle="""
+    SELECT * FROM (
+      SELECT event_id, user_id,
+             LAG(value, 3) OVER w AS lag3,
+             LAG(value, 2) OVER w AS lag2,
+             LAG(value, 1) OVER w AS lag1,
+             value AS label
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE lag3 IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def lag_features_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("value", 3).over(w).alias("lag3"),
+            F.lag("value", 2).over(w).alias("lag2"),
+            F.lag("value", 1).over(w).alias("lag1"),
+            F.col("value").alias("label"),
+        )
+        .where(F.col("lag3").isNotNull())
+        .orderBy("event_id")
+    )
