@@ -1467,7 +1467,13 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     app/AE_model_enhanced.py:163-168): sweep every distinct score as a
     candidate threshold via one descending cumulative window; J = TPR−FPR.
     At 100 TB the same sweep runs over the binned histogram
-    (evaluate.roc_auc_binned structure)."""
+    (evaluate.roc_auc_binned structure).
+
+    The fact table collapses to per-DISTINCT-score (pos, neg) counts FIRST
+    (map-side-combined hash agg), and the cumulative window runs over those
+    |distinct scores| rows — never a global window over raw rows. Same
+    result as row-level cumsum + per-score max, one task-sized sort input.
+    """
     from pyspark.sql import Window
 
     ev_df = _t(spark, sf_dir, "events")
@@ -1478,11 +1484,16 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("y"), 1)).alias("p"),
         F.count(F.when(~F.col("y"), 1)).alias("n"),
     ).first()
+    by_s = scored.groupBy("s").agg(
+        F.count(F.when(F.col("y"), 1)).alias("pos"),
+        F.count(F.when(~F.col("y"), 1)).alias("neg"),
+    )
     w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    sweep = scored.withColumn(
-        "tp", F.sum(F.when(F.col("y"), 1).otherwise(0)).over(w)
-    ).withColumn("fp", F.sum(F.when(F.col("y"), 0).otherwise(1)).over(w))
-    per_s = sweep.groupBy("s").agg(F.max("tp").alias("tp"), F.max("fp").alias("fp"))
+    per_s = by_s.select(
+        "s",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
     j = per_s.select(
         F.col("s"),
         F.round(

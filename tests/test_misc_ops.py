@@ -239,3 +239,35 @@ def test_subword_tokenizer_counts(spark):
     assert out[1]["n_subword_tokens"] == 6
     assert out[2]["n_subword_tokens"] == 0 and out[2]["chars_per_token"] == 0.0
     assert out[3]["n_subword_tokens"] == 1 and out[3]["chars_per_token"] == 3.0
+
+
+def test_new_tpch_shape_plans(spark):
+    """Scale assertions for the TPC-H-shape additions: pushdown reaches the
+    scan, dimensions broadcast, nothing degenerates to a cartesian
+    product, and the top-k sample is TakeOrdered (no global sort)."""
+    import dataquality_ml_spark.queries as q
+    from dataquality_ml_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    qs = q.queries()
+
+    q6 = qs["q6_forecast_revenue"](spark, sf)
+    pushed = " ".join(plans.pushed_filters(q6))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed into the scan"
+
+    q10 = qs["q10_returned_items"](spark, sf)
+    assert plans.has_broadcast_join(q10)
+    assert "o_orderdate" in " ".join(plans.pushed_filters(q10))
+    assert "CartesianProduct" not in plans.formatted_plan(q10)
+
+    q17 = qs["q17_small_quantity_revenue"](spark, sf)
+    assert "CartesianProduct" not in plans.formatted_plan(q17)
+    assert plans.has_broadcast_join(q17)
+
+    ws = qs["weighted_sample_orders"](spark, sf)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(ws)
+
+    mh = qs["mahalanobis_outliers"](spark, sf)
+    plan = plans.formatted_plan(mh)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
