@@ -302,3 +302,43 @@ def exact_quantiles_grouped(
             .alias("val"),
         )
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-join skew diagnosis: per-key cardinalities of BOTH sides and the
+    output rows each key would produce (their product). The top offender's
+    share of total join output is the number that decides between a plain
+    shuffle join, AQE skew splitting, and an explicit salted join
+    (``relational.salted_join``) — measured from two map-side-combined
+    aggs over the keys only, never by running the join.
+    """
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    both = lc.join(rc, "key").select(
+        "key", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("out_rows")
+    )
+    tot = both.agg(F.sum("out_rows").alias("total_out"))
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "out_rows",
+            (F.round(F.col("out_rows") / F.col("total_out"), 6) + F.lit(0.0)).alias(
+                "out_share"
+            ),
+        )
+        .orderBy(F.desc("out_rows"), F.asc("key"))
+        .limit(top_n)
+    )

@@ -1412,3 +1412,150 @@ def lag_features_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lag3").isNotNull())
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew diagnosis BEFORE running the join: per-key cardinalities on
+# both sides and the output each key would produce. Two key-only hash aggs
+# — the decision input for plain-shuffle vs AQE-skew vs salted join
+# (relational.salted_join), costing a scan of the keys instead of the join.
+# ---------------------------------------------------------------------------
+@register(
+    "join_skew_report_orders",
+    oracle="""
+    WITH lc AS (SELECT o_custkey AS key, COUNT(*) AS n_left FROM orders GROUP BY 1),
+    rc AS (SELECT c_custkey AS key, COUNT(*) AS n_right FROM customer GROUP BY 1),
+    both_t AS (
+      SELECT key, n_left, n_right, n_left * n_right AS out_rows
+      FROM lc JOIN rc USING (key)
+    )
+    SELECT key, n_left, n_right, out_rows,
+           ROUND(out_rows / CAST((SELECT SUM(out_rows) FROM both_t) AS DOUBLE), 6) + 0
+             AS out_share
+    FROM both_t
+    ORDER BY out_rows DESC, key
+    LIMIT 10
+    """,
+)
+def join_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prof.join_skew_report(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey",
+        top_n=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-freshness DQ check: daily row counts vs the trailing-7-day
+# average — the "did yesterday's partition actually land, and was it the
+# right size" monitor. The raw stream collapses to one row per day first;
+# the trailing window runs over |days| rows.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_completeness_check",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, n,
+             AVG(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trailing_avg
+      FROM daily
+    )
+    SELECT day, n, ROUND(trailing_avg, 4) AS trailing_avg,
+           ROUND(n / trailing_avg, 4) AS ratio,
+           (n < 0.5 * trailing_avg OR n > 2.0 * trailing_avg) AS is_abnormal
+    FROM w WHERE trailing_avg IS NOT NULL
+    ORDER BY day
+    """,
+)
+def daily_completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    t_avg = F.avg("n").over(w)
+    return (
+        daily.select(
+            "day",
+            "n",
+            F.round(t_avg, 4).alias("trailing_avg"),
+            F.round(F.col("n") / t_avg, 4).alias("ratio"),
+            ((F.col("n") < 0.5 * t_avg) | (F.col("n") > 2.0 * t_avg)).alias("is_abnormal"),
+        )
+        .where(F.col("trailing_avg").isNotNull())
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: category → mean of the target over the
+# OTHER rows of the category ((sum−y)/(n−1)) — the leakage-safe categorical
+# encoding for tree/linear models. One grouped agg broadcast back onto the
+# fact; the LOO correction is pure row arithmetic, so no per-row subquery
+# and no second shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "target_encode_loo",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, SUM(value) AS sum_v, COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(CASE WHEN s.n > 1 THEN (s.sum_v - e.value) / (s.n - 1) END, 4)
+             AS te_loo
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+    ORDER BY e.event_id
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.groupBy("event_type").agg(
+        F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n")
+    )
+    te = F.when(
+        F.col("n") > 1, (F.col("sum_v") - F.col("value")) / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", F.round(te, 4).alias("te_loo"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature bucketing: unbounded categorical vocabulary →
+# fixed k buckets via the engine-portable hash; per-bucket frequencies +
+# the collision inventory (distinct source values per bucket). The
+# dimensionality is fixed BEFORE any fit, which is what makes categorical
+# pipelines schema-stable at 100 TB (no vocabulary growth between train
+# and apply, no index artifact to ship).
+# ---------------------------------------------------------------------------
+@register(
+    "feature_hash_buckets",
+    oracle="""
+    SELECT CAST(CAST('0x' || substr(md5(p_type), 1, 8) AS BIGINT) % 16 AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT p_type) AS n_values
+    FROM part
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select((portable_hash32(F.col("p_type")) % 16).alias("bucket"), "p_type")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_type").alias("n_values"),
+        )
+        .orderBy("bucket")
+    )
