@@ -422,10 +422,11 @@ def kmeans_fit(
     )
     cents = [[float(x) for x in r[vec_col]] for r in init]
     for _ in range(iters):
-        assigned = kmeans_assign(emb_df, cents, id_col, vec_col)
+        # cluster + vector in ONE projection — assigning then joining back
+        # on the id would shuffle the vectors the scan already had in hand
+        assigned = kmeans_assign(emb_df, cents, id_col, vec_col, keep_vec=True)
         rows = (
-            assigned.join(emb_df.select(id_col, vec_col), id_col)
-            .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("m"))
             .collect()
@@ -445,13 +446,19 @@ def kmeans_assign(
     cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cluster) for the nearest centroid — argmin over k literal
     distance expressions, ties to the lowest centroid id. Narrow scan,
-    zero shuffle; codegen keeps all k folds in one stage."""
+    zero shuffle; codegen keeps all k folds in one stage. ``keep_vec``
+    carries the vector through (the fit loop's centroid update reads it
+    directly instead of joining back on the id)."""
     dists = [_sq_dist(F.col(vec_col), c) for c in cents]
     best = F.least(*dists)
     cluster = F.lit(len(cents) - 1)
     for j in range(len(cents) - 2, -1, -1):
         cluster = F.when(dists[j] == best, F.lit(j)).otherwise(cluster)
-    return emb_df.select(F.col(id_col), cluster.alias("cluster"))
+    cols = [F.col(id_col), cluster.alias("cluster")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return emb_df.select(*cols)
