@@ -1559,3 +1559,43 @@ def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entry/exit analytics: first, last, and second event per user in one
+# windowed pass (first_value / last_value / nth_value over the full-
+# partition frame). One keyed shuffle; the frame spec matters — last_value
+# over the default frame silently returns the CURRENT row.
+# ---------------------------------------------------------------------------
+@register(
+    "user_journey_endpoints",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER w AS last_type,
+           NTH_VALUE(value, 2) OVER w AS second_value,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+)
+def user_journey_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("value", 2).over(w).alias("second_value"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

@@ -178,3 +178,16 @@ def test_binary_file_source_multimodal_contract(spark, tmp_path):
         r = rows[f"img_{i}.png"]
         assert r["n_bytes"] == 8 + 10 + i
         assert r["magic"] == "89504E47"  # PNG signature survives ingest
+
+
+def test_write_parquet_observed_metrics(spark, tmp_path, sf_dir):
+    from dataquality_ml_spark.sources.readers import read_parquet
+    from dataquality_ml_spark.sources.writers import write_parquet_observed
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "observed")
+    m = write_parquet_observed(ev, path, value_cols=["value", "user_id"])
+    back = spark.read.parquet(path)
+    assert m["n_rows"] == back.count()
+    assert m["value__nulls"] == back.where(F.col("value").isNull()).count()
+    assert m["user_id__nulls"] == back.where(F.col("user_id").isNull()).count()
