@@ -90,3 +90,48 @@ def decode_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+#: schema of the frame-sampling output — one row PER SAMPLED FRAME
+FRAME_SCHEMA = "id long, frame_idx int, n_frames int, frame_bytes binary"
+
+
+def frame_stub(payload: bytes) -> list[bytes]:
+    """Deterministic fake video demuxer: treats the payload as fixed-size
+    'frames' of 16 bytes. Raises for empty payloads like ``decode_stub``.
+    Replace with ffmpeg/PyAV demuxing in production — the operator contract
+    (one input row → many frame rows, bytes stay executor-local) is what
+    matters here."""
+    if not payload:
+        raise NotImplementedError("empty payload: no media decoder in this environment")
+    size = 16
+    return [payload[i : i + size] for i in range(0, len(payload), size)]
+
+
+def sample_frames(
+    df: DataFrame, bin_col: str, id_col: str, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling for video-like payloads via ``mapInPandas``: demux
+    each binary into frames (stubbed), keep every ``every_n``-th, and emit
+    ONE ROW PER KEPT FRAME — a 1→many expansion inside the Arrow batch
+    iterator, which is the shape a real ffmpeg sampler needs (frames are
+    produced and filtered executor-side; the driver only ever sees the
+    plan). Downstream per-frame decode/dedup composes by joining on
+    (id, frame_idx)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "n_frames": [], "frame_bytes": []}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    frames = frame_stub(bytes(payload) if payload is not None else b"")
+                except NotImplementedError:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    out["id"].append(rid)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(len(frames))
+                    out["frame_bytes"].append(frames[i])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -203,7 +203,10 @@ def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
 
 
 def exact_quantiles_grouped(
-    df: DataFrame, columns: list[str], qs: list[float] | tuple[float, ...] = PROFILE_QUANTILES
+    df: DataFrame,
+    columns: list[str],
+    qs: list[float] | tuple[float, ...] = PROFILE_QUANTILES,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """EXACT linear-interpolated quantiles that scale: grouped value counts
     instead of Spark's ``percentile`` aggregate.
@@ -219,14 +222,20 @@ def exact_quantiles_grouped(
     Matches ``percentile`` / DuckDB ``quantile_cont`` bit-for-bit (same
     lo + frac·(hi-lo) interpolation on IEEE doubles).
 
-    Returns (column, q, val). At bench SF the single-buffer aggregate is
-    faster (fewer stages); this operator is the documented path once
-    distinct values per column stop fitting one executor's memory.
+    Returns (*group_by, column, q, val). ``group_by`` adds per-group
+    quantiles with the same machinery — the window keys on (groups,
+    column), so parallelism GROWS with group count instead of funneling
+    per-group buffers through one task the way grouped ``percentile``
+    does. At bench SF the single-buffer aggregate is faster (fewer
+    stages); this operator is the documented path once distinct values
+    per column (or per group) stop fitting one executor's memory.
     """
     from pyspark.sql import Window
 
+    g = list(group_by or [])
     pairs = (
         df.select(
+            *g,
             F.explode(
                 F.array(
                     *[
@@ -236,14 +245,15 @@ def exact_quantiles_grouped(
                 )
             ).alias("p")
         )
-        .select("p.*")
+        .select(*g, "p.*")
         .where(F.col("v").isNotNull() & ~F.isnan("v"))
     )
-    gc = pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("column").orderBy("v")
+    keys = [*g, "column"]
+    gc = pairs.groupBy(*keys, "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*keys).orderBy("v")
     cum = gc.withColumn("cum", F.sum("cnt").over(w))
-    n = gc.groupBy("column").agg(F.sum("cnt").alias("n"))
-    cum = cum.join(F.broadcast(n), "column")
+    n = gc.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+    cum = cum.join(F.broadcast(n), keys)
 
     q_arr = F.array(*[F.lit(float(q)) for q in qs])
     # Keep only the value rows whose index range contains k or k+1 for some
@@ -263,14 +273,14 @@ def exact_quantiles_grouped(
         | ((s["k"] + 1 >= F.col("cum") - F.col("cnt")) & (s["k"] + 1 < F.col("cum"))),
     )
     tagged = cum.select(
-        "column",
+        *keys,
         "v",
         (F.col("cum") - F.col("cnt")).alias("start"),
         F.col("cum").alias("end"),
         F.explode(targets).alias("s"),
     )
     return (
-        tagged.groupBy("column", F.col("s.q").alias("q"))
+        tagged.groupBy(*keys, F.col("s.q").alias("q"))
         .agg(
             F.max(
                 F.when(
@@ -287,7 +297,7 @@ def exact_quantiles_grouped(
             F.first("s.frac").alias("frac"),
         )
         .select(
-            "column",
+            *keys,
             "q",
             # Spark's percentile and DuckDB's quantile_cont both evaluate
             # lo*(1-f) + hi*f (not lo + f*(hi-lo) — one ulp apart on IEEE

@@ -73,3 +73,28 @@ def test_exact_quantiles_grouped_matches_percentile(spark, sf_dir):
     for c in cols:
         for i, q in enumerate(qs):
             assert got[(c, q)] == pytest.approx(ref[c][i], rel=0, abs=0), (c, q)
+
+
+def test_exact_quantiles_grouped_per_group(spark, sf_dir):
+    import pytest
+
+    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    qs = [0.5, 0.9]
+    got = {
+        (r["event_type"], r["q"]): r["val"]
+        for r in exact_quantiles_grouped(
+            ev, ["value"], qs, group_by=["event_type"]
+        ).collect()
+    }
+    ref = {
+        r["event_type"]: r["p"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9))").alias("p"))
+        .collect()
+    }
+    assert len(got) == 2 * len(ref)
+    for et, vals in ref.items():
+        for i, q in enumerate(qs):
+            assert got[(et, q)] == pytest.approx(vals[i], rel=0, abs=0), (et, q)

@@ -295,3 +295,27 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     assert gold.count() == 20
     # dim_id=2 rows carry value*3.0
     assert gold.where(F.col("scaled") != F.col("event_id") * 3.0).count() == 0
+
+
+def test_frame_sampling_plumbing(spark):
+    """sample_frames: 1 binary row → one row per kept frame, executor-side;
+    empty payloads skipped via the decoder failure path."""
+    from dataquality_ml_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, bytes(range(16 * 5))),   # 5 frames → idx 0, 2, 4
+        (2, bytes(range(16 * 2))),   # 2 frames → idx 0
+        (3, b""),                    # undecodable → dropped
+    ]
+    df = spark.createDataFrame(rows, "vid long, content binary")
+    out = sample_frames(df, "content", "vid", every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_id[1]) == [0, 2, 4]
+    assert by_id[1][0]["n_frames"] == 5
+    assert sorted(r["frame_idx"] for r in by_id[2]) == [0]
+    assert 3 not in by_id
+    # frame content is the demuxed slice, not the whole payload
+    f0 = next(r for r in by_id[1] if r["frame_idx"] == 0)
+    assert bytes(f0["frame_bytes"]) == bytes(range(16))
