@@ -1599,3 +1599,154 @@ def user_journey_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix of user behavior: (prev → next)
+# event-type counts from one lag window, row-normalized into transition
+# probabilities with a windowed total over the GROUPED matrix (|types|²
+# rows). The classic session-behavior profile.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS next_t,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_t
+      FROM events
+    ),
+    m AS (
+      SELECT prev_t, next_t, COUNT(*) AS n
+      FROM seq WHERE prev_t IS NOT NULL
+      GROUP BY prev_t, next_t
+    )
+    SELECT prev_t, next_t, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_t) AS DOUBLE), 6) + 0 AS p
+    FROM m
+    ORDER BY prev_t, next_t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_t"),
+        F.lag("event_type").over(w).alias("prev_t"),
+    )
+    m = (
+        seq.where(F.col("prev_t").isNotNull())
+        .groupBy("prev_t", "next_t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_t")
+    return m.select(
+        "prev_t",
+        "next_t",
+        "n",
+        (F.round(F.col("n") / F.sum("n").over(tot), 6) + F.lit(0.0)).alias("p"),
+    ).orderBy("prev_t", "next_t")
+
+
+# ---------------------------------------------------------------------------
+# Regression-residual outliers: fit OLS in one aggregate pass (see
+# linreg_price_on_qty), broadcast the two coefficients, flag rows whose
+# standardized residual exceeds 4σ. Model-based anomaly detection as two
+# scans and zero shuffles of row data.
+# ---------------------------------------------------------------------------
+@register(
+    "linreg_residual_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+             SUM(l_quantity * l_extendedprice) AS sxy,
+             SUM(l_quantity * l_quantity) AS sxx
+      FROM lineitem
+    ),
+    c AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM s
+    ),
+    r AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice - (a + b * l_quantity) AS resid
+      FROM lineitem, c
+    ),
+    sd AS (SELECT STDDEV_SAMP(resid) AS sigma FROM r)
+    SELECT l_orderkey, l_linenumber, ROUND(resid / sigma, 4) AS std_resid
+    FROM r, sd
+    WHERE ABS(ROUND(resid / sigma, 4)) > 4.0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def linreg_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    c = s.select(slope.alias("b"), ((F.col("sy") - slope * F.col("sx")) / n).alias("a"))
+    r = li.crossJoin(F.broadcast(c)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (y - (F.col("a") + F.col("b") * x)).alias("resid"),
+    )
+    sd = r.agg(F.stddev_samp("resid").alias("sigma"))
+    return (
+        r.crossJoin(F.broadcast(sd))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("resid") / F.col("sigma"), 4).alias("std_resid"),
+        )
+        .where(F.abs(F.col("std_resid")) > 4.0)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS through the SQL surface (spark.sql over a temp
+# view): exactly the two marginals, without the full cube's interior —
+# at 100 TB the difference between 2 and 2^k aggregation levels in the
+# partial aggregate. Complements cube_events_type_dow / events_rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_marginals",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT event_type, CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type), (dow))
+    ORDER BY event_type, dow
+    """,
+)
+def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow"), "value"
+    )
+    ev.createOrReplaceTempView("_gs_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(dow AS STRING), 'ALL') AS dow,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (dow))
+        ORDER BY event_type, dow
+        """
+    )
