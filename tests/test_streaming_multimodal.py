@@ -319,3 +319,49 @@ def test_frame_sampling_plumbing(spark):
     # frame content is the demuxed slice, not the whole payload
     f0 = next(r for r in by_id[1] if r["frame_idx"] == 0)
     assert bytes(f0["frame_bytes"]) == bytes(range(16))
+
+
+def test_streaming_drift_monitor_foreachbatch(spark, tmp_path):
+    """Streaming drift monitor: each micro-batch is PSI-compared against a
+    frozen reference distribution inside foreachBatch (batch operators
+    reused verbatim on streaming data). The shifted batch must alarm, the
+    in-distribution batch must not."""
+    from dataquality_ml_spark.operators.drift import psi_bins
+
+    ref = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+
+    src_dir = str(tmp_path / "drsrc")
+    # batch 0: same uniform shape; batch 1: concentrated (shifted)
+    b0 = [(float(i % 100),) for i in range(1000)]
+    b1 = [(float(i % 10),) for i in range(1000)]
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, "v double").coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+
+    results: list[tuple[int, float]] = []
+
+    def check(batch_df, batch_id):
+        psi = (
+            psi_bins(ref, batch_df, "v", lo=0.0, hi=100.0, bins=10)
+            .select("psi_total")
+            .first()["psi_total"]
+        )
+        results.append((int(batch_id), float(psi)))
+
+    stream = (
+        spark.readStream.schema("v double").option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(check)
+        .option("checkpointLocation", str(tmp_path / "drckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    psis = dict(results)
+    assert len(psis) == 2
+    lo_psi, hi_psi = min(psis.values()), max(psis.values())
+    assert lo_psi < 0.05, f"in-distribution batch alarmed: {psis}"
+    assert hi_psi > 0.2, f"shifted batch did not alarm: {psis}"
