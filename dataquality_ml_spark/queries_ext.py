@@ -1750,3 +1750,75 @@ def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type, dow
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+# each other instead of silently dropping — load-bearing whenever a
+# "no value" bucket must survive an aggregation join. Both sides are
+# grouped relations, so the join is tiny; what's under test is the
+# equality semantics, which a plain equi-join gets wrong by one bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "null_safe_join_counts",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(event_type, 'error') AS k, COUNT(*) AS n_a
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(event_type, 'error') AS k, ROUND(SUM(value), 2) AS sum_b
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(a.k, '(null)') AS k, a.n_a, b.sum_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    a = ev.where(F.col("value").isNotNull()).groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = ev.groupBy(k.alias("k")).agg(F.round(F.sum("value"), 2).alias("sum_b"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(F.coalesce(a["k"], F.lit("(null)")).alias("k"), "n_a", "sum_b")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day DISTINCT users per day — windowed COUNT(DISTINCT) doesn't
+# exist in any engine's window frame, and the naive day×user range join is
+# quadratic. The scale shape: collapse to distinct (user, day) first, then
+# EXPLODE each into the ≤7 report days it contributes to (bucket-explode,
+# the same trick as the interval join) and run one countDistinct per day.
+# Shuffle volume: 7×|user-days|, independent of raw event count.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS uday FROM events)
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d JOIN ud u ON u.uday BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("uday")).distinct()
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("uday"), F.date_add("uday", 6))).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")  # drop report days past the data
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
