@@ -1822,3 +1822,145 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier nation inside one customer
+# region, by year — a 7-relation join where every dimension filter is
+# applied BEFORE its join (region-filtered customers, type-filtered parts
+# both broadcast), and the share is a conditional-sum ratio inside one
+# year-grouped aggregation (no second pass over the joined fact).
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) + 0 AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'EUROPE'
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    # region-filtered customer keys (broadcast): the filter reaches the
+    # fact via the customer dim, not after the 7-way join
+    cust_eu = customer.join(
+        F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey")
+    supp_n = supplier.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+        ),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_eu), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                            0.0
+                        )
+                    )
+                    / F.sum("volume"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: supplier(s) achieving the GLOBAL maximum revenue — an
+# aggregation joined against its own scalar max (the view + subquery in
+# the original). The revenue relation is computed once and reused for
+# both the max and the final filter via a 1-row broadcast, not recomputed
+# per comparison.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
