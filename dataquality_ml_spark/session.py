@@ -56,6 +56,9 @@ def get_spark(
         # Spark type; read as long and convert at the reader layer
         # (sources.readers handles nanos→timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet TIMESTAMP(MICROS) → TIMESTAMP (LTZ), not NTZ: with a
+        # UTC session the values are identical and epoch casts keep working.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
 

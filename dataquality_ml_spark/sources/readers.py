@@ -56,6 +56,10 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     # Defensive: the driver may hand us a session built without this conf;
     # it is a dynamic SQL conf, safe to set at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive TIMESTAMP(MICROS) columns must surface as TIMESTAMP (LTZ, UTC
+    # session), not TIMESTAMP_NTZ: NTZ forbids the epoch casts the engine's
+    # time arithmetic uses, and with a UTC session the two are value-equal.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     from pyspark.sql.types import LongType
 
