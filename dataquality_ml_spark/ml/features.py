@@ -122,16 +122,37 @@ def fit_features(
             row[f"{c}__med"] if strategy == "median" else row[f"{c}__mean"]
         )
 
-    for c in cats:
-        freq = (
-            df.where(F.col(c).isNotNull())
-            .groupBy(c)
-            .count()
-            .orderBy(F.desc("count"), F.asc(c))
-            .collect()
+    if cats:
+        # ONE stacked explode + groupBy for every categorical column —
+        # not one job per column (the reference's per-column-job pattern,
+        # lib/utils.py:187-195, repeated here until round 3). The result
+        # is O(total categories) rows: tiny relative to the corpus.
+        stacked = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("col"),
+                                F.col(c).cast("string").alias("val"),
+                            )
+                            for c in cats
+                        ]
+                    )
+                ).alias("cv")
+            )
+            .select("cv.col", "cv.val")
+            .where(F.col("val").isNotNull())
         )
-        model.categorical_cols.append(c)
-        model.categories[c] = [r[c] for r in freq]
+        freq = stacked.groupBy("col", "val").count().collect()
+        by_col: dict[str, list] = {c: [] for c in cats}
+        for r in freq:
+            by_col[r["col"]].append((-r["count"], r["val"]))
+        for c in cats:
+            # descending frequency, ties broken by value — StringIndexer
+            # frequencyDesc order (reference lib/utils.py:205-208)
+            model.categorical_cols.append(c)
+            model.categories[c] = [v for _, v in sorted(by_col[c])]
     return model
 
 
@@ -140,19 +161,47 @@ def apply_features(
     model: FeatureModel,
     mode: str = "keep",
     out: str = "features",
+    broadcast_cutoff: int = 100,
 ) -> DataFrame:
     """Transform with fitted parameters — pure column expressions, fully
-    parallel, zero shuffles.
+    parallel; the only non-map operation is a broadcast hash join per
+    high-cardinality categorical column (no shuffle of the corpus).
 
     ``mode="keep"``: unseen categories get index = n_categories (the
     StringIndexer handleInvalid="keep" extra bucket); numeric nulls/NaNs are
     imputed. ``mode="skip"``: rows with any invalid numeric are dropped
     (VectorAssembler handleInvalid="skip", the IF/LSTM path's silent
     row-drop the reference depends on).
+
+    Categorical encoding picks its physical form by cardinality: at or
+    below ``broadcast_cutoff`` categories, a chained ``when`` expression
+    (stays inside whole-stage codegen — cheapest for the reference's 26
+    low-cardinality columns); above it, a broadcast-joined (value → idx)
+    mapping table, because a 10k-branch CASE expression blows up codegen
+    (JVM 64KB method limit forces interpreted mode) while a broadcast hash
+    join is O(1) per row at any cardinality.
     """
     feats: list = []
     for c in model.categorical_cols:
         cats = model.categories[c]
+        if len(cats) > broadcast_cutoff:
+            spark = df.sparkSession
+            mapping = spark.createDataFrame(
+                [(v, float(i)) for i, v in enumerate(cats)],
+                schema=f"__{c}_val string, __{c}_joined double",
+            )
+            df = df.join(
+                F.broadcast(mapping),
+                df[c] == mapping[f"__{c}_val"],
+                "left",
+            ).drop(f"__{c}_val")
+            # unseen/null → the "keep" bucket, same as the when-chain path
+            feats.append(
+                F.coalesce(F.col(f"__{c}_joined"), F.lit(float(len(cats)))).alias(
+                    f"{c}_idx"
+                )
+            )
+            continue
         expr = F.lit(float(len(cats)))  # unseen/null → the "keep" bucket
         for i, v in enumerate(cats):
             expr = F.when(F.col(c) == v, float(i)).otherwise(expr)
@@ -180,7 +229,9 @@ def apply_features(
         # select("*", ...) never duplicates the source column name
         feats.append(F.col(c).cast("int").cast("double").alias(f"{c}_int"))
 
-    named = df.select("*", *feats)
+    named = df.select("*", *feats).drop(
+        *[f"__{c}_joined" for c in model.categorical_cols]
+    )
     return named.withColumn(out, F.array(*[F.col(n) for n in model.feature_names]))
 
 

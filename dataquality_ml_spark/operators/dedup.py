@@ -330,11 +330,65 @@ def simhash(
 def simhash_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs = identical SimHash (Hamming 0 — extend by banding
-    the fingerprint for Hamming ≤ k at scale)."""
+    """Near-dup pairs = identical SimHash (Hamming 0); for Hamming ≤ k see
+    ``simhash_hamming_pairs``."""
     fps = simhash(df, text_col, id_col)
     return (
         _bucket_pairs(fps, "simhash", id_col)
         .select("id_a", "id_b", "simhash")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 32,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ k, via fingerprint
+    banding (Manku et al., WWW'07 pattern): split the ``bits``-bit
+    fingerprint into k+1 bands — any pair within Hamming k must agree
+    EXACTLY on at least one band (pigeonhole), so candidates come from a
+    groupBy on (band index, band value) buckets, never an all-pairs join.
+    Exact verification is one ``bit_count(xor)`` per candidate pair.
+
+    100 TB shape: linear fingerprinting (see ``simhash``), one shuffle per
+    band set on short bigint keys, candidate-only verification;
+    ``max_bucket`` caps pathological buckets (near-empty docs collapse to
+    band value 0) exactly like the MinHash path.
+    """
+    nb = k + 1
+    width = bits // nb
+    fps = simhash(df, text_col, id_col, bits).cache()
+
+    band_keys = []
+    for b in range(nb):
+        lo = b * width
+        w = bits - lo if b == nb - 1 else width  # last band takes remainder
+        val = (F.col("simhash") / F.lit(1 << lo)).cast("bigint") % F.lit(1 << w)
+        band_keys.append(F.concat_ws("-", F.lit(str(b)), val.cast("string")))
+    # _outer: literal-length non-empty array; see _bucket_pairs note.
+    banded = fps.select(
+        F.col(id_col), F.explode_outer(F.array(*band_keys)).alias("band")
+    )
+    cand = (
+        _bucket_pairs(banded, "band", id_col, max_bucket)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    b_ = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(k))
         .orderBy("id_a", "id_b")
     )

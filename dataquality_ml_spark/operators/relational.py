@@ -18,6 +18,23 @@ _KNUTH = 2654435761
 _MOD = 4294967296  # 2^32
 
 
+def _hash_bucket(df: DataFrame, key: str):
+    """Deterministic engine-portable hash of ``key`` into [0, 2^32).
+
+    Numeric/boolean keys use the Knuth multiplicative hash (plain bigint
+    math, identical in DuckDB). String (and any other non-numeric) keys use
+    the md5-based ``portable_hash32`` — the previous bigint cast turned
+    strings into NULL and silently dropped every row.
+    """
+    from pyspark.sql.types import BooleanType, NumericType
+
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    if isinstance(df.schema[key].dataType, (NumericType, BooleanType)):
+        return (F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
+    return portable_hash32(F.col(key))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only if the scan produced fewer partitions than the
     cluster can use — guards CPU-heavy per-row operators (tokenization,
@@ -90,9 +107,11 @@ def sample_hash(df: DataFrame, key: str, percent: int) -> DataFrame:
     multiplicative hash of ``key`` falls in the lowest ``percent``% of the
     32-bit space. Reproducible across engines (oracle-checkable, unlike
     rand(seed)) and across runs — the property the reference reaches for
-    with ``random_state=42`` (app/data_augmentation_enhanced.py:230)."""
-    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
-    return df.where(bucket < F.lit(int(_MOD * percent / 100)))
+    with ``random_state=42`` (app/data_augmentation_enhanced.py:230).
+
+    Works on numeric keys (Knuth multiplicative hash) and string keys
+    (md5-based portable hash) — see ``_hash_bucket``."""
+    return df.where(_hash_bucket(df, key) < F.lit(int(_MOD * percent / 100)))
 
 
 def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
@@ -166,7 +185,7 @@ def quota_sample(
     for n >= 10 (Chernoff); correctness vs the naive window is asserted in
     tests and by the DuckDB oracle, which computes the naive form.
     """
-    h = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD)
+    h = _hash_bucket(df, key)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
     cutoff = counts.select(
         group_col,

@@ -314,3 +314,61 @@ def test_interval_join_plan_is_hash_join(spark):
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
+
+
+def test_sample_hash_string_key_conserves_rows(spark):
+    """String keys hash via md5 (not a silent NULL-drop bigint cast):
+    sample(p) + complement == all rows, and 100% keeps everything."""
+    from dataquality_ml_spark.operators.relational import _hash_bucket, sample_hash
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(500)], "doc_key string, v int"
+    )
+    assert sample_hash(df, "doc_key", 100).count() == 500
+    kept = sample_hash(df, "doc_key", 10)
+    n_kept = kept.count()
+    assert 0 < n_kept < 500  # the old cast path returned 0 rows
+    cutoff = int(4294967296 * 10 / 100)
+    comp = df.where(_hash_bucket(df, "doc_key") >= cutoff)
+    assert n_kept + comp.count() == 500
+
+
+def test_quota_sample_string_key(spark):
+    from dataquality_ml_spark.operators.relational import quota_sample as qs
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"k-{i}") for i in range(300)], "grp string, key string"
+    )
+    out = qs(df, "grp", "key", 5).collect()
+    assert len(out) == 15  # 5 per group, none NULL-dropped
+    assert {r["grp"] for r in out} == {"g0", "g1", "g2"}
+
+
+def test_simhash_hamming_banding_matches_exact(spark):
+    """Banded LSH recall check on a small corpus: pairs found by banding +
+    verify == pairs found by exact quadratic bit_count(xor) <= k."""
+    from itertools import combinations
+
+    from dataquality_ml_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "completely different text about spark shuffles and partitions at scale",
+        "another unrelated document mentioning joins aggregates and windows",
+        "the quick brown fox jumps over the lazy dog again and again today",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    k = 3
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(df, k=k).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    want = set()
+    for a, b in combinations(sorted(fps), 2):
+        d = bin(fps[a] ^ fps[b]).count("1")
+        if d <= k:
+            want.add((a, b, d))
+    assert got == want
+    assert any(h == 0 for _, _, h in got)  # the planted exact dup

@@ -158,3 +158,53 @@ def test_mllib_pipeline_parity(telemetry):
     # imputation fills nulls before assembly, so "skip" only drops rows
     # whose *categorical index* or bool inputs are invalid — none here
     assert skip_pipe.fit(telemetry).transform(telemetry).count() == 5
+
+
+def test_apply_features_high_cardinality_broadcast(spark):
+    """10k-category column: the chained-when path can't codegen this (JVM
+    64KB method limit); the broadcast-join path must produce the same
+    indices the when-chain gives at low cardinality."""
+    n = 10_000
+    df = spark.createDataFrame(
+        [(i, f"cat_{i:05d}", float(i % 7)) for i in range(n)],
+        "row_id bigint, category string, x double",
+    )
+    model = feat.fit_features(
+        df, roles={"numeric": ["x"], "categorical": ["category"], "boolean": []},
+        label_col=None,
+    )
+    assert len(model.categories["category"]) == n
+    out = feat.apply_features(df, model, mode="keep")
+    assert out.count() == n
+    # every category occurs once -> frequency ties broken by value, so
+    # index = lexicographic rank; cat_00000 -> 0, cat_00042 -> 42
+    got = {
+        r["category"]: r["category_idx"]
+        for r in out.where(F.col("row_id").isin(0, 42, 9999)).collect()
+    }
+    assert got["cat_00000"] == 0.0
+    assert got["cat_00042"] == 42.0
+    assert got["cat_09999"] == 9999.0
+    # unseen value -> keep bucket = n
+    unseen = spark.createDataFrame(
+        [(0, "never_seen", 1.0)], "row_id bigint, category string, x double"
+    )
+    assert feat.apply_features(unseen, model).first()["category_idx"] == float(n)
+    # null key must also land in the keep bucket (left join no-match)
+    nullrow = spark.createDataFrame(
+        [(0, None, 1.0)], "row_id bigint, category string, x double"
+    )
+    assert feat.apply_features(nullrow, model).first()["category_idx"] == float(n)
+
+
+def test_fit_features_single_stacked_cat_job(telemetry):
+    """Multi-categorical fit uses ONE stacked groupBy (not per-column jobs)
+    and preserves frequency-desc, tie-by-value order per column."""
+    df = telemetry.withColumn("dc", F.substring("serial", 1, 1))
+    model = feat.fit_features(
+        df,
+        roles={"numeric": [], "categorical": ["model", "dc"], "boolean": []},
+        label_col="failure",
+    )
+    assert model.categories["model"] == ["m1", "m2", "m3"]
+    assert model.categories["dc"] == ["a", "b", "c", "d", "e"]
