@@ -40,12 +40,23 @@ MIN_VARIANCE = 1e-6  # reference lib/utils.py:53-63 clamp
 def collect_feature_sample(
     df: DataFrame, features_col: str = "features", max_rows: int = 100_000, seed: int = 42
 ) -> np.ndarray:
-    """Bounded training sample for a driver-side fit. Uses seeded Bernoulli
-    sampling sized from a cheap count, then a hard limit."""
-    n = df.count()
+    """Bounded training sample for a driver-side fit: the ``max_rows`` rows
+    with the smallest seeded xxhash64 of the feature vector.
+
+    Hash-ranked rather than ``df.sample`` because Bernoulli sampling draws
+    per-partition — the same data under a different partition layout (e.g.
+    a driver-supplied session) yields a different sample, which made the
+    fitted model and downstream anomaly counts partition-dependent. The
+    hash rank depends only on row VALUES; Spark executes orderBy+limit as
+    TakeOrderedAndProject (O(max_rows) memory per partition, no full sort).
+    """
+    proj = df.select(features_col)
+    n = proj.count()
     if n > max_rows:
-        df = df.sample(fraction=min(1.0, 1.2 * max_rows / n), seed=seed).limit(max_rows)
-    rows = df.select(features_col).collect()
+        proj = proj.orderBy(
+            F.xxhash64(F.col(features_col), F.lit(seed))
+        ).limit(max_rows)
+    rows = proj.collect()
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
@@ -238,7 +249,12 @@ def score_distributed(
     from dataquality_ml_spark.operators.relational import ensure_parallelism
 
     spark = df.sparkSession
-    if not isinstance(scorer, (PCAAutoencoder, IsolationForest)):
+    # Duck-typed scorer contract: any broadcastable object exposing
+    # reconstruction_error (AE family — PCA closed-form or the optional
+    # keras adapter's weights-only artifact) or score_samples (IF family).
+    if not (
+        hasattr(scorer, "reconstruction_error") or hasattr(scorer, "score_samples")
+    ):
         raise TypeError(f"unsupported scorer: {type(scorer)}")
     if isinstance(scorer, IsolationForest):
         scorer._pack()  # ship the packed flat arrays, not 50 dicts
@@ -252,7 +268,7 @@ def score_distributed(
         x = np.array(feats.tolist(), dtype=np.float64)
         s = (
             model.reconstruction_error(x)
-            if isinstance(model, PCAAutoencoder)
+            if hasattr(model, "reconstruction_error")
             else model.score_samples(x)
         )
         return pd.Series(s)

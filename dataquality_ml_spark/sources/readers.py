@@ -60,6 +60,11 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     # session), not TIMESTAMP_NTZ: NTZ forbids the epoch casts the engine's
     # time arithmetic uses, and with a UTC session the two are value-equal.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The value-equality above HOLDS ONLY under a UTC session: a caller-
+    # supplied non-UTC session would shift naive stored micros by its UTC
+    # offset on read. The factory sets this; mirror it defensively here for
+    # plain driver-supplied sessions (ADVICE r2).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     from pyspark.sql.types import LongType
 
