@@ -208,6 +208,207 @@ def fold_dense_batchnorm(layers, activations: list[str]) -> list:
     return folded
 
 
+# -- sequence (LSTM) backend: M8/M9 ----------------------------------------
+
+# (units, return_sequences) per LSTM layer of the reference encoder/decoder
+# (app/LSTM_AE.py:237-350): 128→64→32 encoder, RepeatVector, 64→128 decoder,
+# TimeDistributed(Dense) reconstruction. The VAE (app/LSTM_VAE.py:281-424)
+# shares this shape with a reparameterized latent — at inference its mean
+# path is the same deterministic stack, which is what scoring needs.
+REFERENCE_LSTM_TOPOLOGY = {
+    "encoder": [(128, True), (64, True), (32, False)],
+    "decoder": [(64, True), (128, True)],
+}
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def lstm_forward(
+    x: np.ndarray, w: np.ndarray, u: np.ndarray, b: np.ndarray, return_sequences: bool
+) -> np.ndarray:
+    """Standard keras LSTM inference in numpy: gate order (i, f, c̃, o),
+    sigmoid recurrent activation, tanh cell activation, zero initial state.
+    x is (n, T, d); returns (n, T, units) or (n, units)."""
+    n, t_steps, _ = x.shape
+    units = u.shape[0]
+    h = np.zeros((n, units))
+    c = np.zeros((n, units))
+    outs = []
+    for t in range(t_steps):
+        z = x[:, t] @ w + h @ u + b
+        i = _sigmoid(z[:, :units])
+        f = _sigmoid(z[:, units : 2 * units])
+        g = np.tanh(z[:, 2 * units : 3 * units])
+        o = _sigmoid(z[:, 3 * units :])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        outs.append(h)
+    return np.stack(outs, axis=1) if return_sequences else h
+
+
+@dataclass
+class KerasLSTMAE:
+    """Weights-only LSTM autoencoder (M8; the VAE's deterministic mean path
+    for M9). ``layers`` is a list of specs replayed by a numpy forward pass:
+
+    - ``("lstm", W, U, b, return_sequences)``
+    - ``("affine", scale, shift)`` — a folded BatchNormalization, applied
+      along the feature axis (broadcasts over time when 3-D)
+    - ``("repeat", n)`` — RepeatVector
+    - ``("dense", W, b)`` — TimeDistributed(Dense), applied per timestep
+
+    ``reconstruction_error`` takes FLATTENED (n, T·f) rows — the layout the
+    ``sequences`` window operator emits — so the artifact plugs into
+    ``score_distributed`` unchanged; it reshapes to (n, T, f) internally.
+    Error = variance-clamped MAE over the sequence (reference 3-D
+    mae_error, lib/utils.py:66-96).
+    """
+
+    layers: list = field(default_factory=list)
+    timesteps: int = 0
+    n_features: int = 0
+    feature_var: np.ndarray | None = None  # per flat (T·f) position
+
+    def _forward(self, x3: np.ndarray) -> np.ndarray:
+        h = x3
+        for spec in self.layers:
+            kind = spec[0]
+            if kind == "lstm":
+                _, w, u, b, ret = spec
+                h = lstm_forward(h, w, u, b, ret)
+            elif kind == "affine":
+                _, scale, shift = spec
+                h = h * scale + shift
+            elif kind == "repeat":
+                h = np.repeat(h[:, None, :], spec[1], axis=1)
+            elif kind == "dense":
+                _, w, b = spec
+                h = h @ w + b
+            else:  # pragma: no cover - guarded at construction
+                raise ValueError(f"unknown layer kind {kind}")
+        return h
+
+    def reconstruction_error(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        x3 = x.reshape(n, self.timesteps, self.n_features)
+        xhat = self._forward(x3).reshape(n, -1)
+        return (np.abs(x - xhat) / self.feature_var).mean(axis=1)
+
+    @classmethod
+    def fit_new(
+        cls,
+        x3: np.ndarray,
+        epochs: int = 100,
+        batch_size: int = 256,
+        topology: dict | None = None,
+        keras_module=None,
+    ) -> "KerasLSTMAE":
+        """Train the reference LSTM-AE with keras and extract a weights-only
+        replay stack. Raises ImportError when keras is absent."""
+        keras = keras_module
+        if keras is None:
+            import keras  # noqa: PLC0415 — the optional dependency gate
+
+        topo = topology or REFERENCE_LSTM_TOPOLOGY
+        n, timesteps, n_features = x3.shape
+        inp = keras.layers.Input(shape=(timesteps, n_features))
+        t = keras.layers.GaussianNoise(0.01)(inp)
+        for units, ret in topo["encoder"]:
+            t = keras.layers.LSTM(units, activation="tanh", return_sequences=ret)(t)
+            t = keras.layers.BatchNormalization()(t)
+        t = keras.layers.RepeatVector(timesteps)(t)
+        for units, ret in topo["decoder"]:
+            t = keras.layers.LSTM(units, activation="tanh", return_sequences=ret)(t)
+            t = keras.layers.BatchNormalization()(t)
+        t = keras.layers.TimeDistributed(
+            keras.layers.Dense(n_features, activation="linear")
+        )(t)
+        model = keras.models.Model(inputs=inp, outputs=t)
+        try:
+            opt = keras.optimizers.legacy.Adam(learning_rate=0.001)
+        except AttributeError:
+            opt = keras.optimizers.Adam(learning_rate=0.001)
+        model.compile(optimizer=opt, loss="mae")
+        model.fit(
+            x3,
+            x3,
+            epochs=epochs,
+            batch_size=batch_size,
+            validation_split=0.2,
+            callbacks=[
+                keras.callbacks.EarlyStopping(
+                    monitor="val_loss", patience=20, restore_best_weights=True
+                ),
+                keras.callbacks.ReduceLROnPlateau(
+                    monitor="val_loss", factor=0.2, patience=10
+                ),
+            ],
+            shuffle=True,
+            verbose=0,
+        )
+        layers = extract_sequence_layers(model.layers)
+        flat = x3.reshape(n, -1)
+        var = np.maximum(flat.var(axis=0), MIN_VARIANCE)
+        return cls(
+            layers=layers,
+            timesteps=timesteps,
+            n_features=n_features,
+            feature_var=var,
+        )
+
+
+def extract_sequence_layers(layers) -> list:
+    """Map keras layer objects (matched by class NAME so test stand-ins
+    work) to the numpy replay specs of ``KerasLSTMAE``. BatchNorm becomes a
+    standalone affine (the tanh non-linearity forbids folding into the LSTM);
+    Dropout/GaussianNoise/Input vanish (inference no-ops)."""
+    out: list = []
+    for layer in layers:
+        name = type(layer).__name__
+        if name == "LSTM":
+            w, u, b = (np.asarray(a, dtype=np.float64) for a in layer.get_weights())
+            ret = bool(getattr(layer, "return_sequences", True))
+            out.append(("lstm", w, u, b, ret))
+        elif name == "BatchNormalization":
+            gamma, beta, mu, var = (
+                np.asarray(a, dtype=np.float64) for a in layer.get_weights()
+            )
+            eps = float(getattr(layer, "epsilon", 1e-3))
+            scale = gamma / np.sqrt(var + eps)
+            out.append(("affine", scale, beta - mu * scale))
+        elif name == "RepeatVector":
+            out.append(("repeat", int(layer.n)))
+        elif name == "TimeDistributed":
+            w, b = (np.asarray(a, dtype=np.float64) for a in layer.get_weights())
+            out.append(("dense", w, b))
+    return out
+
+
+def build_sequence_autoencoder(
+    x3: np.ndarray,
+    n_components: int = 4,
+    backend: str = "auto",
+    **fit_kwargs,
+):
+    """Sequence-detector factory (M8/M9 counterpart of ``build_autoencoder``):
+    real keras LSTM-AE when importable, else the windowed linear AE — a
+    ``PCAAutoencoder`` over FLATTENED (n, T·f) windows, the engine's default
+    stand-in (VERDICT r2 M8/M9). Both satisfy the ``score_distributed``
+    contract over flattened sequence rows."""
+    if backend not in ("auto", "keras", "pca"):
+        raise ValueError(f"unknown backend: {backend}")
+    if backend in ("auto", "keras"):
+        try:
+            return KerasLSTMAE.fit_new(x3, **fit_kwargs)
+        except ImportError:
+            if backend == "keras":
+                raise
+    flat = x3.reshape(x3.shape[0], -1)
+    return PCAAutoencoder.fit(flat, n_components=n_components)
+
+
 def build_autoencoder(
     x: np.ndarray,
     n_components: int = 8,

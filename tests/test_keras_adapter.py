@@ -193,3 +193,222 @@ def test_score_distributed_accepts_keras_artifact(spark):
     want = model.reconstruction_error(x)
     for i in range(len(x)):
         assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+
+# -- LSTM (M8/M9) backend ---------------------------------------------------
+from dataquality_ml_spark.ml.keras_adapter import (  # noqa: E402
+    KerasLSTMAE,
+    build_sequence_autoencoder,
+    lstm_forward,
+)
+
+
+def test_lstm_forward_single_step_manual():
+    """One unit, one timestep, hand-computed gates (keras order i,f,c̃,o)."""
+    import math
+
+    w = np.array([[0.5, 0.25, 1.0, 2.0]])  # (d=1, 4*units=4)
+    u = np.zeros((1, 4))
+    b = np.array([0.1, 0.2, 0.3, 0.4])
+    x = np.array([[[1.0]]])  # (n=1, T=1, d=1)
+    sig = lambda z: 1 / (1 + math.exp(-z))  # noqa: E731
+    i = sig(0.5 * 1 + 0.1)
+    g = math.tanh(1.0 * 1 + 0.3)
+    o = sig(2.0 * 1 + 0.4)
+    c = i * g  # f*c_prev = 0
+    want = o * math.tanh(c)
+    got = lstm_forward(x, w, u, b, return_sequences=False)
+    assert got.shape == (1, 1)
+    assert got[0, 0] == pytest.approx(want, rel=1e-12)
+
+
+def test_lstm_forward_recurrence_uses_prev_state():
+    """Two timesteps with a recurrent weight: step 2 must see h1, c1."""
+    import math
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=(1, 4))
+    u = rng.normal(size=(1, 4))
+    b = rng.normal(size=4)
+    x = np.array([[[0.7], [-1.2]]])  # (1, 2, 1)
+    sig = lambda z: 1 / (1 + math.exp(-z))  # noqa: E731
+
+    h, c = 0.0, 0.0
+    seq = []
+    for t in range(2):
+        xv = x[0, t, 0]
+        zi, zf, zg, zo = (xv * w[0, k] + h * u[0, k] + b[k] for k in range(4))
+        i, f, g, o = sig(zi), sig(zf), math.tanh(zg), sig(zo)
+        c = f * c + i * g
+        h = o * math.tanh(c)
+        seq.append(h)
+    got = lstm_forward(x, w, u, b, return_sequences=True)
+    assert got.shape == (1, 2, 1)
+    np.testing.assert_allclose(got[0, :, 0], seq, rtol=1e-12)
+
+
+def make_fake_keras_seq():
+    """Sequence-capable keras stand-in: tensors are (T, d) tuples for 3-D,
+    ints for 2-D; LSTM/TimeDistributed/RepeatVector carry deterministic
+    weights."""
+    created = []
+
+    def _dim(t):
+        return t[1] if isinstance(t, tuple) else t
+
+    class LSTM:
+        def __init__(self, units, activation=None, return_sequences=False):
+            self.units = units
+            self.return_sequences = return_sequences
+
+        def __call__(self, t):
+            steps, d = t
+            rng = np.random.default_rng(29 * self.units + d)
+            self.w = rng.normal(0, 0.3, size=(d, 4 * self.units))
+            self.u = rng.normal(0, 0.3, size=(self.units, 4 * self.units))
+            self.b = rng.normal(0, 0.1, size=4 * self.units)
+            created.append(self)
+            return (steps, self.units) if self.return_sequences else self.units
+
+        def get_weights(self):
+            return [self.w, self.u, self.b]
+
+    class BatchNormalization:
+        epsilon = 1e-3
+
+        def __call__(self, t):
+            d = _dim(t)
+            rng = np.random.default_rng(500 + d)
+            self.g = rng.uniform(0.5, 1.5, d)
+            self.beta = rng.normal(0, 0.2, d)
+            self.mu = rng.normal(0, 0.2, d)
+            self.var = rng.uniform(0.5, 1.5, d)
+            created.append(self)
+            return t
+
+        def get_weights(self):
+            return [self.g, self.beta, self.mu, self.var]
+
+    class RepeatVector:
+        def __init__(self, n):
+            self.n = n
+
+        def __call__(self, t):
+            created.append(self)
+            return (self.n, t)
+
+    class Dense:
+        def __init__(self, units, activation=None, kernel_regularizer=None):
+            self.units = units
+
+    class TimeDistributed:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __call__(self, t):
+            steps, d = t
+            rng = np.random.default_rng(900 + d)
+            self.w = rng.normal(0, 0.3, size=(d, self.inner.units))
+            self.b = rng.normal(0, 0.1, size=self.inner.units)
+            created.append(self)
+            return (steps, self.inner.units)
+
+        def get_weights(self):
+            return [self.w, self.b]
+
+    class GaussianNoise:
+        def __init__(self, s):
+            pass
+
+        def __call__(self, t):
+            return t
+
+    def Input(shape):
+        return shape  # (T, d)
+
+    class Model:
+        def __init__(self, inputs=None, outputs=None):
+            self.layers = list(created)
+
+        def compile(self, **kw):
+            pass
+
+        def fit(self, *a, **kw):
+            pass
+
+    def _cb(**kw):
+        return object()
+
+    return types.SimpleNamespace(
+        layers=types.SimpleNamespace(
+            Input=Input,
+            LSTM=LSTM,
+            Dense=Dense,
+            TimeDistributed=TimeDistributed,
+            RepeatVector=RepeatVector,
+            BatchNormalization=BatchNormalization,
+            GaussianNoise=GaussianNoise,
+        ),
+        regularizers=types.SimpleNamespace(l2=lambda v: None),
+        models=types.SimpleNamespace(Model=Model),
+        optimizers=types.SimpleNamespace(
+            Adam=lambda **kw: None,
+            legacy=types.SimpleNamespace(Adam=lambda **kw: None),
+        ),
+        callbacks=types.SimpleNamespace(
+            EarlyStopping=_cb, ReduceLROnPlateau=_cb
+        ),
+    )
+
+
+def test_lstm_ae_extraction_and_replay():
+    fake = make_fake_keras_seq()
+    rng = np.random.default_rng(11)
+    x3 = rng.normal(size=(20, 5, 2))  # 20 seqs, T=5, f=2
+    topo = {"encoder": [(3, True), (2, False)], "decoder": [(3, True)]}
+    model = KerasLSTMAE.fit_new(x3, topology=topo, keras_module=fake)
+    kinds = [s[0] for s in model.layers]
+    assert kinds == [
+        "lstm", "affine", "lstm", "affine", "repeat", "lstm", "affine", "dense",
+    ]
+    assert model.layers[4][1] == 5  # RepeatVector restores T
+    # replay: correct output shape, finite errors over flattened input
+    err = model.reconstruction_error(x3.reshape(20, -1))
+    assert err.shape == (20,)
+    assert np.isfinite(err).all() and (err >= 0).all()
+    # BN affine on a 3-D tensor broadcasts per feature: verify the first
+    # two layers against a direct computation
+    w, u, b = model.layers[0][1:4]
+    scale, shift = model.layers[1][1:3]
+    h_direct = lstm_forward(x3, w, u, b, True) * scale + shift
+    h_replay = KerasLSTMAE(
+        layers=model.layers[:2], timesteps=5, n_features=2
+    )._forward(x3)
+    np.testing.assert_allclose(h_replay, h_direct, rtol=1e-12)
+
+
+def test_build_sequence_autoencoder_fallback(spark):
+    rng = np.random.default_rng(13)
+    x3 = rng.normal(size=(30, 4, 2))
+    # no keras in this container: flattened-window PCA stand-in
+    model = build_sequence_autoencoder(x3, n_components=2, backend="auto")
+    assert isinstance(model, PCAAutoencoder)
+    with pytest.raises(ImportError):
+        build_sequence_autoencoder(x3, backend="keras")
+    # the keras artifact scores through score_distributed on flattened rows
+    fake = make_fake_keras_seq()
+    lstm = KerasLSTMAE.fit_new(
+        x3, topology={"encoder": [(2, False)], "decoder": []}, keras_module=fake
+    )
+    flat = x3.reshape(30, -1)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(flat)],
+        "id bigint, features array<double>",
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in score_distributed(df, lstm, "features").collect()
+    }
+    want = lstm.reconstruction_error(flat)
+    for i in range(30):
+        assert got[i] == pytest.approx(want[i], rel=1e-9)
