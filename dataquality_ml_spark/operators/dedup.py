@@ -85,6 +85,118 @@ def incremental_dedup(
     return first_in_batch.join(corpus_fps, "bow_fp", "left_anti").select(id_col)
 
 
+class FingerprintBloom:
+    """Bloom filter over content fingerprints — the persistable membership
+    state for ``incremental_dedup_bloom``. Positions are Spark-side
+    ``xxhash64(fp, i)`` for i in [0, num_hashes) mod ``num_bits``, so build
+    and probe agree by construction and hashing always runs JVM-side.
+
+    (Spark's internal BloomFilter aggregate — ``bloom_filter_agg`` — is not
+    registered as a SQL-callable function in this Spark build, so the
+    bitmap is engine-native: fixed-size numpy OR-reduction.)
+    """
+
+    def __init__(self, bits: bytes, num_bits: int, num_hashes: int):
+        self.bits = bits
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+
+    def position_cols(self, fp_col):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(fp_col, F.lit(i)), F.lit(self.num_bits))
+                for i in range(self.num_hashes)
+            ]
+        )
+
+
+def build_fingerprint_bloom(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 8_388_608,
+    num_hashes: int = 5,
+) -> FingerprintBloom:
+    """One-pass Bloom filter build over the corpus's content fingerprints.
+
+    At 100 TB the anti-join in ``incremental_dedup`` shuffles the DISTINCT
+    corpus fingerprints every run; the Bloom filter is the standard fix:
+    ONE corpus pass with NO shuffle — each Arrow batch sets its bits into a
+    partition-local bitmap (``np.bitwise_or.at``), partitions emit one
+    ``num_bits/8``-byte row each, and the driver ORs O(partitions) bitmaps
+    (1 MiB default each, independent of corpus size). The artifact is what
+    a daily pipeline persists between runs. False positives drop ~p of
+    genuinely-new docs (p from bits/items/hashes); false negatives are
+    impossible, so nothing already in the corpus ever sneaks through — the
+    safe direction for dedup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    proto = FingerprintBloom(b"", num_bits, num_hashes)
+    pos_df = corpus_df.select(
+        proto.position_cols(bow_fingerprint(text_col)).alias("pos")
+    )
+    n_bytes = num_bits // 8
+
+    def _bitmaps(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                pos = np.concatenate(pdf["pos"].to_numpy())
+                np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = pos_df.mapInPandas(_bitmaps, "bm binary").collect()
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return FingerprintBloom(acc.tobytes(), num_bits, num_hashes)
+
+
+def incremental_dedup_bloom(
+    new_df: DataFrame,
+    bloom: FingerprintBloom,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filtered incremental dedup: keep batch docs whose content
+    fingerprint is (a) definitely NOT in the corpus bloom (no false
+    negatives → no already-seen doc survives) and (b) first in the batch.
+    The bitmap rides a broadcast variable; membership is a vectorized
+    numpy check per Arrow batch — zero corpus-side work per batch, the
+    scale path of ``incremental_dedup`` (whose exact anti-join is the
+    oracle in tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    bc = new_df.sparkSession.sparkContext.broadcast(bloom.bits)
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # locally-imported hints, breaking pandas_udf's type inference
+    @pandas_udf(BooleanType())
+    def in_bloom(pos):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        out = np.empty(len(pos), dtype=bool)
+        for j, arr in enumerate(pos):
+            p = np.asarray(arr)
+            out[j] = bool(
+                np.all(bm[p // 8] & (1 << (p % 8)).astype(np.uint8) != 0)
+            )
+        return pd.Series(out)
+
+    batch = new_df.select(
+        F.col(id_col), bow_fingerprint(text_col).alias("__fp")
+    )
+    fresh = batch.where(~in_bloom(bloom.position_cols(F.col("__fp"))))
+    return (
+        fresh.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

@@ -2622,6 +2622,44 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(new_batch, corpus).orderBy("doc_id")
 
 
+@register(
+    "incremental_dedup_bloom_docs",
+    # Same oracle as incremental_dedup_docs: the bloom path must match the
+    # exact anti-join. Legitimate because the filter is deterministic
+    # (xxhash64 positions) and false-negative-free; at this bloom size
+    # (8M bits / ~corpus-size items, 5 hashes) the false-positive odds of
+    # dropping a genuinely-new doc are ~(n/2^23)^5 — if the hash-check
+    # passes once it passes every run.
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fp
+      FROM toks
+    ),
+    corpus AS (SELECT DISTINCT bow_fp FROM fp WHERE doc_id % 5 <> 0),
+    batch_first AS (
+      SELECT bow_fp, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 5 = 0 GROUP BY 1
+    )
+    SELECT doc_id FROM batch_first
+    WHERE bow_fp NOT IN (SELECT bow_fp FROM corpus)
+    ORDER BY doc_id
+    """,
+)
+def incremental_dedup_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter scale path of daily-append dedup: ONE shuffle-free
+    corpus pass builds a fixed-size bitmap (partition-local bit-set, driver
+    OR of O(partitions) 1 MiB maps); the batch is filtered by a broadcast
+    vectorized membership check. At 100 TB this replaces re-shuffling the
+    corpus's distinct fingerprints every day with a persistable 1 MiB
+    artifact."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    bloom = dd.build_fingerprint_bloom(corpus)
+    return dd.incremental_dedup_bloom(new_batch, bloom).orderBy("doc_id")
+
+
 def _rhp_oracle() -> str:
     """Oracle for banded random-hyperplane LSH: the plane literals are
     generated by the SAME deterministic md5 derivation the Spark operator

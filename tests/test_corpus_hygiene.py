@@ -372,3 +372,33 @@ def test_simhash_hamming_banding_matches_exact(spark):
             want.add((a, b, d))
     assert got == want
     assert any(h == 0 for _, _, h in got)  # the planted exact dup
+
+
+def test_incremental_dedup_bloom_matches_exact(spark):
+    """The Bloom scale path vs the exact anti-join: nothing already in the
+    corpus survives (no false negatives by construction), and at this bloom
+    size no new doc is falsely dropped either — results are identical."""
+    from dataquality_ml_spark.operators.dedup import (
+        build_fingerprint_bloom,
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} with shared words") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        # 50 already-seen texts, 50 new, plus an in-batch duplicate pair
+        [(1000 + i, f"corpus document number {i} with shared words") for i in range(50)]
+        + [(2000 + i, f"brand new document {i}") for i in range(50)]
+        + [(3000, "brand new document 0")],
+        "doc_id bigint, text string",
+    )
+    exact = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
+    bloom = build_fingerprint_bloom(corpus)
+    got = {r["doc_id"] for r in incremental_dedup_bloom(batch, bloom).collect()}
+    assert got == exact  # ⊆ always; equal because fp-rate ~ 0 at this size
+    assert got == {2000 + i for i in range(50)}  # the 50 new, min-id keeper
+    # no already-seen doc ever survives the bloom (false-negative-free)
+    assert all(d >= 2000 for d in got)
