@@ -48,10 +48,14 @@ class FittedDetector:
     def save(self, path: str) -> None:
         import json
 
+        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE
+
         if isinstance(self.model, det.PCAAutoencoder):
             kind, blob = "pca", self.model.to_json()
         elif isinstance(self.model, det.IsolationForest):
             kind, blob = "iforest", json.dumps(self.model.to_state())
+        elif isinstance(self.model, KerasDenseAE):
+            kind, blob = "keras_dense", self.model.to_json()
         else:
             raise TypeError(f"unsupported model: {type(self.model)}")
         with open(path, "w") as f:
@@ -70,13 +74,16 @@ class FittedDetector:
     def load(cls, path: str) -> "FittedDetector":
         import json
 
+        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE
+
         with open(path) as f:
             d = json.load(f)
-        model = (
-            det.PCAAutoencoder.from_json(d["model"])
-            if d["model_kind"] == "pca"
-            else det.IsolationForest.from_state(json.loads(d["model"]))
-        )
+        if d["model_kind"] == "pca":
+            model = det.PCAAutoencoder.from_json(d["model"])
+        elif d["model_kind"] == "keras_dense":
+            model = KerasDenseAE.from_json(d["model"])
+        else:
+            model = det.IsolationForest.from_state(json.loads(d["model"]))
         return cls(
             features=feat.FeatureModel.from_json(d["features"]),
             model=model,
@@ -131,6 +138,12 @@ class DQEngine:
             model = det.PCAAutoencoder.fit(x, n_components=n_components)
         elif detector == "iforest":
             model = det.IsolationForest(n_estimators=100, max_samples=256, seed=42).fit(x)
+        elif detector == "ae":
+            # real keras dense AE when importable, PCA stand-in otherwise —
+            # the reference's M7 path behind one flag (ml.keras_adapter)
+            from dataquality_ml_spark.ml.keras_adapter import build_autoencoder
+
+            model = build_autoencoder(x, n_components=n_components, backend="auto")
         else:
             raise ValueError(f"unknown detector: {detector}")
         scored = det.score_distributed(transformed, model).select("score")

@@ -107,3 +107,40 @@ def test_wide_schema_single_pass(spark):
     out = feat.apply_features(df, model)
     row = out.select("features").first()
     assert len(row["features"]) == n_cols
+
+
+def test_facade_ae_auto_backend_and_artifact(spark, tmp_path):
+    """detector="ae" resolves the auto backend (PCA in this container) and
+    the keras_dense artifact kind round-trips through FittedDetector."""
+    import numpy as np
+
+    from dataquality_ml_spark.engine import FittedDetector
+    from dataquality_ml_spark.ml.detectors import PCAAutoencoder
+    from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE
+    from tests.test_keras_adapter import make_fake_keras
+
+    eng = DQEngine(spark)
+    telemetry = spark.createDataFrame(_fixture_rows(), SCHEMA)
+    fitted = eng.fit_detector(
+        telemetry.where(F.col("date") < "2024-12-25"),
+        roles={"numeric": ["smart_1", "smart_2"], "categorical": [], "boolean": []},
+        detector="ae",
+        n_components=1,
+    )
+    assert isinstance(fitted.model, PCAAutoencoder)  # keras absent -> fallback
+    assert eng.score(telemetry, fitted).count() == telemetry.count()
+
+    # swap in a keras_dense artifact and round-trip it
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(40, 2))
+    km = KerasDenseAE.fit_new(
+        x, topology=[(2, "linear"), (None, "linear")], keras_module=make_fake_keras()
+    )
+    art = FittedDetector(fitted.features, km, fitted.threshold, fitted.threshold_q)
+    p = str(tmp_path / "ae.json")
+    art.save(p)
+    loaded = FittedDetector.load(p)
+    assert isinstance(loaded.model, KerasDenseAE)
+    np.testing.assert_allclose(
+        loaded.model.reconstruction_error(x), km.reconstruction_error(x), rtol=1e-12
+    )
