@@ -395,6 +395,7 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> list[list[float]]:
     """Distributed Lloyd k-means over an array<float> column, returning the
     trained centroids (the IVF coarse quantizer's codebook).
@@ -425,10 +426,15 @@ def kmeans_fit(
         # cluster + vector in ONE projection — assigning then joining back
         # on the id would shuffle the vectors the scan already had in hand
         assigned = kmeans_assign(emb_df, cents, id_col, vec_col, keep_vec=True)
+        mean = F.avg(F.col("val").cast("double"))
+        if round_dp is not None:
+            # rounded means make the centroids bit-identical across engines
+            # (summation order differs between Spark and the oracle)
+            mean = F.round(mean, round_dp)
         rows = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(mean.alias("m"))
             .collect()
         )
         new = {c: dict() for c in range(len(cents))}
@@ -462,3 +468,140 @@ def kmeans_assign(
     if keep_vec:
         cols.append(F.col(vec_col))
     return emb_df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine quantizer) — the canonical 100 TB
+# memory-reduction step for ANN: a d-dim float vector (d·4 bytes) becomes m
+# uint8 codes (m bytes), and distances are computed against the codes via a
+# per-query lookup table (ADC), never against the raw vectors.
+# ---------------------------------------------------------------------------
+def pq_train(
+    emb_df: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: split the vector into ``m`` contiguous
+    sub-vectors and run the deterministic distributed ``kmeans_fit`` on
+    each (Jégou et al., TPAMI'11 construction). Returns
+    ``codebooks[s][c] = centroid c of subspace s``.
+
+    Deterministic end to end (hash-smallest init, fixed iterations, rounded
+    means), so the whole train+encode+search pipeline is expressible as
+    unrolled SQL and oracle-checkable — same contract as ``kmeans_fit``.
+    Each subspace fit is narrow-scan + k·(dim/m)-row shuffles; cost is m
+    small k-means runs over slices, not m passes over full vectors.
+    """
+    dim = len(emb_df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        kmeans_fit(
+            emb_df.select(
+                F.col(id_col), F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
+            ),
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_dp=round_dp,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): per subspace, the argmin-distance codeword index —
+    ``m`` literal-centroid distance folds per row, argmin via least/when
+    (the ``kmeans_assign`` shape). Narrow scan, zero shuffle, no UDF; at
+    100 TB this is the compression pass whose output (m bytes/vector) is
+    what you persist and search."""
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for s, cb in enumerate(codebooks):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = [_sq_dist(sl, c) for c in cb]
+        best = F.least(*dists)
+        code = F.lit(len(cb) - 1)
+        for j in range(len(cb) - 2, -1, -1):
+            code = F.when(dists[j] == best, F.lit(j)).otherwise(code)
+        code_cols.append(code)
+    return emb_df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    query_df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approximate
+    ``||q − x||² ≈ Σ_s ||q_s − codebook[s][code_s(x)]||²``.
+
+    Plan shape: per query, a LUT of (subspace, code) → rounded partial
+    distance is built from the BROADCAST query relation joined to the m·k
+    literal centroids (tiny: |queries|·m·k rows); the code table explodes
+    to (neighbor, subspace, code) rows — linear in corpus — and
+    broadcast-joins the LUT; one groupBy(query, neighbor) sums the m
+    partials. The raw corpus vectors are never touched at search time,
+    which is the entire point of PQ at 100 TB.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cent_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.lit(c).alias("c"),
+                F.array(*[F.lit(float(x)) for x in codebooks[s][c]]).alias("cent"),
+            )
+            for s in range(m)
+            for c in range(len(codebooks[s]))
+        ]
+    )
+    q = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qslice = F.slice(F.col("qv"), F.col("e.s") * sub + 1, sub)
+    pd_ = F.aggregate(
+        F.zip_with(
+            qslice,
+            F.col("e.cent"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = q.select(
+        "query_id", "qv", F.explode(cent_structs).alias("e")
+    ).select(
+        "query_id",
+        F.col("e.s").alias("s"),
+        F.col("e.c").alias("c"),
+        F.round(pd_, 6).alias("pd"),
+    )
+    ex = codes_df.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("s", "c")
+    )
+    scored = (
+        ex.join(F.broadcast(lut), ["s", "c"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd"), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )

@@ -3306,5 +3306,153 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Extended catalog (registers additional queries into this module's
-# registry on import — must stay the last statement of the module).
+# registry on import). Round-3+ additions go AFTER this import so every
+# pre-existing query keeps its registration position (the driver records
+# correctness in registration order).
 from dataquality_ml_spark import queries_ext as _queries_ext  # noqa: E402,F401
+
+
+# ===========================================================================
+# Product quantization (round 3): compressed-domain ANN
+# ===========================================================================
+def _pq_cents_ctes(m: int = 2, k: int = 4, sub: int = 32) -> str:
+    """Unrolled deterministic PQ training in DuckDB: per subspace, slice the
+    vectors and run the 1-iteration Lloyd fit (hash-smallest init → assign
+    → rounded-mean update) — mirrors pq_train(m=2, k=4, iters=1,
+    round_dp=6) exactly. Ends with cents(s, cid, emb)."""
+    parts = ["vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"v{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM vecs)"
+        )
+        parts.append(f"""
+    init{s} AS (
+      SELECT emb, rk - 1 AS cid FROM (
+        SELECT emb, ROW_NUMBER() OVER (
+          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rk
+        FROM v{s}
+      ) WHERE rk <= {k}
+    )""")
+        parts.append(f"""
+    a{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.emb, c.emb), c.cid
+               ) AS rn
+        FROM v{s} v CROSS JOIN init{s} c
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""
+    cb{s} AS (
+      SELECT cid, list(mv ORDER BY pos) AS emb FROM (
+        SELECT a.cid, pos, ROUND(AVG(val), 6) AS mv FROM (
+          SELECT a.cid, a.vec_id FROM a{s} a
+        ) a JOIN (
+          SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos
+          FROM v{s}
+        ) x USING (vec_id) GROUP BY a.cid, pos
+      ) GROUP BY cid
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, emb FROM cb{s}" for s in range(m)
+    )
+    parts.append(f"cents AS ({union})")
+    return ",\n    ".join(parts)
+
+
+_PQ_SQDIST = (
+    "(list_dot_product(a, a) - 2 * list_dot_product(a, b) + list_dot_product(b, b))"
+)
+
+
+def _pq_codes_cte(m: int = 2, sub: int = 32) -> str:
+    """codes(vec_id, s, c): per-subspace argmin codeword vs cents."""
+    slices = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, emb[{s * sub + 1}:{(s + 1) * sub}] AS emb FROM vecs"
+        for s in range(m)
+    )
+    return f"""
+    sliced AS ({slices}),
+    codes AS (
+      SELECT vec_id, s, cid AS c FROM (
+        SELECT v.vec_id, v.s, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id, v.s
+                 ORDER BY list_distance(v.emb, ct.emb), ct.cid
+               ) AS rn
+        FROM sliced v JOIN cents ct ON ct.s = v.s
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "pq_codes_embeddings",
+    oracle=f"""
+    WITH {_pq_cents_ctes()},
+    {_pq_codes_cte()}
+    SELECT vec_id,
+           MAX(CASE WHEN s = 0 THEN c END) AS code_0,
+           MAX(CASE WHEN s = 1 THEN c END) AS code_1
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: 64-dim float vectors → 2 codeword ids
+    (the 128x compression that makes 100 TB ANN RAM-resident). Training is
+    the deterministic per-subspace k-means, so the full train+encode
+    pipeline is oracle-checked against its unrolled SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    codes = sim.pq_encode(emb, cbs)
+    return codes.select(
+        "vec_id",
+        F.col("codes")[0].cast("bigint").alias("code_0"),
+        F.col("codes")[1].cast("bigint").alias("code_1"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_cents_ctes()},
+    {_pq_codes_cte()},
+    q AS (SELECT vec_id AS query_id, emb FROM vecs WHERE vec_id < 10),
+    lut AS (
+      SELECT query_id, ct.s, ct.cid AS c,
+             ROUND((SELECT {_PQ_SQDIST} FROM (
+               SELECT q.emb[ct.s * 32 + 1 : (ct.s + 1) * 32] AS a, ct.emb AS b
+             )), 6) AS pd
+      FROM q CROSS JOIN cents ct
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(l.pd), 4) AS adc_dist
+      FROM codes c JOIN lut l ON l.s = c.s AND l.c = c.c
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search in the compressed domain: per-query LUT of partial
+    distances (broadcast, |q|*m*k rows) joined to the exploded code table —
+    raw vectors are never touched at search time."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    codes = sim.pq_encode(emb, cbs)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    out = sim.pq_adc_topk(queries_df, codes, cbs, topk=5)
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )

@@ -402,3 +402,34 @@ def test_incremental_dedup_bloom_matches_exact(spark):
     assert got == {2000 + i for i in range(50)}  # the 50 new, min-id keeper
     # no already-seen doc ever survives the bloom (false-negative-free)
     assert all(d >= 2000 for d in got)
+
+
+def test_pq_encode_separates_planted_clusters(spark):
+    """PQ with k=2 codewords per subspace must give the two planted
+    clusters distinct codes, and ADC must rank same-cluster vectors first."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        center = 5.0 if i % 2 else -5.0  # cluster by parity of vec_id
+        rows.append((i, [float(center + v) for v in rng.normal(0, 0.1, 8)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    cbs = pq_train(df, m=2, k=2, iters=2)
+    codes = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, cbs).collect()}
+    even = {codes[i] for i in range(0, 40, 2)}
+    odd = {codes[i] for i in range(1, 40, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+    top = pq_adc_topk(df.where(F.col("vec_id") < 2), codes_df=pq_encode(df, cbs),
+                      codebooks=cbs, topk=5)
+    for r in top.collect():
+        # every retrieved neighbor shares the query's parity cluster
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2

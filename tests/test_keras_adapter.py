@@ -412,3 +412,85 @@ def test_build_sequence_autoencoder_fallback(spark):
     want = lstm.reconstruction_error(flat)
     for i in range(30):
         assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+
+# -- property tests (pure numpy, no Spark) ----------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    d_in=st.integers(1, 6),
+    d_out=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_property_bn_fold_exact_any_shape(d_in, d_out, seed):
+    """BatchNorm folding is exact for arbitrary layer shapes/weights."""
+
+    class Dense:
+        def __init__(self, w, b):
+            self._w = (w, b)
+
+        def get_weights(self):
+            return list(self._w)
+
+    class BatchNormalization:
+        epsilon = 1e-3
+
+        def __init__(self, *w):
+            self._w = w
+
+        def get_weights(self):
+            return list(self._w)
+
+    rng = np.random.default_rng(seed)
+    w, b = rng.normal(size=(d_in, d_out)), rng.normal(size=d_out)
+    g = rng.uniform(0.1, 2.0, d_out)
+    beta, mu = rng.normal(size=d_out), rng.normal(size=d_out)
+    var = rng.uniform(0.1, 2.0, d_out)
+    folded = fold_dense_batchnorm(
+        [Dense(w, b), BatchNormalization(g, beta, mu, var)], ["linear"]
+    )
+    x = rng.normal(size=(7, d_in))
+    want = (x @ w + b - mu) * (g / np.sqrt(var + 1e-3)) + beta
+    fw, fb, _ = folded[0]
+    np.testing.assert_allclose(x @ fw + fb, want, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    units=st.integers(1, 5),
+    d=st.integers(1, 4),
+    t_steps=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_property_lstm_forward_matches_scalar_reference(units, d, t_steps, seed):
+    """Vectorized LSTM forward == an independent per-sample scalar loop for
+    arbitrary shapes (gate order, state threading, both output modes)."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(d, 4 * units))
+    u = rng.normal(size=(units, 4 * units))
+    b = rng.normal(size=4 * units)
+    x = rng.normal(size=(3, t_steps, d))
+
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    want_seq = np.zeros((3, t_steps, units))
+    for s in range(3):
+        h = np.zeros(units)
+        c = np.zeros(units)
+        for t in range(t_steps):
+            z = x[s, t] @ w + h @ u + b
+            i, f = sig(z[:units]), sig(z[units : 2 * units])
+            g, o = np.tanh(z[2 * units : 3 * units]), sig(z[3 * units :])
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            want_seq[s, t] = h
+    np.testing.assert_allclose(
+        lstm_forward(x, w, u, b, True), want_seq, rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        lstm_forward(x, w, u, b, False), want_seq[:, -1], rtol=1e-9, atol=1e-12
+    )
