@@ -68,3 +68,69 @@ def pack_sequences(
             (F.col("_start") % budget).alias("seq_offset"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    margin: int = 4,
+) -> DataFrame:
+    """Token-budget data mixture: fill ``token_budget`` tokens with docs
+    drawn per source proportional to ``weights`` (the domain-mixing step of
+    a training-data pipeline — "50% web, 30% books, 20% code" — expressed
+    in tokens, the unit that actually matters, not doc counts).
+
+    Per source s: allocation_s = budget · w_s / Σw; keep the docs with the
+    smallest deterministic id-hash whose running token sum stays within
+    allocation_s (truncating — the doc that would cross the line is
+    dropped). Deterministic and engine-portable, like ``quota_sample``.
+
+    Scale shape (same two-phase trick as ``quota_sample``): a naive
+    per-source cumulative window sorts the ENTIRE corpus inside few fat
+    source partitions. Instead (1) one agg computes per-source token
+    totals, (2) a broadcast hash cutoff admits ~margin× the allocation's
+    worth of candidate tokens, (3) the corpus filters on the cutoff — a
+    narrow scan, non-candidates never shuffle, (4) the exact cumulative
+    window runs over candidates only (~margin·allocation tokens per
+    source). Unmatched sources (no weight entry) are excluded.
+
+    Returns (id, source, n_tokens, cum_tokens) — cum_tokens is the running
+    sum within the source's fill order.
+    """
+    from dataquality_ml_spark.functions.scalar import tokens
+    from dataquality_ml_spark.operators.relational import _MOD, _hash_bucket
+
+    spark = df.sparkSession
+    total_w = float(sum(weights.values()))
+    alloc_df = spark.createDataFrame(
+        [(s, token_budget * w / total_w) for s, w in weights.items()],
+        f"{source_col} string, _alloc double",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+        _hash_bucket(df, id_col).alias("_h"),
+    )
+    totals = toks.groupBy(source_col).agg(F.sum("n_tokens").alias("_tot"))
+    cut = totals.join(F.broadcast(alloc_df), source_col).select(
+        source_col,
+        "_alloc",
+        F.when(F.col("_tot") <= margin * F.col("_alloc"), F.lit(_MOD))
+        .otherwise(
+            (F.lit(float(_MOD)) * margin * F.col("_alloc") / F.col("_tot"))
+            .cast("bigint")
+        )
+        .alias("_cut"),
+    )
+    cand = toks.join(F.broadcast(cut), source_col).where(F.col("_h") < F.col("_cut"))
+    w = Window.partitionBy(source_col).orderBy("_h", id_col)
+    return (
+        cand.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("_alloc"))
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
+    )

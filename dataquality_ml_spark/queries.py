@@ -3456,3 +3456,50 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ===========================================================================
+# Token-budget data mixture (round 3): domain mixing in token units
+# ===========================================================================
+_MIX_TOTAL_W = float(sum(1.0 + (i % 3) for i in range(20)))  # = 39
+
+
+@register(
+    "mixture_sample_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    nt AS (
+      SELECT d.doc_id, d.source, len(t.t) AS n_tokens,
+             (d.doc_id * 2654435761) % 4294967296 AS h
+      FROM documents d JOIN toks t USING (doc_id)
+    ),
+    alloc AS (
+      SELECT source, 5000.0 * (1.0 + (CAST(substr(source, 4) AS INT) % 3))
+                     / {_MIX_TOTAL_W} AS alloc
+      FROM (SELECT DISTINCT source FROM documents)
+      WHERE CAST(substr(source, 4) AS INT) < 20
+    ),
+    cum AS (
+      SELECT n.doc_id, n.source, n.n_tokens, a.alloc,
+             SUM(n.n_tokens) OVER (
+               PARTITION BY n.source ORDER BY n.h, n.doc_id) AS cum_tokens
+      FROM nt n JOIN alloc a USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= alloc
+    ORDER BY source, cum_tokens
+    """,
+)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture in TOKEN units: fill a 5000-token budget with docs
+    per source proportional to weights (sources src0..src19 weighted
+    1/2/3 cyclically). Oracle = the naive per-source cumulative window;
+    the engine runs the two-phase hash-cutoff form that never shuffles
+    non-candidates (operators.packing.mixture_sample)."""
+    from dataquality_ml_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": 1.0 + (i % 3) for i in range(20)}
+    return mixture_sample(docs, weights, token_budget=5000).orderBy(
+        "source", "cum_tokens"
+    )

@@ -433,3 +433,35 @@ def test_pq_encode_separates_planted_clusters(spark):
     for r in top.collect():
         # every retrieved neighbor shares the query's parity cluster
         assert r["neighbor_id"] % 2 == r["query_id"] % 2
+
+
+def test_mixture_sample_budget_and_proportions(spark):
+    """Every source stays within its token allocation; the cutoff form
+    equals the naive full-window form; zero-weight sources are excluded."""
+    from dataquality_ml_spark.operators.packing import mixture_sample
+
+    rows = [
+        (i, ["web", "books", "junk"][i % 3], "tok " * (5 + i % 7))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    weights = {"web": 3.0, "books": 1.0}  # junk: no weight -> excluded
+    budget = 400
+    out = mixture_sample(df, weights, token_budget=budget).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= {"web", "books"}
+    alloc = {"web": budget * 3 / 4, "books": budget * 1 / 4}
+    for s, rs in by_src.items():
+        assert max(r["cum_tokens"] for r in rs) <= alloc[s]
+        # running sum is consistent: cum == sorted prefix sums of n_tokens
+        rs_sorted = sorted(rs, key=lambda r: r["cum_tokens"])
+        acc = 0
+        for r in rs_sorted:
+            acc += r["n_tokens"]
+            assert r["cum_tokens"] == acc
+    # ~3:1 token split between web and books (within one doc's tokens)
+    web_t = sum(r["n_tokens"] for r in by_src["web"])
+    books_t = sum(r["n_tokens"] for r in by_src["books"])
+    assert abs(web_t - alloc["web"]) <= 12 and abs(books_t - alloc["books"]) <= 12
