@@ -65,7 +65,9 @@ def main() -> None:
                 print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
                 break
 
-    timings = {n: min(r) for n, r in runs.items() if r}
+    # a query that failed on ANY run is reported only in `failed`, never
+    # double-counted in timings/value/n_queries
+    timings = {n: min(r) for n, r in runs.items() if r and n not in failed}
     total = round(sum(timings.values()), 3)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag

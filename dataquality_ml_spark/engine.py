@@ -48,7 +48,7 @@ class FittedDetector:
     def save(self, path: str) -> None:
         import json
 
-        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE
+        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE, KerasLSTMAE
 
         if isinstance(self.model, det.PCAAutoencoder):
             kind, blob = "pca", self.model.to_json()
@@ -56,6 +56,8 @@ class FittedDetector:
             kind, blob = "iforest", json.dumps(self.model.to_state())
         elif isinstance(self.model, KerasDenseAE):
             kind, blob = "keras_dense", self.model.to_json()
+        elif isinstance(self.model, KerasLSTMAE):
+            kind, blob = "keras_lstm", self.model.to_json()
         else:
             raise TypeError(f"unsupported model: {type(self.model)}")
         with open(path, "w") as f:
@@ -74,7 +76,7 @@ class FittedDetector:
     def load(cls, path: str) -> "FittedDetector":
         import json
 
-        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE
+        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE, KerasLSTMAE
 
         with open(path) as f:
             d = json.load(f)
@@ -82,6 +84,8 @@ class FittedDetector:
             model = det.PCAAutoencoder.from_json(d["model"])
         elif d["model_kind"] == "keras_dense":
             model = KerasDenseAE.from_json(d["model"])
+        elif d["model_kind"] == "keras_lstm":
+            model = KerasLSTMAE.from_json(d["model"])
         else:
             model = det.IsolationForest.from_state(json.loads(d["model"]))
         return cls(

@@ -185,10 +185,20 @@ def apply_features(
     for c in model.categorical_cols:
         cats = model.categories[c]
         if len(cats) > broadcast_cutoff:
+            from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
             spark = df.sparkSession
+            # StructType, not a DDL f-string: column names with spaces or
+            # other non-identifier characters must not break only above
+            # the cardinality cutoff
             mapping = spark.createDataFrame(
                 [(v, float(i)) for i, v in enumerate(cats)],
-                schema=f"__{c}_val string, __{c}_joined double",
+                schema=StructType(
+                    [
+                        StructField(f"__{c}_val", StringType()),
+                        StructField(f"__{c}_joined", DoubleType()),
+                    ]
+                ),
             )
             df = df.join(
                 F.broadcast(mapping),

@@ -60,7 +60,9 @@ class KerasDenseAE:
     def _forward(self, x: np.ndarray) -> np.ndarray:
         h = x
         for w, b, act in self.weights:
-            h = h @ w + b
+            # 1-D w = elementwise affine (a folded BatchNorm after a
+            # non-linearity); 2-D w = dense matmul
+            h = h * w + b if w.ndim == 1 else h @ w + b
             if act == "relu":
                 h = np.maximum(h, 0.0)
         return h
@@ -187,16 +189,13 @@ def fold_dense_batchnorm(layers, activations: list[str]) -> list:
                     i += 1
                 else:
                     # non-linear activation sits between Dense and BN:
-                    # keep BN as its own affine layer after the activation
+                    # keep BN as its own ELEMENTWISE affine after the
+                    # activation (1-D scale, not an O(d^2) diag matrix —
+                    # at the reference's 512-wide layers the dense form
+                    # bloats the artifact ~350k zeros and turns an O(d)
+                    # multiply into a matmul)
                     folded.append((w, b, act))
-                    d = w.shape[1]
-                    folded.append(
-                        (
-                            np.diag(scale),
-                            beta - mu * scale,
-                            "linear",
-                        )
-                    )
+                    folded.append((scale, beta - mu * scale, "linear"))
                     i += 2
                     continue
             folded.append((w, b, act))
@@ -295,6 +294,52 @@ class KerasLSTMAE:
         x3 = x.reshape(n, self.timesteps, self.n_features)
         xhat = self._forward(x3).reshape(n, -1)
         return (np.abs(x - xhat) / self.feature_var).mean(axis=1)
+
+    def to_json(self) -> str:
+        specs = []
+        for spec in self.layers:
+            if spec[0] == "repeat":
+                specs.append(["repeat", spec[1]])
+            elif spec[0] == "lstm":
+                specs.append(
+                    ["lstm", spec[1].tolist(), spec[2].tolist(), spec[3].tolist(), spec[4]]
+                )
+            else:  # affine / dense: (kind, arr, arr)
+                specs.append([spec[0], spec[1].tolist(), spec[2].tolist()])
+        return json.dumps(
+            {
+                "layers": specs,
+                "timesteps": self.timesteps,
+                "n_features": self.n_features,
+                "feature_var": self.feature_var.tolist(),
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "KerasLSTMAE":
+        d = json.loads(s)
+        layers = []
+        for spec in d["layers"]:
+            if spec[0] == "repeat":
+                layers.append(("repeat", int(spec[1])))
+            elif spec[0] == "lstm":
+                layers.append(
+                    (
+                        "lstm",
+                        np.array(spec[1]),
+                        np.array(spec[2]),
+                        np.array(spec[3]),
+                        bool(spec[4]),
+                    )
+                )
+            else:
+                layers.append((spec[0], np.array(spec[1]), np.array(spec[2])))
+        return cls(
+            layers=layers,
+            timesteps=d["timesteps"],
+            n_features=d["n_features"],
+            feature_var=np.array(d["feature_var"]),
+        )
 
     @classmethod
     def fit_new(

@@ -101,6 +101,16 @@ class FingerprintBloom:
         self.num_bits = num_bits
         self.num_hashes = num_hashes
 
+    @property
+    def fill_ratio(self) -> float:
+        """Fraction of set bits. ~0.5 at optimal load; near 1.0 the filter
+        answers 'seen' for everything and dedup silently drops all new
+        docs — build_fingerprint_bloom refuses to hand back such a filter."""
+        import numpy as np
+
+        arr = np.frombuffer(self.bits, dtype=np.uint8)
+        return float(np.unpackbits(arr).mean()) if len(arr) else 0.0
+
     def position_cols(self, fp_col):
         return F.array(
             *[
@@ -133,8 +143,13 @@ def build_fingerprint_bloom(
     import pandas as pd
 
     proto = FingerprintBloom(b"", num_bits, num_hashes)
-    pos_df = corpus_df.select(
-        proto.position_cols(bow_fingerprint(text_col)).alias("pos")
+    # NULL fingerprints (null/empty text) stay OUT of the filter: the exact
+    # anti-join never matches NULL keys, so the bloom path must not claim
+    # them as seen either (oracle parity on null-text corpora).
+    pos_df = (
+        corpus_df.select(bow_fingerprint(text_col).alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+        .select(proto.position_cols(F.col("__fp")).alias("pos"))
     )
     n_bytes = num_bits // 8
 
@@ -150,7 +165,16 @@ def build_fingerprint_bloom(
     acc = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:
         acc |= np.frombuffer(r["bm"], dtype=np.uint8)
-    return FingerprintBloom(acc.tobytes(), num_bits, num_hashes)
+    bloom = FingerprintBloom(acc.tobytes(), num_bits, num_hashes)
+    if bloom.fill_ratio > 0.5:
+        # past ~50% load the false-positive rate grows fast and dedup
+        # starts silently discarding genuinely-new documents — refuse
+        # rather than hand back a filter that eats data
+        raise ValueError(
+            f"bloom filter over capacity (fill {bloom.fill_ratio:.2f} > 0.5): "
+            f"raise num_bits above {num_bits} for this corpus size"
+        )
+    return bloom
 
 
 def incremental_dedup_bloom(
@@ -189,7 +213,11 @@ def incremental_dedup_bloom(
     batch = new_df.select(
         F.col(id_col), bow_fingerprint(text_col).alias("__fp")
     )
-    fresh = batch.where(~in_bloom(bloom.position_cols(F.col("__fp"))))
+    # NULL fingerprints are never in the filter (see build) — keep them,
+    # matching the exact anti-join's NULL-key semantics
+    fresh = batch.where(
+        F.col("__fp").isNull() | ~in_bloom(bloom.position_cols(F.col("__fp")))
+    )
     return (
         fresh.groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))

@@ -496,7 +496,10 @@ def pq_train(
     Each subspace fit is narrow-scan + k·(dim/m)-row shuffles; cost is m
     small k-means runs over slices, not m passes over full vectors.
     """
-    dim = len(emb_df.select(vec_col).first()[0])
+    probe = emb_df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError("pq_train needs at least one non-null vector")
+    dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

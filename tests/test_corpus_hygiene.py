@@ -465,3 +465,46 @@ def test_mixture_sample_budget_and_proportions(spark):
     web_t = sum(r["n_tokens"] for r in by_src["web"])
     books_t = sum(r["n_tokens"] for r in by_src["books"])
     assert abs(web_t - alloc["web"]) <= 12 and abs(books_t - alloc["books"]) <= 12
+
+
+def test_bloom_null_text_parity_and_saturation_guard(spark):
+    """Null-text docs fingerprint as md5('') in BOTH paths (bow_fingerprint
+    never yields NULL), so null-text batch docs dedup against a null/empty-
+    text corpus doc identically through the bloom and the exact anti-join;
+    and an overloaded filter refuses to build rather than silently dropping
+    new docs."""
+    import pytest as _pytest
+
+    from dataquality_ml_spark.operators.dedup import (
+        build_fingerprint_bloom,
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "known doc"), (1, None)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "known doc"), (11, None), (12, None), (13, "fresh doc")],
+        "doc_id bigint, text string",
+    )
+    exact = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
+    bloom = build_fingerprint_bloom(corpus)
+    got = {r["doc_id"] for r in incremental_dedup_bloom(batch, bloom).collect()}
+    # 10 and the null-text 11/12 match corpus content; only 13 is new —
+    # and the two paths agree exactly
+    assert got == exact == {13}
+    # without a null-text corpus doc, null-text batch docs ARE new: the
+    # min-id keeper survives both paths
+    corpus2 = corpus.where(F.col("text").isNotNull())
+    exact2 = {r["doc_id"] for r in incremental_dedup(batch, corpus2).collect()}
+    bloom2 = build_fingerprint_bloom(corpus2)
+    got2 = {r["doc_id"] for r in incremental_dedup_bloom(batch, bloom2).collect()}
+    assert got2 == exact2 == {11, 13}
+
+    # 64-bit filter over 200 distinct fingerprints: fill >> 0.5 -> refuse
+    big = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    with _pytest.raises(ValueError, match="over capacity"):
+        build_fingerprint_bloom(big, num_bits=64, num_hashes=3)

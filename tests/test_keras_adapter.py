@@ -145,11 +145,13 @@ def test_fit_new_with_fake_keras_forward_matches_manual():
     # folding, so BN survives as its own affine layer: 3 layers total
     assert [act for _, _, act in model.weights] == ["relu", "linear", "linear"]
 
-    # recompute manually from the captured fake layer weights
+    # recompute manually from the captured fake layer weights; the folded
+    # BN after relu is a 1-D ELEMENTWISE affine, not a diag matrix
     (w1, b1), (w2, b2) = model.weights[0][:2], model.weights[2][:2]
     scale_w, scale_b = model.weights[1][:2]
+    assert scale_w.ndim == 1
     h = np.maximum(x @ w1 + b1, 0.0)
-    h = h @ scale_w + scale_b
+    h = h * scale_w + scale_b
     xhat = h @ w2 + b2
     want = (np.abs(x - xhat) / model.feature_var).mean(axis=1)
     np.testing.assert_allclose(model.reconstruction_error(x), want, rtol=1e-12)
@@ -494,3 +496,29 @@ def test_property_lstm_forward_matches_scalar_reference(units, d, t_steps, seed)
     np.testing.assert_allclose(
         lstm_forward(x, w, u, b, False), want_seq[:, -1], rtol=1e-9, atol=1e-12
     )
+
+
+def test_lstm_ae_json_roundtrip_and_artifact_kind(tmp_path):
+    """KerasLSTMAE serializes through its own json and through the
+    FittedDetector keras_lstm artifact kind."""
+    from dataquality_ml_spark.engine import FittedDetector
+    from dataquality_ml_spark.ml.features import FeatureModel
+
+    fake = make_fake_keras_seq()
+    rng = np.random.default_rng(21)
+    x3 = rng.normal(size=(15, 4, 2))
+    model = KerasLSTMAE.fit_new(
+        x3, topology={"encoder": [(3, True), (2, False)], "decoder": [(3, True)]},
+        keras_module=fake,
+    )
+    flat = x3.reshape(15, -1)
+    want = model.reconstruction_error(flat)
+    again = KerasLSTMAE.from_json(model.to_json())
+    np.testing.assert_allclose(again.reconstruction_error(flat), want, rtol=1e-12)
+
+    art = FittedDetector(FeatureModel(), model, 1.0, 0.95)
+    p = str(tmp_path / "lstm.json")
+    art.save(p)
+    loaded = FittedDetector.load(p)
+    assert isinstance(loaded.model, KerasLSTMAE)
+    np.testing.assert_allclose(loaded.model.reconstruction_error(flat), want, rtol=1e-12)
