@@ -139,9 +139,6 @@ def build_fingerprint_bloom(
     impossible, so nothing already in the corpus ever sneaks through — the
     safe direction for dedup.
     """
-    import numpy as np
-    import pandas as pd
-
     proto = FingerprintBloom(b"", num_bits, num_hashes)
     # NULL fingerprints (null/empty text) stay OUT of the filter: the exact
     # anti-join never matches NULL keys, so the bloom path must not claim
@@ -151,6 +148,29 @@ def build_fingerprint_bloom(
         .where(F.col("__fp").isNotNull())
         .select(proto.position_cols(F.col("__fp")).alias("pos"))
     )
+    bloom = FingerprintBloom(
+        bitmap_from_positions(pos_df, num_bits), num_bits, num_hashes
+    )
+    if bloom.fill_ratio > 0.5:
+        # past ~50% load the false-positive rate grows fast and dedup
+        # starts silently discarding genuinely-new documents — refuse
+        # rather than hand back a filter that eats data
+        raise ValueError(
+            f"bloom filter over capacity (fill {bloom.fill_ratio:.2f} > 0.5): "
+            f"raise num_bits above {num_bits} for this corpus size"
+        )
+    return bloom
+
+
+def bitmap_from_positions(pos_df: DataFrame, num_bits: int) -> bytes:
+    """OR-reduce a relation of position arrays into one ``num_bits``-bit
+    bitmap: each partition sets its bits locally per Arrow batch
+    (``np.bitwise_or.at``), emits one ``num_bits/8``-byte row, and the
+    driver ORs O(partitions) fixed-size maps — rows never visit the
+    driver. Shared by the batch builder and the streaming per-batch fold."""
+    import numpy as np
+    import pandas as pd
+
     n_bytes = num_bits // 8
 
     def _bitmaps(batches):
@@ -165,16 +185,7 @@ def build_fingerprint_bloom(
     acc = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:
         acc |= np.frombuffer(r["bm"], dtype=np.uint8)
-    bloom = FingerprintBloom(acc.tobytes(), num_bits, num_hashes)
-    if bloom.fill_ratio > 0.5:
-        # past ~50% load the false-positive rate grows fast and dedup
-        # starts silently discarding genuinely-new documents — refuse
-        # rather than hand back a filter that eats data
-        raise ValueError(
-            f"bloom filter over capacity (fill {bloom.fill_ratio:.2f} > 0.5): "
-            f"raise num_bits above {num_bits} for this corpus size"
-        )
-    return bloom
+    return acc.tobytes()
 
 
 def incremental_dedup_bloom(

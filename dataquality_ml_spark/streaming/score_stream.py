@@ -121,3 +121,71 @@ def session_stats(
             "total_value",
         )
     )
+
+
+def bloom_dedup_stream(
+    stream_df: DataFrame,
+    initial_bloom,
+    checkpoint: str,
+    out_fn: Callable[[DataFrame, int], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_once: bool = True,
+):
+    """Streaming content dedup against a persistable corpus Bloom filter —
+    the daily-append dedup story (operators.dedup.incremental_dedup_bloom)
+    run continuously: each micro-batch is filtered against the
+    corpus-so-far bloom, the survivors go to ``out_fn`` (the sink), and
+    the survivors' fingerprints are folded INTO the bloom so later
+    micro-batches dedup against everything already accepted.
+
+    State = one fixed-size bitmap (1 MiB default), mutated driver-side
+    between micro-batches and broadcast per batch — not per-key state in
+    the state store, because content dedup keys on an unbounded fingerprint
+    domain where watermark expiry would silently re-admit old duplicates.
+    The bitmap is exactly what a production pipeline persists alongside the
+    checkpoint (re-buildable from the corpus with build_fingerprint_bloom).
+
+    Returns (query, get_bloom) — ``get_bloom()`` reads the current filter
+    for persistence after the query stops.
+    """
+    import numpy as np
+
+    from dataquality_ml_spark.operators.dedup import (
+        FingerprintBloom,
+        incremental_dedup_bloom,
+    )
+
+    state = {"bloom": initial_bloom}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom = state["bloom"]
+        fresh = incremental_dedup_bloom(batch_df, bloom, text_col, id_col)
+        kept = batch_df.join(fresh, id_col, "semi")
+        out_fn(kept, batch_id)
+        # fold the accepted docs' fingerprint positions into the bitmap —
+        # partition-local bit-set + driver OR (bitmap_from_positions), the
+        # same shuffle-free shape as the batch builder; only fixed-size
+        # bitmaps cross to the driver, never rows
+        from dataquality_ml_spark.functions.scalar import bow_fingerprint
+        from dataquality_ml_spark.operators.dedup import bitmap_from_positions
+
+        pos_df = (
+            kept.select(bow_fingerprint(text_col).alias("__fp"))
+            .where(F.col("__fp").isNotNull())
+            .select(bloom.position_cols(F.col("__fp")).alias("pos"))
+        )
+        batch_bits = np.frombuffer(
+            bitmap_from_positions(pos_df, bloom.num_bits), dtype=np.uint8
+        )
+        bm = np.frombuffer(bloom.bits, dtype=np.uint8) | batch_bits
+        state["bloom"] = FingerprintBloom(
+            bm.tobytes(), bloom.num_bits, bloom.num_hashes
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), lambda: state["bloom"]

@@ -365,3 +365,51 @@ def test_streaming_drift_monitor_foreachbatch(spark, tmp_path):
     lo_psi, hi_psi = min(psis.values()), max(psis.values())
     assert lo_psi < 0.05, f"in-distribution batch alarmed: {psis}"
     assert hi_psi > 0.2, f"shifted batch did not alarm: {psis}"
+
+
+def test_bloom_dedup_stream_evolving_state(spark, tmp_path):
+    """Streaming content dedup against an evolving corpus bloom: batch-A
+    survivors are folded into the filter, so batch-B copies of them are
+    rejected; corpus dups are rejected from the start; the returned filter
+    reflects everything accepted."""
+    from dataquality_ml_spark.operators.dedup import build_fingerprint_bloom
+
+    corpus = spark.createDataFrame(
+        [(0, "corpus doc alpha"), (1, "corpus doc beta")],
+        "doc_id bigint, text string",
+    )
+    bloom0 = build_fingerprint_bloom(corpus)
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    schema = "doc_id bigint, text string"
+    # file 1: one corpus dup, two new (one duplicated within the batch)
+    spark.createDataFrame(
+        [(10, "corpus doc alpha"), (11, "new doc one"), (12, "new doc one"),
+         (13, "new doc two")],
+        schema,
+    ).coalesce(1).write.json(str(in_dir / "f1"))
+    # file 2: a copy of batch-1's accepted doc + one genuinely new
+    spark.createDataFrame(
+        [(20, "new doc one"), (21, "new doc three")], schema
+    ).coalesce(1).write.json(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    accepted: list = []
+
+    def sink(batch_df, batch_id):
+        accepted.extend(r["doc_id"] for r in batch_df.collect())
+
+    q, get_bloom = ss.bloom_dedup_stream(
+        stream, bloom0, checkpoint=str(tmp_path / "ckpt"), out_fn=sink
+    )
+    q.awaitTermination(120)
+
+    # 10 dups corpus; 11/12 same content -> min id 11; 20 dups batch-1's
+    # accepted "new doc one" (cross-micro-batch state!); 21 is new
+    assert sorted(accepted) == [11, 13, 21]
+    assert get_bloom().fill_ratio > bloom0.fill_ratio  # state evolved
