@@ -608,3 +608,88 @@ def pq_adc_topk(
         .where(F.col("rank") <= topk)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_pq_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed ANN — the production shape at 100 TB: a coarse
+    quantizer (``kmeans_fit`` centroids) restricts each query to one
+    inverted list (probe=1), and within that list distances are ADC sums
+    over PQ codes. The corpus contributes only (id, cluster, m codes) —
+    a few bytes per vector; raw vectors appear in NO join. Recall < 1 by
+    construction (probe truncation + PQ approximation); the exact
+    brute-force operators are the recall baseline.
+
+    Plan shape: coarse assignment is a narrow literal-centroid scan (no
+    shuffle); the search joins the exploded code table to a broadcast
+    (query × m·k) LUT filtered by cluster equality, then one
+    groupBy(query, neighbor) sums the m partials and a per-query window
+    takes the top-k.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    assign = kmeans_assign(emb_df, coarse_cents, id_col, vec_col)
+    codes = pq_encode(emb_df, codebooks, id_col, vec_col).join(assign, id_col)
+    q_assign = kmeans_assign(query_df, coarse_cents, id_col, vec_col)
+
+    cent_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.lit(c).alias("c"),
+                F.array(*[F.lit(float(x)) for x in codebooks[s][c]]).alias("cent"),
+            )
+            for s in range(m)
+            for c in range(len(codebooks[s]))
+        ]
+    )
+    q = query_df.join(q_assign.select(id_col, "cluster"), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    pd_ = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), F.col("e.s") * sub + 1, sub),
+            F.col("e.cent"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = q.select("query_id", "qv", "q_cluster", F.explode(cent_structs).alias("e")).select(
+        "query_id",
+        "q_cluster",
+        F.col("e.s").alias("s"),
+        F.col("e.c").alias("c"),
+        F.round(pd_, 6).alias("pd"),
+    )
+    ex = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cluster"),
+        F.posexplode("codes").alias("s", "c"),
+    )
+    scored = (
+        ex.join(
+            F.broadcast(lut),
+            (ex["s"] == lut["s"])
+            & (ex["c"] == lut["c"])
+            & (ex["cluster"] == lut["q_cluster"]),
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd"), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )

@@ -3315,12 +3315,16 @@ from dataquality_ml_spark import queries_ext as _queries_ext  # noqa: E402,F401
 # ===========================================================================
 # Product quantization (round 3): compressed-domain ANN
 # ===========================================================================
-def _pq_cents_ctes(m: int = 2, k: int = 4, sub: int = 32) -> str:
+def _pq_cents_ctes(m: int = 2, k: int = 4, sub: int = 32, include_vecs: bool = True) -> str:
     """Unrolled deterministic PQ training in DuckDB: per subspace, slice the
     vectors and run the 1-iteration Lloyd fit (hash-smallest init → assign
     → rounded-mean update) — mirrors pq_train(m=2, k=4, iters=1,
     round_dp=6) exactly. Ends with cents(s, cid, emb)."""
-    parts = ["vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+    parts = (
+        ["vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+        if include_vecs
+        else []
+    )
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         parts.append(
@@ -3502,4 +3506,188 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = {f"src{i}": 1.0 + (i % 3) for i in range(20)}
     return mixture_sample(docs, weights, token_budget=5000).orderBy(
         "source", "cum_tokens"
+    )
+
+
+# ===========================================================================
+# Remaining expressible TPC-H shapes (round 3): Q4, Q12 — adapted to the
+# driver's synthetic schema (lineitem ships only l_shipdate; no commit/
+# receipt dates, no shipmode; Q2/Q9/Q11/Q16/Q20 need partsupp, not shipped).
+# ===========================================================================
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= TIMESTAMP '1996-06-01'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: "late" = any lineitem shipped >= 1996-06-01
+    for a 1995 order — the testdata has no commit/receipt dates): priority
+    counts over orders having at least one such lineitem. The EXISTS
+    becomes a left-semi join, so lineitem never duplicates order rows and
+    the agg input stays |orders|-sized; both date predicates push into the
+    scans."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.where(
+        F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp")
+    ).select("l_orderkey")
+    filtered = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        filtered.join(late, filtered.o_orderkey == late.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_returnflag_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+      SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS high_line_count,
+      SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: classification attribute = l_returnflag,
+    the testdata has no shipmode): per-class line counts split by order
+    priority via conditional sums in ONE grouped pass; the lineitem date
+    range pushes below the join so the shuffle carries only qualifying
+    lines."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# IVF-PQ composed ANN (round 3 capstone): coarse probe + compressed search
+# ===========================================================================
+def _coarse_kmeans_ctes(k: int = 4) -> str:
+    """Coarse-quantizer chain mirroring kmeans_fit(k, iters=2, round_dp=6):
+    hash-smallest init → (assign → rounded-mean update) ×2 → final
+    assignment ka3(vec_id, cluster). Requires a prior vecs CTE."""
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.emb, c.emb), c.cid
+               ) AS rn
+        FROM vecs v CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(assign_t: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT cid, list(mv ORDER BY pos) AS emb FROM (
+        SELECT a.cluster AS cid, pos, ROUND(AVG(val), 6) AS mv FROM {assign_t} a
+        JOIN (
+          SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos
+          FROM vecs
+        ) x USING (vec_id) GROUP BY a.cluster, pos
+      ) GROUP BY cid
+    )"""
+
+    return f"""kinit AS (
+      SELECT emb, rk - 1 AS cid FROM (
+        SELECT emb, ROW_NUMBER() OVER (
+          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rk
+        FROM vecs
+      ) WHERE rk <= {k}
+    ),
+    {assign("kinit", "ka1")},
+    {update("ka1", "kc1")},
+    {assign("kc1", "ka2")},
+    {update("ka2", "kc2")},
+    {assign("kc2", "ka3")}"""
+
+
+@register(
+    "ivf_pq_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_coarse_kmeans_ctes(4)},
+    {_pq_cents_ctes(include_vecs=False)},
+    {_pq_codes_cte()},
+    q AS (
+      SELECT v.vec_id AS query_id, v.emb, a.cluster AS q_cluster
+      FROM vecs v JOIN ka3 a USING (vec_id) WHERE v.vec_id < 10
+    ),
+    lut AS (
+      SELECT query_id, q_cluster, ct.s, ct.cid AS c,
+             ROUND((SELECT {_PQ_SQDIST} FROM (
+               SELECT q.emb[ct.s * 32 + 1 : (ct.s + 1) * 32] AS a, ct.emb AS b
+             )), 6) AS pd
+      FROM q CROSS JOIN cents ct
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(l.pd), 4) AS adc_dist
+      FROM codes c
+      JOIN ka3 ca ON ca.vec_id = c.vec_id
+      JOIN lut l ON l.s = c.s AND l.c = c.c AND ca.cluster = l.q_cluster
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN: a deterministic coarse k-means (probe=1)
+    restricts each query to one inverted list; within the list, distances
+    are ADC sums over PQ codes — the corpus contributes a few bytes per
+    vector and raw vectors appear in no join. The full train(coarse) +
+    train(PQ) + encode + search pipeline is one oracle-checked query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse = sim.kmeans_fit(emb, k=4, iters=2, round_dp=6)
+    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    out = sim.ivf_pq_topk(emb, queries_df, coarse, cbs, topk=5)
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
     )
