@@ -356,3 +356,41 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(top_k)
     )
+
+
+# Engine-portable PII patterns: restricted to syntax Java regex and RE2
+# (DuckDB) interpret identically — no backrefs, no lookaround, no \b-edge
+# ambiguity beyond word chars.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]?\d{2,4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact the standard PII classes of a training corpus — emails, IPv4
+    addresses, international-format phone numbers — replacing each match
+    with a typed placeholder ([EMAIL]/[IPV4]/[PHONE]) and counting per-doc
+    redactions per class.
+
+    Pure regexp expressions (JVM-side, codegen, zero shuffle, linear scan)
+    — the standard pre-training scrub pass. The pattern set is the
+    deliberately-portable core; a production deployment extends
+    PII_PATTERNS (e.g. national ID formats) without touching the plan
+    shape. Order of application: email before phone so the digits of an
+    address's display name are never half-eaten; counts are computed on
+    the ORIGINAL text so they are independent of application order.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))

@@ -3691,3 +3691,40 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ===========================================================================
+# PII scrub (round 3): the standard pre-training redaction pass
+# ===========================================================================
+from dataquality_ml_spark.operators.text import PII_PATTERNS as _PII  # noqa: E402
+
+
+@register(
+    "pii_scrub_docs",
+    oracle=f"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+      len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
+      len(regexp_extract_all(text, '{_PII["phone"]}')) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{_PII["email"]}', '[EMAIL]', 'g'),
+        '{_PII["ipv4"]}', '[IPV4]', 'g'),
+        '{_PII["phone"]}', '[PHONE]', 'g')) AS clean_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: per-doc counts of emails/IPv4s/phones
+    plus the md5 of the scrubbed text (fingerprint, not the full text, so
+    the oracle compare stays narrow). One linear regexp scan, no shuffle."""
+    from dataquality_ml_spark.operators.text import pii_scrub
+
+    out = pii_scrub(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
