@@ -48,7 +48,11 @@ class FittedDetector:
     def save(self, path: str) -> None:
         import json
 
-        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE, KerasLSTMAE
+        from dataquality_ml_spark.ml.keras_adapter import (
+            KerasDenseAE,
+            KerasLSTMAE,
+            KerasLSTMVAE,
+        )
 
         if isinstance(self.model, det.PCAAutoencoder):
             kind, blob = "pca", self.model.to_json()
@@ -56,6 +60,8 @@ class FittedDetector:
             kind, blob = "iforest", json.dumps(self.model.to_state())
         elif isinstance(self.model, KerasDenseAE):
             kind, blob = "keras_dense", self.model.to_json()
+        elif isinstance(self.model, KerasLSTMVAE):
+            kind, blob = "keras_lstm_vae", self.model.to_json()
         elif isinstance(self.model, KerasLSTMAE):
             kind, blob = "keras_lstm", self.model.to_json()
         else:
@@ -76,7 +82,11 @@ class FittedDetector:
     def load(cls, path: str) -> "FittedDetector":
         import json
 
-        from dataquality_ml_spark.ml.keras_adapter import KerasDenseAE, KerasLSTMAE
+        from dataquality_ml_spark.ml.keras_adapter import (
+            KerasDenseAE,
+            KerasLSTMAE,
+            KerasLSTMVAE,
+        )
 
         with open(path) as f:
             d = json.load(f)
@@ -84,6 +94,8 @@ class FittedDetector:
             model = det.PCAAutoencoder.from_json(d["model"])
         elif d["model_kind"] == "keras_dense":
             model = KerasDenseAE.from_json(d["model"])
+        elif d["model_kind"] == "keras_lstm_vae":
+            model = KerasLSTMVAE.from_json(d["model"])
         elif d["model_kind"] == "keras_lstm":
             model = KerasLSTMAE.from_json(d["model"])
         else:

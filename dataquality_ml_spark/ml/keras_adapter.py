@@ -46,6 +46,40 @@ REFERENCE_TOPOLOGY: list[tuple[int | None, str]] = [
     (None, "linear"),
 ]
 
+# The reference's "enhanced" dense AE (app/AE_model_enhanced.py:40-122):
+# 1024→…→32→…→1024 all-relu with BatchNorm after every hidden Dense,
+# linear reconstruction head.
+ENHANCED_TOPOLOGY: list[tuple[int | None, str]] = [
+    (1024, "relu"),
+    (512, "relu"),
+    (256, "relu"),
+    (128, "relu"),
+    (64, "relu"),
+    (32, "relu"),
+    (64, "relu"),
+    (128, "relu"),
+    (256, "relu"),
+    (512, "relu"),
+    (1024, "relu"),
+    (None, "linear"),
+]
+
+# The reference's simple dense AE (app/LSTM_AE_enhanced.py:85-110 — a
+# plain 256→…→16→…→256 relu stack, notably WITHOUT BatchNorm): pass
+# ``batch_norm=False`` with this topology for a faithful build.
+SIMPLE_TOPOLOGY: list[tuple[int | None, str]] = [
+    (256, "relu"),
+    (128, "relu"),
+    (64, "relu"),
+    (32, "relu"),
+    (16, "relu"),
+    (32, "relu"),
+    (64, "relu"),
+    (128, "relu"),
+    (256, "relu"),
+    (None, "linear"),
+]
+
 
 @dataclass
 class KerasDenseAE:
@@ -101,10 +135,17 @@ class KerasDenseAE:
         epochs: int = 60,
         batch_size: int = 256,
         topology: list[tuple[int | None, str]] | None = None,
+        batch_norm: bool = True,
         keras_module=None,
     ) -> "KerasDenseAE":
-        """Train the reference-topology AE with keras and fold the result
-        into numpy affine layers. Raises ImportError when keras is absent.
+        """Train a dense AE with keras and fold the result into numpy
+        affine layers. Raises ImportError when keras is absent.
+
+        ``topology`` defaults to ``REFERENCE_TOPOLOGY`` (app/AE_model.py);
+        ``ENHANCED_TOPOLOGY`` / ``SIMPLE_TOPOLOGY`` mirror the reference's
+        other dense variants, and ``batch_norm=False`` skips the per-layer
+        BatchNorm (the simple variant ships none,
+        app/LSTM_AE_enhanced.py:85-110).
 
         ``keras_module`` injects a stand-in for tests; production callers
         leave it None and get the real ``import keras``.
@@ -121,7 +162,7 @@ class KerasDenseAE:
             n = input_dim if units is None else units
             reg = keras.regularizers.l2(0.00025)
             t = keras.layers.Dense(n, activation=act, kernel_regularizer=reg)(t)
-            if i < len(topo) - 1:  # no BatchNorm after the final layer
+            if batch_norm and i < len(topo) - 1:  # no BatchNorm after the final layer
                 t = keras.layers.BatchNormalization()(t)
         model = keras.models.Model(inputs=inp, outputs=t)
         try:
@@ -262,13 +303,15 @@ class KerasLSTMAE:
     ``sequences`` window operator emits — so the artifact plugs into
     ``score_distributed`` unchanged; it reshapes to (n, T, f) internally.
     Error = variance-clamped MAE over the sequence (reference 3-D
-    mae_error, lib/utils.py:66-96).
+    mae_error, lib/utils.py:66-96): variance is pooled PER FEATURE across
+    all timesteps and samples (f values, not T·f), then the normalized
+    absolute errors average over features and timesteps.
     """
 
     layers: list = field(default_factory=list)
     timesteps: int = 0
     n_features: int = 0
-    feature_var: np.ndarray | None = None  # per flat (T·f) position
+    feature_var: np.ndarray | None = None  # per feature, pooled over timesteps
 
     def _forward(self, x3: np.ndarray) -> np.ndarray:
         h = x3
@@ -292,8 +335,10 @@ class KerasLSTMAE:
     def reconstruction_error(self, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
         x3 = x.reshape(n, self.timesteps, self.n_features)
-        xhat = self._forward(x3).reshape(n, -1)
-        return (np.abs(x - xhat) / self.feature_var).mean(axis=1)
+        xhat = self._forward(x3)
+        # (n, T, f) / (f,) broadcast, then mean over features and timesteps
+        # — exactly the reference's mae_error (lib/utils.py:66-96)
+        return (np.abs(x3 - xhat) / self.feature_var).mean(axis=(1, 2))
 
     def to_json(self) -> str:
         specs = []
@@ -394,8 +439,9 @@ class KerasLSTMAE:
             verbose=0,
         )
         layers = extract_sequence_layers(model.layers)
-        flat = x3.reshape(n, -1)
-        var = np.maximum(flat.var(axis=0), MIN_VARIANCE)
+        # variance pooled per feature across samples AND timesteps
+        # (reference mae_error, lib/utils.py:78-84)
+        var = np.maximum(x3.reshape(-1, n_features).var(axis=0), MIN_VARIANCE)
         return cls(
             layers=layers,
             timesteps=timesteps,
@@ -431,23 +477,366 @@ def extract_sequence_layers(layers) -> list:
     return out
 
 
+# -- variational sequence backend: M9 ---------------------------------------
+
+
+def kl_divergence(z_mean: np.ndarray, z_log_var: np.ndarray) -> float:
+    """The VAE's KL-divergence term against the isotropic unit Gaussian
+    prior, exactly as the reference's loss layer computes it
+    (app/LSTM_VAE.py:75-95): ``-0.5 * mean(1 + log σ² − μ² − σ²)`` — a
+    MEAN over every (sample, latent-dim) element, not a per-sample sum."""
+    return float(
+        -0.5 * np.mean(1.0 + z_log_var - np.square(z_mean) - np.exp(z_log_var))
+    )
+
+
+def reparameterize(
+    z_mean: np.ndarray, z_log_var: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Reparameterization trick (reference ``sampling``,
+    app/LSTM_VAE.py:46-59): z = μ + exp(0.5·log σ²)·ε, ε ~ N(0, I)."""
+    eps = rng.standard_normal(z_mean.shape)
+    return z_mean + np.exp(0.5 * z_log_var) * eps
+
+
+# Reference LSTM-VAE shape (app/LSTM_VAE.py:305-380): the LSTM-AE
+# encoder/decoder stacks around a 16-dim reparameterized latent.
+REFERENCE_LSTM_VAE_TOPOLOGY = {
+    "encoder": [(128, True), (64, True), (32, False)],
+    "latent_dim": 16,
+    "decoder": [(64, True), (128, True)],
+}
+
+
+@dataclass
+class KerasLSTMVAE:
+    """Weights-only LSTM variational autoencoder (M9) — the true VAE
+    backend the round-3 verdict asked for, replacing the mean-path-only
+    approximation.
+
+    Structure mirrors the reference (app/LSTM_VAE.py:305-380): an encoder
+    replay stack (LSTM/affine specs, ending 2-D), two latent projections
+    ``z_mean = h·Wμ + bμ`` and ``z_log_var = h·Wσ + bσ`` (the Dense(16)
+    pair at :347-349), and a decoder replay stack starting with a
+    RepeatVector. Sampling (:46-59) and the KL term (:75-95) are the
+    module-level ``reparameterize`` / ``kl_divergence``, unit-tested
+    against hand-computed values.
+
+    **Inference is deterministic through the mean path** (z = μ): the
+    reference scores with ``model.predict``, which samples — deterministic
+    scoring is the documented deviation that makes results reproducible
+    and oracle-checkable. ``forward_sampled`` exposes the stochastic path
+    for training-style draws.
+
+    Note on the reference loss: ``VAELossLayer.call`` (:88-97) computes a
+    reconstruction loss but only ``add_loss``-es the KL term, while the
+    sibling ``vae_loss`` function (:62-80) defines MSE + KL; ``elbo_loss``
+    here implements the documented MSE + KL intent.
+
+    Error/threshold contract matches ``KerasLSTMAE``: flattened (n, T·f)
+    input, per-feature pooled variance MAE (lib/utils.py:66-96), P95
+    train-error threshold (app/LSTM_VAE.py:633-635) applied by the engine.
+    """
+
+    encoder_layers: list = field(default_factory=list)
+    z_mean_w: np.ndarray | None = None
+    z_mean_b: np.ndarray | None = None
+    z_log_var_w: np.ndarray | None = None
+    z_log_var_b: np.ndarray | None = None
+    decoder_layers: list = field(default_factory=list)
+    timesteps: int = 0
+    n_features: int = 0
+    feature_var: np.ndarray | None = None  # per feature, pooled over timesteps
+
+    def _replay(self, h: np.ndarray, specs: list) -> np.ndarray:
+        for spec in specs:
+            kind = spec[0]
+            if kind == "lstm":
+                _, w, u, b, ret = spec
+                h = lstm_forward(h, w, u, b, ret)
+            elif kind == "affine":
+                _, scale, shift = spec
+                h = h * scale + shift
+            elif kind == "repeat":
+                h = np.repeat(h[:, None, :], spec[1], axis=1)
+            elif kind == "dense":
+                _, w, b = spec
+                h = h @ w + b
+            else:  # pragma: no cover - guarded at construction
+                raise ValueError(f"unknown layer kind {kind}")
+        return h
+
+    def encode(self, x3: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(z_mean, z_log_var) of Q(z|x) — the Dense(latent) pair over the
+        encoder output (app/LSTM_VAE.py:347-349)."""
+        h = self._replay(x3, self.encoder_layers)
+        return (
+            h @ self.z_mean_w + self.z_mean_b,
+            h @ self.z_log_var_w + self.z_log_var_b,
+        )
+
+    def decode(self, z: np.ndarray) -> np.ndarray:
+        return self._replay(z, self.decoder_layers)
+
+    def _forward(self, x3: np.ndarray) -> np.ndarray:
+        """Deterministic reconstruction through the latent MEAN."""
+        z_mean, _ = self.encode(x3)
+        return self.decode(z_mean)
+
+    def forward_sampled(
+        self, x3: np.ndarray, rng: np.random.Generator
+    ) -> np.ndarray:
+        """Stochastic reconstruction through a reparameterized draw — the
+        path the reference's ``predict`` actually runs (:352)."""
+        z_mean, z_log_var = self.encode(x3)
+        return self.decode(reparameterize(z_mean, z_log_var, rng))
+
+    def kl_loss(self, x3: np.ndarray) -> float:
+        z_mean, z_log_var = self.encode(x3)
+        return kl_divergence(z_mean, z_log_var)
+
+    def elbo_loss(self, x3: np.ndarray, rng: np.random.Generator) -> float:
+        """MSE(x, decode(sample)) + KL — the reference's documented
+        ``vae_loss`` (app/LSTM_VAE.py:62-80)."""
+        xhat = self.forward_sampled(x3, rng)
+        return float(np.mean(np.square(x3 - xhat))) + self.kl_loss(x3)
+
+    def reconstruction_error(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        x3 = x.reshape(n, self.timesteps, self.n_features)
+        xhat = self._forward(x3)
+        return (np.abs(x3 - xhat) / self.feature_var).mean(axis=(1, 2))
+
+    # -- serialization (same spec encoding as KerasLSTMAE) -----------------
+    @staticmethod
+    def _specs_out(specs: list) -> list:
+        out = []
+        for spec in specs:
+            if spec[0] == "repeat":
+                out.append(["repeat", spec[1]])
+            elif spec[0] == "lstm":
+                out.append(
+                    ["lstm", spec[1].tolist(), spec[2].tolist(), spec[3].tolist(), spec[4]]
+                )
+            else:
+                out.append([spec[0], spec[1].tolist(), spec[2].tolist()])
+        return out
+
+    @staticmethod
+    def _specs_in(specs: list) -> list:
+        out = []
+        for spec in specs:
+            if spec[0] == "repeat":
+                out.append(("repeat", int(spec[1])))
+            elif spec[0] == "lstm":
+                out.append(
+                    (
+                        "lstm",
+                        np.array(spec[1]),
+                        np.array(spec[2]),
+                        np.array(spec[3]),
+                        bool(spec[4]),
+                    )
+                )
+            else:
+                out.append((spec[0], np.array(spec[1]), np.array(spec[2])))
+        return out
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "encoder": self._specs_out(self.encoder_layers),
+                "z_mean": [self.z_mean_w.tolist(), self.z_mean_b.tolist()],
+                "z_log_var": [self.z_log_var_w.tolist(), self.z_log_var_b.tolist()],
+                "decoder": self._specs_out(self.decoder_layers),
+                "timesteps": self.timesteps,
+                "n_features": self.n_features,
+                "feature_var": self.feature_var.tolist(),
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "KerasLSTMVAE":
+        d = json.loads(s)
+        return cls(
+            encoder_layers=cls._specs_in(d["encoder"]),
+            z_mean_w=np.array(d["z_mean"][0]),
+            z_mean_b=np.array(d["z_mean"][1]),
+            z_log_var_w=np.array(d["z_log_var"][0]),
+            z_log_var_b=np.array(d["z_log_var"][1]),
+            decoder_layers=cls._specs_in(d["decoder"]),
+            timesteps=d["timesteps"],
+            n_features=d["n_features"],
+            feature_var=np.array(d["feature_var"]),
+        )
+
+    @classmethod
+    def fit_new(
+        cls,
+        x3: np.ndarray,
+        epochs: int = 100,
+        batch_size: int = 256,
+        topology: dict | None = None,
+        keras_module=None,
+    ) -> "KerasLSTMVAE":
+        """Train the reference LSTM-VAE with keras and extract a
+        weights-only replay. The graph is the reference's
+        (app/LSTM_VAE.py:305-385): GaussianNoise input, LSTM+BN(+Dropout)
+        encoder, named Dense z_mean / z_log_var, Lambda(sampling) latent,
+        RepeatVector + LSTM+BN decoder, TimeDistributed(Dense) head, KL
+        added through a loss layer. Raises ImportError when keras is
+        absent."""
+        keras = keras_module
+        if keras is None:
+            import keras  # noqa: PLC0415 — the optional dependency gate
+
+        topo = topology or REFERENCE_LSTM_VAE_TOPOLOGY
+        latent_dim = int(topo.get("latent_dim", 16))
+        n, timesteps, n_features = x3.shape
+        inp = keras.layers.Input(shape=(timesteps, n_features))
+        t = keras.layers.GaussianNoise(0.01)(inp)
+        for units, ret in topo["encoder"]:
+            t = keras.layers.LSTM(units, activation="tanh", return_sequences=ret)(t)
+            t = keras.layers.BatchNormalization()(t)
+        z_mean = keras.layers.Dense(latent_dim, name="z_mean")(t)
+        z_log_var = keras.layers.Dense(latent_dim, name="z_log_var")(t)
+
+        def _sampling(args):
+            # tensor-side reparameterization (reference sampling, :46-59);
+            # runs only under a real keras — stand-ins never call the fn
+            zm, zlv = args
+            try:  # keras 3 ops namespace
+                eps = keras.random.normal(shape=keras.ops.shape(zm))
+                return zm + keras.ops.exp(0.5 * zlv) * eps
+            except AttributeError:  # keras 2 backend namespace
+                kb = keras.backend
+                eps = kb.random_normal(shape=kb.shape(zm))
+                return zm + kb.exp(0.5 * zlv) * eps
+
+        z = keras.layers.Lambda(_sampling, name="z")([z_mean, z_log_var])
+        t = keras.layers.RepeatVector(timesteps)(z)
+        for units, ret in topo["decoder"]:
+            t = keras.layers.LSTM(units, activation="tanh", return_sequences=ret)(t)
+            t = keras.layers.BatchNormalization()(t)
+        t = keras.layers.TimeDistributed(
+            keras.layers.Dense(n_features, activation="linear")
+        )(t)
+        model = keras.models.Model(inputs=inp, outputs=t)
+        try:
+            # KL term of the documented vae_loss (:62-80) attached via
+            # add_loss — stand-in modules without tensor ops train the
+            # reconstruction term only, which extraction never sees
+            ops = getattr(keras, "ops", None) or keras.backend
+            kl = -0.5 * ops.mean(
+                1.0 + z_log_var - ops.square(z_mean) - ops.exp(z_log_var)
+            )
+            model.add_loss(kl)
+        except AttributeError:
+            pass
+        try:
+            opt = keras.optimizers.legacy.Adam(learning_rate=0.001, clipnorm=1.0)
+        except (AttributeError, TypeError):
+            opt = keras.optimizers.Adam(learning_rate=0.001)
+        model.compile(optimizer=opt, loss="mse")
+        model.fit(
+            x3,
+            x3,
+            epochs=epochs,
+            batch_size=batch_size,
+            validation_split=0.2,
+            callbacks=[
+                keras.callbacks.EarlyStopping(
+                    monitor="val_loss", patience=20, restore_best_weights=True
+                ),
+                keras.callbacks.ReduceLROnPlateau(
+                    monitor="val_loss", factor=0.2, patience=10
+                ),
+            ],
+            shuffle=True,
+            verbose=0,
+        )
+        enc, zm, zlv, dec = extract_vae_layers(model.layers, timesteps)
+        var = np.maximum(x3.reshape(-1, n_features).var(axis=0), MIN_VARIANCE)
+        return cls(
+            encoder_layers=enc,
+            z_mean_w=zm[0],
+            z_mean_b=zm[1],
+            z_log_var_w=zlv[0],
+            z_log_var_b=zlv[1],
+            decoder_layers=dec,
+            timesteps=timesteps,
+            n_features=n_features,
+            feature_var=var,
+        )
+
+
+def extract_vae_layers(layers, timesteps: int):
+    """Split a trained VAE's layer list into (encoder specs, z_mean (W, b),
+    z_log_var (W, b), decoder specs). The latent Dense pair is matched by
+    NAME (the reference names them, app/LSTM_VAE.py:347-349); everything
+    before it maps through ``extract_sequence_layers`` semantics, the
+    RepeatVector onward becomes the decoder."""
+    enc: list = []
+    dec: list = []
+    zm = zlv = None
+    in_decoder = False
+    for layer in layers:
+        name = type(layer).__name__
+        label = getattr(layer, "name", "") or ""
+        if name == "Dense" and label in ("z_mean", "z_log_var"):
+            w, b = (np.asarray(a, dtype=np.float64) for a in layer.get_weights())
+            if label == "z_mean":
+                zm = (w, b)
+            else:
+                zlv = (w, b)
+            continue
+        if name == "RepeatVector":
+            in_decoder = True
+            dec.append(("repeat", int(getattr(layer, "n", timesteps))))
+            continue
+        target = dec if in_decoder else enc
+        if name == "LSTM":
+            w, u, b = (np.asarray(a, dtype=np.float64) for a in layer.get_weights())
+            target.append(("lstm", w, u, b, bool(getattr(layer, "return_sequences", True))))
+        elif name == "BatchNormalization":
+            gamma, beta, mu, var = (
+                np.asarray(a, dtype=np.float64) for a in layer.get_weights()
+            )
+            eps = float(getattr(layer, "epsilon", 1e-3))
+            scale = gamma / np.sqrt(var + eps)
+            target.append(("affine", scale, beta - mu * scale))
+        elif name == "TimeDistributed":
+            w, b = (np.asarray(a, dtype=np.float64) for a in layer.get_weights())
+            target.append(("dense", w, b))
+        # Lambda / Dropout / GaussianNoise / Input: inference no-ops
+    if zm is None or zlv is None:
+        raise ValueError("VAE graph is missing the named z_mean/z_log_var Dense pair")
+    return enc, zm, zlv, dec
+
+
 def build_sequence_autoencoder(
     x3: np.ndarray,
     n_components: int = 4,
     backend: str = "auto",
+    variational: bool = False,
     **fit_kwargs,
 ):
     """Sequence-detector factory (M8/M9 counterpart of ``build_autoencoder``):
-    real keras LSTM-AE when importable, else the windowed linear AE — a
-    ``PCAAutoencoder`` over FLATTENED (n, T·f) windows, the engine's default
-    stand-in (VERDICT r2 M8/M9). Both satisfy the ``score_distributed``
-    contract over flattened sequence rows."""
+    real keras LSTM-AE (or LSTM-VAE with ``variational=True``) when
+    importable, else the windowed linear AE — a ``PCAAutoencoder`` over
+    FLATTENED (n, T·f) windows, the engine's default stand-in (VERDICT r2
+    M8/M9). All satisfy the ``score_distributed`` contract over flattened
+    sequence rows.
+
+    The auto path falls back on ANY keras failure (missing module, broken
+    backend at build/fit time); only ``backend="keras"`` propagates."""
     if backend not in ("auto", "keras", "pca"):
         raise ValueError(f"unknown backend: {backend}")
     if backend in ("auto", "keras"):
         try:
-            return KerasLSTMAE.fit_new(x3, **fit_kwargs)
-        except ImportError:
+            impl = KerasLSTMVAE if variational else KerasLSTMAE
+            return impl.fit_new(x3, **fit_kwargs)
+        except Exception:
             if backend == "keras":
                 raise
     flat = x3.reshape(x3.shape[0], -1)
@@ -462,9 +851,11 @@ def build_autoencoder(
 ):
     """Detector factory honoring the optional-keras contract:
 
-    - ``backend="auto"``: real keras AE when ``import keras`` succeeds,
-      else the closed-form ``PCAAutoencoder`` (this container's path);
-    - ``backend="keras"``: keras or ImportError;
+    - ``backend="auto"``: real keras AE when the keras build succeeds,
+      else the closed-form ``PCAAutoencoder`` (this container's path).
+      Any keras failure triggers the fallback — a keras that imports but
+      dies at model-build time (broken TF backend) must not crash auto;
+    - ``backend="keras"``: keras or the raised error;
     - ``backend="pca"``: always the closed-form backend.
 
     Either return value satisfies the ``score_distributed`` scorer contract
@@ -475,7 +866,7 @@ def build_autoencoder(
     if backend in ("auto", "keras"):
         try:
             return KerasDenseAE.fit_new(x, **fit_kwargs)
-        except ImportError:
+        except Exception:
             if backend == "keras":
                 raise
     return PCAAutoencoder.fit(x, n_components=n_components)
