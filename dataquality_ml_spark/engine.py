@@ -132,6 +132,14 @@ class DQEngine:
     def prune_columns(self, df: DataFrame, columns: list[str] | None = None) -> list[str]:
         return prof.prune_low_quality(df, columns)
 
+    def threshold_stats(
+        self, df: DataFrame, columns: list[str], **kw
+    ) -> dict[str, dict[str, float]]:
+        """Percentile/IQR/MAD thresholds for every column in 2 jobs total
+        (one stats aggregation + one MAD pass) — the batched facade the
+        per-threshold scalar helpers don't give you."""
+        return th.batched_thresholds(df, columns, **kw)
+
     # -- feature pipeline + detector --------------------------------------
     def fit_detector(
         self,

@@ -83,3 +83,52 @@ def grid_search(
     )
     best = max(results, key=lambda t: t[1]) if maximize else min(results, key=lambda t: t[1])
     return best[0], best[1], results
+
+
+def stability_score(scores: np.ndarray) -> float:
+    """The reference's enhanced-IF model-selection score
+    (app/IsolationForest_AE_enhanced.py:108-121): with anomaly scores over
+    the NORMAL training slice, ``1 / (1 + std/(mean+1e-8) +
+    range/(mean+1e-8))`` — parameter sets whose score distribution is
+    tight and narrow (stable on normal data) rank highest. Higher is
+    better; ties keep the earliest grid entry (the reference's strict-``>``
+    update rule, which ``max`` reproduces by returning the first max)."""
+    s = np.asarray(scores, dtype=np.float64)
+    mean = float(np.mean(s))
+    denom = mean + 1e-8
+    norm_std = float(np.std(s)) / denom
+    norm_range = float(np.max(s) - np.min(s)) / denom
+    return 1.0 / (1.0 + norm_std + norm_range)
+
+
+def iforest_stability_search(
+    spark,
+    x: np.ndarray,
+    grid: list[dict[str, Any]],
+    seed: int = 42,
+) -> tuple[dict[str, Any], float, list[tuple[dict[str, Any], float]]]:
+    """The reference's manual IsolationForest parameter sweep
+    (app/IsolationForest_AE_enhanced.py:49-146) on the engine's
+    from-scratch forest: fit each (n_estimators, max_samples) combination
+    on the bounded normal sample, score THE SAME sample, rank by
+    ``stability_score``. One Spark task per combination (M11's
+    embarrassingly-parallel shape); ``x`` ships once per task closure —
+    it is the bounded driver fit sample, not table data.
+
+    The reference grid also sweeps contamination / max_features /
+    bootstrap, which exist only as sklearn's thresholding and subsampling
+    knobs; the from-scratch forest exposes the two parameters that change
+    the model itself, and extra keys in a grid entry are ignored rather
+    than rejected so reference-shaped grids run as-is.
+    """
+    from dataquality_ml_spark.ml.detectors import IsolationForest
+
+    def _fit_eval(params: dict[str, Any]) -> float:
+        model = IsolationForest(
+            n_estimators=int(params.get("n_estimators", 100)),
+            max_samples=int(params.get("max_samples", 256)),
+            seed=seed,
+        ).fit(x)
+        return stability_score(model.score_samples(x))
+
+    return grid_search(spark, grid, _fit_eval, maximize=True)

