@@ -817,3 +817,59 @@ def ivf_pq_topk(
         .where(F.col("rank") <= topk)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_pq_refine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    topk: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ with an exact refine step — the full production ANN shape
+    (the FAISS refine-index pattern, Jégou et al. TPAMI'11 §V): the
+    compressed ADC search produces a ``shortlist``-sized candidate set per
+    query, then TRUE cosine similarity re-ranks ONLY those candidates and
+    keeps ``topk``. PQ's quantization error decides shortlist membership
+    but never the final ordering, so ranking is exact within the probed
+    lists at shortlist/|corpus| of the exact-search cost.
+
+    Scale shape: the search half is :func:`ivf_pq_topk` unchanged (raw
+    vectors in no join). The refine half touches raw vectors for exactly
+    |queries|·shortlist rows: the shortlist BROADCASTS to the corpus scan
+    (broadcast hash join keyed by id — no corpus shuffle), and the query
+    vectors ride a second broadcast. Nothing unbounded moves.
+    """
+    short = ivf_pq_topk(
+        emb_df,
+        query_df,
+        coarse_cents,
+        codebooks,
+        topk=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    cand = emb_df.join(
+        F.broadcast(short), emb_df[id_col] == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", F.col(vec_col).alias("c_vec"))
+    q = F.broadcast(
+        query_df.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("q_vec"))
+    )
+    scored = (
+        cand.join(q, F.col("query_id") == F.col("__qid"))
+        .withColumn(
+            "sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )

@@ -3728,3 +3728,78 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phone",
         F.md5("clean_text").alias("clean_fp"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# IVF-PQ + exact refine (round 4): the full production ANN shape — ADC
+# produces a 20-candidate shortlist per query, true cosine re-ranks only
+# those candidates. Raw vectors are touched for |queries|·shortlist rows
+# via broadcast joins; the corpus-wide search stays pure PQ codes.
+# ===========================================================================
+@register(
+    "ivf_pq_refine_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_coarse_kmeans_ctes(4)},
+    {_pq_cents_ctes(include_vecs=False)},
+    {_pq_codes_cte()},
+    q AS (
+      SELECT v.vec_id AS query_id, v.emb, a.cluster AS q_cluster
+      FROM vecs v JOIN ka3 a USING (vec_id) WHERE v.vec_id < 10
+    ),
+    lut AS (
+      SELECT query_id, q_cluster, ct.s, ct.cid AS c,
+             ROUND((SELECT {_PQ_SQDIST} FROM (
+               SELECT q.emb[ct.s * 32 + 1 : (ct.s + 1) * 32] AS a, ct.emb AS b
+             )), 6) AS pd
+      FROM q CROSS JOIN cents ct
+    ),
+    adc_scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(l.pd), 4) AS adc_dist
+      FROM codes c
+      JOIN ka3 ca ON ca.vec_id = c.vec_id
+      JOIN lut l ON l.s = c.s AND l.c = c.c AND ca.cluster = l.q_cluster
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc_scored
+      ) WHERE rn <= 20
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_dot_product(qv.emb, cv.emb)
+               / (sqrt(list_dot_product(qv.emb, qv.emb))
+                  * sqrt(list_dot_product(cv.emb, cv.emb))), 4) + 0 AS sim
+      FROM short s
+      JOIN vecs qv ON qv.vec_id = s.query_id
+      JOIN vecs cv ON cv.vec_id = s.neighbor_id
+    ),
+    rranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM refined
+    )
+    SELECT query_id, neighbor_id, sim, rank
+    FROM rranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search + exact cosine re-rank of the 20-candidate ADC
+    shortlist (the FAISS refine-index pattern): quantization error decides
+    shortlist membership, never the final ordering. The whole chain —
+    coarse k-means train, PQ train, encode, ADC search, refine — is one
+    oracle-checked query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse = sim.kmeans_fit(emb, k=4, iters=2, round_dp=6)
+    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    out = sim.ivf_pq_refine_topk(emb, queries_df, coarse, cbs, topk=5, shortlist=20)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank")
+    )

@@ -622,3 +622,48 @@ def test_ivf_pq_multiprobe_and_kmeans_probe_assign(spark):
     # vec 4 (x=5.2) is the true nearest neighbor but lives in cluster 1
     assert 4 not in got1
     assert 4 in got2
+
+
+def test_ivf_pq_refine_reranks_with_true_cosine(spark):
+    """The refine step re-ranks the ADC shortlist by TRUE cosine: with the
+    shortlist covering the probed cluster, refine's top-k must equal the
+    brute-force top-k restricted to that cluster — quantization error can
+    no longer reorder the final ranking."""
+    from dataquality_ml_spark.operators.similarity import (
+        ivf_pq_refine_topk,
+        ivf_pq_topk,
+        kmeans_assign,
+        knn_bruteforce,
+        pq_train,
+    )
+
+    # 4-dim vectors, one tight cluster near the origin plus a far cluster;
+    # coarse k=2 with explicit centroids keeps the query in cluster 0
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),   # query
+        (1, [0.9, 0.3, 0.1, 0.0]),
+        (2, [1.0, 0.0, 0.3, 0.1]),
+        (3, [0.8, 0.4, 0.0, 0.2]),
+        (4, [1.1, 0.2, 0.2, 0.0]),
+        (5, [9.0, 8.0, 7.0, 9.0]),
+        (6, [8.0, 9.0, 9.0, 8.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    coarse = [[1.0, 0.2, 0.1, 0.1], [8.5, 8.5, 8.0, 8.5]]
+    cbs = pq_train(df, m=2, k=2, iters=2)
+    q = df.where(F.col("vec_id") == 0)
+
+    refined = ivf_pq_refine_topk(df, q, coarse, cbs, topk=3, shortlist=10).collect()
+    # exact ranking among the query's own cluster members
+    cluster0 = {r["vec_id"] for r in kmeans_assign(df, coarse).collect() if r["cluster"] == 0}
+    bf = [
+        r
+        for r in knn_bruteforce(df, q, k=6).collect()
+        if r["neighbor_id"] in cluster0
+    ][:3]
+    assert [r["neighbor_id"] for r in refined] == [r["neighbor_id"] for r in bf]
+    assert [r["sim"] for r in refined] == [r["sim"] for r in bf]  # true cosine
+    # and the ADC ordering genuinely can differ (2 codewords per subspace
+    # quantize hard) — refine is not a no-op re-sort of the same numbers
+    adc = ivf_pq_topk(df, q, coarse, cbs, topk=3).collect()
+    assert {r["neighbor_id"] for r in adc} <= cluster0
