@@ -442,6 +442,7 @@ def kmeans_fit(
     h = (F.col(id_col).cast("bigint") * F.lit(2654435761)) % F.lit(4294967296)
     init = (
         emb_df.select(F.col(id_col), F.col(vec_col))
+        .where(F.col(vec_col).isNotNull())  # a null vector can't seed a centroid
         .withColumn("_h", h)
         .orderBy("_h", id_col)
         .limit(k)
@@ -575,6 +576,7 @@ def pq_train(
     h = (F.col(id_col).cast("bigint") * F.lit(2654435761)) % F.lit(4294967296)
     init = (
         emb_df.select(F.col(id_col), F.col(vec_col))
+        .where(F.col(vec_col).isNotNull())  # a null vector can't seed a codebook
         .withColumn("_h", h)
         .orderBy("_h", id_col)
         .limit(k)
@@ -603,7 +605,13 @@ def pq_train(
             clusters_rep,
             lambda v, c: F.struct(v.alias("val"), c.alias("cluster")),
         )
-        ex = emb_df.select(F.posexplode_outer(payload).alias("pos", "e"))
+        # cheap null guard BEFORE the generator (plain posexplode would drop
+        # null rows too, but its inferred size()>0 filter re-evaluates the
+        # whole payload expression — the dedup.py 13× trap); matches
+        # kmeans_fit, where plain posexplode drops null vectors
+        ex = emb_df.where(F.col(vec_col).isNotNull()).select(
+            F.posexplode_outer(payload).alias("pos", "e")
+        )
         mean = F.avg(F.col("val").cast("double"))
         if round_dp is not None:
             mean = F.round(mean, round_dp)

@@ -667,3 +667,20 @@ def test_ivf_pq_refine_reranks_with_true_cosine(spark):
     # quantize hard) — refine is not a no-op re-sort of the same numbers
     adc = ivf_pq_topk(df, q, coarse, cbs, topk=3).collect()
     assert {r["neighbor_id"] for r in adc} <= cluster0
+
+
+def test_pq_train_ignores_null_vectors(spark):
+    """A null embedding row must not crash the fused trainer or perturb
+    the codebooks (kmeans_fit's plain posexplode silently drops nulls;
+    the fused path guards explicitly)."""
+    from dataquality_ml_spark.operators.similarity import kmeans_fit, pq_train
+
+    base = [(i, [float(i), 0.0, float(i % 3), 1.0]) for i in range(1, 9)]
+    clean = spark.createDataFrame(base, "vec_id bigint, embedding array<float>")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(99, None)], "vec_id bigint, embedding array<float>")
+    )
+    assert pq_train(dirty, m=2, k=2, iters=2) == pq_train(clean, m=2, k=2, iters=2)
+    # kmeans_fit shares the hash-smallest init: a null row must not be able
+    # to seed (previously a crash when it ranked inside the top-k)
+    assert kmeans_fit(dirty, k=2, iters=1) == kmeans_fit(clean, k=2, iters=1)
