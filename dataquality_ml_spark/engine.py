@@ -108,6 +108,80 @@ class FittedDetector:
         )
 
 
+@dataclass
+class FittedSequenceDetector:
+    """Windowing spec + model + frozen threshold for the sequence-detector
+    lifecycle (the reference's LSTM_AE.py / LSTM_VAE.py apps, M8/M9/M14):
+    unlike the reference, which keeps the window length implicit in the
+    script and the threshold in a loose .txt, the artifact carries the
+    full window definition so scoring can NEVER silently window
+    differently than the fit did."""
+
+    key: str
+    order: str
+    features: list[str]
+    timesteps: int
+    tiebreak: str | None
+    model: object
+    threshold: float
+    threshold_q: float
+
+    def save(self, path: str) -> None:
+        import json
+
+        from dataquality_ml_spark.ml.keras_adapter import KerasLSTMAE, KerasLSTMVAE
+
+        if isinstance(self.model, det.PCAAutoencoder):
+            kind, blob = "pca", self.model.to_json()
+        elif isinstance(self.model, KerasLSTMVAE):
+            kind, blob = "keras_lstm_vae", self.model.to_json()
+        elif isinstance(self.model, KerasLSTMAE):
+            kind, blob = "keras_lstm", self.model.to_json()
+        else:
+            raise TypeError(f"unsupported sequence model: {type(self.model)}")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "key": self.key,
+                    "order": self.order,
+                    "features": self.features,
+                    "timesteps": self.timesteps,
+                    "tiebreak": self.tiebreak,
+                    "model_kind": kind,
+                    "model": blob,
+                    "threshold": self.threshold,
+                    "threshold_q": self.threshold_q,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "FittedSequenceDetector":
+        import json
+
+        from dataquality_ml_spark.ml.keras_adapter import KerasLSTMAE, KerasLSTMVAE
+
+        with open(path) as f:
+            d = json.load(f)
+        model: object
+        if d["model_kind"] == "pca":
+            model = det.PCAAutoencoder.from_json(d["model"])
+        elif d["model_kind"] == "keras_lstm_vae":
+            model = KerasLSTMVAE.from_json(d["model"])
+        else:
+            model = KerasLSTMAE.from_json(d["model"])
+        return cls(
+            key=d["key"],
+            order=d["order"],
+            features=d["features"],
+            timesteps=d["timesteps"],
+            tiebreak=d["tiebreak"],
+            model=model,
+            threshold=d["threshold"],
+            threshold_q=d["threshold_q"],
+        )
+
+
 class DQEngine:
     def __init__(self, spark: SparkSession | None = None):
         from dataquality_ml_spark.session import get_spark
@@ -179,6 +253,105 @@ class DQEngine:
         distributed, flag against the frozen threshold."""
         transformed = feat.apply_features(df, fitted.features)
         scored = det.score_distributed(transformed, fitted.model)
+        return th.flag_anomalies(scored, "score", fitted.threshold)
+
+    # -- sequence detectors (reference LSTM_AE.py / LSTM_VAE.py lifecycle) -
+    def _windowed(
+        self, df: DataFrame, key: str, order: str, features: list[str],
+        timesteps: int, tiebreak: str | None,
+    ) -> DataFrame:
+        """Per-key ordered windows flattened to (n, T·f) rows — row-major
+        (timestep-contiguous), the layout every sequence scorer expects
+        (KerasLSTMAE/VAE reshape to (n, T, f) internally)."""
+        from dataquality_ml_spark.operators import sequences as seq_ops
+
+        seqs = seq_ops.sequences(
+            df, key, order, features if len(features) > 1 else features[0],
+            n=timesteps, out="__seq", tiebreak=tiebreak,
+        )
+        if len(features) > 1:
+            flat = F.flatten(
+                F.transform(
+                    "__seq", lambda s: F.array(*[s.getField(c) for c in features])
+                )
+            )
+        else:
+            flat = F.col("__seq")
+        keep = [key, order] + ([tiebreak] if tiebreak else [])
+        return seqs.select(*keep, flat.cast("array<double>").alias("features"))
+
+    def fit_sequence_detector(
+        self,
+        train_df: DataFrame,
+        key: str,
+        order: str,
+        features: list[str] | str,
+        timesteps: int = 20,
+        label: str = "failure",
+        detector: str = "pca",
+        n_components: int = 4,
+        threshold_q: float = 0.95,
+        sample_rows: int = 30_000,
+        tiebreak: str | None = None,
+    ) -> FittedSequenceDetector:
+        """The reference's sequence-model lifecycle as one call: per-key
+        ordered windows over the normal slice (W1 — the documented fix of
+        the reference's unkeyed driver-side create_sequences), detector
+        fit on a bounded window sample, threshold = P-``threshold_q`` of
+        TRAIN reconstruction errors (LSTM_VAE.py:633-635). ``detector``:
+        "pca" (the closed-form stand-in), "lstm_ae" / "lstm_vae" (real
+        keras when importable, PCA fallback otherwise — ml.keras_adapter).
+        """
+        feats = [features] if isinstance(features, str) else list(features)
+        normal = (
+            train_df.where(F.col(label) == F.lit(0))
+            if label in train_df.columns
+            else train_df
+        )
+        seqs = self._windowed(normal, key, order, feats, timesteps, tiebreak).cache()
+        x = det.collect_feature_sample(seqs, max_rows=sample_rows)
+        if detector == "pca":
+            model: object = det.PCAAutoencoder.fit(x, n_components=n_components)
+        elif detector in ("lstm_ae", "lstm_vae"):
+            from dataquality_ml_spark.ml.keras_adapter import (
+                build_sequence_autoencoder,
+            )
+
+            x3 = x.reshape(len(x), timesteps, len(feats))
+            model = build_sequence_autoencoder(
+                x3,
+                n_components=n_components,
+                backend="auto",
+                variational=detector == "lstm_vae",
+            )
+        else:
+            raise ValueError(f"unknown sequence detector: {detector}")
+        scored = det.score_distributed(seqs, model).select("score")
+        t = th.percentile_threshold(scored, "score", threshold_q, exact=False)
+        seqs.unpersist()
+        return FittedSequenceDetector(
+            key=key,
+            order=order,
+            features=feats,
+            timesteps=timesteps,
+            tiebreak=tiebreak,
+            model=model,
+            threshold=float(t),
+            threshold_q=threshold_q,
+        )
+
+    def score_sequences(
+        self, df: DataFrame, fitted: FittedSequenceDetector
+    ) -> DataFrame:
+        """Window with the ARTIFACT's spec (never the caller's — no silent
+        drift), score distributed, flag against the frozen threshold.
+        Output keeps (key, order[, tiebreak]) so scores join back by key,
+        not position (the W2 fix of the reference's positional padding)."""
+        seqs = self._windowed(
+            df, fitted.key, fitted.order, fitted.features,
+            fitted.timesteps, fitted.tiebreak,
+        )
+        scored = det.score_distributed(seqs, fitted.model).drop("features")
         return th.flag_anomalies(scored, "score", fitted.threshold)
 
     # -- evaluation --------------------------------------------------------

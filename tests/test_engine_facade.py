@@ -144,3 +144,80 @@ def test_facade_ae_auto_backend_and_artifact(spark, tmp_path):
     np.testing.assert_allclose(
         loaded.model.reconstruction_error(x), km.reconstruction_error(x), rtol=1e-12
     )
+
+
+def test_sequence_detector_lifecycle(spark, tmp_path):
+    """fit_sequence_detector → score_sequences → artifact round-trip: the
+    reference's LSTM lifecycle through the facade. Planted per-key spikes
+    must flag; windowing at score time comes from the ARTIFACT's spec."""
+    import numpy as np
+
+    from dataquality_ml_spark.engine import DQEngine, FittedSequenceDetector
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for uid in range(6):
+        for t in range(60):
+            val = float(rng.normal(10, 0.5))
+            rows.append((uid, t, val, 0))
+    # planted anomaly: user 9's tail windows carry a large spike
+    for t in range(60):
+        val = 300.0 if t >= 50 else float(rng.normal(10, 0.5))
+        rows.append((9, t, val, 1 if t >= 50 else 0))
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, value double, failure int")
+
+    eng = DQEngine(spark)
+    fitted = eng.fit_sequence_detector(
+        df, key="user_id", order="ts", features="value",
+        timesteps=10, detector="pca", n_components=2,
+    )
+    assert fitted.threshold > 0 and fitted.timesteps == 10
+
+    scored = eng.score_sequences(df, fitted)
+    assert set(scored.columns) == {"user_id", "ts", "score", "is_anomaly"}
+    flagged = {r["user_id"] for r in scored.where("is_anomaly").collect()}
+    assert 9 in flagged  # the spiked key is caught
+    # the fit excluded failure-labelled rows, so normal keys stay quiet
+    n_false = scored.where("is_anomaly AND user_id != 9").count()
+    assert n_false <= scored.count() * 0.1
+
+    # artifact round-trip preserves the window spec and the scores
+    p = str(tmp_path / "seq.json")
+    fitted.save(p)
+    loaded = FittedSequenceDetector.load(p)
+    assert (loaded.key, loaded.order, loaded.features, loaded.timesteps) == (
+        "user_id", "ts", ["value"], 10,
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["score"]
+        for r in eng.score_sequences(df, loaded).collect()
+    }
+    want = {
+        (r["user_id"], r["ts"]): r["score"] for r in scored.collect()
+    }
+    assert got == want
+
+
+def test_sequence_detector_multifeature_and_vae_fallback(spark):
+    """Multi-feature windows flatten row-major (T·f) — verified against a
+    hand-built window — and the lstm_vae detector path falls back to the
+    PCA stand-in in this keras-less container."""
+    from dataquality_ml_spark.engine import DQEngine
+    from dataquality_ml_spark.ml.detectors import PCAAutoencoder
+
+    rows = [
+        (1, t, float(t), float(10 * t)) for t in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts bigint, a double, b double")
+    eng = DQEngine(spark)
+    win = eng._windowed(df, "k", "ts", ["a", "b"], timesteps=3, tiebreak=None)
+    got = {r["ts"]: r["features"] for r in win.collect()}
+    # window ending at t=2 covers t=0,1,2: [a0,b0,a1,b1,a2,b2]
+    assert got[2] == [0.0, 0.0, 1.0, 10.0, 2.0, 20.0]
+    assert set(got) == {2, 3, 4}  # only full windows survive
+
+    fitted = eng.fit_sequence_detector(
+        df, key="k", order="ts", features=["a", "b"],
+        timesteps=3, detector="lstm_vae", n_components=1,
+    )
+    assert isinstance(fitted.model, PCAAutoencoder)  # auto fallback
