@@ -689,6 +689,13 @@ def pq_adc_topk(
     broadcast-joins the LUT; one groupBy(query, neighbor) sums the m
     partials. The raw corpus vectors are never touched at search time,
     which is the entire point of PQ at 100 TB.
+
+    Guard (VERDICT r3): the broadcast LUT is |queries|·m·k rows — bounded
+    by the QUERY set, never the corpus. Keep query batches to what a
+    broadcast holds (~10M rows at production m=16, k=256 is ~2.4k
+    queries/GB); for larger query volumes, chunk the query set and union
+    the per-chunk results rather than letting one LUT exceed the
+    broadcast threshold.
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
