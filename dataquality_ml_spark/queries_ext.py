@@ -2097,3 +2097,82 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-bucketed sampling (round 4): score every doc by
+# mean unigram log-prob under the corpus's own distribution, cut the corpus
+# into head/middle/tail terciles (Wenzek et al. 2020's quality buckets,
+# model-free variant), and draw a deterministic per-bucket quota sample —
+# the standard recipe for building a quality-stratified training mix.
+# ---------------------------------------------------------------------------
+from dataquality_ml_spark.operators import relational as rel  # noqa: E402
+from dataquality_ml_spark.queries import _TOKS_CTE  # noqa: E402
+
+
+@register(
+    "perplexity_bucket_sample",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS tf FROM tk GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS total FROM cnt),
+    v AS (SELECT tok, ln(tf / CAST(total AS DOUBLE)) AS logp FROM cnt, tot),
+    lp AS (
+      SELECT doc_id, ROUND(AVG(logp), 4) AS mean_logprob
+      FROM tk JOIN v USING (tok) GROUP BY doc_id
+    ),
+    th AS (
+      SELECT
+        ROUND(percentile_cont(0.3333333333333333) WITHIN GROUP (ORDER BY mean_logprob), 6) AS t1,
+        ROUND(percentile_cont(0.6666666666666666) WITHIN GROUP (ORDER BY mean_logprob), 6) AS t2
+      FROM lp
+    ),
+    b AS (
+      SELECT doc_id, mean_logprob,
+        CASE WHEN mean_logprob <= t1 THEN 'tail'
+             WHEN mean_logprob <= t2 THEN 'middle'
+             ELSE 'head' END AS bucket
+      FROM lp, th
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY bucket
+        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INTEGER) AS sample_rank
+      FROM b
+    )
+    SELECT doc_id, bucket, mean_logprob, sample_rank
+    FROM r WHERE sample_rank <= 50
+    ORDER BY bucket, doc_id
+    """,
+)
+def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus sampling: unigram log-prob score (the
+    model-free perplexity), tercile thresholds from ONE percentile agg
+    (rounded 6 dp so the bucket comparison is engine-portable), bucket by
+    broadcast-scalar comparison (narrow scan, no shuffle), then the
+    hash-cutoff quota sampler draws 50 docs per bucket without a
+    corpus-wide window — at 100 TB only ~margin·n candidates per bucket
+    ever reach the rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    lp = tx.unigram_logprob(docs).select("doc_id", "mean_logprob")
+    [trow] = lp.agg(
+        F.expr(
+            "percentile(mean_logprob, array(0.3333333333333333, 0.6666666666666666))"
+        ).alias("qs")
+    ).collect()
+    t1, t2 = (round(q, 6) for q in trow["qs"])
+    b = lp.withColumn(
+        "bucket",
+        F.when(F.col("mean_logprob") <= F.lit(t1), "tail")
+        .when(F.col("mean_logprob") <= F.lit(t2), "middle")
+        .otherwise("head"),
+    )
+    return (
+        rel.quota_sample(b, "bucket", "doc_id", n_per_group=50)
+        .select(
+            "doc_id", "bucket", "mean_logprob",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+        .orderBy("bucket", "doc_id")
+    )

@@ -177,3 +177,107 @@ def ew_anomaly_stream_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful sliding-window sequence scoring (round 4): the streaming face of
+# the engine's sequence-detector lifecycle (engine.FittedSequenceDetector).
+# ---------------------------------------------------------------------------
+from pyspark.sql.types import ArrayType, BooleanType  # noqa: E402
+
+SEQ_STATE_SCHEMA = StructType(
+    [
+        # rolling buffer of the last (timesteps-1) rows, row-major flattened
+        # — the ONLY state a sliding window needs, O(T·f) per key
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+SEQ_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("order_key", LongType()),
+        StructField("score", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+
+def make_sequence_scorer_fn(model, threshold: float, timesteps: int, feature_cols, order_col: str):
+    """Per-group update closure: carry the last T−1 rows across micro-
+    batches, score every row that completes a T-row window (windows that
+    SPAN batch boundaries score identically to the batch operator — that
+    continuity is the whole point of the state), trim, persist.
+
+    All eligible windows of a batch score in ONE ``reconstruction_error``
+    call (stacked matrix), so the model cost per micro-batch is one
+    vectorized pass, not per-row Python.
+    """
+    import numpy as np
+
+    n_f = len(feature_cols)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((buf,))
+            return
+        batch = pd.concat(frames).sort_values(order_col)
+        flat = batch[list(feature_cols)].to_numpy(dtype=float).reshape(-1)
+        n_prev = len(buf) // n_f
+        allv = np.concatenate([np.asarray(buf, dtype=float), flat])
+        orders = batch[order_col].to_numpy()
+        m = len(orders)
+        # batch row j sits at global row n_prev + j; a full window needs
+        # T rows ending there
+        eligible = [j for j in range(m) if n_prev + j + 1 >= timesteps]
+        if eligible:
+            wins = np.stack(
+                [
+                    allv[(n_prev + j + 1 - timesteps) * n_f : (n_prev + j + 1) * n_f]
+                    for j in eligible
+                ]
+            )
+            scores = model.reconstruction_error(wins)
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(eligible),
+                    "order_key": [int(orders[j]) for j in eligible],
+                    "score": scores,
+                    "is_anomaly": scores > threshold,
+                }
+            )
+        keep = allv[max(0, (n_prev + m - (timesteps - 1))) * n_f :]
+        state.update((keep.tolist(),))
+
+    return update
+
+
+def sequence_score_stream(stream_df: DataFrame, fitted) -> DataFrame:
+    """Score a stream with a batch-fitted sequence detector
+    (``engine.FittedSequenceDetector`` — duck-typed to avoid a circular
+    import): one shuffle on the artifact's key, per-key GroupState of the
+    last T−1 feature rows, frozen batch threshold. Windows spanning
+    micro-batch boundaries score EXACTLY like the batch operator.
+
+    Assumes per-key monotone arrival in ``fitted.order`` (file/offset
+    ordered sources); late data needs an upstream watermark + sort per
+    micro-batch, same caveat as the reference's order-free windowing —
+    documented, not silently mis-scored, since the order key is emitted
+    with every score. Keys and order columns are emitted as ``long``.
+    """
+    fn = make_sequence_scorer_fn(
+        fitted.model,
+        fitted.threshold,
+        fitted.timesteps,
+        fitted.features,
+        fitted.order,
+    )
+    return stream_df.groupBy(fitted.key).applyInPandasWithState(
+        fn,
+        outputStructType=SEQ_OUTPUT_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -413,3 +413,65 @@ def test_bloom_dedup_stream_evolving_state(spark, tmp_path):
     # accepted "new doc one" (cross-micro-batch state!); 21 is new
     assert sorted(accepted) == [11, 13, 21]
     assert get_bloom().fill_ratio > bloom0.fill_ratio  # state evolved
+
+
+def test_sequence_score_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """Round 4: the stateful sliding-window scorer must produce EXACTLY the
+    batch operator's scores — including windows that span micro-batch
+    boundaries (file 2's early rows need file 1's tail rows from state) —
+    and flag the planted spike against the frozen batch threshold."""
+    import numpy as np
+
+    from dataquality_ml_spark.engine import DQEngine
+    from dataquality_ml_spark.streaming.stateful import sequence_score_stream
+
+    rng = np.random.default_rng(29)
+    schema = "user_id long, ts long, value double"
+    all_rows = []
+    for uid in (1, 2):
+        for t in range(60):
+            v = 400.0 if (uid == 2 and t == 45) else float(rng.normal(5, 0.3))
+            all_rows.append((uid, t, v))
+    df = spark.createDataFrame(all_rows, schema)
+
+    eng = DQEngine(spark)
+    fitted = eng.fit_sequence_detector(
+        df.where("ts < 40"), key="user_id", order="ts", features="value",
+        timesteps=8, detector="pca", n_components=2,
+    )
+    batch_scores = {
+        (r["user_id"], r["ts"]): (r["score"], r["is_anomaly"])
+        for r in eng.score_sequences(df, fitted).collect()
+    }
+
+    src = str(tmp_path / "seq_src")
+    spark.createDataFrame(
+        [r for r in all_rows if r[1] < 30], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [r for r in all_rows if r[1] >= 30], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out: list = []
+    q = (
+        sequence_score_stream(stream, fitted)
+        .writeStream.foreachBatch(
+            lambda bdf, _id: out.extend(r.asDict() for r in bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "seq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["key"], r["order_key"]): (r["score"], r["is_anomaly"]) for r in out}
+    assert set(got) == set(batch_scores)  # same windows, incl. boundary-spanning
+    for k, (s, flag) in batch_scores.items():
+        assert got[k][0] == pytest.approx(s, rel=1e-9), k
+        assert got[k][1] == flag, k
+    # windows containing the spike flag; ts 30..37 windows REQUIRED state
+    assert any(k == 2 and flag for (k, t), (_, flag) in got.items())
+    assert (1, 30) in got and (1, 37) in got
