@@ -564,3 +564,87 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= F.lit(k))
         .orderBy("id_a", "id_b")
     )
+
+
+# ===========================================================================
+# Sub-document (span / line / paragraph) exact dedup
+# ===========================================================================
+
+
+def dedup_spans(
+    chunks: DataFrame,
+    span_col: str = "chunk_text",
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_idx",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Sub-document exact dedup — the line/paragraph-level pass of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    and the CCNet/RefinedWeb line-dedup rule, over any pre-split span
+    frame: newline paragraphs for real corpora, ``text.chunk_documents``
+    token windows for unstructured streams (use ``overlap=0`` — spans must
+    tile the doc or reconstruction double-counts).
+
+    A span occurrence is a duplicate candidate when its exact text occurs
+    ``>= min_count`` times corpus-wide. Policy: with ``keep_first`` the
+    global first occurrence (smallest ``(doc_id, pos)``) survives and every
+    later copy is dropped (Lee et al.: keep one); without it every copy of
+    a repeated span is dropped (Gopher/RefinedWeb: repeated boilerplate is
+    noise — remove it everywhere).
+
+    Scale shape: ONE shuffle, on a 60-bit hash of the span text (narrow
+    8-byte key, not the string). Both the corpus-wide count and the
+    first-occurrence rank are window functions over that same hash
+    partitioning, so they share a single sort — no self-join of the chunk
+    table against a stats table, no second shuffle. Span text is assumed
+    pre-normalized (``chunk_documents`` emits normalized tokens).
+
+    Output: one row per input span with ``span_count`` and the ``kept``
+    decision — feed to ``reconstruct_spans`` to fold back into documents.
+    """
+    from pyspark.sql import Window
+
+    marked = chunks.withColumn("_span_h", portable_hash60(F.col(span_col)))
+    part = Window.partitionBy("_span_h")
+    first = Window.partitionBy("_span_h").orderBy(id_col, pos_col)
+    count = F.count(F.lit(1)).over(part)
+    rank = F.row_number().over(first)
+    kept = (count < F.lit(min_count)) | (
+        (F.lit(keep_first)) & (rank == F.lit(1))
+    )
+    return marked.select(
+        id_col,
+        pos_col,
+        span_col,
+        count.alias("span_count"),
+        kept.alias("kept"),
+    )
+
+
+def reconstruct_spans(
+    marked: DataFrame,
+    span_col: str = "chunk_text",
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_idx",
+    sep: str = " ",
+) -> DataFrame:
+    """Fold a ``dedup_spans`` decision frame back into one row per
+    document: surviving spans re-joined in position order plus removal
+    counts. One groupBy on the doc id (map-side combine applies; the
+    collect_list is bounded by the document's own span count, never the
+    corpus)."""
+    kept_span = F.when(
+        F.col("kept"),
+        F.struct(F.col(pos_col).alias("p"), F.col(span_col).alias("s")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_span)), lambda x: x["s"]
+            ),
+        ).alias("clean_text"),
+    )

