@@ -487,7 +487,8 @@ def kmeans_assign(
     carries the vector through (the fit loop's centroid update reads it
     directly instead of joining back on the id)."""
     dists = [_sq_dist(F.col(vec_col), c) for c in cents]
-    best = F.least(*dists)
+    # F.least requires >= 2 columns; a single centroid is trivially best
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
     cluster = F.lit(len(cents) - 1)
     for j in range(len(cents) - 2, -1, -1):
         cluster = F.when(dists[j] == best, F.lit(j)).otherwise(cluster)
@@ -887,4 +888,59 @@ def ivf_pq_refine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .orderBy("query_id", "rank")
+    )
+
+
+def semdedup(
+    emb_df: DataFrame,
+    cents: list[list[float]],
+    tau: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster with k-means, then
+    prune within each cluster every vector whose cosine similarity to a
+    retained clustermate reaches ``tau``.
+
+    Two documented deviations from the paper, both for determinism and
+    oracle-checkability:
+    - keep choice: the paper retains the member with the LOWEST similarity
+      to the centroid; we retain the lowest id. Any deterministic
+      representative satisfies the dedup contract.
+    - grouping: a one-pass witness rule — x is removed iff SOME y < x in
+      its cluster has cos(x, y) >= tau — rather than the transitive
+      closure, so a chain a~b~c with a!~c drops both b and c. For
+      closure-grouped resolution compose ``cluster_pair_sims`` with
+      ``graph.connected_components`` + ``graph.dedup_clusters`` instead.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid scan;
+    pairs come from ``cluster_pair_sims`` (one shuffle keyed by cluster,
+    one GEMM per cluster, pair space never materializes as rows below
+    ``tau``); the witness agg and the final left join are keyed by the
+    vector id. At web scale k grows with the corpus (the paper uses 50k
+    clusters) precisely so each GEMM stays task-sized — k is the knob,
+    the plan shape is unchanged. Null vectors pass through kept (they
+    carry no semantics to compare).
+
+    Output: one row per input vector — (id, cluster, kept, dup_of) where
+    ``dup_of`` is the smallest witness id that evicted it (null if kept).
+    """
+    assign = kmeans_assign(emb_df, cents, id_col, vec_col, keep_vec=True)
+    members = assign.where(F.col(vec_col).isNotNull())
+    pairs = cluster_pair_sims(
+        members, threshold=tau, cluster_col="cluster",
+        id_col=id_col, vec_col=vec_col,
+    )
+    witness = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        assign.select(id_col, "cluster")
+        .join(witness.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
     )

@@ -3084,6 +3084,16 @@ def _kmeans_oracle(k: int = 4) -> str:
     vectors) -> assign -> recompute means -> assign -> recompute -> final
     assignment. Mirrors kmeans_fit(iters=2) + kmeans_assign exactly."""
 
+    return f"""
+    WITH {_kmeans_cte(k)}
+    SELECT vec_id, cluster FROM a3 ORDER BY vec_id
+    """
+
+
+def _kmeans_cte(k: int) -> str:
+    """The unrolled-kmeans CTE chain alone (vecs .. a3), shared by every
+    oracle that builds on the deterministic cluster assignment."""
+
     def assign(src_vecs: str, cents: str, out: str) -> str:
         return f"""
     {out} AS (
@@ -3109,8 +3119,7 @@ def _kmeans_oracle(k: int = 4) -> str:
       ) GROUP BY cid
     )"""
 
-    return f"""
-    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    return f"""vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     init AS (
       SELECT emb, rk - 1 AS cid FROM (
         SELECT emb, ROW_NUMBER() OVER (
@@ -3122,9 +3131,7 @@ def _kmeans_oracle(k: int = 4) -> str:
     {update("a1", "c1")},
     {assign("vecs", "c1", "a2")},
     {update("a2", "c2")},
-    {assign("vecs", "c2", "a3")}
-    SELECT vec_id, cluster FROM a3 ORDER BY vec_id
-    """
+    {assign("vecs", "c2", "a3")}"""
 
 
 @register("kmeans_clusters", oracle=_kmeans_oracle(4))

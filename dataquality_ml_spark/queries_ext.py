@@ -2219,3 +2219,44 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), chunk=3, overlap=0
     )
     return reconstruct_spans(dedup_spans(chunks)).orderBy("doc_id")
+
+
+from dataquality_ml_spark.queries import _kmeans_cte  # noqa: E402
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=f"""
+    WITH {_kmeans_cte(4)},
+    members AS (
+      SELECT v.vec_id, v.emb, sqrt(list_dot_product(v.emb, v.emb)) AS nrm,
+             a.cluster
+      FROM vecs v JOIN a3 a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) + 0 AS cs
+      FROM members a JOIN members b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    w AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of
+      FROM pairs WHERE cs >= 0.25 GROUP BY id_b
+    )
+    SELECT m.vec_id, m.cluster, (w.dup_of IS NULL) AS kept, w.dup_of
+    FROM members m LEFT JOIN w USING (vec_id)
+    ORDER BY m.vec_id
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic k-means clustering
+    (k=4, 2 Lloyd iterations) then within-cluster cosine pruning at
+    tau=0.25 under the lowest-id witness rule — per-vector keep/evict
+    decisions with the evicting witness. The pair space exists only
+    inside the per-cluster GEMM; below-threshold pairs never become
+    rows."""
+    from dataquality_ml_spark.operators import similarity as sim_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
+    return sim_ops.semdedup(emb, cents, tau=0.25).orderBy("vec_id")

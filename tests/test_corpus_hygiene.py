@@ -750,3 +750,67 @@ def test_reconstruct_spans_orders_and_counts(spark):
     assert out[3]["clean_text"] == ""           # every span was a later copy
     assert out[3]["n_spans"] == 2 and out[3]["n_removed"] == 2
     assert out[2]["n_removed"] == 1
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (embedding-cluster semantic dedup)
+# ---------------------------------------------------------------------------
+def test_semdedup_planted_duplicates(spark):
+    from dataquality_ml_spark.operators.similarity import semdedup
+
+    # two well-separated clusters; ids 1,2 are near-identical, 3 is distinct
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # semantic dup of 1
+            (3, [0.6, 0.8]),      # same half-space, below tau=0.95
+            (4, [-1.0, 0.0]),
+            (5, [-0.999, -0.02]), # semantic dup of 4
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = {r["vec_id"]: r for r in semdedup(df, cents, tau=0.95).collect()}
+    assert rows[1]["kept"] and rows[1]["dup_of"] is None
+    assert not rows[2]["kept"] and rows[2]["dup_of"] == 1
+    assert rows[3]["kept"]            # similar direction but below tau
+    assert rows[4]["kept"]
+    assert not rows[5]["kept"] and rows[5]["dup_of"] == 4
+    # clusters never mix: 2's witness is 1, never the opposite-cluster 4
+    assert rows[2]["cluster"] != rows[4]["cluster"]
+
+
+def test_semdedup_witness_rule_chain(spark):
+    """Documented one-pass semantics: in a chain a~b~c (a!~c), BOTH b and
+    c are evicted — c's witness is b even though b itself is evicted."""
+    import math
+
+    from dataquality_ml_spark.operators.similarity import semdedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # cos(20deg)=0.94 > tau, cos(40deg)=0.766 < tau
+    df = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(20)), (3, unit(40))],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r for r in semdedup(df, [unit(20)], tau=0.9).collect()
+    }
+    assert rows[1]["kept"]
+    assert not rows[2]["kept"] and rows[2]["dup_of"] == 1
+    assert not rows[3]["kept"] and rows[3]["dup_of"] == 2
+
+
+def test_semdedup_null_vector_kept(spark):
+    from dataquality_ml_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in semdedup(df, [[1.0, 0.0]], tau=0.9).collect()}
+    assert rows[3]["kept"] and rows[3]["dup_of"] is None
+    assert not rows[2]["kept"]
