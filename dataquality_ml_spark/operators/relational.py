@@ -210,3 +210,45 @@ def quota_sample(
         .drop("_h", "_cut")
         .withColumnRenamed("_rn", "sample_rank")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the split is a deterministic
+    hash of the GROUP key, so every member of a group — in practice a
+    near-duplicate cluster from `graph.dedup_clusters` — lands in the same
+    split. Splitting on the row id instead is the classic evaluation leak:
+    a test document's near-duplicate sits in train and the held-out loss
+    silently measures memorization.
+
+    ``splits`` maps name -> fraction (must sum to ~1); assignment takes
+    cumulative intervals over u = md5-hash(salt|group)/2^32, so it is
+    engine-portable, independent of partitioning, and STABLE UNDER CORPUS
+    GROWTH — a group's split never changes when other groups appear,
+    which is what makes the held-out set durable across corpus versions.
+    Narrow scan, zero shuffle, no UDF.
+    """
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = portable_hash32(
+        F.concat(F.lit(salt + "|"), F.col(group_col).cast("string"))
+    ) / F.lit(float(_MOD))
+    names = list(splits)
+    expr = F.lit(names[-1])  # last bucket takes the remainder exactly
+    acc = 0.0
+    conds = []
+    for name in names[:-1]:
+        acc += splits[name]
+        conds.append((name, acc))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

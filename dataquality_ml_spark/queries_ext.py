@@ -2260,3 +2260,75 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
     return sim_ops.semdedup(emb, cents, tau=0.25).orderBy("vec_id")
+
+
+@register(
+    "leakage_safe_split_docs",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_SH_CTE},
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY node),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(c.keep_id, d.doc_id) AS keep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    u AS (
+      SELECT doc_id, keep_id,
+        CAST('0x' || substr(md5('split|' || CAST(keep_id AS VARCHAR)), 1, 8)
+             AS BIGINT) / 4294967296.0 AS uu
+      FROM alldocs
+    )
+    SELECT doc_id, keep_id,
+           CASE WHEN uu < 0.8 THEN 'train'
+                WHEN uu < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u ORDER BY doc_id
+    """,
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split: near-dup clusters (n-gram Jaccard pairs
+    -> connected components) define the split unit, so a test document can
+    never have a near-duplicate in train. Unpaired docs are their own
+    cluster; the 80/10/10 assignment hashes the cluster representative —
+    stable under corpus growth, zero-shuffle once clusters exist."""
+    from dataquality_ml_spark.operators import dedup as dd
+    from dataquality_ml_spark.operators import graph as gr
+    from dataquality_ml_spark.operators.relational import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    clusters = gr.dedup_clusters(pairs).select("doc_id", "keep_id")
+    grouped = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("keep_id"), F.col("doc_id")).alias("keep_id"),
+        )
+    )
+    return leakage_safe_split(grouped, "keep_id").orderBy("doc_id")

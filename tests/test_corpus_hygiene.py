@@ -814,3 +814,47 @@ def test_semdedup_null_vector_kept(spark):
     rows = {r["vec_id"]: r for r in semdedup(df, [[1.0, 0.0]], tau=0.9).collect()}
     assert rows[3]["kept"] and rows[3]["dup_of"] is None
     assert not rows[2]["kept"]
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split
+# ---------------------------------------------------------------------------
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from dataquality_ml_spark.operators.relational import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "doc_id long, keep_id long"
+    )
+    out = leakage_safe_split(df, "keep_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["keep_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_stable_under_growth(spark):
+    """A group's split never changes when other groups are added."""
+    from dataquality_ml_spark.operators.relational import leakage_safe_split
+
+    small = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, keep_id long")
+    big = spark.createDataFrame(
+        [(1, 10), (2, 20)] + [(i, i * 100) for i in range(3, 50)],
+        "doc_id long, keep_id long",
+    )
+    s1 = {r["keep_id"]: r["split"] for r in leakage_safe_split(small, "keep_id").collect()}
+    s2 = {r["keep_id"]: r["split"] for r in leakage_safe_split(big, "keep_id").collect()}
+    assert s1 == {k: s2[k] for k in s1}
+
+
+def test_leakage_safe_split_custom_fractions_and_validation(spark):
+    import pytest as _pytest
+
+    from dataquality_ml_spark.operators.relational import leakage_safe_split
+
+    df = spark.createDataFrame([(i, i) for i in range(200)], "doc_id long, keep_id long")
+    out = leakage_safe_split(df, "keep_id", {"train": 0.5, "test": 0.5}).collect()
+    frac = sum(r["split"] == "train" for r in out) / len(out)
+    assert 0.35 < frac < 0.65
+    with _pytest.raises(ValueError):
+        leakage_safe_split(df, "keep_id", {"train": 0.5, "test": 0.2})
