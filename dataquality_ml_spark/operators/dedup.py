@@ -593,31 +593,41 @@ def dedup_spans(
     a repeated span is dropped (Gopher/RefinedWeb: repeated boilerplate is
     noise — remove it everywhere).
 
-    Scale shape: ONE shuffle, on a 60-bit hash of the span text (narrow
-    8-byte key, not the string). Both the corpus-wide count and the
-    first-occurrence rank are window functions over that same hash
-    partitioning, so they share a single sort — no self-join of the chunk
-    table against a stats table, no second shuffle. Span text is assumed
-    pre-normalized (``chunk_documents`` emits normalized tokens).
+    Scale shape — skew first: the spans this operator exists to remove
+    are boilerplate, i.e. the corpus's HOTTEST keys (a cookie banner can
+    occur billions of times at 100 TB). So the decision must never sort
+    one span's occurrences in one task — a `row_number() over (partition
+    by span)` window does exactly that, and AQE cannot split window
+    partitions (skew handling applies to sort-merge joins only). Instead:
+    both the corpus-wide count and the global first occurrence are
+    ALGEBRAIC aggregates (count, min of a (doc, pos) struct) over a
+    60-bit hash of the span text, so map-side partial aggregation
+    collapses the hot key to one row per task before the shuffle; the
+    stats then join back to the span table on the narrow 8-byte hash,
+    where AQE's skew-join split handles the hot span's probe rows. Span
+    text is assumed pre-normalized (``chunk_documents`` emits normalized
+    tokens).
 
     Output: one row per input span with ``span_count`` and the ``kept``
     decision — feed to ``reconstruct_spans`` to fold back into documents.
     """
-    from pyspark.sql import Window
-
     marked = chunks.withColumn("_span_h", portable_hash60(F.col(span_col)))
-    part = Window.partitionBy("_span_h")
-    first = Window.partitionBy("_span_h").orderBy(id_col, pos_col)
-    count = F.count(F.lit(1)).over(part)
-    rank = F.row_number().over(first)
-    kept = (count < F.lit(min_count)) | (
-        (F.lit(keep_first)) & (rank == F.lit(1))
+    stats = marked.groupBy("_span_h").agg(
+        F.count(F.lit(1)).alias("span_count"),
+        F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("_first"),
     )
-    return marked.select(
+    joined = marked.join(stats, "_span_h")
+    is_first = (F.col(id_col) == F.col("_first")[id_col]) & (
+        F.col(pos_col) == F.col("_first")[pos_col]
+    )
+    kept = (F.col("span_count") < F.lit(min_count)) | (
+        F.lit(keep_first) & is_first
+    )
+    return joined.select(
         id_col,
         pos_col,
         span_col,
-        count.alias("span_count"),
+        F.col("span_count"),
         kept.alias("kept"),
     )
 

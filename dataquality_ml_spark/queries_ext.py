@@ -2155,7 +2155,15 @@ def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide window — at 100 TB only ~margin·n candidates per bucket
     ever reach the rank window."""
     docs = _t(spark, sf_dir, "documents")
-    lp = tx.unigram_logprob(docs).select("doc_id", "mean_logprob")
+    # localCheckpoint: the logprob scan (token explode + vocab join) feeds
+    # both the threshold agg and the bucketed sample — materialize it once
+    # instead of paying the explode+join twice (same RDD-owned-block
+    # rationale as simhash_hamming_pairs; ~2x at sf0.1)
+    lp = (
+        tx.unigram_logprob(docs)
+        .select("doc_id", "mean_logprob")
+        .localCheckpoint(eager=False)
+    )
     [trow] = lp.agg(
         F.expr(
             "percentile(mean_logprob, array(0.3333333333333333, 0.6666666666666666))"
@@ -2209,9 +2217,11 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup (Lee et al. 2022 keep-first policy) over
     3-token tiling spans: repeated spans are dropped corpus-wide except
     their global first occurrence, then documents are reconstructed from
-    the survivors. One shuffle on the 60-bit span hash (count + first-rank
-    share the sort), one groupBy to fold back per doc; at sf0.01 the rule
-    removes ~19% of spans, so both branches of the policy are exercised."""
+    the survivors. Count + global-first are algebraic aggregates on the
+    60-bit span hash (map-side combine absorbs boilerplate hot keys; AQE
+    skew-splits the join-back), one groupBy folds back per doc; at sf0.01
+    the rule removes ~19% of spans, so both policy branches are
+    exercised."""
     from dataquality_ml_spark.operators.dedup import dedup_spans, reconstruct_spans
     from dataquality_ml_spark.operators.text import chunk_documents
 
