@@ -200,25 +200,17 @@ def bitmap_from_positions(pos_df: DataFrame, num_bits: int) -> bytes:
     return acc.tobytes()
 
 
-def incremental_dedup_bloom(
-    new_df: DataFrame,
-    bloom: FingerprintBloom,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Bloom-filtered incremental dedup: keep batch docs whose content
-    fingerprint is (a) definitely NOT in the corpus bloom (no false
-    negatives → no already-seen doc survives) and (b) first in the batch.
-    The bitmap rides a broadcast variable; membership is a vectorized
-    numpy check per Arrow batch — zero corpus-side work per batch, the
-    scale path of ``incremental_dedup`` (whose exact anti-join is the
-    oracle in tests)."""
+
+def bloom_member_udf(spark, bloom: "FingerprintBloom"):
+    """Vectorized bloom-membership test: broadcast the bitmap once, return
+    a pandas_udf mapping a position-array column to a boolean column.
+    Shared by the doc-level and span-level incremental dedup paths."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
-    bc = new_df.sparkSession.sparkContext.broadcast(bloom.bits)
+    bc = spark.sparkContext.broadcast(bloom.bits)
 
     # no annotations: `from __future__ import annotations` stringifies
     # locally-imported hints, breaking pandas_udf's type inference
@@ -232,6 +224,24 @@ def incremental_dedup_bloom(
                 np.all(bm[p // 8] & (1 << (p % 8)).astype(np.uint8) != 0)
             )
         return pd.Series(out)
+
+    return in_bloom
+
+
+def incremental_dedup_bloom(
+    new_df: DataFrame,
+    bloom: FingerprintBloom,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filtered incremental dedup: keep batch docs whose content
+    fingerprint is (a) definitely NOT in the corpus bloom (no false
+    negatives → no already-seen doc survives) and (b) first in the batch.
+    The bitmap rides a broadcast variable; membership is a vectorized
+    numpy check per Arrow batch — zero corpus-side work per batch, the
+    scale path of ``incremental_dedup`` (whose exact anti-join is the
+    oracle in tests)."""
+    in_bloom = bloom_member_udf(new_df.sparkSession, bloom)
 
     batch = new_df.select(
         F.col(id_col), bow_fingerprint(text_col).alias("__fp")

@@ -189,3 +189,80 @@ def bloom_dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), lambda: state["bloom"]
+
+
+def span_dedup_stream(
+    stream_df: DataFrame,
+    initial_bloom,
+    checkpoint: str,
+    out_fn: Callable[[DataFrame, int], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 3,
+    trigger_once: bool = True,
+):
+    """Streaming face of sub-document span dedup (``dedup.dedup_spans``):
+    keep-first line/paragraph dedup where "first" spans the whole stream,
+    not one micro-batch. Per batch: split docs into tiling spans, apply
+    the in-batch keep-first rule, additionally drop any span whose text
+    was already ACCEPTED by an earlier micro-batch (bloom membership —
+    broadcast bitmap, vectorized probe), reconstruct the surviving
+    documents for the sink, and fold the newly-accepted spans' positions
+    into the bloom so later batches dedup against everything emitted so
+    far.
+
+    State is the same fixed-size bitmap as ``bloom_dedup_stream`` — span
+    identity is an unbounded key domain, so per-key state-store entries
+    with watermark expiry would silently re-admit old boilerplate; the
+    bloom's false-positive direction only ever over-removes (a genuinely
+    new span mistaken for seen), never lets a duplicate through. Batch
+    ``min_count`` semantics don't carry over: the stream implements pure
+    keep-first (the only policy with a one-directional state).
+
+    Returns (query, get_bloom); persist ``get_bloom()`` with the
+    checkpoint to resume the corpus-so-far state.
+    """
+    import numpy as np
+
+    from dataquality_ml_spark.operators.dedup import (
+        FingerprintBloom,
+        bitmap_from_positions,
+        bloom_member_udf,
+        dedup_spans,
+        reconstruct_spans,
+    )
+    from dataquality_ml_spark.operators.text import chunk_documents
+
+    state = {"bloom": initial_bloom}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom = state["bloom"]
+        in_bloom = bloom_member_udf(batch_df.sparkSession, bloom)
+        spans = chunk_documents(batch_df, chunk=chunk, overlap=0)
+        marked = dedup_spans(spans).withColumn(
+            "kept",
+            F.col("kept")
+            & ~in_bloom(bloom.position_cols(F.col("chunk_text"))),
+        )
+        # reconstruction + the bloom fold both read the decision frame;
+        # materialize it once (RDD-owned blocks, reclaimed on GC)
+        marked = marked.localCheckpoint(eager=False)
+        out_fn(reconstruct_spans(marked), batch_id)
+        pos_df = (
+            marked.where("kept")
+            .select(bloom.position_cols(F.col("chunk_text")).alias("pos"))
+        )
+        batch_bits = np.frombuffer(
+            bitmap_from_positions(pos_df, bloom.num_bits), dtype=np.uint8
+        )
+        bm = np.frombuffer(bloom.bits, dtype=np.uint8) | batch_bits
+        state["bloom"] = FingerprintBloom(
+            bm.tobytes(), bloom.num_bits, bloom.num_hashes
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), lambda: state["bloom"]

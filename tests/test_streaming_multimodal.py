@@ -475,3 +475,63 @@ def test_sequence_score_stream_matches_batch_across_microbatches(spark, tmp_path
     # windows containing the spike flag; ts 30..37 windows REQUIRED state
     assert any(k == 2 and flag for (k, t), (_, flag) in got.items())
     assert (1, 30) in got and (1, 37) in got
+
+
+def test_span_dedup_stream_keep_first_across_microbatches(spark, tmp_path):
+    """Streaming span dedup: 'first occurrence' spans the whole stream.
+    In-batch dups resolve to the earliest (doc, pos); spans accepted in
+    batch 1 are rejected in batch 2 via the evolving bloom; the result
+    equals the batch operator over the concatenated input (ids ordered
+    like arrival, no bloom false positives at this size)."""
+    from dataquality_ml_spark.operators.dedup import (
+        FingerprintBloom,
+        dedup_spans,
+        reconstruct_spans,
+    )
+    from dataquality_ml_spark.operators.text import chunk_documents
+
+    schema = "doc_id bigint, text string"
+    f1_rows = [(10, "a b c d e f"), (11, "a b c x y z")]
+    f2_rows = [(20, "d e f p q r"), (21, "x y z")]
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    spark.createDataFrame(f1_rows, schema).coalesce(1).write.json(
+        str(in_dir / "f1")
+    )
+    spark.createDataFrame(f2_rows, schema).coalesce(1).write.json(
+        str(in_dir / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    got: dict[int, tuple[str, int]] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["doc_id"]] = (r["clean_text"], r["n_removed"])
+
+    bloom0 = FingerprintBloom(bytes(8192), 65536, 5)
+    q, get_bloom = ss.span_dedup_stream(
+        stream, bloom0, checkpoint=str(tmp_path / "ckpt"), out_fn=sink
+    )
+    q.awaitTermination(120)
+
+    assert got[10] == ("a b c d e f", 0)
+    assert got[11] == ("x y z", 1)      # "a b c" lost to doc 10 in-batch
+    assert got[20] == ("p q r", 1)      # "d e f" accepted in batch 1
+    assert got[21] == ("", 1)           # whole doc was already seen
+    assert get_bloom().fill_ratio > 0
+
+    # stream == batch operator on the concatenated corpus
+    all_docs = spark.createDataFrame(f1_rows + f2_rows, schema)
+    batch_out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in reconstruct_spans(
+            dedup_spans(chunk_documents(all_docs, chunk=3, overlap=0))
+        ).collect()
+    }
+    assert batch_out == got
