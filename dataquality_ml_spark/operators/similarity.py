@@ -897,6 +897,7 @@ def semdedup(
     tau: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -904,16 +905,20 @@ def semdedup(
     prune within each cluster every vector whose cosine similarity to a
     retained clustermate reaches ``tau``.
 
-    Two documented deviations from the paper, both for determinism and
-    oracle-checkability:
-    - keep choice: the paper retains the member with the LOWEST similarity
-      to the centroid; we retain the lowest id. Any deterministic
-      representative satisfies the dedup contract.
-    - grouping: a one-pass witness rule — x is removed iff SOME y < x in
-      its cluster has cos(x, y) >= tau — rather than the transitive
-      closure, so a chain a~b~c with a!~c drops both b and c. For
-      closure-grouped resolution compose ``cluster_pair_sims`` with
-      ``graph.connected_components`` + ``graph.dedup_clusters`` instead.
+    ``keep`` picks the retained representative's priority order:
+    - ``"min_id"`` — lowest id survives (simplest deterministic choice).
+    - ``"centroid_far"`` — the paper's rule: LOWEST cosine similarity to
+      the assigned cluster centroid survives (keep the least-typical
+      example; ties broken by id). The similarity is a zero-shuffle
+      literal-centroid expression, rounded 6 dp so the priority order is
+      engine-portable.
+
+    Grouping deviates from the paper for determinism and oracle-
+    checkability: a one-pass witness rule — x is removed iff SOME
+    earlier-priority y in its cluster has cos(x, y) >= tau — rather than
+    the transitive closure, so a chain a~b~c with a!~c drops both b and
+    c. For closure-grouped resolution compose ``cluster_pair_sims`` with
+    ``graph.connected_components`` + ``graph.dedup_clusters`` instead.
 
     Scale shape: assignment is the zero-shuffle literal-centroid scan;
     pairs come from ``cluster_pair_sims`` (one shuffle keyed by cluster,
@@ -925,15 +930,71 @@ def semdedup(
     carry no semantics to compare).
 
     Output: one row per input vector — (id, cluster, kept, dup_of) where
-    ``dup_of`` is the smallest witness id that evicted it (null if kept).
+    ``dup_of`` is the highest-priority witness that evicted it (null if
+    kept).
     """
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
     assign = kmeans_assign(emb_df, cents, id_col, vec_col, keep_vec=True)
     members = assign.where(F.col(vec_col).isNotNull())
     pairs = cluster_pair_sims(
         members, threshold=tau, cluster_col="cluster",
         id_col=id_col, vec_col=vec_col,
     )
-    witness = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    if keep == "min_id":
+        witness = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    else:
+        # priority = (cos to own centroid asc, id asc); orient each
+        # unordered pair by priority, then the victim's witness is its
+        # highest-priority evictor
+        csim = F.lit(None).cast("double")
+        for j, c in enumerate(cents):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            csim = F.when(
+                F.col("cluster") == j,
+                F.round(cosine_sim(F.col(vec_col), lit), 6) + F.lit(0.0),
+            ).otherwise(csim)
+        prio = members.select(
+            F.col(id_col).alias("_pid"), csim.alias("_csim")
+        )
+        pa = prio.select(
+            F.col("_pid").alias("id_a"), F.col("_csim").alias("_csim_a")
+        )
+        pb = prio.select(
+            F.col("_pid").alias("id_b"), F.col("_csim").alias("_csim_b")
+        )
+        oriented = (
+            pairs.join(pa, "id_a")
+            .join(pb, "id_b")
+            .select(
+                F.when(
+                    F.struct(F.col("_csim_a"), F.col("id_a"))
+                    < F.struct(F.col("_csim_b"), F.col("id_b")),
+                    F.struct(
+                        F.col("id_b").alias("victim"),
+                        F.col("id_a").alias("witness"),
+                        F.col("_csim_a").alias("wcsim"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.col("id_a").alias("victim"),
+                        F.col("id_b").alias("witness"),
+                        F.col("_csim_b").alias("wcsim"),
+                    )
+                )
+                .alias("o")
+            )
+            .select("o.victim", "o.witness", "o.wcsim")
+        )
+        witness = (
+            oriented.groupBy("victim")
+            .agg(F.min(F.struct("wcsim", "witness")).alias("_w"))
+            .select(
+                F.col("victim").alias("id_b"),
+                F.col("_w.witness").alias("dup_of"),
+            )
+        )
     return (
         assign.select(id_col, "cluster")
         .join(witness.withColumnRenamed("id_b", id_col), id_col, "left")
@@ -944,3 +1005,55 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def embedding_profile(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-column health profile — the pre-indexing data-quality
+    gate of an ANN/semantic-dedup pipeline: a collapsed dimension (zero
+    variance), a scale-drifted dimension, or a burst of zero/null vectors
+    silently destroys recall long before any search metric notices.
+
+    One row per dimension: n, mean, sample std, min, max, frac_zero —
+    plus a final row with ``pos = -1`` profiling the L2 NORM distribution
+    across vectors (its frac_zero = the zero-vector fraction; its n
+    counts non-null vectors, so ``n(pos=-1) < n(pos=0)`` never happens
+    and null vectors surface as the gap vs ``emb_df.count()``).
+
+    Scale shape: posexplode to (pos, val) then one map-side-combinable
+    agg keyed by pos — shuffle volume is dims x partitions partials,
+    independent of corpus size; the norm row is a narrow JVM fold plus a
+    single-row agg. No UDF anywhere.
+    """
+    r = lambda c: F.round(c, round_dp)  # noqa: E731
+    dims = (
+        emb_df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .select("pos", F.col("v").cast("double").alias("v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r(F.avg("v")).alias("mean"),
+            r(F.coalesce(F.stddev_samp("v"), F.lit(0.0))).alias("std"),
+            r(F.min("v")).alias("min"),
+            r(F.max("v")).alias("max"),
+            r(F.avg((F.col("v") == 0.0).cast("double"))).alias("frac_zero"),
+        )
+    )
+    norms = (
+        emb_df.where(F.col(vec_col).isNotNull())
+        .select(_norm(F.col(vec_col)).alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r(F.avg("v")).alias("mean"),
+            r(F.coalesce(F.stddev_samp("v"), F.lit(0.0))).alias("std"),
+            r(F.min("v")).alias("min"),
+            r(F.max("v")).alias("max"),
+            r(F.avg((F.col("v") == 0.0).cast("double"))).alias("frac_zero"),
+        )
+        .select(F.lit(-1).alias("pos"), "n", "mean", "std", "min", "max", "frac_zero")
+    )
+    return dims.unionByName(norms)

@@ -2342,3 +2342,99 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return leakage_safe_split(grouped, "keep_id").orderBy("doc_id")
+
+
+@register(
+    "embedding_profile_report",
+    oracle="""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ex AS (
+      SELECT CAST(generate_subscripts(emb, 1) - 1 AS INTEGER) AS pos,
+             unnest(emb) AS v
+      FROM vecs
+    ),
+    dims AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(v), 4) AS mean,
+             ROUND(COALESCE(stddev_samp(v), 0), 4) AS std,
+             ROUND(MIN(v), 4) AS min, ROUND(MAX(v), 4) AS max,
+             ROUND(AVG(CASE WHEN v = 0 THEN 1.0 ELSE 0.0 END), 4) AS frac_zero
+      FROM ex GROUP BY pos
+    ),
+    nr AS (
+      SELECT CAST(-1 AS INTEGER) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(nv), 4) AS mean,
+             ROUND(COALESCE(stddev_samp(nv), 0), 4) AS std,
+             ROUND(MIN(nv), 4) AS min, ROUND(MAX(nv), 4) AS max,
+             ROUND(AVG(CASE WHEN nv = 0 THEN 1.0 ELSE 0.0 END), 4) AS frac_zero
+      FROM (SELECT sqrt(list_dot_product(emb, emb)) AS nv
+            FROM vecs WHERE emb IS NOT NULL)
+    )
+    SELECT * FROM dims UNION ALL SELECT * FROM nr ORDER BY pos
+    """,
+)
+def embedding_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health gate: per-dimension n/mean/std/min/max/
+    frac_zero plus the L2-norm distribution as the pos=-1 row — collapsed
+    or scale-drifted dimensions and zero-vector bursts surface here before
+    they silently destroy ANN recall. Shuffle volume is dims x partition
+    partials regardless of corpus size."""
+    from dataquality_ml_spark.operators.similarity import embedding_profile
+
+    return embedding_profile(_t(spark, sf_dir, "embeddings")).orderBy("pos")
+
+
+@register(
+    "semdedup_centroid_keep",
+    oracle=f"""
+    WITH {_kmeans_cte(4)},
+    mem AS (
+      SELECT v.vec_id, v.emb, sqrt(list_dot_product(v.emb, v.emb)) AS nrm,
+             a.cluster
+      FROM vecs v JOIN a3 a USING (vec_id)
+    ),
+    pc AS (
+      SELECT m.vec_id, m.cluster, m.emb, m.nrm,
+             ROUND(list_dot_product(m.emb, c.emb)
+               / (m.nrm * sqrt(list_dot_product(c.emb, c.emb))), 6) + 0 AS csim
+      FROM mem m JOIN c2 c ON m.cluster = c.cid
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.csim AS csim_a, b.csim AS csim_b,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) + 0 AS cs
+      FROM pc a JOIN pc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    orient AS (
+      SELECT CASE WHEN (csim_a, id_a) < (csim_b, id_b)
+                  THEN id_b ELSE id_a END AS victim,
+             CASE WHEN (csim_a, id_a) < (csim_b, id_b)
+                  THEN id_a ELSE id_b END AS witness,
+             CASE WHEN (csim_a, id_a) < (csim_b, id_b)
+                  THEN csim_a ELSE csim_b END AS wcsim
+      FROM pairs WHERE cs >= 0.25
+    ),
+    sel AS (
+      SELECT victim, witness,
+             ROW_NUMBER() OVER (
+               PARTITION BY victim ORDER BY wcsim, witness) AS rn
+      FROM orient
+    ),
+    w AS (SELECT victim AS vec_id, witness AS dup_of FROM sel WHERE rn = 1)
+    SELECT p.vec_id, p.cluster, (w.dup_of IS NULL) AS kept, w.dup_of
+    FROM pc p LEFT JOIN w USING (vec_id)
+    ORDER BY p.vec_id
+    """,
+)
+def semdedup_centroid_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the PAPER's keep rule: within each tau-duplicate
+    witness chain the member LEAST similar to its cluster centroid
+    survives (keep the least-typical example — Abbas et al. 2023 §3).
+    Priority = (centroid cosine asc, id asc), zero-shuffle literal-
+    centroid expression; everything else matches semdedup_embeddings."""
+    from dataquality_ml_spark.operators import similarity as sim_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
+    return sim_ops.semdedup(
+        emb, cents, tau=0.25, keep="centroid_far"
+    ).orderBy("vec_id")

@@ -858,3 +858,56 @@ def test_leakage_safe_split_custom_fractions_and_validation(spark):
     assert 0.35 < frac < 0.65
     with _pytest.raises(ValueError):
         leakage_safe_split(df, "keep_id", {"train": 0.5, "test": 0.2})
+
+
+# ---------------------------------------------------------------------------
+# Embedding health profile
+# ---------------------------------------------------------------------------
+def test_embedding_profile_planted_pathologies(spark):
+    from dataquality_ml_spark.operators.similarity import embedding_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 5.0, 0.0]),
+            (2, [3.0, 5.0, 0.0]),   # dim1 collapsed, dim2 all-zero
+            (3, [0.0, 0.0, 0.0]),   # zero vector
+            (4, None),              # null vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["pos"]: r for r in embedding_profile(df).collect()}
+    assert set(rows) == {-1, 0, 1, 2}
+    # dim2 is collapsed AND all-zero: zero std, degenerate range, full zero frac
+    assert rows[2]["std"] == 0.0 and rows[2]["min"] == rows[2]["max"] == 0.0
+    assert rows[2]["frac_zero"] == 1.0
+    assert rows[1]["frac_zero"] == round(1 / 3, 4)  # only the zero vector
+    assert rows[0]["n"] == 3                      # null vector contributes no dims
+    norm = rows[-1]
+    assert norm["n"] == 3                         # non-null vectors only
+    assert abs(norm["frac_zero"] - round(1 / 3, 4)) < 1e-9  # one zero vector
+    assert norm["min"] == 0.0 and norm["max"] > 5.0
+
+
+def test_semdedup_centroid_far_keeps_least_typical(spark):
+    """Paper keep rule: in a dup pair the member FARTHER from the centroid
+    survives — the opposite outcome of min_id when the lower id is the
+    more typical one."""
+    from dataquality_ml_spark.operators.similarity import semdedup
+
+    # centroid [1, 0]; id 1 sits ON the centroid (csim 1.0), id 2 slightly
+    # off (csim < 1) — near-identical pair, so one must go
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.995, 0.0999])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0]]
+    far = {r["vec_id"]: r for r in semdedup(df, cents, tau=0.95, keep="centroid_far").collect()}
+    assert far[2]["kept"] and far[2]["dup_of"] is None
+    assert not far[1]["kept"] and far[1]["dup_of"] == 2
+    near = {r["vec_id"]: r for r in semdedup(df, cents, tau=0.95).collect()}
+    assert near[1]["kept"] and not near[2]["kept"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup(df, cents, keep="nope")
