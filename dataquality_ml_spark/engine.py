@@ -367,3 +367,98 @@ class DQEngine:
     def report(self, scored_df: DataFrame, k: int = 1000) -> DataFrame:
         """Top-k anomaly report sorted by score desc (reference W3/S6)."""
         return rel.top_k(scored_df.where(F.col("is_anomaly")), "score", k)
+
+    # -- corpus curation ---------------------------------------------------
+    def curate_corpus(
+        self,
+        docs: DataFrame,
+        min_tokens: int = 10,
+        max_digit_ratio: float = 0.2,
+        jaccard_threshold: float = 0.8,
+        splits: dict[str, float] | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """One-call training-corpus curation — the LLM-pipeline sibling of
+        the detector lifecycle: quality filter (token count + digit
+        density) → exact dedup (bag-of-words keeper) → near-dup clustering
+        (n-gram Jaccard pairs → connected components) → leakage-safe
+        train/val/test split hashed on the cluster representative.
+
+        Returns one row per input document:
+        ``(doc_id, status, keep_id, split)`` where status ∈ low_quality |
+        exact_dup | near_dup | kept; ``keep_id`` is the surviving
+        representative responsible for an eviction (null for low_quality);
+        ``split`` is assigned to KEPT docs only — evicted docs carry null,
+        so downstream consumers cannot accidentally train on them.
+
+        Every stage is an already-oracle-gated operator
+        (`corpus_curation_pipeline`, `dup_clusters_docs`,
+        `leakage_safe_split_docs` cover the composition pieces); the
+        facade only arranges them and never collects rows.
+        """
+        from dataquality_ml_spark.operators import dedup as dd
+        from dataquality_ml_spark.operators import graph as gr
+        from dataquality_ml_spark.operators import text as tx
+
+        base = docs.select(id_col, text_col)
+        quality = tx.text_quality(docs, text_col=text_col, id_col=id_col)
+        good_ids = quality.where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("digit_ratio") <= max_digit_ratio)
+        ).select(id_col)
+        good = base.join(good_ids, id_col).localCheckpoint(eager=False)
+
+        exact = dd.dedup_exact(good, text_col, id_col)  # (bow_fp, keep_id, n)
+        fp = good.select(
+            F.col(id_col), dd.bow_fingerprint(text_col).alias("bow_fp")
+        )
+        exact_map = fp.join(
+            exact.select("bow_fp", F.col("keep_id").alias("_exact_keep")),
+            "bow_fp",
+        ).select(id_col, "_exact_keep")
+
+        survivors = good.join(
+            exact_map.where(F.col(id_col) == F.col("_exact_keep")).select(id_col),
+            id_col,
+        )
+        pairs = dd.ngram_jaccard_pairs(
+            survivors, text_col, id_col, k=5, threshold=jaccard_threshold
+        ).select("id_a", "id_b")
+        clusters = gr.dedup_clusters(pairs).select(
+            F.col("doc_id").alias(id_col), F.col("keep_id").alias("_near_keep")
+        )
+
+        disposition = (
+            docs.select(id_col)
+            .join(good_ids.withColumn("_good", F.lit(True)), id_col, "left")
+            .join(exact_map, id_col, "left")
+            .join(clusters, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("_good").isNull(), F.lit("low_quality"))
+                .when(F.col(id_col) != F.col("_exact_keep"), F.lit("exact_dup"))
+                .when(
+                    F.col("_near_keep").isNotNull()
+                    & (F.col(id_col) != F.col("_near_keep")),
+                    F.lit("near_dup"),
+                )
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+                F.when(F.col("_good").isNull(), F.lit(None).cast("long"))
+                .when(
+                    F.col(id_col) != F.col("_exact_keep"), F.col("_exact_keep")
+                )
+                .otherwise(
+                    F.coalesce(F.col("_near_keep"), F.col(id_col))
+                )
+                .alias("keep_id"),
+            )
+        )
+        assigned = rel.leakage_safe_split(
+            disposition.where(F.col("status") == "kept"), "keep_id", splits
+        ).select(id_col, "split")
+        return (
+            disposition.join(assigned, id_col, "left")
+            .select(id_col, "status", "keep_id", "split")
+        )

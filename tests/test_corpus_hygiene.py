@@ -911,3 +911,60 @@ def test_semdedup_centroid_far_keeps_least_typical(spark):
 
     with _pytest.raises(ValueError):
         semdedup(df, cents, keep="nope")
+
+
+def test_span_dedup_randomized_vs_python_reference(spark):
+    """Differential test: for random small-vocab corpora (heavy natural
+    duplication), the distributed decision + reconstruction must equal a
+    direct single-process implementation of the policy, under both keep
+    policies."""
+    import random
+
+    from dataquality_ml_spark.operators.dedup import dedup_spans, reconstruct_spans
+    from dataquality_ml_spark.operators.text import chunk_documents
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c"]
+    for trial, keep_first in [(0, True), (1, True), (2, False)]:
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(40)
+        ]
+        # python reference: tile into 3-token spans, global keep-first
+        spans = []
+        for did, text in docs:
+            toks = text.split()
+            tiled = [
+                " ".join(toks[s : s + 3]) for s in range(0, max(len(toks), 1), 3)
+            ]
+            for pos, sp in enumerate(tiled):
+                spans.append((did, pos, sp))
+        counts: dict[str, int] = {}
+        first: dict[str, tuple[int, int]] = {}
+        for did, pos, sp in sorted(spans):
+            counts[sp] = counts.get(sp, 0) + 1
+            first.setdefault(sp, (did, pos))
+        want = {}
+        for did, text in docs:
+            mine = [(p, s) for d, p, s in spans if d == did]
+            kept = [
+                s
+                for p, s in mine
+                if counts[s] < 2 or (keep_first and first[s] == (did, p))
+            ]
+            want[did] = (
+                " ".join(kept),
+                len(mine) - len(kept),
+            )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in reconstruct_spans(
+                dedup_spans(
+                    chunk_documents(df, chunk=3, overlap=0),
+                    keep_first=keep_first,
+                )
+            ).collect()
+        }
+        assert got == want, f"trial {trial} mismatch"

@@ -221,3 +221,33 @@ def test_sequence_detector_multifeature_and_vae_fallback(spark):
         timesteps=3, detector="lstm_vae", n_components=1,
     )
     assert isinstance(fitted.model, PCAAutoencoder)  # auto fallback
+
+
+def test_curate_corpus_dispositions_and_split(spark):
+    """One planted doc per disposition: low-quality (short), exact dup,
+    near dup, kept — and the split only ever lands on kept docs, with
+    near-duplicates sharing their representative's hash bucket."""
+    from dataquality_ml_spark.engine import DQEngine
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                            # kept (representative)
+            (2, base),                            # exact dup of 1
+            (3, base + " nu"),                    # near dup of 1 (high Jaccard)
+            (4, "tiny doc"),                      # low quality (< 10 tokens)
+            (5, "one two three four five six seven eight nine ten done"),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DQEngine(spark).curate_corpus(docs).collect()}
+    assert out[1]["status"] == "kept" and out[1]["keep_id"] == 1
+    assert out[2]["status"] == "exact_dup" and out[2]["keep_id"] == 1
+    assert out[3]["status"] == "near_dup" and out[3]["keep_id"] == 1
+    assert out[4]["status"] == "low_quality" and out[4]["keep_id"] is None
+    assert out[5]["status"] == "kept"
+    # split assigned to kept docs only
+    assert out[1]["split"] in ("train", "val", "test")
+    assert out[5]["split"] in ("train", "val", "test")
+    assert out[2]["split"] is None and out[3]["split"] is None
+    assert out[4]["split"] is None
