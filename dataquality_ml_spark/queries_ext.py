@@ -2438,3 +2438,58 @@ def semdedup_centroid_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semdedup(
         emb, cents, tau=0.25, keep="centroid_far"
     ).orderBy("vec_id")
+
+
+@register(
+    "corpus_health_by_source",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    q AS (
+      SELECT d.doc_id, d.source, d.lang, len(t.t) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(t.t)), ' ')) AS fp,
+             (len(t.t) >= 10
+              AND ROUND((length(d.text) - length(regexp_replace(d.text, '[.!?,;:]', '', 'g')))
+                    / CAST(length(d.text) AS DOUBLE), 4) <= 0.1
+              AND ROUND((length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+                    / CAST(length(d.text) AS DOUBLE), 4) <= 0.2) AS hq
+      FROM documents d JOIN toks t USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac,
+           ROUND(AVG(n_tokens), 2) AS avg_tokens,
+           ROUND(AVG(CASE WHEN hq THEN 1.0 ELSE 0.0 END), 4) AS high_quality_frac,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard — the monitoring face of the
+    curation pipeline: doc counts, exact-dup fraction (bag-of-words
+    fingerprint collisions within the source), token-length mean, the
+    high-quality fraction under the standard filter, and language spread.
+    One scan + one grouped agg; every metric is map-side combinable except
+    the two COUNT(DISTINCT)s, which expand keyed by (source, value) —
+    still |sources|-bounded output."""
+    from dataquality_ml_spark.functions.scalar import bow_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.text_quality(docs)
+    j = docs.select(
+        "doc_id", "source", "lang", bow_fingerprint("text").alias("fp")
+    ).join(q.select("doc_id", "n_tokens", "is_high_quality"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                1 - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("dup_frac"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(
+                F.avg(F.col("is_high_quality").cast("double")), 4
+            ).alias("high_quality_frac"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
