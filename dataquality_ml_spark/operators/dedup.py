@@ -620,8 +620,20 @@ def dedup_spans(
 
     Output: one row per input span with ``span_count`` and the ``kept``
     decision — feed to ``reconstruct_spans`` to fold back into documents.
+    NULL span text (possible in caller-split frames; never produced by
+    ``chunk_documents``) carries no content to compare — such rows come
+    back ``kept`` with ``span_count`` 1 instead of silently vanishing
+    through a null join key.
     """
     marked = chunks.withColumn("_span_h", portable_hash60(F.col(span_col)))
+    nulls = marked.where(F.col(span_col).isNull()).select(
+        id_col,
+        pos_col,
+        span_col,
+        F.lit(1).cast("bigint").alias("span_count"),
+        F.lit(True).alias("kept"),
+    )
+    marked = marked.where(F.col(span_col).isNotNull())
     stats = marked.groupBy("_span_h").agg(
         F.count(F.lit(1)).alias("span_count"),
         F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("_first"),
@@ -639,7 +651,7 @@ def dedup_spans(
         span_col,
         F.col("span_count"),
         kept.alias("kept"),
-    )
+    ).unionByName(nulls)
 
 
 def reconstruct_spans(

@@ -968,3 +968,21 @@ def test_span_dedup_randomized_vs_python_reference(spark):
             ).collect()
         }
         assert got == want, f"trial {trial} mismatch"
+
+
+def test_dedup_spans_null_span_kept_not_dropped(spark):
+    """A caller-split frame can carry null span text; those rows must come
+    back kept (count 1), not vanish through the null join key."""
+    from dataquality_ml_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, 0, "a b c"), (1, 1, None), (2, 0, None), (2, 1, "a b c")],
+        "doc_id long, chunk_idx long, chunk_text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["span_count"], r["kept"])
+        for r in dedup_spans(df).collect()
+    }
+    assert len(rows) == 4                       # nothing dropped
+    assert rows[(1, 1)] == (1, True) and rows[(2, 0)] == (1, True)
+    assert rows[(1, 0)] == (2, True) and rows[(2, 1)] == (2, False)

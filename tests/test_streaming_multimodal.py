@@ -535,3 +535,38 @@ def test_span_dedup_stream_keep_first_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert batch_out == got
+
+
+def test_span_dedup_stream_bloom_persists_across_queries(spark, tmp_path):
+    """The daily-append story: the bloom returned by a finished query seeds
+    a NEW query (new checkpoint, new source) and spans accepted in the
+    first run are still rejected — state survives the stream, not just the
+    micro-batch loop."""
+    from dataquality_ml_spark.operators.dedup import FingerprintBloom
+
+    schema = "doc_id bigint, text string"
+
+    def run(dirname, rows, bloom):
+        d = tmp_path / dirname
+        d.mkdir()
+        spark.createDataFrame(rows, schema).coalesce(1).write.json(
+            str(d / "f")
+        )
+        stream = spark.readStream.schema(schema).json(str(d / "*"))
+        got = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r["doc_id"]] = (r["clean_text"], r["n_removed"])
+
+        q, get_bloom = ss.span_dedup_stream(
+            stream, bloom, checkpoint=str(tmp_path / (dirname + "_ckpt")),
+            out_fn=sink,
+        )
+        q.awaitTermination(120)
+        return got, get_bloom()
+
+    day1, bloom1 = run("day1", [(1, "a b c d e f")], FingerprintBloom(bytes(8192), 65536, 5))
+    assert day1[1] == ("a b c d e f", 0)
+    day2, _ = run("day2", [(2, "a b c x y z")], bloom1)
+    assert day2[2] == ("x y z", 1)  # "a b c" was accepted yesterday
