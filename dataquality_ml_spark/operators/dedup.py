@@ -680,3 +680,80 @@ def reconstruct_spans(
             ),
         ).alias("clean_text"),
     )
+
+
+# ===========================================================================
+# Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken — SIGMOD'03)
+# ===========================================================================
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed fingerprint selection: from the ORDERED k-gram hash
+    sequence, keep the minimum hash of every w-length window (the MOSS
+    algorithm). Guarantee: any shared substring of at least w+k-1 tokens
+    between two documents shares at least one selected fingerprint — but
+    only ~2/(w+1) of the k-gram hashes are kept, so the inverted index a
+    near-dup join builds is ~w× smaller than the full shingle index. That
+    index-density/guarantee trade is the knob that keeps substring-level
+    dedup affordable at 100 TB where full shingle indexing is not.
+
+    Pure array expressions per row (two nested transforms + slices) — no
+    UDF, no shuffle; docs shorter than k tokens yield an empty set, and a
+    hash sequence shorter than w degenerates to its single global min
+    (the guarantee still holds — the whole doc is one window).
+
+    Output: (id, winnow_fps array<bigint>) — distinct selected hashes.
+    """
+    t = tokens(text_col)
+    n_sh = F.size(t) - (k - 1)
+    seq = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(seq) - (w - 1), F.lit(1))
+    )
+    mins = F.transform(starts, lambda j: F.array_min(F.slice(seq, j, w)))
+    fps = F.when(n_sh >= 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return df.select(F.col(id_col), fps.alias("winnow_fps"))
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from the winnowed index: explode the
+    selected fingerprints, bucket-join on the 60-bit hash, count shared
+    prints per pair, keep pairs sharing at least ``min_shared``. Same
+    inverted-index shape as ``ngram_jaccard_pairs`` but over the ~w×
+    sparser winnowed index; ``max_bucket`` caps a degenerate boilerplate
+    fingerprint's bucket exactly like the LSH banding paths."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    ex = fps.select(
+        F.col(id_col), F.explode_outer("winnow_fps").alias("fp")
+    ).where(F.col("fp").isNotNull())
+    return (
+        _bucket_pairs(ex, "fp", id_col, max_bucket)
+        .select("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(min_shared))
+        .orderBy("id_a", "id_b")
+    )

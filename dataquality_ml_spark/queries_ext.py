@@ -2493,3 +2493,43 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "winnow_dup_pairs_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    seqs AS (
+      SELECT doc_id,
+        [CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15) AS BIGINT)
+         for i in generate_series(1, greatest(len(t) - 3, 1))] AS seq
+      FROM toks WHERE len(t) >= 4
+    ),
+    wins AS (
+      SELECT doc_id,
+        list_distinct([list_min(seq[j:j+3])
+                       for j in generate_series(1, greatest(len(seq) - 3, 1))]) AS fps
+      FROM seqs
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared FROM pairs
+    WHERE n_shared >= 2 ORDER BY id_a, id_b
+    """,
+)
+def winnow_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed near-dup candidates (Schleimer et al. SIGMOD'03): select
+    the min hash of every w=4 window over the ordered 4-gram hash
+    sequence — any shared run of >= w+k-1 = 7 tokens still collides, but
+    the inverted index is ~4x sparser than the full shingle index, the
+    cost knob for substring-level dedup at 100 TB. Pairs sharing >= 2
+    selected prints survive."""
+    from dataquality_ml_spark.operators.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=4, min_shared=2
+    )

@@ -986,3 +986,75 @@ def test_dedup_spans_null_span_kept_not_dropped(spark):
     assert len(rows) == 4                       # nothing dropped
     assert rows[(1, 1)] == (1, True) and rows[(2, 0)] == (1, True)
     assert rows[(1, 0)] == (2, True) and rows[(2, 1)] == (2, False)
+
+
+def test_dedup_spans_plan_is_window_free_with_partial_agg(spark):
+    """The skew contract: the decision plan must contain NO window exec
+    (a per-span sort task cannot be skew-split) and must compute the
+    span stats through a two-phase aggregate (partial before the
+    exchange), plus survive an actual hot key: one span repeated 50k
+    times across partitions."""
+    from dataquality_ml_spark import plans
+    from dataquality_ml_spark.operators.dedup import dedup_spans
+
+    hot = [(i, 0, "the cookie banner") for i in range(50_000)]
+    cold = [(i, 1, f"unique span {i}") for i in range(100)]
+    df = spark.createDataFrame(
+        hot + cold, "doc_id long, chunk_idx long, chunk_text string"
+    ).repartition(16)
+    out = dedup_spans(df)
+    plan = plans.formatted_plan(out)
+    assert "Window" not in plan
+    # SortAggregate/HashAggregate appear once per phase per branch;
+    # at least two phases must exist for the stats branch
+    assert plan.count("Aggregate") >= 2
+    kept_hot = [r for r in out.where("chunk_text = 'the cookie banner'").collect() if r["kept"]]
+    assert len(kept_hot) == 1 and kept_hot[0]["doc_id"] == 0
+    assert out.where("kept").count() == 101
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprint selection
+# ---------------------------------------------------------------------------
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: docs sharing a >= w+k-1 token run share a
+    selected fingerprint; and the selected set is much sparser than the
+    full k-gram sequence."""
+    from dataquality_ml_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over seven lazy dogs"  # 9 tokens > 7
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one two"),
+            (2, "completely different prefix " + shared + " other suffix"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_dup_pairs(df, k=4, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+    fps = {r["doc_id"]: r["winnow_fps"] for r in winnow_fingerprints(df).collect()}
+    n_tokens = 13
+    n_grams = n_tokens - 3
+    assert 0 < len(fps[1]) < n_grams  # strictly sparser than the full index
+
+
+def test_winnow_short_docs(spark):
+    from dataquality_ml_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["winnow_fps"] for r in winnow_fingerprints(df, k=4, w=4).collect()}
+    assert fps[1] == []          # shorter than one k-gram
+    assert len(fps[2]) == 1      # one k-gram -> its own min
+    assert len(fps[3]) == 1      # 2-hash seq < w -> single global min
