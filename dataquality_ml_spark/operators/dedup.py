@@ -352,19 +352,7 @@ def minhash_candidates(
     """LSH banding: docs agreeing on all ``rows`` signature slots of any
     band become a candidate pair. Bucket grouping + in-bucket pair
     expansion — never a cross join, single shuffle."""
-    band_key = lambda b: F.concat_ws(  # noqa: E731
-        "-",
-        F.lit(str(b)),
-        F.concat_ws(
-            ",", F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string"))
-        ),
-    )
-    # _outer: the band array is a non-empty literal-length array; plain
-    # explode would re-evaluate all band keys inside an inferred filter.
-    banded = sig_df.select(
-        F.col(id_col),
-        F.explode_outer(F.array(*[band_key(b) for b in range(bands)])).alias("band"),
-    )
+    banded = minhash_band_keys(sig_df, bands, rows, id_col)
     return _bucket_pairs(banded, "band", id_col, max_bucket).select("id_a", "id_b").distinct()
 
 
@@ -756,4 +744,106 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= F.lit(min_shared))
         .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_band_keys(
+    sig_df: DataFrame, bands: int = 4, rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded (id, band-key) relation from a signature table — the
+    join-ready form of the LSH banding used both by the batch pair
+    search and the incremental batch-vs-corpus probe."""
+    band_key = lambda b: F.concat_ws(  # noqa: E731
+        "-",
+        F.lit(str(b)),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
+            ),
+        ),
+    )
+    return sig_df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band"),
+    )
+
+
+def sig_jaccard_estimate(sig_a, sig_b, num_perms: int = 16):
+    """MinHash Jaccard ESTIMATE from two signature arrays: the fraction of
+    agreeing components (E[match] = J). The signature-only verification
+    used when the corpus's shingle sets are not retained."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.round(
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+        / F.lit(float(num_perms)),
+        4,
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup against a persisted corpus: the daily-append
+    sibling of ``incremental_dedup`` (exact) and ``minhash_dedup_pairs``
+    (batch all-pairs). The corpus state is SIGNATURES ONLY —
+    |corpus| × num_perms longs, the artifact a pipeline persists between
+    runs — so verification is the signature-agreement Jaccard estimate,
+    not exact shingle Jaccard (document the estimator variance: with 16
+    perms the estimate moves in 1/16 steps; raise num_perms for finer
+    thresholds).
+
+    Plan: the new batch computes shingles + signatures (narrow, zero
+    shuffle), both sides explode to band keys, and candidates come from
+    an equi-join on the band key — new-batch-sized build side against the
+    corpus index; the corpus never re-shingles. Output: one row per
+    (new doc, corpus doc) flagged pair with ``est_jaccard >= threshold``;
+    anti-join the batch against the ``doc_id`` column for survivors.
+    """
+    new_sigs = minhash_signatures(
+        with_hashed_shingles(new_df, text_col, id_col), id_col=id_col
+    )
+    nb = minhash_band_keys(new_sigs, bands, rows, id_col).withColumnRenamed(
+        id_col, "_new_id"
+    )
+    cb = minhash_band_keys(corpus_sigs, bands, rows, id_col).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    if max_bucket is not None:
+        hot = (
+            cb.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band")
+        )
+        cb = cb.join(hot, "band", "left_anti")
+    cand = nb.join(cb, "band").select("_new_id", "corpus_id").distinct()
+    sa = new_sigs.select(
+        F.col(id_col).alias("_new_id"), F.col("sig").alias("_sig_a")
+    )
+    sb = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("_sig_b")
+    )
+    num_perms = len(minhash_perms())
+    return (
+        cand.join(sa, "_new_id")
+        .join(sb, "corpus_id")
+        .select(
+            F.col("_new_id").alias(id_col),
+            "corpus_id",
+            sig_jaccard_estimate(
+                F.col("_sig_a"), F.col("_sig_b"), num_perms
+            ).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+        .orderBy(id_col, "corpus_id")
     )

@@ -2533,3 +2533,68 @@ def winnow_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_dup_pairs(
         _t(spark, sf_dir, "documents"), k=4, w=4, min_shared=2
     )
+
+
+def _incremental_minhash_oracle() -> str:
+    from dataquality_ml_spark.operators.dedup import MINHASH_P, minhash_perms
+
+    perms = minhash_perms(16)
+    sig_exprs = ",\n      ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}),"
+        f" 'min') AS s{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_rows = []
+    for b in range(4):
+        key = f"'{b}-' || " + " || ',' || ".join(
+            f"CAST(s{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_rows.append(f"SELECT doc_id, {key} AS band FROM sigs")
+    bands_sql = " UNION ALL ".join(band_rows)
+    est = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    hsh AS (
+      SELECT doc_id, list_distinct(list_transform(shs,
+        s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))) AS hs
+      FROM sh
+    ),
+    sigs AS (SELECT doc_id, {sig_exprs} FROM hsh),
+    bands AS ({bands_sql}),
+    bb AS (SELECT b.* FROM bands b JOIN documents d USING (doc_id)
+           WHERE d.source = 'src0'),
+    cb AS (SELECT b.* FROM bands b JOIN documents d USING (doc_id)
+           WHERE d.source <> 'src0'),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS corpus_id
+      FROM bb l JOIN cb r ON l.band = r.band
+    ),
+    e AS (
+      SELECT c.id_new AS doc_id, c.corpus_id,
+             ROUND(({est}) / 16.0, 4) AS est_jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_new
+      JOIN sigs sb ON sb.doc_id = c.corpus_id
+    )
+    SELECT doc_id, corpus_id, est_jaccard FROM e
+    WHERE est_jaccard >= 0.5 ORDER BY doc_id, corpus_id
+    """
+
+
+@register("incremental_minhash_docs", oracle=_incremental_minhash_oracle())
+def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup probe: the src0 batch is checked against the
+    rest-of-corpus MinHash SIGNATURE index (the |corpus| x 16-long
+    artifact a daily pipeline persists) — banding equi-join for
+    candidates, signature-agreement Jaccard estimate for verification;
+    the corpus never re-shingles."""
+    from dataquality_ml_spark.operators import dedup as dd2
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    batch = docs.where(F.col("source") == "src0")
+    corpus_sigs = dd2.minhash_signatures(dd2.with_hashed_shingles(corpus))
+    return dd2.incremental_minhash_dedup(batch, corpus_sigs, threshold=0.5)

@@ -1058,3 +1058,52 @@ def test_winnow_short_docs(spark):
     assert fps[1] == []          # shorter than one k-gram
     assert len(fps[2]) == 1      # one k-gram -> its own min
     assert len(fps[3]) == 1      # 2-hash seq < w -> single global min
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup (signature-only corpus state)
+# ---------------------------------------------------------------------------
+def test_incremental_minhash_flags_corpus_near_dup(spark):
+    from dataquality_ml_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        with_hashed_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "totally unrelated corpus document text here sir")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, base + " lambda"), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(with_hashed_shingles(corpus))
+    out = incremental_minhash_dedup(batch, sigs, threshold=0.5).collect()
+    flagged = {(r["doc_id"], r["corpus_id"]): r["est_jaccard"] for r in out}
+    assert (1, 100) in flagged and flagged[(1, 100)] >= 0.5
+    assert not any(d == 2 for d, _ in flagged)          # genuinely new doc
+    assert not any(c == 101 for _, c in flagged)
+
+
+def test_sig_jaccard_estimate_identical_and_disjoint(spark):
+    from dataquality_ml_spark.operators.dedup import (
+        minhash_signatures,
+        sig_jaccard_estimate,
+        with_hashed_shingles,
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(with_hashed_shingles(df)).collect()}
+    one = spark.range(1).select(
+        sig_jaccard_estimate(F2.lit(sigs[1]), F2.lit(sigs[2])).alias("same"),
+        sig_jaccard_estimate(F2.lit(sigs[1]), F2.lit(sigs[3])).alias("diff"),
+    ).first()
+    assert one["same"] == 1.0
+    assert one["diff"] < 0.5
