@@ -394,3 +394,52 @@ def pii_scrub(
     for name, pat in PII_PATTERNS.items():
         clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
     return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+def token_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    smooth: float = 1e-6,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    retrain/ingest-alarm monitor for a text pipeline (the text sibling of
+    ``drift.psi_bins``): per-token PSI contributions
+    ``(p_a - p_b) * ln(p_a / p_b)`` over the union of each side's top-k
+    tokens, smoothed so a token absent from one side contributes a large
+    but finite term. Sum the ``psi_term`` column for the scalar alarm
+    (> 0.2 = retrain-grade shift, same convention as the events monitor).
+
+    Scale shape: one map-side-combined token count per side (explode →
+    groupBy token), top-k via orderBy+limit — Spark's TakeOrdered, a
+    per-partition partial top-k + driver merge, NOT a single-task sort of
+    the vocabulary (a global row_number window would be exactly that) —
+    then a full-outer join of two <= 2k-row relations; nothing
+    corpus-sized ever joins. Deterministic top-k: ties break
+    lexicographically.
+    """
+
+    def freqs(df, side):
+        tok = df.select(
+            F.explode(tokens(text_col)).alias("token")
+        ).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        top = tok.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
+        total = tok.agg(F.sum("n").alias("_tot"))
+        return top.crossJoin(F.broadcast(total)).select(
+            "token", (F.col("n") / F.col("_tot")).alias(f"p_{side}")
+        )
+
+    a, b = freqs(df_a, "a"), freqs(df_b, "b")
+    pa = F.coalesce(F.col("p_a"), F.lit(0.0)) + F.lit(smooth)
+    pb = F.coalesce(F.col("p_b"), F.lit(0.0)) + F.lit(smooth)
+    return (
+        a.join(b, "token", "full_outer")
+        .select(
+            "token",
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("token")
+    )

@@ -2598,3 +2598,40 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("source") == "src0")
     corpus_sigs = dd2.minhash_signatures(dd2.with_hashed_shingles(corpus))
     return dd2.incremental_minhash_dedup(batch, corpus_sigs, threshold=0.5)
+
+
+@register(
+    "token_drift_sources",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    ta AS (SELECT unnest(t.t) AS token FROM toks t
+           JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+    tb AS (SELECT unnest(t.t) AS token FROM toks t
+           JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+    ca AS (SELECT token, COUNT(*) AS n FROM ta GROUP BY token),
+    cb AS (SELECT token, COUNT(*) AS n FROM tb GROUP BY token),
+    fa AS (SELECT token, n / CAST((SELECT SUM(n) FROM ca) AS DOUBLE) AS p_a
+           FROM (SELECT token, n FROM ca ORDER BY n DESC, token LIMIT 10)),
+    fb AS (SELECT token, n / CAST((SELECT SUM(n) FROM cb) AS DOUBLE) AS p_b
+           FROM (SELECT token, n FROM cb ORDER BY n DESC, token LIMIT 10))
+    SELECT token,
+      ROUND(COALESCE(p_a, 0) + 1e-06, 6) AS p_a,
+      ROUND(COALESCE(p_b, 0) + 1e-06, 6) AS p_b,
+      ROUND((COALESCE(p_a, 0) - COALESCE(p_b, 0))
+            * ln((COALESCE(p_a, 0) + 1e-06) / (COALESCE(p_b, 0) + 1e-06)),
+            6) AS psi_term
+    FROM fa FULL OUTER JOIN fb USING (token)
+    ORDER BY token
+    """,
+)
+def token_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the src0 snapshot and the rest of
+    the corpus: per-token PSI contributions over the union of each side's
+    top-10 tokens (smoothed for one-sided tokens). SUM(psi_term) > 0.2 is
+    the retrain-grade alarm, same convention as the events PSI monitor."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_drift(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        top_k=10,
+    )

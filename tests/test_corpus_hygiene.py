@@ -1107,3 +1107,34 @@ def test_sig_jaccard_estimate_identical_and_disjoint(spark):
     ).first()
     assert one["same"] == 1.0
     assert one["diff"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift
+# ---------------------------------------------------------------------------
+def test_token_drift_alarms_on_shift_only(spark):
+    from dataquality_ml_spark.operators.text import token_drift
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    shifted = spark.createDataFrame(
+        [(i, "omega psi chi phi " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    psi_same = sum(
+        r["psi_term"] for r in token_drift(a, same, top_k=10).collect()
+    )
+    psi_shift = sum(
+        r["psi_term"] for r in token_drift(a, shifted, top_k=10).collect()
+    )
+    assert psi_same < 0.01
+    assert psi_shift > 0.2
+    # one-sided tokens appear from both sides of the full-outer join
+    toks = {r["token"] for r in token_drift(a, shifted, top_k=10).collect()}
+    assert "alpha" in toks and "omega" in toks
