@@ -91,3 +91,73 @@ def fit_on_normal(
 
     normal = df.where(F.col(label_col) == F.lit(0))
     return build_feature_pipeline(df, label_col=label_col, **kwargs).fit(normal)
+
+
+def fit_quality_classifier(docs: DataFrame, reg_param: float = 0.01):
+    """fastText-style document-quality classifier: logistic regression
+    over cheap text statistics (token count, punctuation/digit density,
+    stopword fraction, mean token length) — the standard LLM-pipeline
+    quality model (DCLM / LLaMA-style filters), here trained by
+    self-distillation on the heuristic filter's weak labels so the whole
+    lifecycle is runnable without gold annotations; a production
+    deployment swaps in human/LLM labels and keeps the plumbing.
+
+    Returns the fitted PipelineModel (assembler → scaler → LR). Training
+    cost: MLlib's L-BFGS over the ~5-feature stats relation — the heavy
+    text work is the one pass computing the statistics; the solve itself
+    aggregates gradients tree-wise and is corpus-size-linear.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _quality_features(docs)
+    assembler = VectorAssembler(
+        inputCols=_QUALITY_FEATURE_COLS, outputCol="_fv", handleInvalid="skip"
+    )
+    scaler = StandardScaler(
+        inputCol="_fv", outputCol="_fs", withMean=True, withStd=True
+    )
+    lr = LogisticRegression(
+        featuresCol="_fs",
+        labelCol="_label",
+        maxIter=25,
+        regParam=reg_param,
+        standardization=False,  # scaler already standardized
+    )
+    return Pipeline(stages=[assembler, scaler, lr]).fit(feats)
+
+
+_QUALITY_FEATURE_COLS = [
+    "n_tokens",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_frac",
+    "avg_token_len",
+]
+
+
+def _quality_features(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dataquality_ml_spark.operators.text import text_quality, token_stats
+
+    q = text_quality(docs)
+    t = token_stats(docs).select("doc_id", "avg_token_len")
+    return q.join(t, "doc_id").select(
+        "doc_id",
+        *[F.col(c).cast("double").alias(c) for c in _QUALITY_FEATURE_COLS],
+        F.col("is_high_quality").cast("double").alias("_label"),
+    )
+
+
+def score_quality(docs: DataFrame, model) -> DataFrame:
+    """Apply a fitted quality classifier: (doc_id, prob_hq, pred_hq).
+    Probability rounded 3 dp (solver-order jitter is far below that)."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    scored = model.transform(_quality_features(docs))
+    return scored.select(
+        "doc_id",
+        F.round(vector_to_array("probability")[1], 3).alias("prob_hq"),
+        F.col("prediction").cast("int").alias("pred_hq"),
+    )

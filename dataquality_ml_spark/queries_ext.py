@@ -2635,3 +2635,21 @@ def token_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") != "src0"),
         top_k=10,
     )
+
+
+@register("quality_classifier_docs")  # rows-only: LR training not SQL-expressible
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier lifecycle in one query: compute
+    text statistics, train logistic regression on the heuristic filter's
+    weak labels (self-distillation — production swaps gold labels), score
+    every document with a calibrated high-quality probability. Rows-only
+    gate: the L-BFGS solve is not SQL-expressible; tests assert the model
+    separates planted junk from clean text."""
+    from dataquality_ml_spark.ml.mllib_pipeline import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = fit_quality_classifier(docs)
+    return score_quality(docs, model).orderBy("doc_id")

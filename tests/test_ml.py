@@ -253,3 +253,30 @@ def test_iforest_stability_search_matches_numpy_recomputation(spark):
     # sanity on the scorer helper itself: constant scores are maximally
     # stable (score → 1 as std, range → 0)
     assert stability_score(np.full(50, 0.4)) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_quality_classifier_separates_planted_junk(spark):
+    """Self-distilled LR must rank clean prose above degenerate junk —
+    the weak-label lifecycle end to end."""
+    from dataquality_ml_spark.ml.mllib_pipeline import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    clean = [
+        (i, "the quick brown fox jumps over the lazy dog and runs far away today")
+        for i in range(30)
+    ]
+    junk = [
+        (100 + i, "!!! 123 456 789 000 111 ??? ### 999 888 777 !!!")
+        for i in range(30)
+    ]
+    short = [(200 + i, "tiny") for i in range(10)]
+    docs = spark.createDataFrame(
+        clean + junk + short, "doc_id long, text string"
+    )
+    model = fit_quality_classifier(docs)
+    scored = {r["doc_id"]: r for r in score_quality(docs, model).collect()}
+    assert scored[0]["prob_hq"] > 0.5 and scored[0]["pred_hq"] == 1
+    assert scored[100]["prob_hq"] < 0.5 and scored[100]["pred_hq"] == 0
+    assert scored[0]["prob_hq"] > scored[100]["prob_hq"]
