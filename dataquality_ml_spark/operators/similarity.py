@@ -349,6 +349,7 @@ def cluster_pair_sims(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 2048,
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """All intra-cluster cosine pairs >= threshold, one BLAS GEMM per
     cluster instead of one interpreted fold per pair — the vectorized form
@@ -357,10 +358,16 @@ def cluster_pair_sims(
     Arrow-batched ``applyInPandas`` keyed by cluster: one shuffle of the
     narrow (id, vec) rows, then each cluster's similarity matrix is
     computed block-row-wise (``block`` rows x cluster GEMM) so peak memory
-    is O(block * n) not O(n^2). Clusters too big for one task should be
-    pre-split by salting the cluster id into sub-blocks and unioning the
-    (sub-block x sub-block) pair enumeration; at this corpus's cluster
-    cardinality (n/n_clusters) single-task is the right plan.
+    is O(block * n) not O(n^2).
+
+    ``sub_blocks`` = B > 1 is the fat-cluster escape hatch: each member
+    hashes into one of B sub-blocks and every (i <= j) sub-block pair
+    becomes its own task — within-block groups enumerate their upper
+    triangle, cross-block groups enumerate only cross pairs, so each
+    unordered pair is produced exactly once. A task now holds at most
+    2·n/B rows (shuffle volume grows B×: each row joins B groups). Pick
+    B so n/B rows of vectors fit one task; result is bit-identical to
+    B = 1 (asserted in tests).
 
     Rounds to 4 dp with -0.0 canonicalization — same contract as the SQL
     expression path, so the DuckDB oracle stays the correctness gate.
@@ -370,37 +377,86 @@ def cluster_pair_sims(
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
 
-    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return empty
-        m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+    def _gemm_pairs(ids, m, nrm, ids_b=None, m_b=None, nrm_b=None):
+        """Upper-triangle pairs within (ids, m), or all cross pairs
+        against (ids_b, m_b), id_a < id_b, block-row bounded."""
+        cross = ids_b is not None
+        if not cross:
+            ids_b, m_b, nrm_b = ids, m, nrm
         out = []
-        for lo in range(0, n - 1, block):
+        n = len(ids)
+        for lo in range(0, n if cross else n - 1, block):
             hi = min(lo + block, n)
-            s = (m[lo:hi] @ m.T) / np.outer(nrm[lo:hi], nrm)
+            s = (m[lo:hi] @ m_b.T) / np.outer(nrm[lo:hi], nrm_b)
             s = np.round(s, 4) + 0.0
             rows, cols = np.nonzero(s >= threshold)
-            keep = cols > rows + lo  # strict upper triangle: id_a < id_b
-            rows, cols = rows[keep], cols[keep]
+            if not cross:
+                keep = cols > rows + lo  # strict upper triangle
+                rows, cols = rows[keep], cols[keep]
             if len(rows):
+                a, b = ids[rows + lo], ids_b[cols]
+                if cross:  # orient by id; ids are distinct across blocks
+                    a, b = np.minimum(a, b), np.maximum(a, b)
                 out.append(
                     pd.DataFrame(
-                        {
-                            "id_a": ids[rows + lo],
-                            "id_b": ids[cols],
-                            "cos_sim": s[rows, cols],
-                        }
+                        {"id_a": a, "id_b": b, "cos_sim": s[rows, cols]}
                     )
                 )
+        return out
+
+    def _prep(pdf):
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return ids, m, np.sqrt(np.einsum("ij,ij->i", m, m))
+
+    narrow = members.select(cluster_col, id_col, vec_col)
+    schema = "id_a long, id_b long, cos_sim double"
+
+    if sub_blocks <= 1:
+
+        def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return empty
+            out = _gemm_pairs(*_prep(pdf))
+            return pd.concat(out) if out else empty
+
+        return narrow.groupBy(cluster_col).applyInPandas(_pairs, schema)
+
+    B = sub_blocks
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B))
+    base = narrow.withColumn("_blk", blk)
+    parts = []
+    for i in range(B):
+        for j in range(i, B):
+            parts.append(
+                base.where(F.col("_blk").isin(i, j)).withColumn(
+                    "_grp", F.lit(f"{i}:{j}")
+                )
+            )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+
+    # no type hints: pyspark's eval-type inference warns on a partially
+    # annotated (key, pdf) signature; the two-arg form is detected by arity
+    def _pairs_salted(key, pdf):
+        i, j = (int(x) for x in key[1].split(":"))
+        if i == j:
+            if len(pdf) < 2:
+                return empty
+            out = _gemm_pairs(*_prep(pdf))
+        else:
+            left = pdf[pdf["_blk"] == i]
+            right = pdf[pdf["_blk"] == j]
+            if not len(left) or not len(right):
+                return empty
+            out = _gemm_pairs(*_prep(left), *_prep(right))
         return pd.concat(out) if out else empty
 
-    return members.select(cluster_col, id_col, vec_col).groupBy(
-        cluster_col
-    ).applyInPandas(_pairs, "id_a long, id_b long, cos_sim double")
+    return allp.groupBy(cluster_col, "_grp").applyInPandas(
+        _pairs_salted, schema
+    )
 
 
 def _sq_dist(vec_col, cent: list[float]):

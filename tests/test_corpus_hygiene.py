@@ -1138,3 +1138,32 @@ def test_token_drift_alarms_on_shift_only(spark):
     # one-sided tokens appear from both sides of the full-outer join
     toks = {r["token"] for r in token_drift(a, shifted, top_k=10).collect()}
     assert "alpha" in toks and "omega" in toks
+
+
+def test_cluster_pair_sims_sub_blocks_bit_identical(spark):
+    """The fat-cluster salting path (B sub-blocks, (i<=j) block-pair
+    tasks) must return exactly the single-task result — every unordered
+    pair once, same rounded sims — including across GEMM block rows."""
+    import random
+
+    from dataquality_ml_spark.operators.similarity import cluster_pair_sims
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], i % 2) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+    plain = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cluster_pair_sims(df, threshold=-1.0, block=7).collect()
+    )
+    salted = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cluster_pair_sims(
+            df, threshold=-1.0, block=7, sub_blocks=3
+        ).collect()
+    )
+    assert plain == salted
+    assert len(plain) == 2 * (30 * 29 // 2)
