@@ -252,3 +252,44 @@ def leakage_safe_split(
     for name, bound in reversed(conds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff — what changed between two snapshots of the
+    same table: ``added`` (id only in new), ``removed`` (only in old),
+    ``changed`` (same id, different content hash), ``unchanged``. The
+    audit step between corpus releases: dedup/decontam decisions are made
+    against content, so the diff compares an md5 CONTENT hash, not
+    row equality — column order or metadata churn doesn't alarm.
+
+    One full-outer shuffle join on the id; each side carries only
+    (id, 16-byte hash), so the shuffle is narrow no matter how wide the
+    documents are. NULL content hashes compare via null-safe equality
+    (two null-text versions are 'unchanged', not 'changed').
+    """
+    o = old_df.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("_h_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new_df.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("_h_new"),
+        F.lit(True).alias("_in_new"),
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(
+                F.col("_h_old").eqNullSafe(F.col("_h_new")), F.lit("unchanged")
+            )
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

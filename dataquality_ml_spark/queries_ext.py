@@ -2653,3 +2653,40 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     model = fit_quality_classifier(docs)
     return score_quality(docs, model).orderBy("doc_id")
+
+
+@register(
+    "snapshot_diff_docs",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+)
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff: yesterday's snapshot (docs except every 7th,
+    with every 5th carrying legacy content) against today's full corpus —
+    added / removed-is-impossible-here / changed / unchanged per doc via
+    content-hash comparison over a narrow (id, hash) full-outer join."""
+    from dataquality_ml_spark.operators.relational import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" legacy"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, docs).orderBy("doc_id")

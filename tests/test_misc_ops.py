@@ -271,3 +271,24 @@ def test_new_tpch_shape_plans(spark):
     mh = qs["mahalanobis_outliers"](spark, sf)
     plan = plans.formatted_plan(mh)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_statuses_including_null_content(spark):
+    from dataquality_ml_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # null-safe: two null-text versions match
+    }
