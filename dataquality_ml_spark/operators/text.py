@@ -443,3 +443,56 @@ def token_drift(
         )
         .orderBy("token")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model quality score: per-doc mean of
+    ``ln(lam * P(w|v) + (1-lam) * P(w))`` over adjacent token pairs, with
+    both distributions estimated from the corpus itself — the next step up
+    from the unigram CCNet proxy (``unigram_logprob``): word-salad
+    documents whose unigrams look normal but whose transitions are random
+    score low.
+
+    Scale shape: bigram extraction is a zip_with of two array slices (one
+    narrow projection); the bigram and unigram vocabularies are map-side-
+    combined aggs; scoring joins each doc's bigram rows to the bigram
+    vocab on (v, w) and to the unigram vocab on both words — all
+    vocab-sized relations, re-joined by key, never collected. Docs with
+    fewer than two tokens have no transitions and drop out.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    bg = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+    )
+    docs_bg = (
+        df.where(n >= 2)
+        .select(F.col(id_col), F.explode(bg).alias("b"))
+        .select(id_col, F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    )
+    bgc = docs_bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ex = df.select(F.explode(t).alias("w"))
+    uni = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    total = uni.agg(F.sum("c_w").alias("_tot"))
+    p_big = F.col("c_vw") / F.col("c_v")
+    p_uni = F.col("c_w") / F.col("_tot")
+    return (
+        docs_bg.join(bgc, ["v", "w"])
+        .join(uni.select(F.col("w").alias("v"), F.col("c_w").alias("c_v")), "v")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.lit(lam) * p_big + F.lit(1 - lam) * p_uni)), 4
+            ).alias("mean_logprob"),
+        )
+    )

@@ -2690,3 +2690,38 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return snapshot_diff(old, docs).orderBy("doc_id")
+
+
+@register(
+    "bigram_logprob_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    bgl AS (
+      SELECT doc_id,
+             unnest([struct_pack(v := t[i], w := t[i+1])
+                     for i in generate_series(1, len(t) - 1)]) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bg AS (SELECT doc_id, b.v AS v, b.w AS w FROM bgl),
+    bgc AS (SELECT v, w, COUNT(*) AS c_vw FROM bg GROUP BY v, w),
+    ex AS (SELECT unnest(t) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c_w FROM ex GROUP BY w),
+    tot AS (SELECT SUM(c_w) AS total FROM uni)
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      ROUND(AVG(ln(0.7 * (bgc.c_vw / CAST(u1.c_w AS DOUBLE))
+                   + (1 - 0.7) * (u2.c_w / CAST(total AS DOUBLE)))), 4)
+        AS mean_logprob
+    FROM bg
+    JOIN bgc USING (v, w)
+    JOIN uni u1 ON u1.w = bg.v
+    JOIN uni u2 ON u2.w = bg.w
+    CROSS JOIN tot
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (lam=0.7): transition-aware
+    model-free perplexity — word-salad docs with plausible unigrams but
+    random transitions score low. Vocab aggs map-side combine; scoring is
+    vocab-keyed joins, nothing collected."""
+    return tx.bigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")

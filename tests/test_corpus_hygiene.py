@@ -1167,3 +1167,41 @@ def test_cluster_pair_sims_sub_blocks_bit_identical(spark):
     )
     assert plain == salted
     assert len(plain) == 2 * (30 * 29 // 2)
+
+
+def test_bigram_logprob_penalizes_word_salad(spark):
+    """Two corpora with IDENTICAL unigram distributions: one with fixed
+    transitions, one scrambled — the bigram score must separate them
+    where the unigram score cannot."""
+    import random
+
+    from dataquality_ml_spark.operators.text import bigram_logprob, unigram_logprob
+
+    rng = random.Random(5)
+    phrase = ["alpha", "beta", "gamma", "delta"]
+    ordered = [(i, " ".join(phrase * 5)) for i in range(10)]
+    salad_words = phrase * 5
+    salads = []
+    for i in range(10, 20):
+        ws = salad_words[:]
+        rng.shuffle(ws)
+        salads.append((i, " ".join(ws)))
+    df = spark.createDataFrame(ordered + salads, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()}
+    assert abs(uni[0] - uni[15]) < 1e-9  # unigram model is blind to order
+
+    big = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
+    assert big[0] > big[15]
+    assert all(big[o] > big[s] for o in range(3) for s in range(15, 18))
+
+
+def test_bigram_logprob_short_docs_excluded(spark):
+    from dataquality_ml_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert out == {3}
