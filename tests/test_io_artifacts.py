@@ -191,3 +191,31 @@ def test_write_parquet_observed_metrics(spark, tmp_path, sf_dir):
     assert m["n_rows"] == back.count()
     assert m["value__nulls"] == back.where(F.col("value").isNull()).count()
     assert m["user_id__nulls"] == back.where(F.col("user_id").isNull()).count()
+
+
+def test_synthetic_docs_datasource_partition_independent(spark):
+    """Spark-4 custom Python DataSource: executor-side generation, corpus
+    identical under any partitioning, operators run on it unchanged."""
+    from dataquality_ml_spark.operators.text import token_stats
+    from dataquality_ml_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", 200)
+            .option("n_partitions", parts)
+            .option("seed", 11)
+            .load()
+        )
+
+    one = sorted((r["doc_id"], r["text"]) for r in load(1).collect())
+    many_df = load(7)
+    assert many_df.rdd.getNumPartitions() == 7
+    many = sorted((r["doc_id"], r["text"]) for r in many_df.collect())
+    assert one == many and len(one) == 200
+    assert many_df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    # downstream operators run unchanged on the generated corpus
+    stats = token_stats(many_df)
+    assert stats.where("n_tokens >= 5").count() == 200
