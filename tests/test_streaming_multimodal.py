@@ -570,3 +570,39 @@ def test_span_dedup_stream_bloom_persists_across_queries(spark, tmp_path):
     assert day1[1] == ("a b c d e f", 0)
     day2, _ = run("day2", [(2, "a b c x y z")], bloom1)
     assert day2[2] == ("x y z", 1)  # "a b c" was accepted yesterday
+
+
+def test_image_metadata_parses_real_headers(spark):
+    """Header parsing is REAL: hand-built PNG/GIF/JPEG headers yield their
+    true dimensions; corrupt bytes classify unknown without dropping."""
+    import struct
+
+    from dataquality_ml_spark.operators.multimodal import image_metadata
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    # JPEG: SOI, APP0 (16 bytes), SOF0 with height=100 width=150
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 100, 150) + b"\x03" + b"\x00" * 2
+    )
+    junk = b"not an image at all, sorry"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(jpeg)),
+         (4, bytearray(junk)), (5, None)],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in image_metadata(df, "payload", "id").collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("gif", 320, 200)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("jpeg", 150, 100)
+    assert rows[4]["format"] == "unknown" and rows[4]["width"] is None
+    assert rows[5]["format"] == "unknown"
+    assert len(rows) == 5  # nothing dropped
