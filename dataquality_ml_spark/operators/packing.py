@@ -134,3 +134,43 @@ def mixture_sample(
         .where(F.col("cum_tokens") <= F.col("_alloc"))
         .select(id_col, source_col, "n_tokens", "cum_tokens")
     )
+
+
+def pack_pieces(
+    packed: DataFrame,
+    budget: int,
+    n_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Expand a ``pack_sequences`` assignment into the per-sequence
+    manifest a trainer actually consumes: one row per (sequence, document
+    piece) with the piece's offset and length INSIDE that sequence —
+    including documents that straddle a budget boundary, which appear
+    once per spanned sequence with the correct split lengths. This is the
+    attention-boundary / loss-mask map for packed training examples.
+
+    Pure narrow expressions: each doc explodes to its spanned seq range
+    (``sequence(first_seq, last_seq)`` — length = 1 + straddle count, no
+    corpus-wide window); interval clipping is arithmetic. Zero-token docs
+    occupy no tokens and drop out.
+    """
+    start = F.col("seq_id") * budget + F.col("seq_offset")
+    end = start + F.col(n_col) - 1  # inclusive
+    spans = F.sequence(
+        F.col("seq_id"), F.floor(end / budget).cast("bigint")
+    )
+    ex = (
+        packed.where(F.col(n_col) > 0)
+        .withColumn("_start", start)
+        .withColumn("_end", end)
+        .select(id_col, "_start", "_end", F.explode(spans).alias("piece_seq"))
+    )
+    seq_lo = F.col("piece_seq") * budget
+    p_start = F.greatest(F.col("_start"), seq_lo)
+    p_end = F.least(F.col("_end"), seq_lo + budget - 1)
+    return ex.select(
+        F.col("piece_seq").alias("seq_id"),
+        id_col,
+        (p_start - seq_lo).alias("piece_offset"),
+        (p_end - p_start + 1).alias("piece_len"),
+    )

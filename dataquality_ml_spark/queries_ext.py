@@ -2725,3 +2725,44 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     random transitions score low. Vocab aggs map-side combine; scoring is
     vocab-keyed joins, nothing collected."""
     return tx.bigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "pack_pieces_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    n AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM n
+    ),
+    pieces AS (
+      SELECT doc_id, strt, n_tokens,
+             unnest(generate_series(CAST(strt // 256 AS BIGINT),
+                                    CAST((strt + n_tokens - 1) // 256 AS BIGINT)))
+               AS seq_id
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT seq_id, doc_id,
+      CAST(GREATEST(strt, seq_id * 256) - seq_id * 256 AS BIGINT)
+        AS piece_offset,
+      CAST(LEAST(strt + n_tokens - 1, seq_id * 256 + 255)
+           - GREATEST(strt, seq_id * 256) + 1 AS BIGINT) AS piece_len
+    FROM pieces ORDER BY seq_id, doc_id
+    """,
+)
+def pack_pieces_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence manifest (budget=256): every (sequence, doc piece)
+    with in-sequence offset and split length, straddling docs included —
+    the attention-boundary map for packed training examples. Composes the
+    distributed prefix-sum packer with a narrow interval-clipping
+    explode; the oracle recomputes from the naive window form."""
+    from dataquality_ml_spark.operators.packing import pack_pieces, pack_sequences
+
+    n_df = tx.token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    packed = pack_sequences(n_df, budget=256)
+    return pack_pieces(packed, budget=256).orderBy("seq_id", "doc_id")

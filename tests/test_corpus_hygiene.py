@@ -1205,3 +1205,32 @@ def test_bigram_logprob_short_docs_excluded(spark):
     )
     out = {r["doc_id"] for r in bigram_logprob(df).collect()}
     assert out == {3}
+
+
+def test_pack_pieces_straddle_and_conservation(spark):
+    """A doc straddling a budget boundary splits into correctly-sized
+    pieces; piece lengths sum back to every doc's token count and every
+    sequence fills to exactly the budget (except the last)."""
+    from dataquality_ml_spark.operators.packing import pack_pieces, pack_sequences
+
+    rows = [(1, 6), (2, 7), (3, 10), (4, 3)]  # budget 8: doc 2,3 straddle
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, budget=8)
+    pieces = pack_pieces(packed, budget=8).collect()
+    by_doc = {}
+    by_seq = {}
+    for r in pieces:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["piece_len"]
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["piece_len"]
+        assert 0 <= r["piece_offset"] < 8
+        assert r["piece_offset"] + r["piece_len"] <= 8
+    assert by_doc == dict(rows)                      # conservation
+    total = sum(n for _, n in rows)                   # 26 -> seqs 0,1,2 full, 3 partial
+    full, last = divmod(total, 8)
+    assert all(by_seq[s] == 8 for s in range(full))
+    assert by_seq.get(full, 0) == last
+    # doc 2 starts at offset 6 of seq 0 -> pieces (2, 5)
+    d2 = sorted((r["seq_id"], r["piece_offset"], r["piece_len"]) for r in pieces if r["doc_id"] == 2)
+    assert d2 == [(0, 6, 2), (1, 0, 5)]
