@@ -151,13 +151,42 @@ def _quality_features(docs: DataFrame) -> DataFrame:
 
 def score_quality(docs: DataFrame, model) -> DataFrame:
     """Apply a fitted quality classifier: (doc_id, prob_hq, pred_hq).
-    Probability rounded 3 dp (solver-order jitter is far below that)."""
-    from pyspark.ml.functions import vector_to_array
+
+    Scoring is WEIGHTS-ONLY: the scaler means/stds and LR coefficients
+    are extracted from the fitted pipeline and evaluated as plain SQL
+    expressions (sigmoid of the standardized dot product) — the same
+    pattern as the keras adapters. Besides staying inside whole-stage
+    codegen, this sidesteps a Spark 4.1 classic hazard: a session that
+    has ever registered an ``Observation`` (e.g. after
+    ``write_parquet_observed``) fails to serialize MLlib-transform task
+    closures (``NotSerializableException: ObservationManager`` via the
+    model summary's DataFrame → session reference), so shipping the
+    model object into a closure is fragile in exactly the sessions a
+    pipeline runs. Probability rounded 3 dp (solver jitter is far
+    below that).
+    """
     from pyspark.sql import functions as F
 
-    scored = model.transform(_quality_features(docs))
-    return scored.select(
+    scaler = model.stages[1]
+    lr = model.stages[2]
+    means = list(scaler.mean.toArray())
+    stds = list(scaler.std.toArray())
+    coefs = list(lr.coefficients.toArray())
+    intercept = float(lr.intercept)
+
+    feats = _quality_features(docs)
+    # assembler handleInvalid="skip" parity: drop rows with null/NaN
+    for c in _QUALITY_FEATURE_COLS:
+        feats = feats.where(F.col(c).isNotNull() & ~F.isnan(F.col(c)))
+    z = F.lit(intercept)
+    for c, mu, sd, w in zip(_QUALITY_FEATURE_COLS, means, stds, coefs):
+        scaled = (
+            (F.col(c) - F.lit(mu)) / F.lit(sd) if sd != 0.0 else F.lit(0.0)
+        )
+        z = z + F.lit(w) * scaled
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
         "doc_id",
-        F.round(vector_to_array("probability")[1], 3).alias("prob_hq"),
-        F.col("prediction").cast("int").alias("pred_hq"),
+        F.round(prob, 3).alias("prob_hq"),
+        (prob > F.lit(0.5)).cast("int").alias("pred_hq"),
     )
