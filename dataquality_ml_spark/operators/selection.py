@@ -1,0 +1,154 @@
+"""Data-selection operators: DSIR importance resampling.
+
+Implements the hashed-n-gram importance-resampling selector of Xie et al.
+2023 ("Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023) Spark-first:
+
+- features = unigrams + adjacent bigrams, hashed into ``num_buckets``
+  buckets with the engine-portable md5 hash (so the DuckDB oracle can
+  recompute every step bit-for-bit);
+- bag-of-hashed-ngrams models fit on the target and the raw (candidate)
+  corpus are two map-side-combined ``groupBy(bucket)`` aggregations whose
+  outputs are ``num_buckets`` rows — joined back to the exploded doc
+  features as an (AQE-) broadcast join, never a shuffle of the corpus
+  against itself;
+- per-doc log importance weight = sum of per-bucket log-ratios, one
+  ``groupBy(doc_id)``;
+- resampling uses the Gumbel top-k trick (sample k docs ∝ w_i without
+  replacement == top-k of log w_i + Gumbel noise).  The Gumbel variate is
+  derived from the portable hash of (doc_id, seed), NOT from rand(), so
+  the draw is reproducible across engines and across runs — the same
+  determinism-over-rand choice as ``relational.sample_hash``.
+
+100 TB shape: the corpus is touched by exactly two explode+groupBy passes
+(model fit, doc scoring); both partial-aggregate map-side.  The bucket
+model tables are O(num_buckets) rows regardless of corpus size, and the
+final selection is a TakeOrdered top-k, not a corpus-wide sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.functions.scalar import portable_hash32, tokens
+
+_U32 = 4294967296.0  # 2^32
+
+
+def _ngram_buckets(df: DataFrame, text_col: str, id_col: str, num_buckets: int) -> DataFrame:
+    """Explode each doc into hashed (unigram + bigram) feature buckets.
+
+    One row per n-gram occurrence (count-weighted features, as in the
+    paper's bag-of-hashed-ngrams).  Pure array expressions — no UDF.
+    """
+    t = tokens(text_col)
+    uni = t
+    big = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.concat(uni, big).alias("feats"))
+        .select("doc_id", F.explode("feats").alias("f"))
+        .select("doc_id", F.pmod(portable_hash32(F.col("f")), F.lit(num_buckets)).alias("bucket"))
+    )
+
+
+def _bucket_model(feats: DataFrame) -> DataFrame:
+    """num_buckets-row count table: (bucket, cnt)."""
+    return feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def dsir_log_weights(
+    target: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-candidate-doc log importance weight log p_target(d) − log p_raw(d)
+    under smoothed bag-of-hashed-ngrams models.
+
+    Returns (doc_id, n_feats, logw) with logw rounded to 4 dp — the sum of
+    per-bucket log-ratios is associativity-sensitive at ~1e-12, and the
+    round keeps the value engine-portable (house precedent:
+    ``bigram_logprob``).
+    """
+    tgt_feats = _ngram_buckets(target, text_col, id_col, num_buckets)
+    raw_feats = _ngram_buckets(candidates, text_col, id_col, num_buckets)
+
+    tgt_counts = _bucket_model(tgt_feats).withColumnRenamed("cnt", "ct")
+    raw_counts = _bucket_model(raw_feats).withColumnRenamed("cnt", "cr")
+
+    # Raw-side buckets are complete for candidate features by construction;
+    # target-side counts coalesce to 0 where the target never saw the bucket.
+    model = raw_counts.join(tgt_counts, "bucket", "left").na.fill({"ct": 0})
+
+    # Scalar totals ride in as 1-row broadcast relations (house pattern).
+    tgt_total = tgt_counts.agg(F.sum("ct").alias("t_tgt"))
+    raw_total = raw_counts.agg(F.sum("cr").alias("t_raw"))
+    b = float(num_buckets)
+    lam = (
+        model.crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + alpha) / (F.col("t_tgt") + alpha * b))
+                - F.log((F.col("cr") + alpha) / (F.col("t_raw") + alpha * b))
+            ).alias("lam"),
+        )
+    )
+
+    return (
+        raw_feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lam"), 4).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_col: str = "doc_id", seed: int = 42) -> F.Column:
+    """Deterministic Gumbel(0,1) variate from the portable hash of
+    (doc_id, seed): u = (h + 0.5) / 2^32 ∈ (0,1), g = −ln(−ln u).
+
+    Hash-derived rather than rand(seed) so the DuckDB oracle reproduces
+    the exact draw.
+    """
+    h = portable_hash32(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    u = (h + F.lit(0.5)) / F.lit(_U32)
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    target: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Select ``k`` candidate docs ∝ importance weight without replacement
+    via the Gumbel top-k trick: top-k of (logw + Gumbel(doc_id, seed)).
+
+    The ranking key is rounded to 4 dp with doc_id as the tie-break, so
+    the selected set is identical across engines.  Executes as
+    TakeOrdered(k) — no corpus-wide sort materializes.
+    """
+    w = dsir_log_weights(target, candidates, text_col, id_col, num_buckets, alpha)
+    scored = w.select(
+        "doc_id",
+        "n_feats",
+        "logw",
+        F.round(F.col("logw") + gumbel_key("doc_id", seed), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)

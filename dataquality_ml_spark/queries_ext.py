@@ -2766,3 +2766,70 @@ def pack_pieces_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(n_df, budget=256)
     return pack_pieces(packed, budget=256).orderBy("seq_id", "doc_id")
+
+
+# ===========================================================================
+# Round 4 (cont.): data selection — DSIR importance resampling
+# ===========================================================================
+
+
+@register(
+    "dsir_resample_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(t,
+               [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]))
+               AS f
+      FROM toks
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM feats
+    ),
+    ct AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket),
+    cr AS (SELECT bucket, COUNT(*) AS cr FROM fb WHERE lang <> 'en' GROUP BY bucket),
+    tt AS (SELECT SUM(ct) AS t_tgt FROM ct),
+    tr AS (SELECT SUM(cr) AS t_raw FROM cr),
+    lam AS (
+      SELECT cr.bucket,
+             ln((COALESCE(ct.ct, 0) + 1.0) / (t_tgt + 1.0 * 1024))
+           - ln((cr.cr + 1.0) / (t_raw + 1.0 * 1024)) AS lam
+      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tt CROSS JOIN tr
+    ),
+    w AS (
+      SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             ROUND(SUM(lam), 4) AS logw
+      FROM fb JOIN lam USING (bucket)
+      WHERE fb.lang <> 'en'
+      GROUP BY fb.doc_id
+    )
+    SELECT doc_id, n_feats, logw,
+           ROUND(logw + (-ln(-ln(
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0))), 4) AS score
+    FROM w
+    ORDER BY score DESC, doc_id
+    LIMIT 150
+    """,
+)
+def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): treat the ``lang='en'``
+    slice as the target distribution and resample 150 docs from the rest
+    with probability ∝ exp(hashed-ngram importance weight), via the
+    deterministic Gumbel top-k.  Both bucket models are 1024-row broadcast
+    relations; the corpus sees two explode+groupBy passes and a TakeOrdered
+    — no corpus-wide window or sort."""
+    from dataquality_ml_spark.operators.selection import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        k=150,
+    )

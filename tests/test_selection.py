@@ -1,0 +1,61 @@
+"""DSIR importance resampling: planted-distribution behavior + determinism."""
+
+from __future__ import annotations
+
+import math
+
+from dataquality_ml_spark.operators.selection import dsir_log_weights, dsir_resample
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # Target talks about "alpha beta"; raw pool is half target-like,
+    # half "gamma delta" noise. Target-like candidates must out-weigh noise.
+    target = _df(spark, [(i, "alpha beta alpha beta alpha") for i in range(20)])
+    cands = _df(
+        spark,
+        [(100 + i, "alpha beta alpha beta gamma") for i in range(10)]
+        + [(200 + i, "gamma delta gamma delta gamma") for i in range(10)],
+    )
+    w = {r["doc_id"]: r["logw"] for r in dsir_log_weights(target, cands).collect()}
+    target_like = [w[100 + i] for i in range(10)]
+    noise = [w[200 + i] for i in range(10)]
+    assert min(target_like) > max(noise)
+
+    # Resampling k=10 under these near-deterministic weights picks the
+    # target-like half (Gumbel noise is O(1), weight gap is large).
+    chosen = {r["doc_id"] for r in dsir_resample(target, cands, k=10).collect()}
+    assert chosen == {100 + i for i in range(10)}
+
+
+def test_dsir_resample_deterministic_and_k_bounded(spark):
+    target = _df(spark, [(i, f"w{i % 3} w{(i + 1) % 3}") for i in range(12)])
+    cands = _df(spark, [(50 + i, f"w{i % 5} w{(i + 2) % 5} extra{i}") for i in range(30)])
+    a = dsir_resample(target, cands, k=7).collect()
+    b = dsir_resample(target, cands, k=7).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 7
+    # scores are finite and sorted descending
+    scores = [r["score"] for r in a]
+    assert all(math.isfinite(s) for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_seed_changes_draw_not_weights(spark):
+    target = _df(spark, [(i, "a b c d") for i in range(8)])
+    cands = _df(spark, [(50 + i, f"a b x{i} y{i}") for i in range(20)])
+    s1 = dsir_resample(target, cands, k=5, seed=1).collect()
+    s2 = dsir_resample(target, cands, k=5, seed=2).collect()
+    # weights identical per doc across seeds
+    w1 = {r["doc_id"]: r["logw"] for r in s1}
+    w2 = {r["doc_id"]: r["logw"] for r in s2}
+    for d in set(w1) & set(w2):
+        assert w1[d] == w2[d]
+    # but the gumbel scores differ for at least one selected doc
+    sc1 = {r["doc_id"]: r["score"] for r in s1}
+    sc2 = {r["doc_id"]: r["score"] for r in s2}
+    common = set(sc1) & set(sc2)
+    assert any(sc1[d] != sc2[d] for d in common) or set(sc1) != set(sc2)
