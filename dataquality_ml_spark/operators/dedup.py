@@ -696,6 +696,13 @@ def winnow_fingerprints(
     hash sequence shorter than w degenerates to its single global min
     (the guarantee still holds — the whole doc is one window).
 
+    The k-gram hash sequence is materialized as its OWN projection before
+    the window-min pass. Folding both into one expression re-expands the
+    md5 transform at every reference inside the window lambda, and the
+    resulting expression tree ran ~30× slower (24s → 0.8s at sf0.001,
+    data-size-independent — codegen/eval blowup, not I/O). Two selects
+    with ≥2 non-cheap references keep CollapseProject from re-inlining.
+
     Output: (id, winnow_fps array<bigint>) — distinct selected hashes.
     """
     t = tokens(text_col)
@@ -708,14 +715,22 @@ def winnow_fingerprints(
             10,
         ).cast("bigint"),
     )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(seq) - (w - 1), F.lit(1))
+    hashed = df.select(
+        F.col(id_col),
+        F.when(n_sh >= 1, seq)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_hseq"),
     )
-    mins = F.transform(starts, lambda j: F.array_min(F.slice(seq, j, w)))
-    fps = F.when(n_sh >= 1, F.array_distinct(mins)).otherwise(
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_hseq") - (w - 1), F.lit(1))
+    )
+    mins = F.transform(
+        starts, lambda j: F.array_min(F.slice(F.col("_hseq"), j, w))
+    )
+    fps = F.when(F.size("_hseq") >= 1, F.array_distinct(mins)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return df.select(F.col(id_col), fps.alias("winnow_fps"))
+    return hashed.select(F.col(id_col), fps.alias("winnow_fps"))
 
 
 def winnow_dup_pairs(
