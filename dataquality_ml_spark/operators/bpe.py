@@ -1,0 +1,159 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus — the
+corpus-scale work is exactly one map-side-combined ``groupBy(word)``; every
+merge iteration afterwards runs over the (distinct words)-sized vocab
+relation, which is orders of magnitude smaller than the corpus at 100 TB
+(Heaps' law).  Each iteration is: one pair-count aggregation over the vocab
++ a 1-row collect of the argmax pair (model parameters, the sanctioned
+driver round-trip) + a narrow ``replace`` projection applying the merge.
+
+Symbol representation: a word is a separator-delimited symbol string
+``·c·h·a·r·s·</w>·`` (leading AND trailing separators).  Applying merge
+(l, r) is then ``replace(word_str, '·l·r·', '·lr·')`` — the anchoring
+separators stop matches inside larger symbols, and because the match
+consumes the shared separator, SQL's left-to-right non-overlapping replace
+reproduces BPE's left-to-right merge exactly (``a a a`` + merge (a,a) →
+``aa a``, not ``a aa``).  The same string algebra runs verbatim in DuckDB,
+which is what makes every step oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.functions.scalar import tokens
+
+SEP = "·"  # '·' — not a whitespace token char, safe separator
+EOW = "</w>"
+
+
+def word_symbol_str(word_col: F.Column) -> F.Column:
+    """'chars' → '·c·h·a·r·s·</w>·' (regexp insert, no char-array split —
+    identical under Java regex and RE2/DuckDB with the global flag)."""
+    return F.concat(
+        F.regexp_replace(word_col, "(.)", SEP + "$1"),
+        F.lit(SEP + EOW + SEP),
+    )
+
+
+def bpe_init_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word_str, cnt) vocab table from the corpus — the one corpus-scale
+    pass (explode + map-side-combined groupBy)."""
+    t = tokens(text_col)
+    return (
+        df.select(F.explode(t).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(word_symbol_str(F.col("word")).alias("word_str"), "cnt")
+    )
+
+
+def symbols(word_str_col: F.Column) -> F.Column:
+    """word_str → symbol array (split on the separator, drop the empty
+    fragments the anchoring separators produce)."""
+    return F.filter(F.split(word_str_col, SEP), lambda s: s != "")
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """(lhs, rhs, total) adjacent-symbol-pair counts, weighted by word
+    frequency.  Explode + one aggregation — partial-aggregated map-side."""
+    s = symbols(F.col("word_str"))
+    pairs = vocab.select(
+        F.col("cnt"),
+        F.explode(
+            F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("lhs"),
+                        F.element_at(s, i + 1).alias("rhs"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(F.sum("cnt").alias("total"))
+
+
+def apply_merge(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Apply one merge to the vocab: anchored separator replace."""
+    pat = F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}")
+    rep = F.lit(f"{SEP}{lhs}{rhs}{SEP}")
+    return vocab.select(
+        F.replace(F.col("word_str"), pat, rep).alias("word_str"), "cnt"
+    )
+
+
+def bpe_train(
+    df: DataFrame, num_merges: int = 6, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns [(rank, lhs, rhs, count)].
+
+    Ties broken by (count desc, lhs asc, rhs asc) so training is
+    deterministic and engine-portable.  The vocab is localCheckpointed once
+    so merge iterations never rescan the corpus; stops early if the vocab
+    runs out of pairs.
+    """
+    vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        top = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("total"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, total = top[0]["lhs"], top[0]["rhs"], top[0]["total"]
+        merges.append((rank, lhs, rhs, int(total)))
+        vocab = apply_merge(vocab, lhs, rhs)
+    return merges
+
+
+def bpe_merge_df(spark: SparkSession, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, cnt bigint"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per token, build the
+    symbol string, chain the merges in rank order (a fixed cascade of
+    ``replace`` expressions — narrow, codegen-able, no UDF), and report the
+    per-doc subword count and chars-per-subword compression.
+
+    100 TB shape: the merge table rides inside the plan as literals (the
+    production analogue of broadcasting the tokenizer file); the corpus
+    pass is a single explode + one groupBy(doc_id)."""
+    t = tokens(text_col)
+    ex = df.select(F.col(id_col), F.explode(t).alias("word")).where(
+        F.col("word") != ""
+    )
+    col = word_symbol_str(F.col("word"))
+    for _, lhs, rhs, _ in merges:
+        col = F.replace(
+            col,
+            F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}"),
+            F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+        )
+    seg = ex.select(
+        id_col,
+        F.length("word").alias("n_chars"),
+        F.size(symbols(col)).alias("n_sub"),
+    )
+    return seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").alias("n_subwords"),
+        F.round(F.sum("n_chars") / F.sum("n_sub"), 4).alias("chars_per_subword"),
+    )

@@ -2833,3 +2833,111 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") != "en"),
         k=150,
     )
+
+
+# ===========================================================================
+# Round 4 (cont.): distributed BPE tokenizer training
+# ===========================================================================
+
+_BPE_N = 6
+
+
+def _bpe_train_ctes(n: int) -> str:
+    """Unrolled BPE training as DuckDB CTEs: v0 is the symbol-string vocab;
+    each step i computes pair counts from v{i-1}, picks the argmax pair
+    (count desc, lhs, rhs) into p{i}, and applies it with the anchored
+    separator replace into v{i} — the same string algebra the Spark
+    operator runs."""
+    parts = [
+        "ex AS MATERIALIZED (SELECT unnest(t) AS word FROM toks)",
+        "words AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM ex WHERE word <> '' "
+        "GROUP BY word)",
+        "v0 AS MATERIALIZED (SELECT '·' || regexp_replace(word, '(.)', '·\\1', 'g')"
+        " || '·</w>·' AS word_str, cnt FROM words)",
+    ]
+    for i in range(1, n + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT cnt, list_filter(string_split(word_str, '·'),"
+            f" x -> x <> '') AS s FROM {prev})"
+        )
+        parts.append(
+            f"pc{i} AS MATERIALIZED (SELECT s[idx] AS lhs, s[idx + 1] AS rhs, SUM(cnt) AS total "
+            f"FROM (SELECT cnt, s, unnest(generate_series(1, len(s) - 1)) AS idx "
+            f"FROM s{i} WHERE len(s) >= 2) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT lhs, rhs, total FROM pc{i} "
+            f"ORDER BY total DESC, lhs, rhs LIMIT 1)"
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT replace(word_str, "
+            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·') "
+            f"AS word_str, cnt FROM {prev})"
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(n: int = _BPE_N) -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, CAST(total AS BIGINT) AS cnt FROM p{i}"
+        for i in range(1, n + 1)
+    )
+    return (
+        f"WITH {_TOKS_CTE},\n    {_bpe_train_ctes(n)}\n    "
+        f"{selects} ORDER BY merge_rank"
+    )
+
+
+def _bpe_segment_oracle(n: int = _BPE_N) -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    expr = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
+    for i in range(1, n + 1):
+        expr = (
+            f"replace({expr}, "
+            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
+        )
+    return f"""
+    WITH {_TOKS_CTE},
+    {_bpe_train_ctes(n)},
+    exd AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    seg AS (
+      SELECT doc_id, length(word) AS n_chars,
+             len(list_filter(string_split({expr}, '·'), x -> x <> '')) AS n_sub
+      FROM exd WHERE word <> ''
+    )
+    SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           ROUND(SUM(n_chars) / CAST(SUM(n_sub) AS DOUBLE), 4) AS chars_per_subword
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("bpe_merges_docs", oracle=_bpe_merges_oracle())
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges learned on the documents corpus (Sennrich et al.
+    2016).  One corpus-scale word-count pass; every merge iteration runs on
+    the vocab relation only, with a 1-row argmax collect per merge (model
+    parameters).  Ties break (count desc, lhs, rhs) so training is
+    engine-portable; the oracle replays training step-for-step in SQL."""
+    from dataquality_ml_spark.operators.bpe import bpe_merge_df, bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), num_merges=_BPE_N)
+    return bpe_merge_df(spark, merges).orderBy("merge_rank")
+
+
+@register("bpe_segment_docs", oracle=_bpe_segment_oracle())
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 6 learned merges back to the corpus: per-doc subword count
+    (word-end marker counts as a symbol until merged, same on both engines)
+    and chars-per-subword compression.  The merge list rides in the plan as
+    a literal replace cascade — no UDF, one explode + one groupBy."""
+    from dataquality_ml_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_N)
+    return bpe_segment(docs, merges).orderBy("doc_id")

@@ -1,0 +1,75 @@
+"""BPE training: hand-computed merges, left-to-right merge semantics,
+segmentation round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.operators.bpe import (
+    apply_merge,
+    bpe_init_vocab,
+    bpe_pair_counts,
+    bpe_segment,
+    bpe_train,
+    symbols,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_bpe_train_hand_computed(spark):
+    # corpus: "low" x3, "lower" x1  → char pairs:
+    # (l,o) 4, (o,w) 4, (w,</w>) 3, (w,e) 1, (e,r) 1, (r,</w>) 1
+    df = _docs(spark, ["low low low lower"])
+    merges = bpe_train(df, num_merges=3)
+    # rank 1: tie (l,o)=(o,w)=4 → lexicographic lhs: ('l','o')
+    assert merges[0][1:] == ("l", "o", 4)
+    # rank 2: ('lo','w')=4 beats (w,</w>)=3
+    assert merges[1][1:] == ("lo", "w", 4)
+    # rank 3: ('low','</w>')=3
+    assert merges[2][1:] == ("low", "</w>", 3)
+
+
+def test_merge_left_to_right_consecutive(spark):
+    # word "aaa": symbols a a a </w>; merging (a,a) must give [aa, a, </w>]
+    # (left-to-right, the second 'a' is consumed), not [a, aa].
+    df = _docs(spark, ["aaa"])
+    vocab = bpe_init_vocab(df)
+    merged = apply_merge(vocab, "a", "a")
+    [row] = merged.select(symbols(F.col("word_str")).alias("s")).collect()
+    assert row["s"] == ["aa", "a", "</w>"]
+
+
+def test_pair_counts_weighted_by_word_freq(spark):
+    df = _docs(spark, ["ab ab ab cd"])
+    counts = {
+        (r["lhs"], r["rhs"]): r["total"]
+        for r in bpe_pair_counts(bpe_init_vocab(df)).collect()
+    }
+    assert counts[("a", "b")] == 3
+    assert counts[("c", "d")] == 1
+    assert counts[("b", "</w>")] == 3
+
+
+def test_segment_counts_and_compression(spark):
+    df = _docs(spark, ["low low", "lower"])
+    merges = bpe_train(df, num_merges=2)  # (l,o) then (lo,w)
+    seg = {r["doc_id"]: r for r in bpe_segment(df, merges).collect()}
+    # doc 0: "low" -> [low, </w>] = 2 subwords each, 2 words
+    assert seg[0]["n_words"] == 2
+    assert seg[0]["n_subwords"] == 4
+    # doc 1: "lower" -> [low, e, r, </w>] = 4 subwords
+    assert seg[1]["n_subwords"] == 4
+    assert abs(seg[1]["chars_per_subword"] - 5 / 4) < 1e-9
+
+
+def test_train_stops_when_out_of_pairs(spark):
+    # single 1-char word: only pair is (x, </w>); after merging it there
+    # are no pairs left — train must stop early, not loop or crash.
+    df = _docs(spark, ["x x"])
+    merges = bpe_train(df, num_merges=5)
+    assert [m[1:3] for m in merges] == [("x", "</w>")]
