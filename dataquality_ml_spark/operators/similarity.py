@@ -1113,3 +1113,126 @@ def embedding_profile(
         .select(F.lit(-1).alias("pos"), "n", "mean", "std", "min", "max", "frac_zero")
     )
     return dims.unionByName(norms)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection + int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003 sign variant of
+    Johnson–Lindenstrauss), one row per OUTPUT component.  Signs come from
+    md5 parity — not engine RNG — so Spark and the DuckDB oracle share the
+    exact matrix as integer literals (same device as ``rhp_planes``)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Project embeddings to ``out_dim`` dims: y_j = (1/√out_dim)·Σ s_ij·x_i.
+    Distance-preserving in expectation (JL lemma) — the cheap pre-filter
+    dimension cut before ANN indexing when the raw dim is large.
+
+    The matrix rides in the plan as ±1 literals (no side input, no join);
+    each output component is an independent dot product, so the expression
+    stays flat — no nested re-expansion (the winnowing lesson).  Components
+    rounded to 6 dp for engine portability.
+
+    Output: (id, proj array<double>).
+    """
+    if in_dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("jl_project: empty input")
+        in_dim = first["d"]
+    signs = jl_signs(in_dim, out_dim, seed)
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = [
+        F.round(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(s)) for s in row])) * inv, 6
+        )
+        for row in signs
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def int8_scales(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension symmetric absmax scales — one posexplode + groupBy(pos)
+    aggregation; the collected result is dim-many floats (model parameters).
+    Rounded to 6 dp so the quantization grid is engine-portable."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("v").cast("double"))).alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [round(r["s"], 6) for r in rows]
+
+
+def quantize_int8(
+    df: DataFrame,
+    scales: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization: code = round(x/s·127),
+    clamped to [-127, 127]; a zero-scale (dead) dimension encodes 0.  The
+    4×-smaller codes are what a 100 TB vector corpus ships to an ANN index;
+    ``dequant_mae`` reports the per-row reconstruction error so drift in
+    quantization loss is monitorable.
+
+    Scales ride as literals (broadcast-equivalent); the pass is one narrow
+    zip_with — no shuffle, no UDF.
+    """
+    lit_scales = F.array(*[F.lit(float(s)) for s in scales])
+    codes = F.zip_with(
+        F.col(vec_col),
+        lit_scales,
+        lambda x, s: F.when(s == 0.0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x.cast("double") / s * 127).cast("int")),
+            )
+        )
+        .cast("int"),
+    )
+    q = df.select(F.col(id_col), F.col(vec_col), codes.alias("codes"))
+    err = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.zip_with(
+                    F.col("codes"),
+                    lit_scales,
+                    lambda c, s: c.cast("double") * s / 127.0,
+                ),
+                lambda x, r: F.abs(x.cast("double") - r),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size(vec_col),
+        6,
+    )
+    return q.select(id_col, "codes", err.alias("dequant_mae"))

@@ -2941,3 +2941,77 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=_BPE_N)
     return bpe_segment(docs, merges).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 4 (cont.): JL projection + int8 embedding quantization
+# ===========================================================================
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 8) -> str:
+    from dataquality_ml_spark.operators.similarity import jl_signs
+
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for row in jl_signs(in_dim, out_dim):
+        lits = ", ".join(f"{float(s)}" for s in row)
+        comps.append(
+            f"ROUND(list_dot_product(embedding::DOUBLE[], [{lits}]) * {inv!r}, 6)"
+        )
+    arr = ",\n             ".join(comps)
+    return f"""
+    SELECT vec_id, [{arr}] AS proj
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register("jl_project_embeddings", oracle=_jl_oracle())
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection 64 → 8 dims (Achlioptas 2003):
+    the cheap distance-preserving dimension cut before ANN indexing.  The
+    ±1 matrix is md5-derived and rides in the plan as literals — no side
+    input, no join, one narrow codegen scan."""
+    from dataquality_ml_spark.operators.similarity import jl_project
+
+    return jl_project(_t(spark, sf_dir, "embeddings"), out_dim=8).orderBy("vec_id")
+
+
+_INT8_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ),
+    vals AS (
+      SELECT ex.vec_id, ex.pos, e.embedding[ex.pos]::DOUBLE AS x
+      FROM ex JOIN embeddings e USING (vec_id)
+    ),
+    scales AS (
+      SELECT pos, ROUND(MAX(ABS(x)), 6) AS s FROM vals GROUP BY pos
+    ),
+    codes AS (
+      SELECT vec_id, pos, x, s,
+             CASE WHEN s = 0 THEN 0
+                  ELSE GREATEST(-127, LEAST(127, CAST(ROUND(x / s * 127) AS INT)))
+             END AS code
+      FROM vals JOIN scales USING (pos)
+    )
+    SELECT vec_id,
+           list(code ORDER BY pos) AS codes,
+           ROUND(SUM(ABS(x - code * s / 127.0)) / COUNT(*), 6) AS dequant_mae
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@register("embedding_int8_codes", oracle=_INT8_ORACLE)
+def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding corpus:
+    4×-smaller codes plus the per-row dequantization MAE that makes
+    quantization loss monitorable.  Scales are one posexplode aggregation
+    collected as dim-many floats (model parameters) and ride back as
+    literals; the encode pass is a narrow zip_with, no shuffle."""
+    from dataquality_ml_spark.operators.similarity import int8_scales, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, int8_scales(emb)).orderBy("vec_id")

@@ -59,3 +59,61 @@ def test_dsir_seed_changes_draw_not_weights(spark):
     sc2 = {r["doc_id"]: r["score"] for r in s2}
     common = set(sc1) & set(sc2)
     assert any(sc1[d] != sc2[d] for d in common) or set(sc1) != set(sc2)
+
+
+# ---------------------------------------------------------------------------
+# JL projection + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_jl_preserves_norms_on_average(spark):
+    import numpy as np
+
+    from dataquality_ml_spark.operators.similarity import jl_project
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 32)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    proj = {r["vec_id"]: np.array(r["proj"]) for r in jl_project(df, out_dim=16).collect()}
+    ratios = [
+        float(np.linalg.norm(proj[i]) / np.linalg.norm(vecs[i])) for i in range(80)
+    ]
+    # JL: squared-norm preserved in expectation; k=16 gives loose per-vector
+    # concentration but a tight mean.
+    assert 0.85 < sum(ratios) / len(ratios) < 1.15
+
+
+def test_jl_is_linear_and_deterministic(spark):
+    from dataquality_ml_spark.operators.similarity import jl_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0, -1.0]), (1, [2.0, 0.0, 4.0, -2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    p = {r["vec_id"]: r["proj"] for r in jl_project(df, out_dim=4).collect()}
+    # row 1 = 2 x row 0 → projection doubles componentwise (6 dp rounding)
+    for a, b in zip(p[0], p[1]):
+        assert abs(2 * a - b) < 1e-5
+    p2 = {r["vec_id"]: r["proj"] for r in jl_project(df, out_dim=4).collect()}
+    assert p == p2
+
+
+def test_int8_quant_roundtrip_error_bounded(spark):
+    from dataquality_ml_spark.operators.similarity import int8_scales, quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0]), (1, [0.5, 0.25, 0.0]), (2, [-1.0, 0.5, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    scales = int8_scales(df)
+    assert scales == [1.0, 0.5, 0.0]  # per-dim absmax; dim 3 is dead
+    rows = {r["vec_id"]: r for r in quantize_int8(df, scales).collect()}
+    assert rows[0]["codes"] == [127, -127, 0]  # extremes hit the grid ends
+    assert rows[1]["codes"] == [64, 64, 0]  # 0.5/1*127=63.5 → 64 (half-up)
+    for r in rows.values():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # per-dim error ≤ s/254 (half a grid step) + 6dp rounding
+        assert r["dequant_mae"] <= max(scales) / 254 + 1e-4
