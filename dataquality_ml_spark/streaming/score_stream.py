@@ -81,10 +81,19 @@ def dedup_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup: drop repeated key tuples arriving within the
-    watermark horizon (state = one entry per key, expired by event time —
-    bounded, unlike an unwatermarked distinct which grows forever). The
-    streaming face of the batch dedup operators."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    watermark horizon.  The streaming face of the batch dedup operators.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT
+    ``dropDuplicates``: with plain dropDuplicates the watermark only
+    expires dedup state when the event-time column is itself one of the
+    dedup keys — deduping on a business key alone accumulates state
+    forever, which is exactly the configuration a 100 TB stream runs.
+    WithinWatermark stamps each key's state with its arrival event time
+    and evicts it once the watermark passes, so state is bounded by the
+    horizon regardless of the key set."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def session_stats(

@@ -606,3 +606,51 @@ def test_image_metadata_parses_real_headers(spark):
     assert rows[4]["format"] == "unknown" and rows[4]["width"] is None
     assert rows[5]["format"] == "unknown"
     assert len(rows) == 5  # nothing dropped
+
+
+def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's bounded-state trade, pinned as a
+    test: a duplicate inside the horizon is dropped (batch 2), but once the
+    watermark passes the first occurrence's expiry the key's state is
+    EVICTED and a later duplicate is re-emitted (batch 3). Plain
+    dropDuplicates would dedup batch 3 too — by keeping every key's state
+    forever, which is the unbounded-state configuration we refuse."""
+    from dataquality_ml_spark.streaming.score_stream import dedup_stream
+
+    src_dir = str(tmp_path / "esrc")
+    schema = "event_id long, ts timestamp, value double"
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1.0)],  # first occurrence; expiry ~10:40
+        # dup within horizon (watermark still behind) + an event advancing
+        # the watermark to 11:30 at batch end
+        [(1, "2024-01-01 10:10:00", 2.0), (2, "2024-01-01 12:00:00", 3.0)],
+        # a batch between the advance and the re-occurrence: eviction with
+        # the new watermark happens at batch end, one batch behind the data
+        [(3, "2024-01-01 12:30:00", 5.0)],
+        # state evicted and 12:15 is above the 12:00 watermark (not late)
+        [(1, "2024-01-01 12:15:00", 4.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark="30 minutes")
+    out_dir = str(tmp_path / "eout")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["event_id"], r["value"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    # batch-2 dup (value 2.0) dropped; batch-4 re-occurrence (4.0) kept
+    assert got == [(1, 1.0), (1, 4.0), (2, 3.0), (3, 5.0)]
