@@ -293,3 +293,62 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    budget: int,
+    alpha: float = 0.5,
+    margin: int = 4,
+) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual-pretraining
+    sampling rule, q_s ∝ n_s^α — Conneau & Lample 2019): allocate a total
+    ``budget`` of rows across groups proportional to count^alpha, so
+    alpha=1 preserves the natural mix, alpha→0 approaches uniform, and the
+    head domains are down-weighted in between.  Per-group quota =
+    min(n_s, floor(budget·q_s)).
+
+    Selection inside each group is the deterministic hash-rank quota
+    sample, with quota_sample's two-phase broadcast-cutoff shape — the
+    rank window only ever sees ~margin·quota candidate rows per group,
+    never the corpus.  Group counts are collected once (a few rows of
+    model parameters) to compute quotas driver-side.
+    """
+    import math
+
+    counts = {
+        r[group_col]: r["_cnt"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    }
+    tot_w = sum(c**alpha for c in counts.values())
+    quotas = {
+        g: min(c, math.floor(budget * (c**alpha) / tot_w)) for g, c in counts.items()
+    }
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (
+                g,
+                int(quotas[g]),
+                _MOD
+                if counts[g] <= margin * quotas[g]
+                else int(_MOD * margin * quotas[g] / counts[g]),
+            )
+            for g in counts
+        ],
+        f"{group_col} string, _quota int, _cut bigint",
+    )
+    cand = (
+        df.withColumn("_h", _hash_bucket(df, key))
+        .join(F.broadcast(qdf), group_col)
+        .where(F.col("_h") < F.col("_cut"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_h", key)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_quota"))
+        .drop("_h", "_cut", "_quota")
+        .withColumnRenamed("_rn", "sample_rank")
+    )

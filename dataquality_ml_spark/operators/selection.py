@@ -80,7 +80,13 @@ def dsir_log_weights(
     ``bigram_logprob``).
     """
     tgt_feats = _ngram_buckets(target, text_col, id_col, num_buckets)
-    raw_feats = _ngram_buckets(candidates, text_col, id_col, num_buckets)
+    # raw features feed BOTH the bucket model and the per-doc scoring join;
+    # without materialization Spark recomputes the md5 explode once per
+    # consumer. localCheckpoint (not cache — executor-owned, GC-reclaimed,
+    # the house trade from simhash_hamming_pairs) halves the feature pass.
+    raw_feats = _ngram_buckets(candidates, text_col, id_col, num_buckets).localCheckpoint(
+        eager=False
+    )
 
     tgt_counts = _bucket_model(tgt_feats).withColumnRenamed("cnt", "ct")
     raw_counts = _bucket_model(raw_feats).withColumnRenamed("cnt", "cr")

@@ -1236,3 +1236,48 @@ def quantize_int8(
         6,
     )
     return q.select(id_col, "codes", err.alias("dequant_mae"))
+
+
+def hard_negatives(
+    emb_df: DataFrame,
+    anchor_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    top-k most-similar corpus vectors carrying a DIFFERENT label — the
+    near-boundary negatives that drive metric-learning losses (triplet /
+    InfoNCE), as opposed to uninformative random negatives.
+
+    Same 100 TB shape as ``knn_bruteforce``: anchors broadcast, corpus
+    streams through a broadcast nested-loop join (never shuffled), rank
+    window partitions by anchor.  Similarity rounded 4 dp + id tie-break
+    for engine-portable ranking.
+    """
+    a = F.broadcast(
+        anchor_df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            F.col(label_col).alias("anchor_label"),
+        )
+    )
+    c = emb_df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        c.join(a, F.col("neg_label") != F.col("anchor_label"))
+        .withColumn(
+            "sim", F.round(cosine_sim(F.col("a_vec"), F.col("c_vec")), 4) + F.lit(0.0)
+        )
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "sim")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )

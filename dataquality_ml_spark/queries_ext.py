@@ -3015,3 +3015,88 @@ def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return quantize_int8(emb, int8_scales(emb)).orderBy("vec_id")
+
+
+# ===========================================================================
+# Round 4 (cont.): hard negatives + temperature source sampling
+# ===========================================================================
+
+_HARDNEG_ORACLE = """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neg_id, label AS neg_label, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT anchor_id, anchor_label, neg_id, neg_label,
+             ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))), 4) + 0 AS sim
+      FROM a, c WHERE neg_label != anchor_label
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY anchor_id, rank
+    """
+
+
+@register("hard_negatives_embeddings", oracle=_HARDNEG_ORACLE)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor (vec_id <
+    10, broadcast), the 5 most-similar corpus vectors with a different
+    label — near-boundary negatives for triplet/InfoNCE losses.  Corpus
+    streams through a broadcast nested-loop join, never shuffled."""
+    from dataquality_ml_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "temperature_sample_sources",
+    oracle="""
+    WITH cnts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    tw AS (SELECT SUM(POW(cnt, 0.5)) AS t FROM cnts),
+    q AS (
+      SELECT source, LEAST(cnt, CAST(FLOOR(300 * POW(cnt, 0.5) / t) AS BIGINT))
+               AS quota
+      FROM cnts CROSS JOIN tw
+    ),
+    h AS (
+      SELECT doc_id, source, (doc_id * 2654435761) % 4294967296 AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id)
+               AS sample_rank
+      FROM h
+    )
+    SELECT r.doc_id, r.source, r.sample_rank
+    FROM r JOIN q USING (source) WHERE sample_rank <= quota
+    ORDER BY source, sample_rank
+    """,
+)
+def temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain re-balancing (q_s ∝ n_s^0.5, Conneau &
+    Lample 2019): 300-doc budget allocated across sources by count^alpha,
+    head sources down-weighted; selection is the deterministic hash-rank
+    quota with the two-phase broadcast cutoff (the window never sees the
+    corpus).  Oracle computes the naive full-window form."""
+    from dataquality_ml_spark.operators.relational import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        temperature_sample(docs, "source", "doc_id", budget=300, alpha=0.5)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from dataquality_ml_spark.operators.selection import dsir_log_weights, dsir_resample
 
 
@@ -117,3 +119,54 @@ def test_int8_quant_roundtrip_error_bounded(spark):
         assert all(-127 <= c <= 127 for c in r["codes"])
         # per-dim error ≤ s/254 (half a grid step) + 6dp rounding
         assert r["dequant_mae"] <= max(scales) / 254 + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Hard negatives + temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from dataquality_ml_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # most similar to 0 but SAME label → excluded
+        (2, [0.9, 0.4], 1),    # best different-label neighbor
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = hard_negatives(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neg_id"] for r in out] == [2, 3]
+    assert all(r["neg_label"] != r["anchor_label"] for r in out)
+
+
+def test_temperature_sample_alpha_extremes(spark):
+    from dataquality_ml_spark.operators.relational import temperature_sample
+
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    by_src = lambda out: {  # noqa: E731
+        s: sum(1 for r in out if r["source"] == s) for s in ("big", "small")
+    }
+    # alpha=1: natural proportions (~90/10 of a 50 budget → 45/5)
+    n1 = by_src(temperature_sample(df, "source", "doc_id", budget=50, alpha=1.0).collect())
+    assert n1 == {"big": 45, "small": 5}
+    # alpha→0: uniform shares regardless of size (25/25, capped at group size)
+    n0 = by_src(temperature_sample(df, "source", "doc_id", budget=50, alpha=1e-9).collect())
+    assert n0["small"] == 10  # capped by group size (quota 25 > 10 available)
+    assert n0["big"] == 25
+    # alpha=0.5 sits between
+    nh = by_src(temperature_sample(df, "source", "doc_id", budget=50, alpha=0.5).collect())
+    assert 5 < nh["small"] <= 13 and nh["big"] > nh["small"]
+
+
+def test_temperature_sample_deterministic(spark):
+    from dataquality_ml_spark.operators.relational import temperature_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    a = sorted(r["doc_id"] for r in temperature_sample(df, "source", "doc_id", 30).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df, "source", "doc_id", 30).collect())
+    assert a == b and len(a) == 30
