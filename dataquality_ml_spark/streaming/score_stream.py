@@ -275,3 +275,45 @@ def span_dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), lambda: state["bloom"]
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    prefix: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: pair
+    rows sharing ``key`` where the right event lands in
+    [left_ts, left_ts + within] — the attribution join (view→click,
+    request→response) between two live streams.
+
+    Both sides carry a watermark AND the join condition carries the time
+    interval — that combination is what lets Structured Streaming bound
+    BOTH state stores: a buffered left row is droppable once the right
+    watermark passes left_ts + within (no future match can arrive), and
+    symmetrically for the right.  A stream-stream join with no time bound
+    must buffer every row ever seen — the unbounded configuration this
+    wrapper makes unexpressible.
+
+    All columns are prefixed (timestamps included) so the two sides never
+    collide; the batch twin for differential testing is
+    ``operators.interval.interval_join`` on the same predicate.
+    """
+    lsel = left.select(
+        [F.col(c).alias(prefix[0] + c) for c in left.columns]
+    ).withWatermark(prefix[0] + left_ts, watermark)
+    rsel = right.select(
+        [F.col(c).alias(prefix[1] + c) for c in right.columns]
+    ).withWatermark(prefix[1] + right_ts, watermark)
+    lt, rt = F.col(prefix[0] + left_ts), F.col(prefix[1] + right_ts)
+    cond = (
+        (F.col(prefix[0] + key) == F.col(prefix[1] + key))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return lsel.join(rsel, cond, "inner")

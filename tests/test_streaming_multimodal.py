@@ -654,3 +654,62 @@ def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
     )
     # batch-2 dup (value 2.0) dropped; batch-4 re-occurrence (4.0) kept
     assert got == [(1, 1.0), (1, 4.0), (2, 3.0), (3, 5.0)]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (view→click within 30 min) across
+    micro-batches equals the batch join on the concatenated input; both
+    state stores are watermark-bounded because the join condition carries
+    the event-time interval."""
+    from dataquality_ml_spark.streaming.score_stream import stream_stream_interval_join
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    schema = "user_id long, ts timestamp"
+    views = [
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")],
+        [(3, "2024-01-01 11:00:00")],
+    ]
+    clicks = [
+        [(1, "2024-01-01 10:10:00"), (2, "2024-01-01 11:00:00")],  # u2 too late
+        [(3, "2024-01-01 11:20:00"), (1, "2024-01-01 10:29:00")],
+    ]
+    for d, batches in ((vdir, views), (cdir, clicks)):
+        for rows in batches:
+            spark.createDataFrame(rows, "user_id long, ts string").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(d)
+
+    vs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(vdir)
+    cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(cdir)
+    joined = stream_stream_interval_join(
+        vs, cs, key="user_id", watermark="2 hours", within="30 minutes"
+    )
+    out_dir = str(tmp_path / "jout")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["l_user_id"], r["l_ts"].isoformat(), r["r_ts"].isoformat())
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # batch twin on the concatenated inputs
+    vb = spark.read.parquet(vdir).selectExpr("user_id AS l_user_id", "ts AS l_ts")
+    cb = spark.read.parquet(cdir).selectExpr("user_id AS r_user_id", "ts AS r_ts")
+    expect = sorted(
+        (r["l_user_id"], r["l_ts"].isoformat(), r["r_ts"].isoformat())
+        for r in vb.join(
+            cb,
+            (F.col("l_user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    )
+    assert got == expect
+    # and the late u2 click (55 min after the view) is not attributed
+    assert all(u != 2 for u, _, _ in got)
