@@ -73,3 +73,63 @@ def test_train_stops_when_out_of_pairs(spark):
     df = _docs(spark, ["x x"])
     merges = bpe_train(df, num_merges=5)
     assert [m[1:3] for m in merges] == [("x", "</w>")]
+
+
+def _python_bpe(texts: list[str], num_merges: int):
+    """Pure-Python reference BPE trainer (Sennrich et al. 2016 fig. 1
+    semantics, same (count desc, lhs, rhs) tie-break)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[tuple(w) + ("</w>",)] += 1
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = Counter()
+        for sym, cnt in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, cnt))
+        new_words = Counter()
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] += c
+        words = new_words
+    return merges
+
+
+def test_bpe_differential_vs_python_reference(spark):
+    """Randomized differential: the distributed separator-replace trainer
+    equals a pure-Python list-walking BPE on many random corpora —
+    including repeated-char words where left-to-right merge order and
+    overlap handling actually bite."""
+    import random
+
+    rng = random.Random(13)
+    alphabet = "abc"
+    for trial in range(6):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(4)
+        ]
+        expected = _python_bpe(texts, num_merges=4)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = bpe_train(df, num_merges=4)
+        assert got == expected, f"trial {trial}: {texts}\n{got}\nvs\n{expected}"
