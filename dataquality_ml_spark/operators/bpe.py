@@ -90,16 +90,40 @@ def apply_merge(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, num_merges: int = 6, text_col: str = "text"
+    df: DataFrame,
+    num_merges: int = 6,
+    text_col: str = "text",
+    strategy: str = "auto",
+    local_vocab_limit: int = 2_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(rank, lhs, rhs, count)].
 
     Ties broken by (count desc, lhs asc, rhs asc) so training is
-    deterministic and engine-portable.  The vocab is localCheckpointed once
-    so merge iterations never rescan the corpus; stops early if the vocab
-    runs out of pairs.
+    deterministic and engine-portable.  Both strategies produce identical
+    merges (asserted by a differential test):
+
+    - ``local`` — collect the word-count table (bounded by Heaps' law:
+      ~millions of rows for a 100 TB corpus, a few hundred MB — NOT
+      corpus-sized) and run the incremental in-memory merge loop.  This is
+      how production tokenizer trainers work, and the only viable shape
+      for a real 32k-merge vocabulary: the corpus-scale work is exactly
+      the one distributed word count.
+    - ``distributed`` — one pair-count aggregation + 1-row argmax collect
+      per merge over the vocab relation.  Right only when the vocab
+      exceeds driver memory AND num_merges is small; kept as the fallback
+      and as the cross-check implementation.
+    - ``auto`` (default) — local when the distinct-word count fits
+      ``local_vocab_limit``, else distributed.
     """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError("strategy must be auto|local|distributed")
     vocab = bpe_init_vocab(df, text_col).localCheckpoint(eager=True)
+    if strategy == "auto":
+        strategy = "local" if vocab.count() <= local_vocab_limit else "distributed"
+    if strategy == "local":
+        words = {r["word_str"]: int(r["cnt"]) for r in vocab.collect()}
+        return _bpe_train_inmem(words, num_merges)
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         top = (
@@ -113,6 +137,62 @@ def bpe_train(
         lhs, rhs, total = top[0]["lhs"], top[0]["rhs"], top[0]["total"]
         merges.append((rank, lhs, rhs, int(total)))
         vocab = apply_merge(vocab, lhs, rhs)
+    return merges
+
+
+def _bpe_train_inmem(
+    words: dict[str, int], num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Incremental in-memory BPE over a collected word-count table.
+
+    Pair counts are maintained incrementally: applying a merge re-counts
+    only the words that CONTAIN the merged pair (tracked by an inverted
+    pair→words index), not the whole vocab — the standard trick that makes
+    a 32k-merge run O(total affected occurrences), not
+    O(num_merges · vocab).  Same (count desc, lhs, rhs) tie-break as the
+    distributed path.
+    """
+    from collections import Counter, defaultdict
+
+    syms: dict[str, list[str]] = {
+        w: [s for s in w.split(SEP) if s] for w in words
+    }
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, s in syms.items():
+        c = words[w]
+        for a, b in zip(s, s[1:]):
+            pair_counts[(a, b)] += c
+            pair_words[(a, b)].add(w)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        if not pair_counts:
+            break
+        (lhs, rhs), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, lhs, rhs, int(cnt)))
+        for w in list(pair_words.get((lhs, rhs), ())):
+            old = syms[w]
+            c = words[w]
+            for a, b in zip(old, old[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(w)
+            new, i = [], 0
+            while i < len(old):
+                if i + 1 < len(old) and old[i] == lhs and old[i + 1] == rhs:
+                    new.append(lhs + rhs)
+                    i += 2
+                else:
+                    new.append(old[i])
+                    i += 1
+            syms[w] = new
+            for a, b in zip(new, new[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(w)
     return merges
 
 

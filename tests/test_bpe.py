@@ -133,3 +133,25 @@ def test_bpe_differential_vs_python_reference(spark):
         )
         got = bpe_train(df, num_merges=4)
         assert got == expected, f"trial {trial}: {texts}\n{got}\nvs\n{expected}"
+
+
+def test_bpe_local_and_distributed_strategies_agree(spark):
+    """The collected-vocab incremental trainer (the 32k-merge production
+    path) and the distributed per-merge rounds produce identical merges."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(5, 15))
+            )
+            for _ in range(3)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        local = bpe_train(df, num_merges=5, strategy="local")
+        dist = bpe_train(df, num_merges=5, strategy="distributed")
+        assert local == dist
