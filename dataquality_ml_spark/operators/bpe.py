@@ -237,3 +237,131 @@ def bpe_segment(
         F.sum("n_sub").alias("n_subwords"),
         F.round(F.sum("n_chars") / F.sum("n_sub"), 4).alias("chars_per_subword"),
     )
+
+
+def bpe_build_vocab(
+    df: DataFrame, merges: list[tuple[int, str, str, int]], text_col: str = "text"
+) -> dict[str, int]:
+    """symbol → token id.  Base symbols = the corpus's distinct characters
+    plus the word-end marker, id-ordered lexicographically (binary
+    collation, identical in every engine); merged symbols follow in merge
+    rank order — the standard BPE vocab layout.  The distinct-char
+    aggregation collects a few dozen rows (alphabet-sized, not corpus-
+    sized)."""
+    chars = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .select(F.explode(F.split(F.col("w"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    base = sorted({r["ch"] for r in chars} | {EOW})
+    vocab = {s: i for i, s in enumerate(base)}
+    for _, lhs, rhs, _ in merges:
+        vocab[lhs + rhs] = len(vocab)
+    return vocab
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Corpus → token-id sequences under a trained tokenizer: apply the
+    merge cascade per word, explode symbols, map to ids via a broadcast
+    vocab join (NOT a giant literal map — the vocab is a relation, which
+    scales to 100k+ entries), and reassemble each document's ids in
+    (word position, symbol position) order with a sort-free
+    array_sort(collect_list(struct)) — no window over the corpus.
+
+    Symbols absent from the vocab (foreign corpus) map to ``unk_id``.
+    Output: (id, token_ids array<int>, n_ids).
+    """
+    spark = df.sparkSession
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            list(vocab.items()), "sym string, tid int"
+        )
+    )
+    t = tokens(text_col)
+    ex = df.select(
+        F.col(id_col), F.posexplode(t).alias("wpos", "word")
+    ).where(F.col("word") != "")
+    col = word_symbol_str(F.col("word"))
+    for _, lhs, rhs, _ in merges:
+        col = F.replace(
+            col,
+            F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}"),
+            F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+        )
+    sym = ex.select(
+        id_col, "wpos", F.posexplode(symbols(col)).alias("spos", "sym")
+    )
+    mapped = sym.join(vdf, "sym", "left").select(
+        id_col,
+        "wpos",
+        "spos",
+        F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("wpos", "spos", "tid"))
+        ),
+        lambda s: s.getField("tid"),
+    )
+    return mapped.groupBy(id_col).agg(
+        ordered.alias("token_ids"),
+        F.count(F.lit(1)).alias("n_ids"),
+    )
+
+
+class BPETokenizer:
+    """Trained-tokenizer artifact: merge list + vocab in one JSON document
+    (same never-drift-apart rationale as ``FittedDetector``: the merges and
+    the id table are only meaningful together)."""
+
+    def __init__(self, merges: list[tuple[int, str, str, int]], vocab: dict[str, int], unk_id: int = -1):
+        self.merges = merges
+        self.vocab = vocab
+        self.unk_id = unk_id
+
+    def tokenize(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        return bpe_tokenize(df, self.merges, self.vocab, text_col, id_col, self.unk_id)
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "merges": [list(m) for m in self.merges],
+                    "vocab": self.vocab,
+                    "unk_id": self.unk_id,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BPETokenizer":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            merges=[tuple(m) for m in d["merges"]],
+            vocab=d["vocab"],
+            unk_id=d["unk_id"],
+        )
+
+
+def train_tokenizer(
+    df: DataFrame, num_merges: int = 6, text_col: str = "text"
+) -> BPETokenizer:
+    """Full tokenizer lifecycle entry: learn merges, build the vocab, wrap
+    both in the persistable artifact."""
+    merges = bpe_train(df, num_merges, text_col)
+    return BPETokenizer(merges, bpe_build_vocab(df, merges, text_col))

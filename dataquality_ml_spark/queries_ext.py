@@ -3100,3 +3100,75 @@ def temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "sample_rank")
         .orderBy("source", "sample_rank")
     )
+
+
+def _bpe_tokenize_oracle(n: int = _BPE_N) -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    seg = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
+    for i in range(1, n + 1):
+        seg = (
+            f"replace({seg}, "
+            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
+        )
+    merged_rows = " UNION ALL ".join(
+        f"SELECT (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) AS sym, "
+        f"(SELECT c FROM nbase) + {i - 1} AS tid"
+        for i in range(1, n + 1)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    {_bpe_train_ctes(n)},
+    chars AS MATERIALIZED (
+      SELECT DISTINCT unnest([word[i] for i in generate_series(1, length(word))])
+        AS ch
+      FROM words
+    ),
+    base AS MATERIALIZED (
+      SELECT ch, ROW_NUMBER() OVER (ORDER BY ch) - 1 AS tid
+      FROM (SELECT ch FROM chars UNION SELECT '</w>' AS ch)
+    ),
+    nbase AS (SELECT COUNT(*) AS c FROM base),
+    vocab AS MATERIALIZED (
+      SELECT ch AS sym, tid FROM base UNION ALL {merged_rows}
+    ),
+    exd AS (
+      SELECT doc_id,
+             unnest([struct_pack(w := t[i], i := i)
+                     for i in generate_series(1, len(t))]) AS x
+      FROM toks WHERE doc_id < 40
+    ),
+    wseg AS (
+      SELECT doc_id, x.i AS wpos,
+             list_filter(string_split({seg.replace('word', 'x.w')}, '·'),
+                         s -> s <> '') AS ss
+      FROM exd WHERE x.w <> ''
+    ),
+    symrows AS (
+      SELECT doc_id, wpos,
+             unnest([struct_pack(s := ss[j], j := j)
+                     for j in generate_series(1, len(ss))]) AS y
+      FROM wseg
+    )
+    SELECT doc_id,
+           list(COALESCE(v.tid, -1) ORDER BY wpos, y.j) AS token_ids,
+           COUNT(*) AS n_ids
+    FROM symrows LEFT JOIN vocab v ON v.sym = y.s
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("bpe_tokenize_docs", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer lifecycle: train 6 merges, build the vocab (corpus
+    chars + word-end marker id-ordered lexicographically, merged symbols in
+    rank order), tokenize docs < 40 to id sequences.  Ids come from a
+    broadcast vocab join over exploded symbols (a relation, not a literal
+    map — scales to 100k entries); each doc's ids reassemble via
+    array_sort(collect_list(struct)) — no corpus window."""
+    from dataquality_ml_spark.operators.bpe import train_tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs, num_merges=_BPE_N)
+    return tok.tokenize(docs.where(F.col("doc_id") < 40)).orderBy("doc_id")

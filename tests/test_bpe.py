@@ -155,3 +155,40 @@ def test_bpe_local_and_distributed_strategies_agree(spark):
         local = bpe_train(df, num_merges=5, strategy="local")
         dist = bpe_train(df, num_merges=5, strategy="distributed")
         assert local == dist
+
+
+def test_tokenizer_lifecycle_and_artifact_roundtrip(spark, tmp_path):
+    from dataquality_ml_spark.operators.bpe import BPETokenizer, train_tokenizer
+
+    df = _docs(spark, ["low low low lower"])
+    tok = train_tokenizer(df, num_merges=2)  # merges: (l,o), (lo,w)
+    # vocab: base chars sorted ({</w>, e, l, o, r, w}) then merged symbols
+    assert tok.vocab["</w>"] == 0
+    assert list(tok.vocab)[-2:] == ["lo", "low"]
+    assert tok.vocab["low"] == max(tok.vocab.values())
+
+    out = {r["doc_id"]: r for r in tok.tokenize(df).collect()}
+    # "low low low lower": low→[low,</w>] ×3, lower→[low,e,r,</w>]
+    ids = out[0]["token_ids"]
+    low, eow = tok.vocab["low"], tok.vocab["</w>"]
+    assert ids[:6] == [low, eow, low, eow, low, eow]
+    assert out[0]["n_ids"] == 10
+
+    p = str(tmp_path / "tok.json")
+    tok.save(p)
+    tok2 = BPETokenizer.load(p)
+    assert tok2.merges == tok.merges and tok2.vocab == tok.vocab
+    assert (
+        tok2.tokenize(df).collect()[0]["token_ids"] == out[0]["token_ids"]
+    )
+
+
+def test_tokenizer_unknown_symbols_map_to_unk(spark):
+    from dataquality_ml_spark.operators.bpe import train_tokenizer
+
+    train = _docs(spark, ["ab ab"])
+    tok = train_tokenizer(train, num_merges=1)
+    foreign = _docs(spark, ["xz"])  # chars never seen in training
+    [row] = tok.tokenize(foreign).collect()
+    assert row["token_ids"][:2] == [-1, -1]  # x, z unknown
+    assert row["token_ids"][-1] == tok.vocab["</w>"]
