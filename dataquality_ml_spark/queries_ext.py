@@ -3172,3 +3172,55 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = train_tokenizer(docs, num_merges=_BPE_N)
     return tok.tokenize(docs.where(F.col("doc_id") < 40)).orderBy("doc_id")
+
+
+def _bpe_pack_oracle(n: int = _BPE_N, budget: int = 512) -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    seg = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
+    for i in range(1, n + 1):
+        seg = (
+            f"replace({seg}, "
+            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
+        )
+    return f"""
+    WITH {_TOKS_CTE},
+    {_bpe_train_ctes(n)},
+    exd AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    seg AS (
+      SELECT doc_id,
+             len(list_filter(string_split({seg}, '·'), s -> s <> '')) AS n_sub
+      FROM exd WHERE word <> ''
+    ),
+    n AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_tokens
+          FROM seg GROUP BY doc_id),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM n
+    )
+    SELECT doc_id, n_tokens,
+           CAST(strt // {budget} AS BIGINT) AS seq_id,
+           CAST(strt % {budget} AS BIGINT) AS seq_offset
+    FROM c ORDER BY doc_id
+    """
+
+
+@register("bpe_pack_docs", oracle=_bpe_pack_oracle())
+def bpe_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware packing: the REAL subword counts from the trained
+    BPE tokenizer (not whitespace proxies) drive the distributed prefix-sum
+    packer — the manifest a packed-training job actually needs.  Composes
+    two oracle-gated operators; the oracle recomputes from the naive
+    window."""
+    from dataquality_ml_spark.operators.bpe import bpe_segment, bpe_train
+    from dataquality_ml_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_N)
+    n_df = bpe_segment(docs, merges).select(
+        "doc_id", F.col("n_subwords").alias("n_tokens")
+    )
+    return pack_sequences(n_df, budget=512).orderBy("doc_id")

@@ -286,11 +286,18 @@ def stream_stream_interval_join(
     watermark: str = "1 hour",
     within: str = "30 minutes",
     prefix: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval bound: pair
-    rows sharing ``key`` where the right event lands in
+    """Stream-stream join with an event-time interval bound: pair rows
+    sharing ``key`` where the right event lands in
     [left_ts, left_ts + within] — the attribution join (view→click,
     request→response) between two live streams.
+
+    ``how='left_outer'`` additionally emits unmatched left rows (views
+    that never converted) with null right columns — but only once the
+    watermark proves no match can still arrive, which is why outer
+    stream-stream joins REQUIRE the time bound: without it "unmatched"
+    is undecidable and Spark rejects the plan.
 
     Both sides carry a watermark AND the join condition carries the time
     interval — that combination is what lets Structured Streaming bound
@@ -311,9 +318,11 @@ def stream_stream_interval_join(
         [F.col(c).alias(prefix[1] + c) for c in right.columns]
     ).withWatermark(prefix[1] + right_ts, watermark)
     lt, rt = F.col(prefix[0] + left_ts), F.col(prefix[1] + right_ts)
+    if how not in ("inner", "left_outer"):
+        raise ValueError("stream_stream_interval_join supports inner|left_outer")
     cond = (
         (F.col(prefix[0] + key) == F.col(prefix[1] + key))
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return lsel.join(rsel, cond, "inner")
+    return lsel.join(rsel, cond, how)

@@ -713,3 +713,50 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expect
     # and the late u2 click (55 min after the view) is not attributed
     assert all(u != 2 for u, _, _ in got)
+
+
+def test_stream_stream_left_outer_emits_unconverted_views(spark, tmp_path):
+    """left_outer attribution: a view with no click inside the bound is
+    emitted with null click columns once the watermark proves no match can
+    still arrive."""
+    from dataquality_ml_spark.streaming.score_stream import stream_stream_interval_join
+
+    vdir, cdir = str(tmp_path / "v2"), str(tmp_path / "c2")
+    schema = "user_id long, ts timestamp"
+    views = [
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+        # a late view far ahead: advances the watermark so u2's no-match
+        # verdict becomes final
+        [(9, "2024-01-01 15:00:00")],
+    ]
+    clicks = [
+        [(1, "2024-01-01 10:10:00")],
+        [(9, "2024-01-01 15:01:00")],
+    ]
+    for d, batches in ((vdir, views), (cdir, clicks)):
+        for rows in batches:
+            spark.createDataFrame(rows, "user_id long, ts string").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(d)
+
+    vs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(vdir)
+    cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(cdir)
+    joined = stream_stream_interval_join(
+        vs, cs, key="user_id", watermark="10 minutes", within="30 minutes",
+        how="left_outer",
+    )
+    out_dir = str(tmp_path / "lout")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {
+        (r["l_user_id"], r["r_user_id"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, 1) in rows          # converted view matched
+    assert (2, None) in rows       # unconverted view emitted with nulls
