@@ -327,6 +327,7 @@ def temperature_sample(
         g: min(c, math.floor(budget * (c**alpha) / tot_w)) for g, c in counts.items()
     }
     spark = df.sparkSession
+    group_type = df.schema[group_col].dataType.simpleString()
     qdf = spark.createDataFrame(
         [
             (
@@ -338,7 +339,7 @@ def temperature_sample(
             )
             for g in counts
         ],
-        f"{group_col} string, _quota int, _cut bigint",
+        f"{group_col} {group_type}, _quota int, _cut bigint",
     )
     cand = (
         df.withColumn("_h", _hash_bucket(df, key))

@@ -146,3 +146,95 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out.orderBy("rule")
+
+
+def suggest_rules(
+    df: DataFrame,
+    columns: list[str],
+    max_set_card: int = 10,
+    null_tol: float = 0.0,
+    range_q: tuple[float, float] = (0.01, 0.99),
+) -> DataFrame:
+    """Mine candidate DQ rules from the data — the missing half of the rule
+    engine: profile → suggest → ``run_checks``.  Emits per column:
+
+    - ``not_null`` when the observed null fraction ≤ ``null_tol``;
+    - ``in_set`` for string columns with ≤ ``max_set_card`` distinct
+      values (the sorted value list rides in ``vals``);
+    - ``in_range`` for numeric columns, bounds = the (q1, q99) exact
+      percentiles, with the observed in-range fraction as support
+      (nulls count as out of range, identically in the oracle).
+
+    Two aggregation passes total, regardless of column count: pass 1 is
+    one agg (counts, distincts, percentiles for every column at once);
+    pass 2 computes set membership lists and range supports only for the
+    columns pass 1 qualified.  Both passes return aggregates — the
+    suggestions themselves are model parameters, assembled driver-side.
+
+    Output: (column, rule, lo, hi, vals, support), floats rounded 4 dp.
+    """
+    from pyspark.sql.types import NumericType, StringType
+
+    q1, q2 = range_q
+    numeric = [c for c in columns if isinstance(df.schema[c].dataType, NumericType)]
+    strings = [c for c in columns if isinstance(df.schema[c].dataType, StringType)]
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+    for c in strings:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    for c in numeric:
+        aggs.append(
+            F.percentile(F.col(c), F.array(F.lit(q1), F.lit(q2))).alias(f"pq_{c}")
+        )
+    s1 = df.agg(*aggs).collect()[0]
+    n = s1["_n"]
+
+    set_cols = [c for c in strings if s1[f"nd_{c}"] <= max_set_card]
+    aggs2 = []
+    for c in set_cols:
+        aggs2.append(F.sort_array(F.collect_set(F.col(c))).alias(f"set_{c}"))
+    for c in numeric:
+        lo, hi = s1[f"pq_{c}"]
+        aggs2.append(
+            F.avg(
+                F.when(F.col(c).between(F.lit(lo), F.lit(hi)), 1.0).otherwise(0.0)
+            ).alias(f"sup_{c}")
+        )
+    s2 = df.agg(*aggs2).collect()[0] if aggs2 else {}
+
+    rows = []
+    for c in columns:
+        nn_frac = s1[f"nn_{c}"] / n if n else 0.0
+        if nn_frac >= 1.0 - null_tol:
+            rows.append((c, "not_null", None, None, None, round(nn_frac, 4)))
+    for c in set_cols:
+        rows.append(
+            (c, "in_set", None, None, ",".join(s2[f"set_{c}"]), round(s1[f"nn_{c}"] / n, 4))
+        )
+    for c in numeric:
+        lo, hi = s1[f"pq_{c}"]
+        rows.append(
+            (c, "in_range", round(float(lo), 4), round(float(hi), 4), None,
+             round(float(s2[f"sup_{c}"]), 4))
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "column string, rule string, lo double, hi double, vals string, support double",
+    ).orderBy("column", "rule")
+
+
+def rules_from_suggestions(sug_df: DataFrame) -> list[Rule]:
+    """Materialize suggested rules as engine Rule objects, closing the
+    profile → suggest → run_checks loop."""
+    out = []
+    for r in sug_df.collect():
+        if r["rule"] == "not_null":
+            out.append(not_null(r["column"]))
+        elif r["rule"] == "in_set":
+            out.append(in_set(r["column"], r["vals"].split(",")))
+        elif r["rule"] == "in_range":
+            out.append(in_range(r["column"], r["lo"], r["hi"]))
+    return out

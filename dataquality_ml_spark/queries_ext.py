@@ -3224,3 +3224,68 @@ def bpe_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_subwords").alias("n_tokens")
     )
     return pack_sequences(n_df, budget=512).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 4 (cont.): DQ rule suggestion
+# ===========================================================================
+
+
+@register(
+    "suggest_rules_events",
+    oracle="""
+    WITH base AS (SELECT event_type, value, user_id FROM events),
+    s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(event_type) AS nn_et, COUNT(DISTINCT event_type) AS nd_et,
+             COUNT(value) AS nn_v,
+             quantile_cont(value, 0.01) AS lo_v, quantile_cont(value, 0.99) AS hi_v,
+             COUNT(user_id) AS nn_u,
+             quantile_cont(user_id, 0.01) AS lo_u, quantile_cont(user_id, 0.99) AS hi_u
+      FROM base
+    ),
+    sup AS (
+      SELECT AVG(CASE WHEN value BETWEEN (SELECT lo_v FROM s) AND (SELECT hi_v FROM s)
+                      THEN 1.0 ELSE 0.0 END) AS sup_v,
+             AVG(CASE WHEN user_id BETWEEN (SELECT lo_u FROM s) AND (SELECT hi_u FROM s)
+                      THEN 1.0 ELSE 0.0 END) AS sup_u,
+             array_to_string(list_sort(list(DISTINCT event_type)
+               FILTER (WHERE event_type IS NOT NULL)), ',') AS set_et
+      FROM base
+    ),
+    rows_out AS (
+      SELECT 'event_type' AS "column", 'not_null' AS rule,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS VARCHAR) AS vals,
+             ROUND(nn_et / CAST(n AS DOUBLE), 4) AS support
+      FROM s WHERE nn_et = n
+      UNION ALL
+      SELECT 'value', 'not_null', NULL, NULL, NULL, ROUND(nn_v / CAST(n AS DOUBLE), 4)
+      FROM s WHERE nn_v = n
+      UNION ALL
+      SELECT 'user_id', 'not_null', NULL, NULL, NULL, ROUND(nn_u / CAST(n AS DOUBLE), 4)
+      FROM s WHERE nn_u = n
+      UNION ALL
+      SELECT 'event_type', 'in_set', NULL, NULL, sup.set_et,
+             ROUND(s.nn_et / CAST(s.n AS DOUBLE), 4)
+      FROM s, sup WHERE s.nd_et <= 10
+      UNION ALL
+      SELECT 'value', 'in_range', ROUND(s.lo_v, 4), ROUND(s.hi_v, 4), NULL,
+             ROUND(sup.sup_v, 4) FROM s, sup
+      UNION ALL
+      SELECT 'user_id', 'in_range', ROUND(s.lo_u, 4), ROUND(s.hi_u, 4), NULL,
+             ROUND(sup.sup_u, 4) FROM s, sup
+    )
+    SELECT * FROM rows_out ORDER BY "column", rule
+    """,
+)
+def suggest_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule mining on events(event_type, value, user_id): not-null rules
+    where the data is clean, an accepted-values set for the low-cardinality
+    type column, and (P1, P99) range rules with observed support — the
+    profile → suggest → run_checks loop's middle step.  Two aggregation
+    passes regardless of column count."""
+    from dataquality_ml_spark.operators.rules import suggest_rules
+
+    ev = _t(spark, sf_dir, "events")
+    return suggest_rules(ev, ["event_type", "value", "user_id"])

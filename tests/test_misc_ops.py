@@ -292,3 +292,40 @@ def test_snapshot_diff_statuses_including_null_content(spark):
         4: "added",
         5: "unchanged",  # null-safe: two null-text versions match
     }
+
+
+def test_suggest_rules_closes_the_loop_with_run_checks(spark):
+    """profile → suggest → run_checks: rules mined from clean data pass on
+    that data and catch planted corruption."""
+    from dataquality_ml_spark.operators.rules import (
+        rules_from_suggestions,
+        run_checks,
+        suggest_rules,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i % 50)) for i in range(200)],
+        "id bigint, kind string, v double",
+    )
+    sug = suggest_rules(clean, ["kind", "v"], max_set_card=5)
+    by_key = {(r["column"], r["rule"]): r for r in sug.collect()}
+    assert ("kind", "not_null") in by_key
+    assert by_key[("kind", "in_set")]["vals"] == "a,b"
+    rng = by_key[("v", "in_range")]
+    assert rng["lo"] <= 1.0 and rng["hi"] >= 48.0 and rng["support"] >= 0.98
+
+    rules = rules_from_suggestions(sug)
+    clean_report = {r["rule"]: r["n_violations"] for r in run_checks(clean, rules).collect()}
+    # range rule may flag the trimmed 2% tails; set/null rules must be clean
+    assert clean_report["not_null(kind)"] == 0
+    assert clean_report["in_set(kind)"] == 0
+
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(999, None, 1e9), (998, "zzz", -5.0)], "id bigint, kind string, v double"
+        )
+    )
+    dirty_report = {r["rule"]: r["n_violations"] for r in run_checks(dirty, rules).collect()}
+    assert dirty_report["not_null(kind)"] == 1
+    assert dirty_report["in_set(kind)"] >= 1
+    assert dirty_report[[k for k in dirty_report if k.startswith("in_range(v")][0]] >= 2
