@@ -829,10 +829,31 @@ def ivf_pq_topk(
     groupBy(query, neighbor) sums the m partials and a per-query window
     takes the top-k.
     """
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     assign = kmeans_assign(emb_df, coarse_cents, id_col, vec_col)
     codes = pq_encode(emb_df, codebooks, id_col, vec_col).join(assign, id_col)
+    return ivf_pq_search_codes(
+        codes, query_df, coarse_cents, codebooks, topk, id_col, vec_col, nprobe
+    )
+
+
+def ivf_pq_search_codes(
+    codes_df: DataFrame,
+    query_df: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Search a PERSISTED code table — the encode-once / search-many face
+    of ivf_pq_topk (identical semantics; ivf_pq_topk delegates here after
+    encoding).  ``codes_df`` carries (id, codes array<int>, cluster) — the
+    few-bytes-per-vector corpus index a production deployment stores;
+    the raw corpus is not touched at search time at all."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = codes_df
     q_assign = kmeans_probe_assign(query_df, coarse_cents, nprobe, id_col, vec_col)
 
     cent_structs = F.array(
@@ -1281,3 +1302,93 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .orderBy("anchor_id", "rank")
     )
+
+
+class ANNIndex:
+    """Persistable IVF-PQ index artifact: coarse centroids + PQ codebooks +
+    search config in one JSON document (the FittedDetector/BPETokenizer
+    never-drift-apart pattern), with the corpus code table as a DataFrame
+    the caller persists as parquet.
+
+    Lifecycle: ``build`` (train coarse + PQ on the corpus) → ``encode``
+    (corpus → (id, codes, cluster), a few bytes per vector) → persist the
+    codes + ``save`` the JSON → later sessions ``load`` + ``search`` the
+    code table without ever touching raw corpus vectors.
+    """
+
+    def __init__(
+        self,
+        coarse_cents: list[list[float]],
+        codebooks: list[list[list[float]]],
+        nprobe: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.coarse_cents = coarse_cents
+        self.codebooks = codebooks
+        self.nprobe = nprobe
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        emb_df: DataFrame,
+        n_clusters: int = 4,
+        m: int = 2,
+        k: int = 4,
+        iters: int = 1,
+        nprobe: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "ANNIndex":
+        cents = kmeans_fit(emb_df, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+        books = pq_train(emb_df, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        return cls(cents, books, nprobe, id_col, vec_col)
+
+    def encode(self, emb_df: DataFrame) -> DataFrame:
+        """(id, codes, cluster) — the persistable corpus index."""
+        assign = kmeans_assign(emb_df, self.coarse_cents, self.id_col, self.vec_col)
+        return pq_encode(emb_df, self.codebooks, self.id_col, self.vec_col).join(
+            assign, self.id_col
+        )
+
+    def search(
+        self, codes_df: DataFrame, query_df: DataFrame, topk: int = 5,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        return ivf_pq_search_codes(
+            codes_df,
+            query_df,
+            self.coarse_cents,
+            self.codebooks,
+            topk,
+            self.id_col,
+            self.vec_col,
+            nprobe if nprobe is not None else self.nprobe,
+        )
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "coarse_cents": self.coarse_cents,
+                    "codebooks": self.codebooks,
+                    "nprobe": self.nprobe,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ANNIndex":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            d["coarse_cents"], d["codebooks"], d["nprobe"], d["id_col"], d["vec_col"]
+        )

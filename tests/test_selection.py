@@ -170,3 +170,38 @@ def test_temperature_sample_deterministic(spark):
     a = sorted(r["doc_id"] for r in temperature_sample(df, "source", "doc_id", 30).collect())
     b = sorted(r["doc_id"] for r in temperature_sample(df, "source", "doc_id", 30).collect())
     assert a == b and len(a) == 30
+
+
+def test_ann_index_lifecycle_roundtrip(spark, tmp_path):
+    """build → encode → persist codes → save/load JSON → search the code
+    table equals the inline ivf_pq_topk pipeline; raw vectors untouched at
+    search time."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.similarity import ANNIndex, ivf_pq_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ANNIndex.build(df, n_clusters=3, m=2, k=4, iters=1, nprobe=2)
+    codes_path = str(tmp_path / "codes")
+    idx.encode(df).write.parquet(codes_path)
+    idx.save(str(tmp_path / "index.json"))
+
+    idx2 = ANNIndex.load(str(tmp_path / "index.json"))
+    codes = spark.read.parquet(codes_path)
+    queries = df.where("vec_id < 5")
+    got = [
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in idx2.search(codes, queries, topk=3).collect()
+    ]
+    want = [
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in ivf_pq_topk(
+            df, queries, idx.coarse_cents, idx.codebooks, topk=3, nprobe=2
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
