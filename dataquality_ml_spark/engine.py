@@ -255,6 +255,18 @@ class DQEngine:
         scored = det.score_distributed(transformed, fitted.model)
         return th.flag_anomalies(scored, "score", fitted.threshold)
 
+    def explain(self, df: DataFrame, fitted: FittedDetector, top_k: int = 3) -> DataFrame:
+        """Score + attribute: flagged rows carry the top_k features driving
+        the reconstruction error (AE family only — IF has no per-feature
+        decomposition). Same transform artifact as ``score``, one extra
+        Arrow-batched pass."""
+        transformed = feat.apply_features(df, fitted.features)
+        scored = det.score_distributed(transformed, fitted.model)
+        explained = det.explain_distributed(
+            scored, fitted.model, fitted.features.feature_names, top_k
+        )
+        return th.flag_anomalies(explained, "score", fitted.threshold)
+
     # -- sequence detectors (reference LSTM_AE.py / LSTM_VAE.py lifecycle) -
     def _windowed(
         self, df: DataFrame, key: str, order: str, features: list[str],

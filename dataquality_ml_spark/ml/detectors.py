@@ -81,9 +81,15 @@ class PCAAutoencoder:
     def reconstruction_error(self, x: np.ndarray) -> np.ndarray:
         """Variance-normalized MAE (reference mae_error_ae semantics,
         lib/utils.py:39-63: |x−x̂| / clamp(var) averaged over features)."""
+        return self.feature_contributions(x).mean(axis=1)
+
+    def feature_contributions(self, x: np.ndarray) -> np.ndarray:
+        """Per-feature normalized reconstruction error, (n, d) — the score
+        BEFORE the feature mean, so an anomaly can be attributed to the
+        features that drive it ("which sensor caused the alarm")."""
         xc = x - self.mean
         xhat = xc @ self.components.T @ self.components
-        return (np.abs(xc - xhat) / self.feature_var).mean(axis=1)
+        return np.abs(xc - xhat) / self.feature_var
 
     def to_json(self) -> str:
         return json.dumps(
@@ -276,3 +282,48 @@ def score_distributed(
     # model scoring is CPU-bound per row: guard against a scan that
     # produced fewer partitions than cores (few fat parquet files)
     return ensure_parallelism(df).withColumn(out, score_udf(F.col(features_col)))
+
+
+def explain_distributed(
+    df: DataFrame,
+    scorer,
+    feature_names: list[str],
+    top_k: int = 3,
+    features_col: str = "features",
+    out: str = "top_features",
+) -> DataFrame:
+    """Per-row anomaly attribution: the ``top_k`` features by contribution
+    to the reconstruction error, as array<struct<feature, contribution>>
+    sorted descending — the "which sensor caused the alarm" report.
+
+    Same Arrow-batched broadcast-weights shape as ``score_distributed``;
+    requires a ``feature_contributions`` scorer (the AE family — isolation
+    forests have no per-feature decomposition and raise here).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if not hasattr(scorer, "feature_contributions"):
+        raise TypeError(
+            f"{type(scorer).__name__} has no per-feature decomposition; "
+            "explanation supports the reconstruction-error (AE) family"
+        )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((scorer, list(feature_names), top_k))
+    schema = "array<struct<feature:string,contribution:double>>"
+
+    @pandas_udf(schema)
+    def explain_udf(feats: pd.Series) -> pd.Series:
+        model, names, k = bc.value
+        x = np.array(feats.tolist(), dtype=np.float64)
+        contrib = model.feature_contributions(x)
+        idx = np.argsort(-contrib, axis=1, kind="stable")[:, :k]
+        rows = [
+            [
+                {"feature": names[j], "contribution": round(float(contrib[i, j]), 6)}
+                for j in idx[i]
+            ]
+            for i in range(len(x))
+        ]
+        return pd.Series(rows)
+
+    return df.withColumn(out, explain_udf(F.col(features_col)))

@@ -280,3 +280,49 @@ def test_quality_classifier_separates_planted_junk(spark):
     assert scored[0]["prob_hq"] > 0.5 and scored[0]["pred_hq"] == 1
     assert scored[100]["prob_hq"] < 0.5 and scored[100]["pred_hq"] == 0
     assert scored[0]["prob_hq"] > scored[100]["prob_hq"]
+
+
+def test_explain_attributes_planted_feature(spark):
+    """A spike planted in one feature must dominate that row's top
+    contributions; clean rows keep small, spread-out contributions."""
+    import numpy as np
+
+    from dataquality_ml_spark.engine import DQEngine
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, float(a), float(b), float(c), 0)
+        for i, (a, b, c) in enumerate(rng.normal(0, 1, size=(100, 3)))
+    ]
+    rows.append((900, 0.1, 30.0, -0.2, 0))  # spike in the second feature
+    df = spark.createDataFrame(rows, "id bigint, f1 double, f2 double, f3 double, failure int")
+    eng = DQEngine(spark)
+    roles = {"numeric": ["f1", "f2", "f3"], "categorical": [], "boolean": []}
+    fitted = eng.fit_detector(
+        df.where("id < 900"), roles=roles, detector="pca", n_components=1
+    )
+    out = {r["id"]: r for r in eng.explain(df, fitted).collect()}
+    spike = out[900]["top_features"]
+    assert spike[0]["feature"] == "f2_scaled"
+    assert spike[0]["contribution"] > spike[1]["contribution"]
+    assert out[900]["is_anomaly"]
+
+
+def test_explain_rejects_iforest(spark):
+    import pytest as _pytest
+
+    from dataquality_ml_spark.engine import DQEngine
+    from dataquality_ml_spark.ml import detectors as det
+
+    df = spark.createDataFrame(
+        [(i, float(i), 0) for i in range(50)], "id bigint, f1 double, failure int"
+    )
+    eng = DQEngine(spark)
+    fitted = eng.fit_detector(
+        df, roles={"numeric": ["f1"], "categorical": [], "boolean": []},
+        detector="iforest",
+    )
+    with _pytest.raises(TypeError, match="no per-feature"):
+        det.explain_distributed(
+            eng.score(df, fitted), fitted.model, ["f1"], 2
+        ).collect()
