@@ -104,8 +104,14 @@ class KerasDenseAE:
     def reconstruction_error(self, x: np.ndarray) -> np.ndarray:
         """Variance-normalized MAE (reference mae_error_ae,
         lib/utils.py:39-63), matching ``PCAAutoencoder`` exactly."""
+        return self.feature_contributions(x).mean(axis=1)
+
+    def feature_contributions(self, x: np.ndarray) -> np.ndarray:
+        """Per-feature normalized reconstruction error, (n, d) — same
+        attribution contract as ``PCAAutoencoder.feature_contributions``,
+        so ``explain_distributed`` works with either dense backend."""
         xhat = self._forward(x)
-        return (np.abs(x - xhat) / self.feature_var).mean(axis=1)
+        return np.abs(x - xhat) / self.feature_var
 
     def to_json(self) -> str:
         return json.dumps(

@@ -326,3 +326,21 @@ def test_explain_rejects_iforest(spark):
         det.explain_distributed(
             eng.score(df, fitted), fitted.model, ["f1"], 2
         ).collect()
+
+
+def test_explain_supports_keras_dense_backend(spark):
+    """explain_distributed accepts any scorer exposing
+    feature_contributions — including the weights-only dense-AE adapter
+    (fake-keras fallback path builds a PCA-equivalent)."""
+    import numpy as np
+
+    from dataquality_ml_spark.ml import detectors as det
+    from dataquality_ml_spark.ml.keras_adapter import build_autoencoder
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(80, 3))
+    model = build_autoencoder(x, n_components=1, backend="auto")
+    assert hasattr(model, "feature_contributions")
+    contrib = model.feature_contributions(x)
+    assert contrib.shape == (80, 3)
+    assert np.allclose(contrib.mean(axis=1), model.reconstruction_error(x))
