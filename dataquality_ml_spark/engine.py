@@ -381,6 +381,31 @@ class DQEngine:
         return rel.top_k(scored_df.where(F.col("is_anomaly")), "score", k)
 
     # -- corpus curation ---------------------------------------------------
+    def train_tokenizer(self, docs: DataFrame, num_merges: int = 1000, text_col: str = "text"):
+        """BPE tokenizer lifecycle entry (operators.bpe): distributed word
+        count, incremental in-memory merges, persistable artifact."""
+        from dataquality_ml_spark.operators.bpe import train_tokenizer
+
+        return train_tokenizer(docs, num_merges, text_col)
+
+    def tokenize(self, docs: DataFrame, tokenizer, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        return tokenizer.tokenize(docs, text_col, id_col)
+
+    def suggest_rules(self, df: DataFrame, columns: list[str], **kw) -> DataFrame:
+        """Mine candidate DQ rules (rules.suggest_rules) — feed the result
+        to ``check_rules`` to close the loop."""
+        from dataquality_ml_spark.operators.rules import suggest_rules
+
+        return suggest_rules(df, columns, **kw)
+
+    def check_rules(self, df: DataFrame, suggestions: DataFrame) -> DataFrame:
+        from dataquality_ml_spark.operators.rules import (
+            rules_from_suggestions,
+            run_checks,
+        )
+
+        return run_checks(df, rules_from_suggestions(suggestions))
+
     def curate_corpus(
         self,
         docs: DataFrame,
