@@ -41,21 +41,32 @@ def _ngram_buckets(df: DataFrame, text_col: str, id_col: str, num_buckets: int) 
 
     One row per n-gram occurrence (count-weighted features, as in the
     paper's bag-of-hashed-ngrams).  Pure array expressions — no UDF.
+
+    The md5 runs once per TOKEN, not per n-gram: a bigram's bucket is
+    derived arithmetically from its two unigram hashes (h1·31 + h2 mod B
+    — h < 2^32, so the product fits bigint), the same formula the DuckDB
+    oracle computes.  Halves the portable-hash cost, which dominates this
+    operator at scale.  The hash array is bound in its own projection so
+    the bigram zip never re-expands it (the winnowing lesson).
     """
     t = tokens(text_col)
-    uni = t
-    big = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.concat(uni, big).alias("feats"))
-        .select("doc_id", F.explode("feats").alias("f"))
-        .select("doc_id", F.pmod(portable_hash32(F.col("f")), F.lit(num_buckets)).alias("bucket"))
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(t, lambda w: portable_hash32(w)).alias("_h"),
     )
+    h = F.col("_h")
+    uni = F.transform(h, lambda x: F.pmod(x, F.lit(num_buckets)))
+    big = F.when(
+        F.size(h) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(h) - 1),
+            lambda i: F.pmod(
+                F.element_at(h, i) * F.lit(31) + F.element_at(h, i + 1),
+                F.lit(num_buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return hashed.select("doc_id", F.explode(F.concat(uni, big)).alias("bucket"))
 
 
 def _bucket_model(feats: DataFrame) -> DataFrame:

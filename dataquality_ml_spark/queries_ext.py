@@ -2780,17 +2780,19 @@ def pack_pieces_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
     ),
-    feats AS (
+    hh AS (
       SELECT doc_id, lang,
-             unnest(list_concat(t,
-               [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]))
-               AS f
+             [CAST('0x' || substr(md5(t[i]), 1, 8) AS BIGINT)
+              for i in generate_series(1, len(t))] AS h
       FROM toks
     ),
     fb AS (
       SELECT doc_id, lang,
-             CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS bucket
-      FROM feats
+             unnest(list_concat(
+               [x % 1024 for x in h],
+               [(h[i] * 31 + h[i + 1]) % 1024
+                for i in generate_series(1, len(h) - 1)])) AS bucket
+      FROM hh
     ),
     ct AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket),
     cr AS (SELECT bucket, COUNT(*) AS cr FROM fb WHERE lang <> 'en' GROUP BY bucket),
