@@ -205,3 +205,48 @@ def test_ann_index_lifecycle_roundtrip(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Sampling-family properties
+# ---------------------------------------------------------------------------
+
+
+def test_sample_hash_nesting_property(spark):
+    """Hash-cutoff sampling is NESTED: the 10% sample is a subset of the
+    20% sample of the same data — the property that makes sample rates
+    tunable without resampling churn (rand(seed) sampling lacks it)."""
+    from dataquality_ml_spark.operators.relational import sample_hash
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k bigint")
+    s10 = {r["k"] for r in sample_hash(df, "k", 10).collect()}
+    s20 = {r["k"] for r in sample_hash(df, "k", 20).collect()}
+    assert s10 <= s20
+    # and rates are roughly honored
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.14 < len(s20) / 2000 < 0.26
+
+
+def test_temperature_sample_respects_budget_and_groups(spark):
+    import random
+
+    from dataquality_ml_spark.operators.relational import temperature_sample
+
+    rng = random.Random(21)
+    for trial in range(3):
+        sizes = {f"g{j}": rng.randint(5, 80) for j in range(4)}
+        rows = [(j * 1000 + i, g) for j, (g, n) in enumerate(sizes.items()) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        budget = rng.randint(20, 120)
+        out = temperature_sample(df, "source", "doc_id", budget=budget, alpha=0.7)
+        got = out.collect()
+        per_group = {}
+        for r in got:
+            per_group[r["source"]] = per_group.get(r["source"], 0) + 1
+        assert len(got) <= budget  # floor allocation never overshoots
+        for g, n in per_group.items():
+            assert n <= sizes[g]  # never more than the group holds
+        # ranks are 1..n_g within each group
+        for g in per_group:
+            ranks = sorted(r["sample_rank"] for r in got if r["source"] == g)
+            assert ranks == list(range(1, per_group[g] + 1))
