@@ -675,6 +675,9 @@ def reconstruct_spans(
 # ===========================================================================
 
 
+_ROLL_MOD = 1 << 44  # rolling k-gram hash space; products stay < 2^61
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -707,17 +710,24 @@ def winnow_fingerprints(
     """
     t = tokens(text_col)
     n_sh = F.size(t) - (k - 1)
+    # md5 once per TOKEN; each k-gram hash is a bounded rolling combine of
+    # its token hashes (x = x·65599 + h mod 2^44 — x < 2^44 keeps every
+    # product < 2^61, because DuckDB errors on bigint overflow where Spark
+    # silently wraps). Same number-theoretic recipe as the DSIR bigram
+    # buckets; cuts the md5 count from |shingles|·k chars to |tokens|.
+    th = F.transform(t, lambda w: portable_hash32(w))
+    tokhash = df.select(F.col(id_col), th.alias("_th"), n_sh.alias("_nsh"))
     seq = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 15),
-            16,
-            10,
-        ).cast("bigint"),
+        F.sequence(F.lit(1), F.greatest(F.col("_nsh"), F.lit(1))),
+        lambda i: F.aggregate(
+            F.slice(F.col("_th"), i, k),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: F.pmod(acc * F.lit(65599) + h, F.lit(_ROLL_MOD)),
+        ),
     )
-    hashed = df.select(
+    hashed = tokhash.select(
         F.col(id_col),
-        F.when(n_sh >= 1, seq)
+        F.when(F.col("_nsh") >= 1, seq)
         .otherwise(F.array().cast("array<bigint>"))
         .alias("_hseq"),
     )

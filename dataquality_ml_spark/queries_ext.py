@@ -2499,11 +2499,18 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnow_dup_pairs_docs",
     oracle=f"""
     WITH {_TOKS_CTE},
+    hs AS (
+      SELECT doc_id,
+        [CAST('0x' || substr(md5(t[i]), 1, 8) AS BIGINT)
+         for i in generate_series(1, len(t))] AS th
+      FROM toks WHERE len(t) >= 4
+    ),
     seqs AS (
       SELECT doc_id,
-        [CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15) AS BIGINT)
-         for i in generate_series(1, greatest(len(t) - 3, 1))] AS seq
-      FROM toks WHERE len(t) >= 4
+        [list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+3]),
+                     (a, b) -> (a * 65599 + b) % 17592186044416)
+         for i in generate_series(1, greatest(len(th) - 3, 1))] AS seq
+      FROM hs
     ),
     wins AS (
       SELECT doc_id,
