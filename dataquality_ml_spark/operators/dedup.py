@@ -461,22 +461,24 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """TF-weighted SimHash fingerprint: per-token 32-bit hash, bit-wise
-    ±tf vote, sign → fingerprint. Two hash aggregations, both on keys that
-    shard evenly (id, token)."""
+    ±tf vote, sign → fingerprint.
+
+    ONE map-side-combined aggregation: a ±tf-weighted vote equals a ±1
+    vote per token OCCURRENCE, so the former per-(doc, token) tf grouping
+    — a full shuffle of every token occurrence — is dropped and the bit
+    sums partial-aggregate straight to per-doc rows before the only
+    shuffle. Identical fingerprints (same oracle), one less shuffle."""
     from dataquality_ml_spark.operators.relational import ensure_parallelism
 
-    tf = (
+    ex = (
         ensure_parallelism(df)
         .select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", portable_hash32(F.col("w")))
     )
-    bit_sums = tf.groupBy(id_col).agg(
+    bit_sums = ex.groupBy(id_col).agg(
         *[
             F.sum(
-                F.col("tf")
-                * F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
+                F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(bits)
         ]
