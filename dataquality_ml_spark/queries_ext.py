@@ -3298,3 +3298,61 @@ def suggest_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return suggest_rules(ev, ["event_type", "value", "user_id"])
+
+
+# ===========================================================================
+# Round 4 (cont.): LSH quality report — MinHash vs exact Jaccard
+# ===========================================================================
+
+
+def _minhash_recall_oracle() -> str:
+    from dataquality_ml_spark.queries import _ORACLES
+
+    mh, ex = _ORACLES["minhash_dedup_pairs"], _ORACLES["ngram_jaccard_pairs"]
+    return f"""
+    WITH mh AS ({mh}),
+    ex AS ({ex}),
+    j AS (
+      SELECT COALESCE(ex.id_a, mh.id_a) AS id_a,
+             COALESCE(ex.id_b, mh.id_b) AS id_b,
+             CASE WHEN ex.id_a IS NULL THEN 0 ELSE 1 END AS in_ex,
+             CASE WHEN mh.id_a IS NULL THEN 0 ELSE 1 END AS in_mh
+      FROM ex FULL OUTER JOIN mh USING (id_a, id_b)
+    )
+    SELECT CAST(SUM(in_ex) AS BIGINT) AS n_exact,
+           CAST(SUM(in_mh) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_ex * in_mh) AS BIGINT) AS n_common,
+           ROUND(SUM(in_ex * in_mh) / CAST(SUM(in_ex) AS DOUBLE), 4) AS recall,
+           ROUND(SUM(in_ex * in_mh) / CAST(SUM(in_mh) AS DOUBLE), 4) AS precision
+    FROM j
+    """
+
+
+@register("minhash_recall_report", oracle=_minhash_recall_oracle())
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality as a number (the dedup twin of ivf_recall_at_k):
+    MinHash-LSH near-dup pairs vs the exact inverted-index Jaccard
+    baseline, same threshold — recall measures band truncation, precision
+    measures the verify step.  Both operands are the already-oracle-gated
+    operators; the report is one full-outer join + one aggregate."""
+    from dataquality_ml_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = dd.minhash_dedup_pairs(
+        docs, k=5, num_perms=16, bands=4, rows=4, threshold=0.8
+    ).select("id_a", "id_b").withColumn("in_mh", F.lit(1))
+    ex = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
+        "id_a", "id_b"
+    ).withColumn("in_ex", F.lit(1))
+    j = ex.join(mh, ["id_a", "id_b"], "full").na.fill({"in_ex": 0, "in_mh": 0})
+    return j.agg(
+        F.sum("in_ex").alias("n_exact"),
+        F.sum("in_mh").alias("n_lsh"),
+        F.sum(F.col("in_ex") * F.col("in_mh")).alias("n_common"),
+        F.round(
+            F.sum(F.col("in_ex") * F.col("in_mh")) / F.sum("in_ex"), 4
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("in_ex") * F.col("in_mh")) / F.sum("in_mh"), 4
+        ).alias("precision"),
+    )

@@ -1234,3 +1234,22 @@ def test_pack_pieces_straddle_and_conservation(spark):
     # doc 2 starts at offset 6 of seq 0 -> pieces (2, 5)
     d2 = sorted((r["seq_id"], r["piece_offset"], r["piece_len"]) for r in pieces if r["doc_id"] == 2)
     assert d2 == [(0, 6, 2), (1, 0, 5)]
+
+
+def test_minhash_recall_report_detects_band_truncation(spark):
+    """With enough bands recall is 1.0 on planted near-dups; the report's
+    precision term is 1.0 by construction (the verify step filters to the
+    same threshold as the exact baseline)."""
+    from dataquality_ml_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base + " extra"), (2, "completely different words here now ok")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    mh = dd.minhash_dedup_pairs(df, k=3, num_perms=16, bands=8, rows=2, threshold=0.5)
+    ex = dd.ngram_jaccard_pairs(df, k=3, threshold=0.5)
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    ex_pairs = {(r["id_a"], r["id_b"]) for r in ex.collect()}
+    assert (0, 1) in ex_pairs
+    assert mh_pairs <= ex_pairs  # verify step enforces the exact threshold
+    assert (0, 1) in mh_pairs    # near-identical docs survive banding
