@@ -2851,14 +2851,15 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N = 6
 
 
-def _bpe_train_ctes(n: int) -> str:
+def _bpe_train_ctes(n: int, corpus_where: str = "") -> str:
     """Unrolled BPE training as DuckDB CTEs: v0 is the symbol-string vocab;
     each step i computes pair counts from v{i-1}, picks the argmax pair
     (count desc, lhs, rhs) into p{i}, and applies it with the anchored
     separator replace into v{i} — the same string algebra the Spark
-    operator runs."""
+    operator runs.  ``corpus_where`` optionally restricts the training
+    corpus (vocabulary-coverage experiments)."""
     parts = [
-        "ex AS MATERIALIZED (SELECT unnest(t) AS word FROM toks)",
+        f"ex AS MATERIALIZED (SELECT unnest(t) AS word FROM toks{corpus_where})",
         "words AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM ex WHERE word <> '' "
         "GROUP BY word)",
         "v0 AS MATERIALIZED (SELECT '·' || regexp_replace(word, '(.)', '·\\1', 'g')"
@@ -3355,4 +3356,85 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("in_ex") * F.col("in_mh")) / F.sum("in_mh"), 4
         ).alias("precision"),
+    )
+
+
+def _bpe_oov_oracle(n: int = _BPE_N) -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    seg = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
+    for i in range(1, n + 1):
+        seg = (
+            f"replace({seg}, "
+            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
+        )
+    merged_rows = " UNION ALL ".join(
+        f"SELECT (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) AS sym, "
+        f"(SELECT c FROM nbase) + {i - 1} AS tid"
+        for i in range(1, n + 1)
+    )
+    train_where = (
+        " WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')"
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    {_bpe_train_ctes(n, train_where)},
+    chars AS MATERIALIZED (
+      SELECT DISTINCT unnest([word[i] for i in generate_series(1, length(word))])
+        AS ch
+      FROM words
+    ),
+    base AS MATERIALIZED (
+      SELECT ch, ROW_NUMBER() OVER (ORDER BY ch) - 1 AS tid
+      FROM (SELECT ch FROM chars UNION SELECT '</w>' AS ch)
+    ),
+    nbase AS (SELECT COUNT(*) AS c FROM base),
+    vocab AS MATERIALIZED (
+      SELECT ch AS sym, tid FROM base UNION ALL {merged_rows}
+    ),
+    exd AS (
+      SELECT t2.doc_id, d.source, unnest(t2.t) AS word
+      FROM toks t2 JOIN documents d USING (doc_id)
+    ),
+    symrows AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split({seg}, '·'), s -> s <> '')) AS sym
+      FROM exd WHERE word <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           ROUND(SUM(CASE WHEN v.tid IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
+             AS oov_rate
+    FROM symrows LEFT JOIN vocab v USING (sym)
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("bpe_oov_by_source", oracle=_bpe_oov_oracle())
+def bpe_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report: train the tokenizer on ONE domain
+    (source='src0'), tokenize the whole corpus, report the out-of-vocab
+    symbol rate per source — the number that says whether a tokenizer
+    transfers to a new domain or needs retraining.  One explode + broadcast
+    vocab left-join + one groupBy(source)."""
+    from dataquality_ml_spark.operators.bpe import bpe_tokenize, train_tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs.where(F.col("source") == "src0"), num_merges=_BPE_N)
+    ids = bpe_tokenize(docs, tok.merges, tok.vocab)
+    unk = ids.select(
+        "doc_id",
+        F.size("token_ids").alias("n_ids"),
+        F.size(F.filter("token_ids", lambda t: t == -1)).alias("n_unk"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        unk.groupBy("source")
+        .agg(
+            F.sum("n_ids").alias("n_ids"),
+            F.sum("n_unk").alias("n_unk"),
+            F.round(F.sum("n_unk") / F.sum("n_ids"), 4).alias("oov_rate"),
+        )
+        .orderBy("source")
     )
