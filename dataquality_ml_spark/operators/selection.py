@@ -169,3 +169,59 @@ def dsir_resample(
         F.round(F.col("logw") + gumbel_key("doc_id", seed), 4).alias("score"),
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def domain_reweight(
+    doc_scores: DataFrame,
+    doc_source: DataFrame,
+    nll_col: str = "nll",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One exponentiated-gradient domain-reweighting step — the mixture
+    update at the heart of DoReMi (Xie et al. 2023, "Doremi: Optimizing
+    data mixtures speeds up language model pretraining"), deliberately
+    simplified to a model-free single step: domains whose mean NLL exceeds
+    the corpus mean (harder / underfit domains) get up-weighted
+    multiplicatively, w'_s ∝ share_s · exp(η · excess_s), normalized.
+    (The full method iterates this inside Group-DRO training with a proxy
+    and a reference model — the distributed arithmetic per step is exactly
+    this operator.)
+
+    Shape: one join doc→source, one groupBy(source), two 1-row broadcast
+    scalars (corpus mean, normalizer).  Output rounded 4 dp:
+    (source, n_docs, mean_nll, excess, weight), weights summing to 1.
+    """
+    per_doc = doc_scores.select(F.col(id_col), F.col(nll_col)).join(
+        doc_source.select(F.col(id_col), F.col(source_col)), id_col
+    )
+    per_src = per_doc.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(nll_col).alias("_mean_nll"),
+    )
+    overall = per_doc.agg(
+        F.avg(nll_col).alias("_corpus_nll"), F.count(F.lit(1)).alias("_n_total")
+    )
+    raw = per_src.crossJoin(F.broadcast(overall)).select(
+        source_col,
+        "n_docs",
+        "_mean_nll",
+        (F.col("_mean_nll") - F.col("_corpus_nll")).alias("_excess"),
+        (
+            (F.col("n_docs") / F.col("_n_total"))
+            * F.exp(F.lit(eta) * (F.col("_mean_nll") - F.col("_corpus_nll")))
+        ).alias("_raw_w"),
+    )
+    z = raw.agg(F.sum("_raw_w").alias("_z"))
+    return (
+        raw.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            "n_docs",
+            F.round("_mean_nll", 4).alias("mean_nll"),
+            F.round("_excess", 4).alias("excess"),
+            F.round(F.col("_raw_w") / F.col("_z"), 4).alias("weight"),
+        )
+        .orderBy(source_col)
+    )

@@ -3438,3 +3438,55 @@ def bpe_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# Round 4 (cont.): DoReMi-style domain reweighting
+# ===========================================================================
+
+
+def _doremi_oracle() -> str:
+    from dataquality_ml_spark.queries import _ORACLES
+
+    bl = _ORACLES["bigram_logprob_docs"]
+    return f"""
+    WITH bl AS ({bl}),
+    per_doc AS (
+      SELECT bl.doc_id, d.source, -bl.mean_logprob AS nll
+      FROM bl JOIN documents d USING (doc_id)
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs, AVG(nll) AS mean_nll
+      FROM per_doc GROUP BY source
+    ),
+    overall AS (SELECT AVG(nll) AS corpus_nll, COUNT(*) AS n_total FROM per_doc),
+    raw AS (
+      SELECT source, n_docs, mean_nll,
+             mean_nll - corpus_nll AS excess,
+             (n_docs / CAST(n_total AS DOUBLE))
+               * exp(1.0 * (mean_nll - corpus_nll)) AS raw_w
+      FROM per_src CROSS JOIN overall
+    ),
+    z AS (SELECT SUM(raw_w) AS z FROM raw)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(mean_nll, 4) AS mean_nll,
+           ROUND(excess, 4) AS excess,
+           ROUND(raw_w / z, 4) AS weight
+    FROM raw CROSS JOIN z ORDER BY source
+    """
+
+
+@register("doremi_reweight_sources", oracle=_doremi_oracle())
+def doremi_reweight_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture update: per-source excess bigram NLL drives an
+    exponentiated-gradient reweighting (harder domains up-weighted,
+    weights normalized).  The per-doc NLL comes from the oracle-gated
+    interpolated bigram LM; the update itself is one groupBy + two 1-row
+    broadcast scalars."""
+    from dataquality_ml_spark.operators.selection import domain_reweight
+
+    docs = _t(spark, sf_dir, "documents")
+    nll = tx.bigram_logprob(docs).select(
+        "doc_id", (-F.col("mean_logprob")).alias("nll")
+    )
+    return domain_reweight(nll, docs.select("doc_id", "source"))

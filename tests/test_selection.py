@@ -250,3 +250,23 @@ def test_temperature_sample_respects_budget_and_groups(spark):
         for g in per_group:
             ranks = sorted(r["sample_rank"] for r in got if r["source"] == g)
             assert ranks == list(range(1, per_group[g] + 1))
+
+
+def test_domain_reweight_upweights_hard_domains(spark):
+    from dataquality_ml_spark.operators.selection import domain_reweight
+
+    # easy domain: NLL 1.0 across 80 docs; hard domain: NLL 3.0 across 20
+    scores = spark.createDataFrame(
+        [(i, 1.0) for i in range(80)] + [(100 + i, 3.0) for i in range(20)],
+        "doc_id bigint, nll double",
+    )
+    src = spark.createDataFrame(
+        [(i, "easy") for i in range(80)] + [(100 + i, "hard") for i in range(20)],
+        "doc_id bigint, source string",
+    )
+    out = {r["source"]: r for r in domain_reweight(scores, src).collect()}
+    # natural shares are 0.8/0.2; the hard domain must gain weight
+    assert out["hard"]["weight"] > 0.2
+    assert out["easy"]["weight"] < 0.8
+    assert abs(out["hard"]["weight"] + out["easy"]["weight"] - 1.0) < 1e-3
+    assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
