@@ -270,3 +270,42 @@ def test_domain_reweight_upweights_hard_domains(spark):
     assert out["easy"]["weight"] < 0.8
     assert abs(out["hard"]["weight"] + out["easy"]["weight"] - 1.0) < 1e-3
     assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
+
+
+# ---------------------------------------------------------------------------
+# Edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_empty_candidates_yields_empty(spark):
+    from dataquality_ml_spark.operators.selection import dsir_resample
+
+    target = _df(spark, [(0, "a b c")])
+    empty = _df(spark, []).where("doc_id IS NOT NULL")
+    assert dsir_resample(target, empty, k=5).count() == 0
+
+
+def test_domain_reweight_single_source_gets_weight_one(spark):
+    from dataquality_ml_spark.operators.selection import domain_reweight
+
+    scores = spark.createDataFrame([(0, 2.0), (1, 4.0)], "doc_id bigint, nll double")
+    src = spark.createDataFrame([(0, "only"), (1, "only")], "doc_id bigint, source string")
+    [row] = domain_reweight(scores, src).collect()
+    assert row["weight"] == 1.0 and row["excess"] == 0.0
+
+
+def test_temperature_sample_empty_and_zero_budget(spark):
+    from dataquality_ml_spark.operators.relational import temperature_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, source string")
+    assert temperature_sample(df, "source", "doc_id", budget=0).count() == 0
+
+
+def test_jl_project_raises_on_empty_input(spark):
+    import pytest as _pytest
+
+    from dataquality_ml_spark.operators.similarity import jl_project
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        jl_project(empty, out_dim=4)
