@@ -3490,3 +3490,88 @@ def doremi_reweight_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (-F.col("mean_logprob")).alias("nll")
     )
     return domain_reweight(nll, docs.select("doc_id", "source"))
+
+
+# ===========================================================================
+# Round 4 (cont.): JL projection quality — projected kNN recall
+# ===========================================================================
+
+
+def _jl_recall_oracle(in_dim: int = 64, out_dim: int = 8) -> str:
+    from dataquality_ml_spark.operators.similarity import jl_signs
+
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for row in jl_signs(in_dim, out_dim):
+        lits = ", ".join(f"{float(s)}" for s in row)
+        comps.append(
+            f"ROUND(list_dot_product(embedding::DOUBLE[], [{lits}]) * {inv!r}, 6)"
+        )
+    arr = ",\n               ".join(comps)
+    cos = (
+        "list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+    )
+    return f"""
+    WITH proj AS (SELECT vec_id, [{arr}] AS p FROM embeddings),
+    exact_q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    exact_c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    exact_r AS (
+      SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY ROUND({cos}, 4) + 0 DESC, neighbor_id) AS rank
+      FROM exact_q, exact_c WHERE neighbor_id != query_id
+    ),
+    proj_q AS (SELECT vec_id AS query_id, p AS qv FROM proj WHERE vec_id < 10),
+    proj_c AS (SELECT vec_id AS neighbor_id, p AS cv FROM proj),
+    proj_r AS (
+      SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY ROUND({cos}, 4) + 0 DESC, neighbor_id) AS rank
+      FROM proj_q, proj_c WHERE neighbor_id != query_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_common,
+           ROUND(COUNT(p.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM (SELECT * FROM exact_r WHERE rank <= 5) e
+    LEFT JOIN (SELECT * FROM proj_r WHERE rank <= 5) p
+      USING (query_id, neighbor_id)
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@register("jl_knn_recall", oracle=_jl_recall_oracle())
+def jl_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection quality as a number: top-5 cosine neighbors computed
+    in the 8-dim projected space vs the exact 64-dim baseline, recall@5
+    per query — the measurement that justifies (or vetoes) running ANN on
+    the 8x-cheaper projected vectors.  Both sides are the existing
+    oracle-gated operators; the report is one join + one aggregate."""
+    from dataquality_ml_spark.operators.similarity import jl_project, knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
+    proj = jl_project(emb, out_dim=8).withColumnRenamed("proj", "embedding")
+    approx = knn_bruteforce(proj, proj.where(F.col("vec_id") < 10), k=5).select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["p_neighbor"]),
+        "left",
+    ).select(exact["query_id"], "p_neighbor")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("p_neighbor").alias("n_common"),
+            F.round(F.count("p_neighbor") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
