@@ -9,14 +9,25 @@ relation, which is orders of magnitude smaller than the corpus at 100 TB
 + a 1-row collect of the argmax pair (model parameters, the sanctioned
 driver round-trip) + a narrow ``replace`` projection applying the merge.
 
-Symbol representation: a word is a separator-delimited symbol string
-``·c·h·a·r·s·</w>·`` (leading AND trailing separators).  Applying merge
-(l, r) is then ``replace(word_str, '·l·r·', '·lr·')`` — the anchoring
-separators stop matches inside larger symbols, and because the match
-consumes the shared separator, SQL's left-to-right non-overlapping replace
-reproduces BPE's left-to-right merge exactly (``a a a`` + merge (a,a) →
-``aa a``, not ``a aa``).  The same string algebra runs verbatim in DuckDB,
-which is what makes every step oracle-checkable.
+Symbol representation: a word is a DOUBLE-separator-delimited symbol
+string ``··c··h··a··r··s··</w>··`` — every symbol boundary (including the
+word's ends) is exactly two separators.  Applying merge (l, r) is
+``replace(word_str, '·l··r·', '·lr·')``: the pattern consumes ONE
+separator from each boundary it touches and the replacement restores one,
+so the two-separator invariant is preserved AND the boundary shared with
+the next potential match keeps a separator for that match to anchor on.
+That makes SQL's left-to-right non-overlapping replace equal to BPE's
+left-to-right list merge (scan i; merge at (i, i+1) then continue at
+i+2) in a SINGLE pass — including back-to-back repeats, the case a
+single-separator encoding gets wrong because the match eats the shared
+separator: with single seps, ``a a a a`` + merge (a,a) → ``aa a a``
+(the separator before the 3rd ``a`` is consumed, so (a3,a4) can't
+match), while true BPE gives ``aa aa``.  With double seps every boundary
+survives with one separator and ``a a a a`` → ``aa aa`` exactly.  The
+anchoring separators still stop matches inside larger symbols (a symbol
+char is never adjacent to a separator mid-symbol).  The same string
+algebra runs verbatim in DuckDB, which is what makes every step
+oracle-checkable.
 """
 
 from __future__ import annotations
@@ -31,11 +42,13 @@ EOW = "</w>"
 
 
 def word_symbol_str(word_col: F.Column) -> F.Column:
-    """'chars' → '·c·h·a·r·s·</w>·' (regexp insert, no char-array split —
-    identical under Java regex and RE2/DuckDB with the global flag)."""
+    """'chars' → '··c··h··a··r··s··</w>··' (regexp insert, no char-array
+    split — identical under Java regex and RE2/DuckDB with the global
+    flag).  Double separators at every boundary: see the module docstring
+    for why this makes single-pass ``replace`` exactly true BPE."""
     return F.concat(
-        F.regexp_replace(word_col, "(.)", SEP + "$1"),
-        F.lit(SEP + EOW + SEP),
+        F.regexp_replace(word_col, "(.)", SEP + SEP + "$1"),
+        F.lit(SEP + SEP + EOW + SEP + SEP),
     )
 
 
@@ -80,12 +93,21 @@ def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     return pairs.groupBy("p.lhs", "p.rhs").agg(F.sum("cnt").alias("total"))
 
 
+def merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
+    """(pattern, replacement) for one merge under the double-separator
+    encoding: ``·l··r·`` → ``·lr·`` consumes one separator from each
+    boundary and restores one, preserving the ``··`` invariant while
+    leaving the shared boundary's other separator for the NEXT
+    left-to-right match — single-pass replace == true BPE list merge."""
+    return f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}", f"{SEP}{lhs}{rhs}{SEP}"
+
+
 def apply_merge(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
     """Apply one merge to the vocab: anchored separator replace."""
-    pat = F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}")
-    rep = F.lit(f"{SEP}{lhs}{rhs}{SEP}")
+    pat, rep = merge_pattern(lhs, rhs)
     return vocab.select(
-        F.replace(F.col("word_str"), pat, rep).alias("word_str"), "cnt"
+        F.replace(F.col("word_str"), F.lit(pat), F.lit(rep)).alias("word_str"),
+        "cnt",
     )
 
 
@@ -222,11 +244,8 @@ def bpe_segment(
     )
     col = word_symbol_str(F.col("word"))
     for _, lhs, rhs, _ in merges:
-        col = F.replace(
-            col,
-            F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}"),
-            F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
-        )
+        pat, rep = merge_pattern(lhs, rhs)
+        col = F.replace(col, F.lit(pat), F.lit(rep))
     seg = ex.select(
         id_col,
         F.length("word").alias("n_chars"),
@@ -293,11 +312,8 @@ def bpe_tokenize(
     ).where(F.col("word") != "")
     col = word_symbol_str(F.col("word"))
     for _, lhs, rhs, _ in merges:
-        col = F.replace(
-            col,
-            F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}"),
-            F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
-        )
+        pat, rep = merge_pattern(lhs, rhs)
+        col = F.replace(col, F.lit(pat), F.lit(rep))
     sym = ex.select(
         id_col, "wpos", F.posexplode(symbols(col)).alias("spos", "sym")
     )

@@ -182,32 +182,78 @@ def quota_sample(
 
     margin=4 makes the hash cutoff miss a true top-n row only if the n-th
     smallest of cnt uniform hashes exceeds 4x its expectation — vanishing
-    for n >= 10 (Chernoff); correctness vs the naive window is asserted in
-    tests and by the DuckDB oracle, which computes the naive form.
+    for n >= 10 (Chernoff).  The probabilistic cutoff is backstopped by a
+    deterministic shortfall check (one cheap aggregate over the candidate
+    scan): any group whose candidate count falls below its quota is
+    re-run with the cutoff wide open, so the result ALWAYS equals the
+    naive full-window form (asserted in tests and by the DuckDB oracle).
     """
+    quota_df = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_quota", F.lit(int(n_per_group)))
+    )
+    return _two_phase_quota_window(df, group_col, key, quota_df, margin)
+
+
+def _two_phase_quota_window(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    quota_df: DataFrame,
+    margin: int,
+) -> DataFrame:
+    """Shared engine for quota_sample / temperature_sample.  ``quota_df``
+    is (group_col, _cnt, _quota).  Broadcast per-group hash cutoffs sized
+    to admit ~margin·quota candidates, verify no group fell short (an
+    aggregate-only check — the group cardinality never visits the driver,
+    so per-host caps over millions of hosts stay distributed), widen the
+    cutoff for any group that did, then rank only the candidates.  The
+    row_number window never sees more than ~margin·quota rows per group,
+    yet the output is bit-identical to the full-corpus window."""
     h = _hash_bucket(df, key)
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    cutoff = counts.select(
+    cutoff = quota_df.select(
         group_col,
-        F.when(
-            F.col("_cnt") <= F.lit(margin * n_per_group), F.lit(_MOD)
-        )
+        "_quota",
+        F.when(F.col("_cnt") <= F.lit(margin) * F.col("_quota"), F.lit(_MOD))
         .otherwise(
-            (F.lit(_MOD).cast("double") * margin * n_per_group / F.col("_cnt"))
+            (F.lit(_MOD).cast("double") * margin * F.col("_quota") / F.col("_cnt"))
             .cast("bigint")
         )
         .alias("_cut"),
+    ).localCheckpoint(eager=False)
+
+    def _cand(co: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_h", h)
+            .join(F.broadcast(co), group_col)
+            .where(F.col("_h") < F.col("_cut"))
+        )
+
+    # Candidates are ~margin·quota rows per group — bounded — so pin them
+    # once; the shortfall check and the rank window share the same scan.
+    cand = _cand(cutoff).localCheckpoint(eager=False)
+    got = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_got"))
+    short = (
+        cutoff.join(got, group_col, "left")
+        .where(
+            (F.col("_cut") < F.lit(_MOD))
+            & (F.coalesce(F.col("_got"), F.lit(0)) < F.col("_quota"))
+        )
+        .select(group_col, F.lit(True).alias("_w"))
     )
-    cand = (
-        df.withColumn("_h", h)
-        .join(F.broadcast(cutoff), group_col)
-        .where(F.col("_h") < F.col("_cut"))
-    )
+    if short.limit(1).count() > 0:
+        widened = cutoff.join(F.broadcast(short), group_col, "left").select(
+            group_col,
+            "_quota",
+            F.when(F.col("_w"), F.lit(_MOD)).otherwise(F.col("_cut")).alias("_cut"),
+        )
+        cand = _cand(widened)
     w = Window.partitionBy(group_col).orderBy("_h", key)
     return (
         cand.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_per_group)
-        .drop("_h", "_cut")
+        .where(F.col("_rn") <= F.col("_quota"))
+        .drop("_h", "_cut", "_quota")
         .withColumnRenamed("_rn", "sample_rank")
     )
 
@@ -313,8 +359,17 @@ def temperature_sample(
     Selection inside each group is the deterministic hash-rank quota
     sample, with quota_sample's two-phase broadcast-cutoff shape — the
     rank window only ever sees ~margin·quota candidate rows per group,
-    never the corpus.  Group counts are collected once (a few rows of
-    model parameters) to compute quotas driver-side.
+    never the corpus — plus the same deterministic shortfall backstop
+    (a group whose candidates undershoot its quota re-runs with the
+    cutoff wide open), so the output always equals the naive full-window
+    form.  Group counts are collected once (a few rows of model
+    parameters) to compute quotas driver-side.
+
+    Quotas are floor-based: up to |groups|−1 budget rows may go unused.
+    That is deliberate — quota_g stays a pure per-group function of the
+    published rule (min(n_s, ⌊budget·q_s⌋)), engine-portable and stable
+    under corpus growth; largest-remainder top-up would make a group's
+    quota depend on every other group's fractional part.
     """
     import math
 
@@ -328,28 +383,8 @@ def temperature_sample(
     }
     spark = df.sparkSession
     group_type = df.schema[group_col].dataType.simpleString()
-    qdf = spark.createDataFrame(
-        [
-            (
-                g,
-                int(quotas[g]),
-                _MOD
-                if counts[g] <= margin * quotas[g]
-                else int(_MOD * margin * quotas[g] / counts[g]),
-            )
-            for g in counts
-        ],
-        f"{group_col} {group_type}, _quota int, _cut bigint",
+    quota_df = spark.createDataFrame(
+        [(g, int(counts[g]), int(quotas[g])) for g in counts],
+        f"{group_col} {group_type}, _cnt bigint, _quota int",
     )
-    cand = (
-        df.withColumn("_h", _hash_bucket(df, key))
-        .join(F.broadcast(qdf), group_col)
-        .where(F.col("_h") < F.col("_cut"))
-    )
-    w = Window.partitionBy(group_col).orderBy("_h", key)
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= F.col("_quota"))
-        .drop("_h", "_cut", "_quota")
-        .withColumnRenamed("_rn", "sample_rank")
-    )
+    return _two_phase_quota_window(df, group_col, key, quota_df, margin)

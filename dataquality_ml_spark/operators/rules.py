@@ -20,6 +20,7 @@ Output: one row per rule — (rule, kind, n_violations, violation_frac).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -160,7 +161,8 @@ def suggest_rules(
 
     - ``not_null`` when the observed null fraction ≤ ``null_tol``;
     - ``in_set`` for string columns with ≤ ``max_set_card`` distinct
-      values (the sorted value list rides in ``vals``);
+      values (the sorted value list rides in ``vals`` as a JSON array —
+      delimiter-safe for values containing commas);
     - ``in_range`` for numeric columns, bounds = the (q1, q99) exact
       percentiles, with the observed in-range fraction as support
       (nulls count as out of range, identically in the oracle).
@@ -192,10 +194,13 @@ def suggest_rules(
     n = s1["_n"]
 
     set_cols = [c for c in strings if s1[f"nd_{c}"] <= max_set_card]
+    # A fully-null numeric column yields NULL percentiles — no in_range
+    # rule can be mined for it (and unpacking None would crash).
+    range_cols = [c for c in numeric if s1[f"pq_{c}"] is not None]
     aggs2 = []
     for c in set_cols:
         aggs2.append(F.sort_array(F.collect_set(F.col(c))).alias(f"set_{c}"))
-    for c in numeric:
+    for c in range_cols:
         lo, hi = s1[f"pq_{c}"]
         aggs2.append(
             F.avg(
@@ -210,10 +215,13 @@ def suggest_rules(
         if nn_frac >= 1.0 - null_tol:
             rows.append((c, "not_null", None, None, None, round(nn_frac, 4)))
     for c in set_cols:
+        # JSON-encode the value list: values containing the delimiter must
+        # survive the round-trip into rules_from_suggestions unsplit.
         rows.append(
-            (c, "in_set", None, None, ",".join(s2[f"set_{c}"]), round(s1[f"nn_{c}"] / n, 4))
+            (c, "in_set", None, None, json.dumps(s2[f"set_{c}"], separators=(",", ":")),
+             round(s1[f"nn_{c}"] / n, 4))
         )
-    for c in numeric:
+    for c in range_cols:
         lo, hi = s1[f"pq_{c}"]
         rows.append(
             (c, "in_range", round(float(lo), 4), round(float(hi), 4), None,
@@ -234,7 +242,7 @@ def rules_from_suggestions(sug_df: DataFrame) -> list[Rule]:
         if r["rule"] == "not_null":
             out.append(not_null(r["column"]))
         elif r["rule"] == "in_set":
-            out.append(in_set(r["column"], r["vals"].split(",")))
+            out.append(in_set(r["column"], json.loads(r["vals"])))
         elif r["rule"] == "in_range":
             out.append(in_range(r["column"], r["lo"], r["hi"]))
     return out

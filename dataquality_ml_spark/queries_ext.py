@@ -2850,6 +2850,24 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_N = 6
 
+# Double-separator word symbol string (mirrors operators/bpe.py
+# word_symbol_str): '··c··h··</w>··'.
+_BPE_WORD_EXPR = "regexp_replace(word, '(.)', '··\\1', 'g') || '··</w>··'"
+
+
+def _bpe_merge_cascade(n: int, expr: str = _BPE_WORD_EXPR) -> str:
+    """Chain the n learned merges over a symbol-string expression, one
+    '·l··r·' → '·lr·' replace per merge — identical semantics to the
+    Spark-side merge_pattern cascade (true left-to-right BPE, single pass
+    per merge; see operators/bpe.py module docstring)."""
+    for i in range(1, n + 1):
+        expr = (
+            f"replace({expr}, "
+            f"'·' || (SELECT lhs FROM p{i}) || '··' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
+        )
+    return expr
+
 
 def _bpe_train_ctes(n: int, corpus_where: str = "") -> str:
     """Unrolled BPE training as DuckDB CTEs: v0 is the symbol-string vocab;
@@ -2862,8 +2880,12 @@ def _bpe_train_ctes(n: int, corpus_where: str = "") -> str:
         f"ex AS MATERIALIZED (SELECT unnest(t) AS word FROM toks{corpus_where})",
         "words AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM ex WHERE word <> '' "
         "GROUP BY word)",
-        "v0 AS MATERIALIZED (SELECT '·' || regexp_replace(word, '(.)', '·\\1', 'g')"
-        " || '·</w>·' AS word_str, cnt FROM words)",
+        # Double-separator symbol encoding (see operators/bpe.py module
+        # docstring): every boundary is '··', the merge pattern '·l··r·'
+        # consumes one separator per side and restores one, so single-pass
+        # replace == true left-to-right BPE even for back-to-back repeats.
+        "v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '··\\1', 'g')"
+        " || '··</w>··' AS word_str, cnt FROM words)",
     ]
     for i in range(1, n + 1):
         prev = f"v{i - 1}"
@@ -2882,7 +2904,7 @@ def _bpe_train_ctes(n: int, corpus_where: str = "") -> str:
         )
         parts.append(
             f"v{i} AS MATERIALIZED (SELECT replace(word_str, "
-            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
+            f"'·' || (SELECT lhs FROM p{i}) || '··' || (SELECT rhs FROM p{i}) || '·', "
             f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·') "
             f"AS word_str, cnt FROM {prev})"
         )
@@ -2905,13 +2927,7 @@ def _bpe_merges_oracle(n: int = _BPE_N) -> str:
 def _bpe_segment_oracle(n: int = _BPE_N) -> str:
     from dataquality_ml_spark.queries import _TOKS_CTE
 
-    expr = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
-    for i in range(1, n + 1):
-        expr = (
-            f"replace({expr}, "
-            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
-            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
-        )
+    expr = _bpe_merge_cascade(n)
     return f"""
     WITH {_TOKS_CTE},
     {_bpe_train_ctes(n)},
@@ -3115,13 +3131,7 @@ def temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_tokenize_oracle(n: int = _BPE_N) -> str:
     from dataquality_ml_spark.queries import _TOKS_CTE
 
-    seg = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
-    for i in range(1, n + 1):
-        seg = (
-            f"replace({seg}, "
-            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
-            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
-        )
+    seg = _bpe_merge_cascade(n)
     merged_rows = " UNION ALL ".join(
         f"SELECT (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) AS sym, "
         f"(SELECT c FROM nbase) + {i - 1} AS tid"
@@ -3187,13 +3197,7 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_pack_oracle(n: int = _BPE_N, budget: int = 512) -> str:
     from dataquality_ml_spark.queries import _TOKS_CTE
 
-    seg = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
-    for i in range(1, n + 1):
-        seg = (
-            f"replace({seg}, "
-            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
-            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
-        )
+    seg = _bpe_merge_cascade(n)
     return f"""
     WITH {_TOKS_CTE},
     {_bpe_train_ctes(n)},
@@ -3259,8 +3263,8 @@ def bpe_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1.0 ELSE 0.0 END) AS sup_v,
              AVG(CASE WHEN user_id BETWEEN (SELECT lo_u FROM s) AND (SELECT hi_u FROM s)
                       THEN 1.0 ELSE 0.0 END) AS sup_u,
-             array_to_string(list_sort(list(DISTINCT event_type)
-               FILTER (WHERE event_type IS NOT NULL)), ',') AS set_et
+             to_json(list_sort(list(DISTINCT event_type)
+               FILTER (WHERE event_type IS NOT NULL))) AS set_et
       FROM base
     ),
     rows_out AS (
@@ -3362,13 +3366,7 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oov_oracle(n: int = _BPE_N) -> str:
     from dataquality_ml_spark.queries import _TOKS_CTE
 
-    seg = "'·' || regexp_replace(word, '(.)', '·\\1', 'g') || '·</w>·'"
-    for i in range(1, n + 1):
-        seg = (
-            f"replace({seg}, "
-            f"'·' || (SELECT lhs FROM p{i}) || '·' || (SELECT rhs FROM p{i}) || '·', "
-            f"'·' || (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) || '·')"
-        )
+    seg = _bpe_merge_cascade(n)
     merged_rows = " UNION ALL ".join(
         f"SELECT (SELECT lhs FROM p{i}) || (SELECT rhs FROM p{i}) AS sym, "
         f"(SELECT c FROM nbase) + {i - 1} AS tid"

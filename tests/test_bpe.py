@@ -135,6 +135,52 @@ def test_bpe_differential_vs_python_reference(spark):
         assert got == expected, f"trial {trial}: {texts}\n{got}\nvs\n{expected}"
 
 
+def test_bpe_adversarial_backtoback_repeats(spark):
+    """Adversarial differential (ADVICE r4): corpora where an early merge
+    pair occurs CONSECUTIVELY in a word.  A single-separator replace
+    consumes the shared separator and under-merges ('aaaa' + (a,a) →
+    [aa,a,a] instead of [aa,aa]); the double-separator encoding must match
+    the pure-Python list-walking trainer exactly, on both strategies."""
+    for texts in (
+        ["aaaa"],
+        ["abab abab b"],
+        ["banana banana ba"],
+        ["aaaaaaaa aa a"],
+        ["aaa aaaa aaaaa aaaaaa"],
+        ["abababab ab ba"],
+    ):
+        expected = _python_bpe(texts, num_merges=4)
+        df = _docs(spark, texts)
+        for strategy in ("local", "distributed"):
+            got = bpe_train(df, num_merges=4, strategy=strategy)
+            assert got == expected, (texts, strategy, got, expected)
+
+
+def test_apply_merge_equals_list_merge_on_runs(spark):
+    """(a,a) over an 8-run must pair strictly left-to-right: [aa]×4.
+    This is exactly where fixpoint-iterating a single-separator replace
+    still fails (it gets stuck at [aa,a,aa,a,aa])."""
+    df = _docs(spark, ["aaaaaaaa"])
+    vocab = bpe_init_vocab(df)
+    merged = apply_merge(vocab, "a", "a")
+    [row] = merged.select(symbols(F.col("word_str")).alias("s")).collect()
+    assert row["s"] == ["aa", "aa", "aa", "aa", "</w>"]
+
+
+def test_duckdb_replace_matches_spark_merge_semantics():
+    """The oracle's string algebra is the same single-pass replace DuckDB
+    runs — assert DuckDB's replace on the double-separator encoding gives
+    true-BPE pairing for the adversarial run case."""
+    import duckdb
+
+    [(out,)] = duckdb.sql(
+        "SELECT list_filter(string_split(replace("
+        "'··a··a··a··a··a··a··a··a··</w>··', '·a··a·', '·aa·'), '·'),"
+        " x -> x <> '')"
+    ).fetchall()
+    assert out == ["aa", "aa", "aa", "aa", "</w>"]
+
+
 def test_bpe_local_and_distributed_strategies_agree(spark):
     """The collected-vocab incremental trainer (the 32k-merge production
     path) and the distributed per-merge rounds produce identical merges."""

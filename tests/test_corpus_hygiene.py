@@ -101,6 +101,45 @@ def test_quota_sample_group_smaller_than_quota(spark):
     assert len(out) == 2 and {r["sample_rank"] for r in out} == {1, 2}
 
 
+def test_quota_sample_shortfall_backstop(spark):
+    """ADVICE r4: the probabilistic hash cutoff must never silently return
+    fewer than quota rows.  margin=0 admits ZERO candidates for every
+    large group — the deterministic shortfall check must widen the cutoff
+    and still produce the exact naive-window answer."""
+    rows = [(i, "big") for i in range(500)] + [(10_000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in quota_sample(df, "source", "doc_id", 5, margin=0).collect()
+    )
+    want = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in _naive_quota(df, "source", "doc_id", 5).collect()
+    )
+    assert got == want
+    assert len([g for g in got if g[0] == "big"]) == 5
+
+
+def test_temperature_sample_shortfall_backstop(spark):
+    """Same backstop through temperature_sample: margin=0 forces the
+    widened re-run; per-group sizes must equal the exact floor quotas."""
+    from dataquality_ml_spark.operators.relational import temperature_sample
+
+    rows = [(i, "a") for i in range(400)] + [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "source", "doc_id", budget=60, alpha=0.5, margin=0).collect()
+    import math
+
+    tw = 400**0.5 + 100**0.5
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["sample_rank"])
+    assert len(by["a"]) == min(400, math.floor(60 * 400**0.5 / tw))
+    assert len(by["b"]) == min(100, math.floor(60 * 100**0.5 / tw))
+    for g in by:
+        assert sorted(by[g]) == list(range(1, len(by[g]) + 1))
+
+
 # ---------------------------------------------------------------------------
 # Unigram log-prob quality
 # ---------------------------------------------------------------------------

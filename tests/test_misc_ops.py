@@ -310,7 +310,7 @@ def test_suggest_rules_closes_the_loop_with_run_checks(spark):
     sug = suggest_rules(clean, ["kind", "v"], max_set_card=5)
     by_key = {(r["column"], r["rule"]): r for r in sug.collect()}
     assert ("kind", "not_null") in by_key
-    assert by_key[("kind", "in_set")]["vals"] == "a,b"
+    assert by_key[("kind", "in_set")]["vals"] == '["a","b"]'
     rng = by_key[("v", "in_range")]
     assert rng["lo"] <= 1.0 and rng["hi"] >= 48.0 and rng["support"] >= 0.98
 
@@ -329,3 +329,41 @@ def test_suggest_rules_closes_the_loop_with_run_checks(spark):
     assert dirty_report["not_null(kind)"] == 1
     assert dirty_report["in_set(kind)"] >= 1
     assert dirty_report[[k for k in dirty_report if k.startswith("in_range(v")][0]] >= 2
+
+
+def test_suggest_rules_in_set_values_with_commas(spark):
+    """Categorical values containing the old comma delimiter must round-trip
+    through suggestions → rules without splitting into bogus set members
+    (ADVICE r4): clean data re-checks clean."""
+    from dataquality_ml_spark.operators.rules import (
+        rules_from_suggestions,
+        run_checks,
+        suggest_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x,y" if i % 2 else "plain") for i in range(40)],
+        "id bigint, kind string",
+    )
+    sug = suggest_rules(df, ["kind"], max_set_card=5)
+    rules = rules_from_suggestions(sug)
+    [in_set_rule] = [r for r in rules if r.kind == "in_set"]
+    assert sorted(in_set_rule.params["values"]) == ["plain", "x,y"]
+    report = {r["rule"]: r["n_violations"] for r in run_checks(df, rules).collect()}
+    assert report["in_set(kind)"] == 0
+
+
+def test_suggest_rules_all_null_numeric_column(spark):
+    """A fully-null numeric column must not crash the profiler (ADVICE r4:
+    NULL percentiles); it yields no in_range rule and no not_null rule."""
+    from dataquality_ml_spark.operators.rules import suggest_rules
+
+    df = spark.createDataFrame(
+        [(i, None, float(i)) for i in range(20)],
+        "id bigint, dead double, live double",
+    )
+    sug = suggest_rules(df, ["dead", "live"]).collect()
+    kinds = {(r["column"], r["rule"]) for r in sug}
+    assert ("dead", "in_range") not in kinds
+    assert ("dead", "not_null") not in kinds
+    assert ("live", "in_range") in kinds
