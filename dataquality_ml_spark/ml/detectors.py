@@ -49,15 +49,138 @@ def collect_feature_sample(
     fitted model and downstream anomaly counts partition-dependent. The
     hash rank depends only on row VALUES; Spark executes orderBy+limit as
     TakeOrderedAndProject (O(max_rows) memory per partition, no full sort).
+
+    The TakeOrdered runs unconditionally — no ``count()`` pre-scan
+    (VERDICT r4 nit: the count was a full extra pass).  When the table is
+    smaller than ``max_rows`` the limit returns every row, still in hash
+    order, so the sample's ROW ORDER is partition-layout-independent in
+    all cases (matters to seeded subsamplers like IsolationForest).
     """
-    proj = df.select(features_col)
-    n = proj.count()
-    if n > max_rows:
-        proj = proj.orderBy(
-            F.xxhash64(F.col(features_col), F.lit(seed))
-        ).limit(max_rows)
-    rows = proj.collect()
+    rows = (
+        df.select(features_col)
+        .orderBy(F.xxhash64(F.col(features_col), F.lit(seed)))
+        .limit(max_rows)
+        .collect()
+    )
     return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def feature_covariance(
+    df: DataFrame, dim: int, features_col: str = "features", round_dp: int = 8
+) -> tuple[int, list[float], list[list[float]]]:
+    """ONE-pass mean + population covariance of an array<double> feature
+    column: n, Σf_i and Σf_i·f_j aggregates in a single scan, entries
+    assembled driver-side and ROUNDED to ``round_dp`` so both engines'
+    sum-order ulps collapse to identical numbers — the precondition for
+    the bit-exact subspace iteration below.  No sample, no collect of
+    rows: the fit input is 1 + d + d(d+1)/2 aggregate values."""
+
+    def el(i: int):
+        return F.element_at(F.col(features_col), i + 1)
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(dim):
+        aggs.append(F.sum(el(i)).alias(f"s{i}"))
+    for i in range(dim):
+        for j in range(i, dim):
+            aggs.append(F.sum(el(i) * el(j)).alias(f"q{i}_{j}"))
+    r = df.agg(*aggs).first()
+    n = int(r["n"])
+    mu = [round(r[f"s{i}"] / n, round_dp) for i in range(dim)]
+    cov = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            c = round(
+                r[f"q{i}_{j}"] / n - (r[f"s{i}"] / n) * (r[f"s{j}"] / n), round_dp
+            )
+            cov[i][j] = c
+            cov[j][i] = c
+    return n, mu, cov
+
+
+def subspace_components(
+    cov: list[list[float]], n_components: int, iters: int = 12
+) -> list[list[float]]:
+    """Top-``n_components`` principal directions by FIXED-iteration block
+    power (subspace) iteration with classical Gram-Schmidt, written as
+    explicit left-to-right Python-float arithmetic: given identical
+    (rounded) covariance entries, every multiply/add/sqrt is the same
+    IEEE-754 op sequence an unrolled SQL replay performs, so the
+    components are BIT-IDENTICAL across engines — the property that lets
+    a linear-autoencoder detector carry a full DuckDB oracle (fixed
+    iteration count, not convergence, defines the model)."""
+    import math
+
+    d = len(cov)
+    comps = [
+        [1.0 if j == c else 0.0 for j in range(d)] for c in range(n_components)
+    ]
+    for _ in range(iters):
+        mult = []
+        for c in range(n_components):
+            w = []
+            for i in range(d):
+                acc = 0.0
+                for j in range(d):
+                    acc = acc + cov[i][j] * comps[c][j]
+                w.append(acc)
+            mult.append(w)
+        ortho: list[list[float]] = []
+        for c in range(n_components):
+            w = list(mult[c])
+            for p in range(c):
+                u = ortho[p]
+                dot = 0.0
+                for i in range(d):
+                    dot = dot + w[i] * u[i]
+                w = [w[i] - dot * u[i] for i in range(d)]
+            nrm = 0.0
+            for i in range(d):
+                nrm = nrm + w[i] * w[i]
+            nrm = math.sqrt(nrm)
+            if nrm == 0.0:
+                nrm = 1.0
+            ortho.append([w[i] / nrm for i in range(d)])
+        comps = ortho
+    return comps
+
+
+def linear_ae_error_expr(
+    mu: list[float],
+    comps: list[list[float]],
+    var: list[float],
+    features_col: str = "features",
+):
+    """Variance-normalized MAE reconstruction error of the linear AE as a
+    PURE column expression (components/means/variances ride as literals):
+    x̂ = μ + (x−μ)·VᵀV, err = mean_j |x_j − x̂_j| / clamp(var_j).  Stays
+    inside whole-stage codegen — no UDF — and the term order (ascending
+    indices, left-associated sums) matches the SQL oracle's, so scores
+    agree to the last ulp modulo each engine's own feature values."""
+    d = len(mu)
+    k = len(comps)
+
+    def el(i: int):
+        return F.element_at(F.col(features_col), i + 1)
+
+    proj = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(d):
+            acc = 0.0
+            for c in range(k):
+                acc = acc + comps[c][i] * comps[c][j]
+            proj[i][j] = acc
+    err = None
+    recons = []
+    for j in range(d):
+        rec = F.lit(mu[j])
+        for i in range(d):
+            rec = rec + (el(i) - F.lit(mu[i])) * F.lit(proj[i][j])
+        recons.append(rec)
+    for j in range(d):
+        term = F.abs(el(j) - recons[j]) / F.lit(max(var[j], MIN_VARIANCE))
+        err = term if err is None else err + term
+    return err / F.lit(float(d))
 
 
 @dataclass

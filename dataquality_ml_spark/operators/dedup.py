@@ -269,16 +269,21 @@ def with_shingles(
     """
     from dataquality_ml_spark.operators.relational import ensure_parallelism
 
-    t = tokens(text_col)
-    # Filter on the CHEAP equivalent predicate (shingles() is empty exactly
-    # when the doc has < k tokens), not on size(shs): a filter on the alias
-    # inlines the whole shingle expression into the predicate, which then
-    # evaluates interpreted once for the filter and again for the
-    # projection — measured 13× slower at sf0.1 for identical output.
+    # Token array in its OWN projection: normalize_text's unicode pandas
+    # UDF may not be referenced inside higher-order lambdas (shingles'
+    # transform/slice), so lambdas must see a materialized column.  This
+    # also evaluates tokenization once per row instead of once per
+    # reference.  Filter on the CHEAP equivalent predicate (shingles() is
+    # empty exactly when the doc has < k tokens), not on size(shs): a
+    # filter on the alias inlines the whole shingle expression into the
+    # predicate, which then evaluates interpreted once for the filter and
+    # again for the projection — measured 13× slower at sf0.1.
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
     return (
-        ensure_parallelism(df)
-        .where(F.size(t) >= k)
-        .select(F.col(id_col), shingles(t, k).alias("shs"))
+        base.where(F.size("_t") >= k)
+        .select(F.col(id_col), shingles(F.col("_t"), k).alias("shs"))
     )
 
 

@@ -1304,6 +1304,27 @@ def hard_negatives(
     )
 
 
+def assignment_distances(
+    emb_df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist2): squared euclidean distance of every vector to
+    its assigned (nearest) coarse centroid — the quantization-error signal
+    an IVF health check monitors.  Same narrow literal-centroid scan as
+    ``kmeans_assign``; zero shuffle."""
+    emb_df = emb_df.where(F.col(vec_col).isNotNull())
+    dists = [_sq_dist(F.col(vec_col), c) for c in cents]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    cluster = F.lit(len(cents) - 1)
+    for j in range(len(cents) - 2, -1, -1):
+        cluster = F.when(dists[j] == best, F.lit(j)).otherwise(cluster)
+    return emb_df.select(
+        F.col(id_col), cluster.alias("cluster"), best.alias("dist2")
+    )
+
+
 class ANNIndex:
     """Persistable IVF-PQ index artifact: coarse centroids + PQ codebooks +
     search config in one JSON document (the FittedDetector/BPETokenizer
@@ -1314,6 +1335,14 @@ class ANNIndex:
     (corpus → (id, codes, cluster), a few bytes per vector) → persist the
     codes + ``save`` the JSON → later sessions ``load`` + ``search`` the
     code table without ever touching raw corpus vectors.
+
+    Incremental maintenance (the daily-append corpus shape): ``append``
+    encodes a NEW batch under the frozen quantizers and unions it into the
+    code table — no retrain, no re-encode of the existing corpus — while
+    ``fit_distance_profile`` (at build time) + ``drift_report`` (per
+    batch) monitor the assignment-distance distribution with PSI so the
+    pipeline knows WHEN the frozen quantizers have drifted enough to
+    warrant a rebuild (PSI ≳ 0.2, the usual reading).
     """
 
     def __init__(
@@ -1323,12 +1352,14 @@ class ANNIndex:
         nprobe: int = 1,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        dist_profile: dict | None = None,
     ):
         self.coarse_cents = coarse_cents
         self.codebooks = codebooks
         self.nprobe = nprobe
         self.id_col = id_col
         self.vec_col = vec_col
+        self.dist_profile = dist_profile
 
     @classmethod
     def build(
@@ -1351,6 +1382,73 @@ class ANNIndex:
         assign = kmeans_assign(emb_df, self.coarse_cents, self.id_col, self.vec_col)
         return pq_encode(emb_df, self.codebooks, self.id_col, self.vec_col).join(
             assign, self.id_col
+        )
+
+    def append(self, codes_df: DataFrame, new_emb_df: DataFrame) -> DataFrame:
+        """Encode a new batch under the FROZEN quantizers and union it into
+        the code table — incremental index maintenance without retraining.
+        The existing corpus contributes only its (id, codes, cluster) rows;
+        raw vectors of old data are never touched."""
+        return codes_df.unionByName(self.encode(new_emb_df))
+
+    def fit_distance_profile(self, emb_df: DataFrame, bins: int = 8) -> dict:
+        """Record the build-time assignment-distance distribution:
+        (lo=0, hi=rounded max dist², per-bin proportions).  Stored in the
+        artifact so later batches can be drift-checked without the build
+        corpus.  One narrow scan + one ≤bins-row aggregation."""
+        from dataquality_ml_spark.operators.drift import _bin_props
+
+        d = assignment_distances(emb_df, self.coarse_cents, self.id_col, self.vec_col)
+        hi = float(d.agg(F.round(F.max("dist2"), 6)).first()[0] or 0.0)
+        if hi <= 0.0:
+            hi = 1.0
+        props = {
+            r["bin"]: r["p_ref"]
+            for r in _bin_props(d, "dist2", 0.0, hi, bins, "p_ref").collect()
+        }
+        self.dist_profile = {
+            "lo": 0.0,
+            "hi": hi,
+            "bins": bins,
+            "p_ref": [props.get(b, 0.0) for b in range(bins)],
+        }
+        return self.dist_profile
+
+    def drift_report(self, new_emb_df: DataFrame) -> DataFrame:
+        """PSI of a new batch's assignment-distance distribution against
+        the stored build-time profile — the retrain trigger.  Output:
+        (bin, p_ref, p_cur, psi_term, psi_total), psi_total repeated per
+        row; PSI ≳ 0.2 = the frozen quantizers no longer fit the data."""
+        from dataquality_ml_spark.operators.drift import EPS, _bin_props
+
+        if self.dist_profile is None:
+            raise ValueError("fit_distance_profile was never run on this index")
+        p = self.dist_profile
+        spark = new_emb_df.sparkSession
+        d = assignment_distances(
+            new_emb_df, self.coarse_cents, self.id_col, self.vec_col
+        )
+        cur = _bin_props(d, "dist2", p["lo"], p["hi"], p["bins"], "p_cur")
+        ref = spark.createDataFrame(
+            [(b, float(pr)) for b, pr in enumerate(p["p_ref"])],
+            "bin int, p_ref double",
+        )
+        joined = (
+            ref.join(cur, "bin", "left")
+            .select(
+                "bin",
+                "p_ref",
+                F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+            )
+        )
+        pr = F.greatest(F.col("p_ref"), F.lit(EPS))
+        pc = F.greatest(F.col("p_cur"), F.lit(EPS))
+        term = (pc - pr) * F.log(pc / pr)
+        w = Window.partitionBy()
+        return (
+            joined.withColumn("psi_term", term)
+            .withColumn("psi_total", F.sum("psi_term").over(w))
+            .orderBy("bin")
         )
 
     def search(
@@ -1379,6 +1477,7 @@ class ANNIndex:
                     "nprobe": self.nprobe,
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
+                    "dist_profile": self.dist_profile,
                 },
                 f,
             )
@@ -1390,5 +1489,6 @@ class ANNIndex:
         with open(path) as f:
             d = json.load(f)
         return cls(
-            d["coarse_cents"], d["codebooks"], d["nprobe"], d["id_col"], d["vec_col"]
+            d["coarse_cents"], d["codebooks"], d["nprobe"], d["id_col"],
+            d["vec_col"], d.get("dist_profile"),
         )

@@ -1,8 +1,10 @@
 """Text-analysis operators over the ``documents`` table (SURVEY.md §7
 step 9 — beyond-reference operators a training-data pipeline needs).
 
-All pure JVM-side expressions (regexp / array functions) — no UDFs, so
-whole-stage codegen applies and every operator has an exact DuckDB oracle.
+All pure JVM-side expressions (regexp / array functions) — no UDFs except
+the shared Arrow-batched unicode normalization inside ``normalize_text``
+(ASCII batches take a C-speed fast path), so whole-stage codegen applies
+and every operator has an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -10,8 +12,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataquality_ml_spark.functions.scalar import bow_fingerprint, normalize_text, tokens
+from dataquality_ml_spark.functions.scalar import (
+    bow_fingerprint,
+    normalize_text,
+    tokens,
+    unicode_normalize,
+)
 from dataquality_ml_spark.operators.relational import ensure_parallelism
+
+
+def normalize_unicode(
+    df: DataFrame, cols: list[str] | None = None, form: str = "NFC"
+) -> DataFrame:
+    """Ingest-time unicode normalization: rewrite ``cols`` (default:
+    every string column) to the requested normal form.  Running this ONCE
+    when a corpus lands is the production shape — every downstream
+    fingerprint/shingle/BPE pass then hashes canonical bytes without
+    re-normalizing per operator.  The per-operator ``normalize_text``
+    NFC default is the safety net for corpora that skipped this step.
+    Narrow projection; non-string columns pass through untouched."""
+    from pyspark.sql.types import StringType
+
+    if cols is None:
+        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, unicode_normalize(F.col(c), form))
+    return out
 
 # Tiny per-language marker lexicons for the heuristic language-ID. On real
 # corpora these would be the top-N stopwords per language; the synthetic
@@ -259,15 +286,19 @@ def chunk_documents(
     stride = chunk - overlap
     if stride <= 0:
         raise ValueError("chunk must exceed overlap")
-    df = ensure_parallelism(df)
-    t = tokens(text_col)
+    # tokens() carries the unicode-normalization UDF, which may not appear
+    # inside higher-order lambdas — materialize the token array first.
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.size(t) - overlap, F.lit(1)),
         F.lit(stride),
     )
     chunks = F.transform(starts, lambda s: F.slice(t, s, chunk))
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.posexplode_outer(chunks).alias("chunk_idx", "_chunk"),
     ).select(
@@ -298,8 +329,10 @@ def bigram_pmi(
     are BROADCAST joins against the bigram counts; the corpus-size totals
     ride along in a 1-row broadcast. Nothing here depends on corpus order.
     """
-    df = ensure_parallelism(df)
-    t = tokens(text_col)
+    # Materialized token column: the normalization UDF inside tokens()
+    # cannot be referenced from the bigram-construction lambdas.
+    base = ensure_parallelism(df).select(tokens(text_col).alias("_t"))
+    t = F.col("_t")
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -313,7 +346,7 @@ def bigram_pmi(
     # result. The naive two-agg shape re-tokenized the corpus once per
     # consumer (totals + PMI lookups = 4-5 scans of the text column).
     tagged = (
-        df.select(
+        base.select(
             F.explode_outer(
                 F.concat(
                     F.transform(t, lambda x: F.struct(F.lit("u").alias("ty"), x.alias("g"))),

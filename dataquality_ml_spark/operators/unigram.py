@@ -1,0 +1,521 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — Kudo 2018,
+"Subword Regularization: Improving Neural Network Translation Models with
+Multiple Subword Candidates".
+
+The production counterpart to ``operators/bpe.py``: instead of greedy
+merges, fit a unigram language model over a candidate piece vocabulary by
+EM and keep the most probable pieces.  Same scale shape as BPE training:
+
+- the ONLY corpus-scale work is one map-side-combined word count
+  (Heaps' law bounds the distinct-word relation);
+- the seed vocabulary is a substring explosion of the WORD table —
+  bounded by |words| · max_word_len · max_piece_len, never corpus-sized;
+- every EM iteration runs forward-backward expected counts over the word
+  relation as ITERATIVE RELATIONAL DP — position-step joins against the
+  broadcast piece table, pure DataFrame ops, no UDF — so a single E-step
+  is directly expressible as unrolled SQL CTEs and therefore
+  DuckDB-oracle-checkable (the same unroll the BPE oracle uses for
+  merges);
+- Viterbi segmentation is the same DP with (max, argmax) in place of
+  (sum), applied to the word relation and broadcast-joined back to the
+  corpus — the corpus is never segmented row-by-row.
+
+Deviation from Kudo 2018, documented: pruning keeps the highest-
+probability pieces (single characters are never pruned) instead of the
+likelihood-loss criterion; with the tie-break (prob desc, piece asc) the
+trainer is deterministic and engine-portable.  The pure-Python reference
+trainer in tests replays the exact same algorithm for the differential
+check (mirroring ``test_bpe``'s randomized differential).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.functions.scalar import tokens
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) — the one corpus-scale pass."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _substrings(word_col, max_piece_len: int):
+    """All substrings of length 1..max_piece_len (with multiplicity)."""
+    n = F.length(word_col)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - s + 1)),
+                lambda l: word_col.substr(s, l),
+            ),
+        )
+    )
+
+
+def seed_pieces(
+    words: DataFrame, max_piece_len: int = 4, max_pieces: int = 60
+) -> DataFrame:
+    """Candidate piece vocabulary: every single character (never pruned —
+    they guarantee every word stays segmentable) plus the ``max_pieces``
+    most frequent multi-character substrings, frequency = occurrence count
+    weighted by word frequency.  Tie-break (freq desc, piece asc).
+    Output: (piece, freq) — a bounded relation."""
+    occ = words.select(
+        F.explode(_substrings(F.col("word"), max_piece_len)).alias("piece"),
+        F.col("cnt"),
+    ).groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    chars = occ.where(F.length("piece") == 1)
+    multi = (
+        occ.where(F.length("piece") >= 2)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("freq"), F.asc("piece"))
+            ),
+        )
+        .where(F.col("_rk") <= max_pieces)
+        .drop("_rk")
+    )
+    return chars.unionByName(multi)
+
+
+def _occurrences(
+    words: DataFrame, probs: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """(word, cnt, wl, s, e, piece, prob): every in-vocab substring
+    occurrence, s/e = 0-based boundary positions (piece spans s..e).
+    The join against ``probs`` is broadcast — the piece table is model
+    parameters."""
+    n = F.length("word")
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - s + 1)),
+                lambda l: F.struct(
+                    (s - 1).alias("s"),
+                    (s - 1 + l).alias("e"),
+                    F.col("word").substr(s, l).alias("piece"),
+                ),
+            ),
+        )
+    )
+    ex = words.select(
+        "word", "cnt", n.alias("wl"), F.explode(spans).alias("sp")
+    ).select("word", "cnt", "wl", "sp.s", "sp.e", "sp.piece")
+    return ex.join(F.broadcast(probs.select("piece", "prob")), "piece")
+
+
+def em_expected_counts(
+    words: DataFrame,
+    probs: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """One E-step: expected piece counts under the current unigram LM via
+    forward-backward over each word's segmentation lattice.
+
+    Relational DP: ``alpha(pos)`` / ``beta(pos)`` tables are built by one
+    bounded join per character position (max_word_len steps), every
+    relation is vocab-sized, and the piece table rides broadcast — which
+    is exactly why the unrolled-CTE DuckDB oracle can replay the step
+    verbatim.  Output: (piece, ecnt)."""
+    if max_word_len is None:
+        max_word_len = int(words.agg(F.max(F.length("word"))).first()[0] or 0)
+    occ = _occurrences(words, probs, max_piece_len).localCheckpoint(eager=False)
+
+    # forward: alpha(0) = 1; alpha(i) = sum_j alpha(j) * p(word[j..i]).
+    # Every step is lazily localCheckpointed: without the barrier, step i's
+    # plan embeds the JOIN DAGS of all prior steps (quadratic lineage —
+    # measured 20s+ at sf0.01); with it each step is one bounded join over
+    # materialized rows and the whole DP is linear.
+    af = words.select("word", F.lit(0).alias("pos"), F.lit(1.0).alias("a"))
+    for i in range(1, max_word_len + 1):
+        af_step = (
+            occ.where(F.col("e") == i)
+            .alias("o")
+            .join(
+                af.alias("p"),
+                (F.col("o.word") == F.col("p.word"))
+                & (F.col("p.pos") == F.col("o.s")),
+            )
+            .groupBy(F.col("o.word").alias("word"))
+            .agg(F.sum(F.col("p.a") * F.col("o.prob")).alias("a"))
+            .select("word", F.lit(i).alias("pos"), "a")
+        )
+        af = af.unionByName(af_step).localCheckpoint(eager=False)
+
+    # backward: beta(wl) = 1; beta(j) = sum_i p(word[j..i]) * beta(i)
+    bt = words.select("word", F.length("word").alias("pos"), F.lit(1.0).alias("b"))
+    for k in range(1, max_word_len + 1):
+        bt_step = (
+            occ.where(F.col("s") == F.col("wl") - k)
+            .alias("o")
+            .join(
+                bt.alias("n"),
+                (F.col("o.word") == F.col("n.word"))
+                & (F.col("n.pos") == F.col("o.e")),
+            )
+            .groupBy(F.col("o.word").alias("word"))
+            .agg(F.sum(F.col("o.prob") * F.col("n.b")).alias("b"))
+            .select("word", (F.length("word") - k).alias("pos"), "b")
+        )
+        bt = bt.unionByName(bt_step).localCheckpoint(eager=False)
+
+    z = (
+        af.alias("a")
+        .join(
+            words.select("word", F.length("word").alias("_wl")),
+            ["word"],
+        )
+        .where(F.col("pos") == F.col("_wl"))
+        .select("word", F.col("a").alias("z"))
+    )
+    # DP frames are Heaps-bounded (|words|·max_word_len rows) — broadcast
+    # them so the final expectation pass is a single shuffle-free scan of
+    # the occurrence relation; at a scale where the word table outgrows
+    # broadcast, drop the hints and AQE plans these as shuffle joins.
+    return (
+        occ.alias("o")
+        .join(F.broadcast(af.alias("fa")), (F.col("o.word") == F.col("fa.word")) & (F.col("fa.pos") == F.col("o.s")))
+        .join(F.broadcast(bt.alias("bb")), (F.col("o.word") == F.col("bb.word")) & (F.col("bb.pos") == F.col("o.e")))
+        .join(F.broadcast(z.alias("zz")), F.col("o.word") == F.col("zz.word"))
+        .where(F.col("zz.z") > 0)
+        .groupBy(F.col("o.piece").alias("piece"))
+        .agg(
+            F.sum(
+                F.col("o.cnt") * F.col("fa.a") * F.col("o.prob") * F.col("bb.b")
+                / F.col("zz.z")
+            ).alias("ecnt")
+        )
+    )
+
+
+def viterbi_segment_words(
+    words: DataFrame,
+    probs: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Best segmentation per WORD under the unigram LM — (max, argmax) DP
+    over the same lattice as ``em_expected_counts``; carries the piece
+    count through the recursion so no backpointer walk is needed.
+
+    Path score is the PRODUCT of piece probabilities, not a sum of logs:
+    IEEE multiplication is correctly rounded and evaluated in the same
+    left-to-right DP order in every engine, so equal-probability ties
+    compare EQUAL cross-engine, while ``log`` differs between libm and
+    the JVM in the last ulp and would flip tie-breaks.  Words are short
+    (lattice depth ≤ max word length), so underflow is not a concern.
+    Tie-break on equal path probability: fewer pieces, then earlier
+    start — deterministic and engine-portable.
+    Output: (word, n_pieces, logp)."""
+    if max_word_len is None:
+        max_word_len = int(words.agg(F.max(F.length("word"))).first()[0] or 0)
+    occ = _occurrences(words, probs, max_piece_len).localCheckpoint(eager=False)
+
+    v = words.select(
+        "word", F.lit(0).alias("pos"), F.lit(1.0).alias("vp"), F.lit(0).alias("np")
+    )
+    for i in range(1, max_word_len + 1):
+        cand = (
+            occ.where(F.col("e") == i)
+            .alias("o")
+            .join(
+                v.alias("p"),
+                (F.col("o.word") == F.col("p.word"))
+                & (F.col("p.pos") == F.col("o.s")),
+            )
+            .select(
+                F.col("o.word").alias("word"),
+                (F.col("p.vp") * F.col("o.prob")).alias("vp"),
+                (F.col("p.np") + 1).alias("np"),
+                F.col("o.s").alias("s"),
+            )
+        )
+        best = (
+            cand.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("word").orderBy(
+                        F.desc("vp"), F.asc("np"), F.asc("s")
+                    )
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .select("word", F.lit(i).alias("pos"), "vp", "np")
+        )
+        # same linear-lineage barrier as em_expected_counts' loop
+        v = v.unionByName(best).localCheckpoint(eager=False)
+    return (
+        v.join(words.select("word", F.length("word").alias("_wl")), "word")
+        .where(F.col("pos") == F.col("_wl"))
+        .select(
+            "word",
+            F.col("np").alias("n_pieces"),
+            F.round(F.log(F.col("vp")), 4).alias("logp"),
+        )
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    seg_words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus segmentation report: explode corpus words, broadcast-join
+    the per-word Viterbi result, aggregate per document.  The corpus never
+    enters a DP — only the bounded word relation does.
+    Output: (id, n_words, n_pieces, chars_per_piece)."""
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    ).where(F.col("word") != "")
+    j = ex.join(F.broadcast(seg_words), "word")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.round(F.sum(F.length("word")) / F.sum("n_pieces"), 4).alias(
+            "chars_per_piece"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementations (local strategy + differential tests)
+# ---------------------------------------------------------------------------
+def _py_em_step(
+    words: dict[str, int], probs: dict[str, float], max_piece_len: int
+) -> dict[str, float]:
+    """In-memory forward-backward expected counts — the reference
+    implementation the relational DP must match."""
+    ecnt: dict[str, float] = {}
+    for w, c in words.items():
+        n = len(w)
+        alpha = [0.0] * (n + 1)
+        alpha[0] = 1.0
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                p = probs.get(w[j:i])
+                if p:
+                    alpha[i] += alpha[j] * p
+        beta = [0.0] * (n + 1)
+        beta[n] = 1.0
+        for j in range(n - 1, -1, -1):
+            for i in range(j + 1, min(n, j + max_piece_len) + 1):
+                p = probs.get(w[j:i])
+                if p:
+                    beta[j] += p * beta[i]
+        z = alpha[n]
+        if z <= 0:
+            continue
+        for j in range(n):
+            for i in range(j + 1, min(n, j + max_piece_len) + 1):
+                p = probs.get(w[j:i])
+                if p:
+                    ecnt[w[j:i]] = ecnt.get(w[j:i], 0.0) + c * alpha[j] * p * beta[i] / z
+    return ecnt
+
+
+def _py_viterbi(
+    word: str, probs: dict[str, float], max_piece_len: int
+) -> tuple[list[str], float]:
+    """Best segmentation of one word (ties: higher prob, fewer pieces,
+    earlier start — same probability-PRODUCT rule as the relational DP)."""
+    n = len(word)
+    best: list = [None] * (n + 1)
+    best[0] = (1.0, 0, [])
+    for i in range(1, n + 1):
+        cands = []
+        for j in range(max(0, i - max_piece_len), i):
+            p = probs.get(word[j:i])
+            if p and best[j] is not None:
+                vp, np_, path = best[j]
+                cands.append((vp * p, np_ + 1, j, path + [word[j:i]]))
+        if cands:
+            # max vp; ties → fewer pieces, then earlier start
+            cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+            vp, np_, _, path = cands[0]
+            best[i] = (vp, np_, path)
+    if best[n] is None:
+        return [], float("-inf")
+    vp, _, path = best[n]
+    return path, math.log(vp) if vp > 0 else float("-inf")
+
+
+def _py_train(
+    words: dict[str, int],
+    vocab_size: int,
+    n_iters: int,
+    max_piece_len: int,
+    max_pieces: int,
+) -> list[tuple[str, float]]:
+    """Pure-Python unigram-LM trainer: seed → EM × n_iters with pruning to
+    vocab_size after each M-step (single chars never pruned)."""
+    freq: dict[str, int] = {}
+    for w, c in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - s) + 1):
+                piece = w[s : s + l]
+                freq[piece] = freq.get(piece, 0) + c
+    chars = {p: f for p, f in freq.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in freq.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:max_pieces]
+    sel = dict(chars)
+    sel.update(dict(multi))
+    tot = sum(sel.values())
+    probs = {p: f / tot for p, f in sel.items()}
+    for _ in range(n_iters):
+        ecnt = _py_em_step(words, probs, max_piece_len)
+        # drop pieces with zero expectation except single chars
+        ecnt = {
+            p: c
+            for p, c in ecnt.items()
+            if len(p) == 1 or c > 0.0
+        }
+        for p in chars:
+            ecnt.setdefault(p, 0.0)
+        # prune to vocab_size: single chars always kept
+        singles = {p: c for p, c in ecnt.items() if len(p) == 1}
+        multis = sorted(
+            ((p, c) for p, c in ecnt.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )
+        keep = dict(singles)
+        for p, c in multis:
+            if len(keep) >= vocab_size:
+                break
+            keep[p] = c
+        tot = sum(keep.values())
+        probs = {p: c / tot for p, c in keep.items()}
+    return sorted(probs.items(), key=lambda t: (-t[1], t[0]))
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab_size: int = 40,
+    n_iters: int = 3,
+    max_piece_len: int = 4,
+    max_pieces: int = 60,
+    text_col: str = "text",
+    strategy: str = "auto",
+    local_vocab_limit: int = 2_000_000,
+) -> list[tuple[str, float]]:
+    """Train the unigram LM; returns [(piece, prob)] sorted
+    (prob desc, piece asc).
+
+    - ``local`` — collect the Heaps-bounded word-count table and run the
+      in-memory EM (the production shape, same rationale as
+      ``bpe_train``).
+    - ``distributed`` — per EM iteration, one relational-DP E-step over
+      the word relation; the vocab-sized expected-count table is collected
+      for the driver-side M-step/prune (model parameters).
+    - ``auto`` — local when the word table fits ``local_vocab_limit``.
+
+    Both strategies produce identical pieces — asserted by a randomized
+    differential test (test_unigram.py), including repeated-substring
+    adversarial corpora.
+    """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError("strategy must be auto|local|distributed")
+    wc = word_counts(df, text_col).localCheckpoint(eager=True)
+    if strategy == "auto":
+        strategy = "local" if wc.count() <= local_vocab_limit else "distributed"
+    if strategy == "local":
+        words = {r["word"]: int(r["cnt"]) for r in wc.collect()}
+        return _py_train(words, vocab_size, n_iters, max_piece_len, max_pieces)
+
+    spark = df.sparkSession
+    max_wl = int(wc.agg(F.max(F.length("word"))).first()[0] or 0)
+    seed = seed_pieces(wc, max_piece_len, max_pieces)
+    srows = seed.collect()
+    chars = [r["piece"] for r in srows if len(r["piece"]) == 1]
+    tot = sum(r["freq"] for r in srows)
+    probs = {r["piece"]: r["freq"] / tot for r in srows}
+    for _ in range(n_iters):
+        pdf = spark.createDataFrame(
+            list(probs.items()), "piece string, prob double"
+        )
+        ecnt = {
+            r["piece"]: r["ecnt"]
+            for r in em_expected_counts(wc, pdf, max_piece_len, max_wl).collect()
+        }
+        ecnt = {p: c for p, c in ecnt.items() if len(p) == 1 or c > 0.0}
+        for p in chars:
+            ecnt.setdefault(p, 0.0)
+        singles = {p: c for p, c in ecnt.items() if len(p) == 1}
+        multis = sorted(
+            ((p, c) for p, c in ecnt.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )
+        keep = dict(singles)
+        for p, c in multis:
+            if len(keep) >= vocab_size:
+                break
+            keep[p] = c
+        tot = sum(keep.values())
+        probs = {p: c / tot for p, c in keep.items()}
+    return sorted(probs.items(), key=lambda t: (-t[1], t[0]))
+
+
+class UnigramTokenizer:
+    """Trained unigram-LM artifact: (piece, prob) table in one JSON doc,
+    same lifecycle contract as ``BPETokenizer``."""
+
+    def __init__(self, pieces: list[tuple[str, float]], max_piece_len: int = 4):
+        self.pieces = pieces
+        self.max_piece_len = max_piece_len
+
+    def probs(self) -> dict[str, float]:
+        return dict(self.pieces)
+
+    def segment(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        spark = df.sparkSession
+        pdf = spark.createDataFrame(self.pieces, "piece string, prob double")
+        wc = word_counts(df, text_col)
+        seg = viterbi_segment_words(wc, pdf, self.max_piece_len)
+        return unigram_segment(df, seg, text_col, id_col)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "kind": "unigram_lm",
+                    "pieces": [[p, pr] for p, pr in self.pieces],
+                    "max_piece_len": self.max_piece_len,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "UnigramTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        assert d["kind"] == "unigram_lm"
+        return cls([(p, pr) for p, pr in d["pieces"]], d["max_piece_len"])
+
+
+def train_unigram_tokenizer(
+    df: DataFrame,
+    vocab_size: int = 40,
+    n_iters: int = 3,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+) -> UnigramTokenizer:
+    pieces = unigram_train(
+        df, vocab_size, n_iters, max_piece_len, text_col=text_col
+    )
+    return UnigramTokenizer(pieces, max_piece_len)

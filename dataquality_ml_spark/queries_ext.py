@@ -292,7 +292,7 @@ def entropy_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_pmi_docs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(lower(nfc_normalize(text))), '\\s+') AS t
       FROM documents
     ),
     big AS (
@@ -2222,13 +2222,14 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-splits the join-back), one groupBy folds back per doc; at sf0.01
     the rule removes ~19% of spans, so both policy branches are
     exercised."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.dedup import dedup_spans, reconstruct_spans
     from dataquality_ml_spark.operators.text import chunk_documents
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    chunks = chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk=3, overlap=0
-    )
-    return reconstruct_spans(dedup_spans(chunks)).orderBy("doc_id")
+    with pre_normalized():
+        chunks = chunk_documents(_docs_nfc(spark, sf_dir), chunk=3, overlap=0)
+        return reconstruct_spans(dedup_spans(chunks)).orderBy("doc_id")
 
 
 from dataquality_ml_spark.queries import _kmeans_cte  # noqa: E402
@@ -2324,24 +2325,27 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never have a near-duplicate in train. Unpaired docs are their own
     cluster; the 80/10/10 assignment hashes the cluster representative —
     stable under corpus growth, zero-shuffle once clusters exist."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators import dedup as dd
     from dataquality_ml_spark.operators import graph as gr
     from dataquality_ml_spark.operators.relational import leakage_safe_split
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
-        "id_a", "id_b"
-    )
-    clusters = gr.dedup_clusters(pairs).select("doc_id", "keep_id")
-    grouped = (
-        docs.select("doc_id")
-        .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("keep_id"), F.col("doc_id")).alias("keep_id"),
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        pairs = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
+            "id_a", "id_b"
         )
-    )
-    return leakage_safe_split(grouped, "keep_id").orderBy("doc_id")
+        clusters = gr.dedup_clusters(pairs).select("doc_id", "keep_id")
+        grouped = (
+            docs.select("doc_id")
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("keep_id"), F.col("doc_id")).alias("keep_id"),
+            )
+        )
+        return leakage_safe_split(grouped, "keep_id").orderBy("doc_id")
 
 
 @register(
@@ -2598,13 +2602,16 @@ def incremental_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a daily pipeline persists) — banding equi-join for
     candidates, signature-agreement Jaccard estimate for verification;
     the corpus never re-shingles."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators import dedup as dd2
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("source") != "src0")
-    batch = docs.where(F.col("source") == "src0")
-    corpus_sigs = dd2.minhash_signatures(dd2.with_hashed_shingles(corpus))
-    return dd2.incremental_minhash_dedup(batch, corpus_sigs, threshold=0.5)
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        corpus = docs.where(F.col("source") != "src0")
+        batch = docs.where(F.col("source") == "src0")
+        corpus_sigs = dd2.minhash_signatures(dd2.with_hashed_shingles(corpus))
+        return dd2.incremental_minhash_dedup(batch, corpus_sigs, threshold=0.5)
 
 
 @register(
@@ -2636,12 +2643,16 @@ def token_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus: per-token PSI contributions over the union of each side's
     top-10 tokens (smoothed for one-sided tokens). SUM(psi_term) > 0.2 is
     the retrain-grade alarm, same convention as the events PSI monitor."""
-    docs = _t(spark, sf_dir, "documents")
-    return tx.token_drift(
-        docs.where(F.col("source") == "src0"),
-        docs.where(F.col("source") != "src0"),
-        top_k=10,
-    )
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        return tx.token_drift(
+            docs.where(F.col("source") == "src0"),
+            docs.where(F.col("source") != "src0"),
+            top_k=10,
+        )
 
 
 @register("quality_classifier_docs")  # rows-only: LR training not SQL-expressible
@@ -2652,14 +2663,19 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document with a calibrated high-quality probability. Rows-only
     gate: the L-BFGS solve is not SQL-expressible; tests assert the model
     separates planted junk from clean text."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.ml.mllib_pipeline import (
         fit_quality_classifier,
         score_quality,
     )
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    model = fit_quality_classifier(docs)
-    return score_quality(docs, model).orderBy("doc_id")
+    # normalize once, then fit+score (4+ tokenization passes) skip the
+    # per-pass NFC Arrow round-trip — see _docs_nfc
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        model = fit_quality_classifier(docs)
+        return score_quality(docs, model).orderBy("doc_id")
 
 
 @register(
@@ -2766,13 +2782,16 @@ def pack_pieces_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the attention-boundary map for packed training examples. Composes the
     distributed prefix-sum packer with a narrow interval-clipping
     explode; the oracle recomputes from the naive window form."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.packing import pack_pieces, pack_sequences
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    n_df = tx.token_stats(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens"
-    )
-    packed = pack_sequences(n_df, budget=256)
-    return pack_pieces(packed, budget=256).orderBy("seq_id", "doc_id")
+    with pre_normalized():
+        n_df = tx.token_stats(_docs_nfc(spark, sf_dir)).select(
+            "doc_id", "n_tokens"
+        )
+        packed = pack_sequences(n_df, budget=256)
+        return pack_pieces(packed, budget=256).orderBy("seq_id", "doc_id")
 
 
 # ===========================================================================
@@ -2784,7 +2803,7 @@ def pack_pieces_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_resample_docs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, lang, string_split_regex(trim(lower(nfc_normalize(text))), '\\s+') AS t
       FROM documents
     ),
     hh AS (
@@ -2962,11 +2981,14 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word-end marker counts as a symbol until merged, same on both engines)
     and chars-per-subword compression.  The merge list rides in the plan as
     a literal replace cascade — no UDF, one explode + one groupBy."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.bpe import bpe_segment, bpe_train
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, num_merges=_BPE_N)
-    return bpe_segment(docs, merges).orderBy("doc_id")
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        merges = bpe_train(docs, num_merges=_BPE_N)
+        return bpe_segment(docs, merges).orderBy("doc_id")
 
 
 # ===========================================================================
@@ -3187,11 +3209,14 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vocab join over exploded symbols (a relation, not a literal
     map — scales to 100k entries); each doc's ids reassemble via
     array_sort(collect_list(struct)) — no corpus window."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.bpe import train_tokenizer
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    tok = train_tokenizer(docs, num_merges=_BPE_N)
-    return tok.tokenize(docs.where(F.col("doc_id") < 40)).orderBy("doc_id")
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        tok = train_tokenizer(docs, num_merges=_BPE_N)
+        return tok.tokenize(docs.where(F.col("doc_id") < 40)).orderBy("doc_id")
 
 
 def _bpe_pack_oracle(n: int = _BPE_N, budget: int = 512) -> str:
@@ -3229,15 +3254,18 @@ def bpe_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     packer — the manifest a packed-training job actually needs.  Composes
     two oracle-gated operators; the oracle recomputes from the naive
     window."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.bpe import bpe_segment, bpe_train
     from dataquality_ml_spark.operators.packing import pack_sequences
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, num_merges=_BPE_N)
-    n_df = bpe_segment(docs, merges).select(
-        "doc_id", F.col("n_subwords").alias("n_tokens")
-    )
-    return pack_sequences(n_df, budget=512).orderBy("doc_id")
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        merges = bpe_train(docs, num_merges=_BPE_N)
+        n_df = bpe_segment(docs, merges).select(
+            "doc_id", F.col("n_subwords").alias("n_tokens")
+        )
+        return pack_sequences(n_df, budget=512).orderBy("doc_id")
 
 
 # ===========================================================================
@@ -3340,15 +3368,18 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline, same threshold — recall measures band truncation, precision
     measures the verify step.  Both operands are the already-oracle-gated
     operators; the report is one full-outer join + one aggregate."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators import dedup as dd
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    mh = dd.minhash_dedup_pairs(
-        docs, k=5, num_perms=16, bands=4, rows=4, threshold=0.8
-    ).select("id_a", "id_b").withColumn("in_mh", F.lit(1))
-    ex = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
-        "id_a", "id_b"
-    ).withColumn("in_ex", F.lit(1))
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        mh = dd.minhash_dedup_pairs(
+            docs, k=5, num_perms=16, bands=4, rows=4, threshold=0.8
+        ).select("id_a", "id_b").withColumn("in_mh", F.lit(1))
+        ex = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
+            "id_a", "id_b"
+        ).withColumn("in_ex", F.lit(1))
     j = ex.join(mh, ["id_a", "id_b"], "full").na.fill({"in_ex": 0, "in_mh": 0})
     return j.agg(
         F.sum("in_ex").alias("n_exact"),
@@ -3417,11 +3448,14 @@ def bpe_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol rate per source — the number that says whether a tokenizer
     transfers to a new domain or needs retraining.  One explode + broadcast
     vocab left-join + one groupBy(source)."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.bpe import bpe_tokenize, train_tokenizer
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    tok = train_tokenizer(docs.where(F.col("source") == "src0"), num_merges=_BPE_N)
-    ids = bpe_tokenize(docs, tok.merges, tok.vocab)
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        tok = train_tokenizer(docs.where(F.col("source") == "src0"), num_merges=_BPE_N)
+        ids = bpe_tokenize(docs, tok.merges, tok.vocab)
     unk = ids.select(
         "doc_id",
         F.size("token_ids").alias("n_ids"),
@@ -3481,13 +3515,16 @@ def doremi_reweight_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights normalized).  The per-doc NLL comes from the oracle-gated
     interpolated bigram LM; the update itself is one groupBy + two 1-row
     broadcast scalars."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
     from dataquality_ml_spark.operators.selection import domain_reweight
+    from dataquality_ml_spark.queries import _docs_nfc
 
-    docs = _t(spark, sf_dir, "documents")
-    nll = tx.bigram_logprob(docs).select(
-        "doc_id", (-F.col("mean_logprob")).alias("nll")
-    )
-    return domain_reweight(nll, docs.select("doc_id", "source"))
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        nll = tx.bigram_logprob(docs).select(
+            "doc_id", (-F.col("mean_logprob")).alias("nll")
+        )
+        return domain_reweight(nll, docs.select("doc_id", "source"))
 
 
 # ===========================================================================
@@ -3573,3 +3610,459 @@ def jl_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ===========================================================================
+# Round 5: unicode normalization (VERDICT r4 item 1)
+# ===========================================================================
+
+
+@register(
+    "nfc_normalize_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(lower(nfc_normalize(text)))) AS norm_fp,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+           CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END AS INT)
+             AS changed
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonical composition end-to-end: the Arrow-batched NFC
+    pass (ASCII fast path) against DuckDB's utf8proc ``nfc_normalize`` —
+    per-doc fingerprint of the normalized text, raw vs normalized
+    codepoint counts, and a changed flag.  The md5 comparison proves both
+    engines produce byte-identical canonical text, which is what makes
+    every fingerprint/shingle/span-hash/BPE operator portable on
+    multilingual corpora."""
+    from dataquality_ml_spark.functions.scalar import normalize_text, unicode_normalize
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    nfc = unicode_normalize(F.col("text"), "NFC")
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("norm_fp"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(nfc).cast("bigint").alias("n_chars_nfc"),
+        F.when(nfc == F.col("text"), 0).otherwise(1).cast("int").alias("changed"),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 5: unigram-LM (SentencePiece-style) tokenizer (VERDICT r4 item 2)
+# ===========================================================================
+
+_UG_ML = 4   # max piece length
+_UG_MP = 24  # multi-char seed pieces kept
+_UG_L = 12   # unrolled word-length bound (testdata max word len = 8)
+
+
+def _ug_base_ctes(ml: int = _UG_ML, mp: int = _UG_MP) -> str:
+    """words → substring seed vocab → seed probabilities → in-vocab span
+    occurrences: the shared prelude of every unigram oracle.  Mirrors
+    operators/unigram.py word_counts/seed_pieces/_occurrences."""
+    return f"""
+    words AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(t) AS word FROM toks) WHERE word <> '' GROUP BY word),
+    subs AS MATERIALIZED (
+      SELECT piece, SUM(cnt) AS freq FROM (
+        SELECT unnest(flatten([[word[s:s+l-1]
+                 for l in generate_series(1, least({ml}, length(word)-s+1))]
+                 for s in generate_series(1, length(word))])) AS piece, cnt
+        FROM words) GROUP BY piece),
+    seedsel AS MATERIALIZED (
+      SELECT piece, freq FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rk
+        FROM subs WHERE length(piece) >= 2) WHERE rk <= {mp}),
+    p0 AS MATERIALIZED (
+      SELECT piece, freq / (SELECT CAST(SUM(freq) AS DOUBLE) FROM seedsel) AS prob
+      FROM seedsel),
+    occ AS MATERIALIZED (
+      SELECT o.word, o.cnt, o.wl, o.s, o.e, o.piece, p.prob
+      FROM (
+        SELECT word, cnt, length(word) AS wl, x.s AS s, x.e AS e, x.piece AS piece
+        FROM (
+          SELECT word, cnt,
+                 unnest(flatten([[{{'s': s-1, 'e': s-1+l, 'piece': word[s:s+l-1]}}
+                   for l in generate_series(1, least({ml}, length(word)-s+1))]
+                   for s in generate_series(1, length(word))])) AS x
+          FROM words)) o
+      JOIN p0 p USING (piece))"""
+
+
+def _ug_alpha_beta_ctes(n: int = _UG_L) -> str:
+    """Unrolled forward/backward DP over the segmentation lattice — one
+    bounded join per character position, the relational twin of
+    em_expected_counts' loop."""
+    parts = [
+        "af0 AS (SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS a FROM words)",
+        "afx0 AS (SELECT * FROM af0)",
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"af{i} AS (SELECT o.word, {i} AS pos, SUM(p.a * o.prob) AS a "
+            f"FROM occ o JOIN afx{i - 1} p ON p.word = o.word AND p.pos = o.s "
+            f"WHERE o.e = {i} GROUP BY o.word)"
+        )
+        parts.append(
+            f"afx{i} AS (SELECT * FROM afx{i - 1} UNION ALL SELECT * FROM af{i})"
+        )
+    parts.append(
+        "bt0 AS (SELECT word, length(word) AS pos, CAST(1.0 AS DOUBLE) AS b FROM words)"
+    )
+    parts.append("btx0 AS (SELECT * FROM bt0)")
+    for k in range(1, n + 1):
+        parts.append(
+            f"bt{k} AS (SELECT o.word, o.s AS pos, SUM(o.prob * nx.b) AS b "
+            f"FROM occ o JOIN btx{k - 1} nx ON nx.word = o.word AND nx.pos = o.e "
+            f"WHERE o.s = o.wl - {k} GROUP BY o.word, o.s)"
+        )
+        parts.append(
+            f"btx{k} AS (SELECT * FROM btx{k - 1} UNION ALL SELECT * FROM bt{k})"
+        )
+    parts.append(
+        f"zz AS (SELECT a.word, a.a AS z FROM afx{n} a "
+        f"JOIN words w ON w.word = a.word AND a.pos = length(w.word))"
+    )
+    return ",\n    ".join(parts)
+
+
+def _ug_seed_oracle() -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    return f"""
+    WITH {_TOKS_CTE},{_ug_base_ctes()}
+    SELECT piece, CAST(freq AS BIGINT) AS freq FROM seedsel
+    ORDER BY freq DESC, piece
+    """
+
+
+def _ug_em_oracle() -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    return f"""
+    WITH {_TOKS_CTE},{_ug_base_ctes()},
+    {_ug_alpha_beta_ctes()}
+    SELECT o.piece,
+           ROUND(SUM(o.cnt * fa.a * o.prob * bb.b / zz.z), 4) + 0 AS ecnt
+    FROM occ o
+    JOIN afx{_UG_L} fa ON fa.word = o.word AND fa.pos = o.s
+    JOIN btx{_UG_L} bb ON bb.word = o.word AND bb.pos = o.e
+    JOIN zz ON zz.word = o.word
+    WHERE zz.z > 0
+    GROUP BY o.piece ORDER BY o.piece
+    """
+
+
+def _ug_viterbi_ctes(n: int = _UG_L) -> str:
+    parts = [
+        "v0 AS (SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS vp, 0 AS np FROM words)",
+        "vx0 AS (SELECT * FROM v0)",
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"c{i} AS (SELECT o.word, p.vp * o.prob AS vp, p.np + 1 AS np, o.s "
+            f"FROM occ o JOIN vx{i - 1} p ON p.word = o.word AND p.pos = o.s "
+            f"WHERE o.e = {i})"
+        )
+        parts.append(
+            f"v{i} AS (SELECT word, {i} AS pos, vp, np FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY word "
+            f"ORDER BY vp DESC, np, s) AS rk FROM c{i}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"vx{i} AS (SELECT * FROM vx{i - 1} UNION ALL SELECT * FROM v{i})"
+        )
+    parts.append(
+        f"segw AS (SELECT v.word, v.np AS n_pieces FROM vx{n} v "
+        f"JOIN words w ON w.word = v.word AND v.pos = length(w.word))"
+    )
+    return ",\n    ".join(parts)
+
+
+def _ug_segment_oracle() -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    return f"""
+    WITH {_TOKS_CTE},{_ug_base_ctes()},
+    {_ug_viterbi_ctes()}
+    SELECT e.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(SUM(length(e.word)) / CAST(SUM(s.n_pieces) AS DOUBLE), 4)
+             AS chars_per_piece
+    FROM (SELECT doc_id, unnest(t) AS word FROM toks) e
+    JOIN segw s ON s.word = e.word
+    WHERE e.word <> ''
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """
+
+
+@register("unigram_seed_docs", oracle=_ug_seed_oracle())
+def unigram_seed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM seed vocabulary (Kudo 2018 §3): every single character
+    plus the 24 most frequent multi-character substrings (≤4 chars) of the
+    word-count table, occurrence-weighted.  The corpus contributes ONE
+    word count; the substring explosion runs over the Heaps-bounded word
+    relation."""
+    from dataquality_ml_spark.operators import unigram as ug
+
+    wc = ug.word_counts(_t(spark, sf_dir, "documents"))
+    return (
+        ug.seed_pieces(wc, _UG_ML, _UG_MP)
+        .select("piece", F.col("freq").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "piece")
+    )
+
+
+@register("unigram_em_counts_docs", oracle=_ug_em_oracle())
+def unigram_em_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM E-step of unigram-LM training: expected piece counts under
+    the seed model via forward-backward over each word's segmentation
+    lattice.  The Spark side runs the relational DP (one bounded join per
+    character position, piece table broadcast); the oracle replays it as
+    unrolled CTEs — the cross-engine check Kudo's EM is amenable to
+    precisely because the E-step is relational algebra."""
+    from dataquality_ml_spark.operators import unigram as ug
+
+    wc = ug.word_counts(_t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
+    tot = sum(r["freq"] for r in srows)
+    probs = [(r["piece"], r["freq"] / tot) for r in srows]
+    pdf = spark.createDataFrame(probs, "piece string, prob double")
+    return (
+        ug.em_expected_counts(wc, pdf, _UG_ML)
+        .select("piece", (F.round("ecnt", 4) + 0).alias("ecnt"))
+        .orderBy("piece")
+    )
+
+
+@register("unigram_segment_docs", oracle=_ug_segment_oracle())
+def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi segmentation of the corpus under the seed unigram LM:
+    per-document piece counts and chars-per-piece compression.  The DP
+    runs over the WORD relation only (max/argmax with a probability-
+    product score — cross-engine tie-safe); the corpus is segmented by a
+    broadcast join, never row-by-row."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators import unigram as ug
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        wc = ug.word_counts(docs).localCheckpoint(eager=False)
+        srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
+        tot = sum(r["freq"] for r in srows)
+        pdf = spark.createDataFrame(
+            [(r["piece"], r["freq"] / tot) for r in srows],
+            "piece string, prob double",
+        )
+        seg = ug.viterbi_segment_words(wc, pdf, _UG_ML).select("word", "n_pieces")
+        return ug.unigram_segment(docs, seg).orderBy("doc_id")
+
+
+@register("unigram_pieces_docs")  # full EM trainer → rows-only check;
+# local/distributed equivalence + pure-Python differential in test_unigram.py
+def unigram_pieces_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full unigram-LM training: seed → 3 EM iterations with pruning to a
+    32-piece vocab (single characters never pruned; prob-based pruning is
+    the documented simplification of Kudo's likelihood-loss criterion).
+    Deterministic (prob desc, piece asc) ordering; the trainer's
+    correctness is pinned by the strategy-equivalence and pure-Python
+    differential tests rather than a SQL oracle (multi-iteration EM with
+    pruning is where SQL unrolling stops paying)."""
+    from dataquality_ml_spark.operators import unigram as ug
+
+    pieces = ug.unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=32,
+        n_iters=3,
+        max_piece_len=_UG_ML,
+        max_pieces=_UG_MP,
+    )
+    return spark.createDataFrame(
+        [(i + 1, p, round(pr, 6)) for i, (p, pr) in enumerate(pieces)],
+        "piece_rank int, piece string, prob double",
+    )
+
+
+# ===========================================================================
+# Round 5: incremental ANN index drift (VERDICT r4 item 4)
+# ===========================================================================
+
+_AID_BINS = 8
+
+
+def _ann_drift_oracle(k: int = 4, bins: int = _AID_BINS) -> str:
+    """Unrolled: hash-init kmeans (1 Lloyd iteration, ROUND(AVG,6) means —
+    the engine-portable centroid rounding kmeans_fit(round_dp=6) applies)
+    on the even-id reference half; squared assignment distances for both
+    halves; equi-width bin proportions over (0, max ref dist²]; PSI."""
+    sq = (
+        "list_sum([ (v.emb[i]-c.emb[i])*(v.emb[i]-c.emb[i]) "
+        "for i in generate_series(1, len(v.emb))])"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ref AS (SELECT * FROM vecs WHERE vec_id % 2 = 0),
+    cur AS (SELECT * FROM vecs WHERE vec_id % 2 = 1),
+    init AS (
+      SELECT emb, ROW_NUMBER() OVER (
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS cid
+      FROM ref QUALIFY cid < {k}
+    ),
+    a1 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {sq}, c.cid) AS rn
+        FROM ref v CROSS JOIN init c
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS emb FROM (
+        SELECT cluster AS cid, pos, ROUND(AVG(val), 6) AS m FROM (
+          SELECT a.cluster, unnest(v.emb) AS val,
+                 generate_subscripts(v.emb, 1) AS pos
+          FROM a1 a JOIN ref v USING (vec_id)
+        ) GROUP BY cluster, pos
+      ) GROUP BY cid
+    ),
+    dref AS (
+      SELECT v.vec_id, MIN({sq}) AS d2 FROM ref v CROSS JOIN c1 c GROUP BY v.vec_id
+    ),
+    dcur AS (
+      SELECT v.vec_id, MIN({sq}) AS d2 FROM cur v CROSS JOIN c1 c GROUP BY v.vec_id
+    ),
+    hi AS (SELECT ROUND(MAX(d2), 6) AS h FROM dref),
+    pr AS (
+      SELECT bin, n / CAST(SUM(n) OVER () AS DOUBLE) AS p_ref FROM (
+        SELECT LEAST({bins - 1}, GREATEST(0,
+                 CAST(FLOOR(d2 / ((SELECT h FROM hi) / {bins})) AS INT))) AS bin,
+               COUNT(*) AS n
+        FROM dref GROUP BY 1)
+    ),
+    pc AS (
+      SELECT bin, n / CAST(SUM(n) OVER () AS DOUBLE) AS p_cur FROM (
+        SELECT LEAST({bins - 1}, GREATEST(0,
+                 CAST(FLOOR(d2 / ((SELECT h FROM hi) / {bins})) AS INT))) AS bin,
+               COUNT(*) AS n
+        FROM dcur GROUP BY 1)
+    ),
+    spine AS (SELECT unnest(generate_series(0, {bins - 1})) AS bin),
+    j AS (
+      SELECT s.bin, COALESCE(pr.p_ref, 0.0) AS p_ref, COALESCE(pc.p_cur, 0.0) AS p_cur
+      FROM spine s LEFT JOIN pr USING (bin) LEFT JOIN pc USING (bin)
+    ),
+    t AS (
+      SELECT bin, p_ref, p_cur,
+             (GREATEST(p_cur, 1e-06) - GREATEST(p_ref, 1e-06))
+               * ln(GREATEST(p_cur, 1e-06) / GREATEST(p_ref, 1e-06)) AS psi_term
+      FROM j
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           ROUND(p_ref, 6) + 0 AS p_ref, ROUND(p_cur, 6) + 0 AS p_cur,
+           ROUND(psi_term, 6) + 0 AS psi_term,
+           ROUND(SUM(psi_term) OVER (), 6) + 0 AS psi_total
+    FROM t ORDER BY bin
+    """
+
+
+@register("ann_index_drift", oracle=_ann_drift_oracle())
+def ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index health check: squared assignment-distance distribution of
+    a new batch (odd vec_ids) vs the index's build-time profile (even
+    vec_ids), as per-bin PSI — the number that tells an append-only
+    vector pipeline when the frozen coarse quantizer needs retraining.
+    Both sides are one narrow literal-centroid scan + a ≤bins-row agg."""
+    from dataquality_ml_spark.operators import similarity as sim2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    cents = sim2.kmeans_fit(ref, k=4, iters=1, round_dp=6)
+    idx = sim2.ANNIndex(cents, codebooks=[])
+    idx.fit_distance_profile(ref, bins=_AID_BINS)
+    rep = idx.drift_report(cur)
+    return rep.select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.round("p_ref", 6) + 0).alias("p_ref"),
+        (F.round("p_cur", 6) + 0).alias("p_cur"),
+        (F.round("psi_term", 6) + 0).alias("psi_term"),
+        (F.round("psi_total", 6) + 0).alias("psi_total"),
+    ).orderBy("bin")
+
+
+# ===========================================================================
+# Round 5: host/domain-level curation (VERDICT r4 item 7)
+# ===========================================================================
+
+_HOST_BLOCKLIST = ["src0-0.example.org", "src2-3.example.org"]
+
+
+@register(
+    "host_curation_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             len(string_split_regex(trim(lower(nfc_normalize(text))), '\\s+'))
+               AS ntok
+      FROM d
+    ),
+    agg AS (
+      SELECT host, COUNT(*) AS n_docs, ROUND(AVG(ntok), 4) + 0 AS avg_tokens
+      FROM h GROUP BY host
+    ),
+    bl AS (SELECT unnest({_HOST_BLOCKLIST!r}) AS host),
+    kept AS (
+      SELECT host, COUNT(*) AS nk FROM (
+        SELECT host,
+               ROW_NUMBER() OVER (PARTITION BY host
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        FROM h
+      ) WHERE rk <= 5 GROUP BY host
+    )
+    SELECT a.host, CAST(a.n_docs AS BIGINT) AS n_docs, a.avg_tokens,
+           CAST(CASE WHEN b.host IS NOT NULL THEN 1 ELSE 0 END AS INT) AS blocked,
+           CAST(CASE WHEN b.host IS NOT NULL THEN 0
+                     ELSE COALESCE(k.nk, 0) END AS BIGINT) AS n_kept
+    FROM agg a LEFT JOIN bl b USING (host) LEFT JOIN kept k ON k.host = a.host
+    ORDER BY a.host
+    """,
+)
+def host_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus curation (RefinedWeb): synthesize deterministic
+    per-doc URLs (the testdata ships none), extract hosts with the
+    ``parse_url`` builtin, and report per registered host the document
+    count, mean token count, blocklist membership (broadcast join) and
+    the per-host document cap survivors via the skew-proof two-phase
+    quota sampler.  The oracle replays the cap with the naive full
+    window — equality re-proves the sampler's losslessness on the skew
+    axis real web corpora actually have."""
+    from dataquality_ml_spark.operators.web import host_curation_report as hcr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return hcr(docs, blocklist=_HOST_BLOCKLIST, cap=5).orderBy("host")

@@ -207,6 +207,59 @@ def test_ann_index_lifecycle_roundtrip(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ann_index_append_and_drift(spark, tmp_path):
+    """Incremental maintenance (VERDICT r4 item 4): append a new batch
+    under frozen quantizers — search finds the new vectors WITHOUT a
+    retrain — and the distance-PSI drift report stays quiet on
+    same-distribution data but flags a deliberately shifted batch."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.similarity import ANNIndex
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 8)).round(3)
+
+    def mk(vectors, start_id):
+        return spark.createDataFrame(
+            [(start_id + i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    df = mk(base, 0)
+    idx = ANNIndex.build(df, n_clusters=3, m=2, k=4, iters=1, nprobe=2)
+    idx.fit_distance_profile(df, bins=6)
+    codes = idx.encode(df).localCheckpoint()
+
+    # append: 10 new same-distribution vectors, searchable without retrain
+    newv = rng.normal(size=(10, 8)).round(3)
+    new_df = mk(newv, 1000)
+    codes2 = idx.append(codes, new_df).localCheckpoint()
+    assert codes2.count() == 310
+    # probe with a FRESH query id carrying vector 1000 (search self-excludes
+    # matching ids): the appended vector must be reachable through the
+    # frozen index — with a 16-cell PQ many vectors share its code, so we
+    # assert reachability in the candidate set, not top-rank
+    q = mk(newv[:1], 5000)
+    res = idx.search(codes2, q, topk=40).collect()
+    assert 1000 in {r["neighbor_id"] for r in res}
+
+    # drift: same-distribution batch quiet, shifted batch flagged.
+    # (PSI needs a non-trivial batch — tiny batches alias empty bins.)
+    same = idx.drift_report(mk(rng.normal(size=(200, 8)).round(3), 3000)).collect()
+    assert same[0]["psi_total"] < 0.2
+    shifted = mk(base[:150] + 5.0, 2000)  # gross mean shift
+    rep = idx.drift_report(shifted).collect()
+    assert rep[0]["psi_total"] > 0.2
+    assert len(rep) == 6 and abs(sum(r["p_cur"] for r in rep) - 1.0) < 1e-9
+
+    # profile survives the artifact roundtrip
+    idx.save(str(tmp_path / "index.json"))
+    idx2 = ANNIndex.load(str(tmp_path / "index.json"))
+    assert idx2.dist_profile == idx.dist_profile
+    rep2 = idx2.drift_report(shifted).collect()
+    assert [r["psi_total"] for r in rep2] == [r["psi_total"] for r in rep]
+
+
 # ---------------------------------------------------------------------------
 # Sampling-family properties
 # ---------------------------------------------------------------------------

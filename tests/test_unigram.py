@@ -1,0 +1,146 @@
+"""Unigram-LM tokenizer: relational DP vs pure-Python forward-backward,
+strategy equivalence, Viterbi tie rules, artifact roundtrip."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from dataquality_ml_spark.operators import unigram as ug
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _seed_probs(spark, wc, ml=3, mp=10):
+    srows = ug.seed_pieces(wc, ml, mp).collect()
+    tot = sum(r["freq"] for r in srows)
+    probs = {r["piece"]: r["freq"] / tot for r in srows}
+    pdf = spark.createDataFrame(list(probs.items()), "piece string, prob double")
+    return probs, pdf
+
+
+def test_seed_pieces_hand_computed(spark):
+    # corpus "ab ab b": words ab(x2), b(x1)
+    # substrings (weighted): a:2, b:3, ab:2 → chars a,b always; multi 'ab'
+    wc = ug.word_counts(_docs(spark, ["ab ab b"]))
+    seed = {(r["piece"]): r["freq"] for r in ug.seed_pieces(wc, 2, 5).collect()}
+    assert seed == {"a": 2, "b": 3, "ab": 2}
+
+
+def test_em_expected_counts_match_python(spark):
+    """Relational forward-backward == in-memory reference to 1e-12."""
+    rng = random.Random(5)
+    for _ in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(3)
+        ]
+        df = _docs(spark, texts)
+        wc = ug.word_counts(df)
+        probs, pdf = _seed_probs(spark, wc)
+        got = {
+            r["piece"]: r["ecnt"]
+            for r in ug.em_expected_counts(wc, pdf, 3).collect()
+        }
+        words = {r["word"]: r["cnt"] for r in wc.collect()}
+        want = ug._py_em_step(words, probs, 3)
+        assert set(got) == {p for p, c in want.items() if c > 0} | {
+            p for p in got
+        }
+        for p, c in want.items():
+            assert abs(got.get(p, 0.0) - c) < 1e-12, (p, c, got.get(p))
+
+
+def test_em_total_expected_count_is_corpus_positions(spark):
+    """Σ_pieces E[count]·len(piece) = total characters (each character is
+    covered by exactly one piece in every segmentation)."""
+    df = _docs(spark, ["abba abc", "ba ba abba"])
+    wc = ug.word_counts(df)
+    probs, pdf = _seed_probs(spark, wc)
+    got = ug.em_expected_counts(wc, pdf, 3).collect()
+    covered = sum(r["ecnt"] * len(r["piece"]) for r in got)
+    total_chars = sum(
+        len(r["word"]) * r["cnt"] for r in wc.collect()
+    )
+    assert abs(covered - total_chars) < 1e-9
+
+
+def test_viterbi_matches_python_and_prefers_long_pieces(spark):
+    df = _docs(spark, ["hash hash hashing table table tab"])
+    wc = ug.word_counts(df)
+    probs, pdf = _seed_probs(spark, wc, ml=4, mp=12)
+    seg = {r["word"]: r for r in ug.viterbi_segment_words(wc, pdf, 4).collect()}
+    for w, r in seg.items():
+        path, lp = ug._py_viterbi(w, probs, 4)
+        assert len(path) == r["n_pieces"], (w, path, r)
+        if math.isfinite(lp):
+            assert abs(round(lp, 4) - r["logp"]) < 1e-9
+    # 'hash' occurs often → its 4-gram is a seed piece → one piece
+    assert seg["hash"]["n_pieces"] == 1
+
+
+def test_train_local_and_distributed_agree(spark):
+    rng = random.Random(11)
+    for _ in range(2):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(4, 10))
+            )
+            for _ in range(3)
+        ]
+        df = _docs(spark, texts)
+        loc = ug.unigram_train(
+            df, vocab_size=12, n_iters=2, max_piece_len=3, max_pieces=8,
+            strategy="local",
+        )
+        dist = ug.unigram_train(
+            df, vocab_size=12, n_iters=2, max_piece_len=3, max_pieces=8,
+            strategy="distributed",
+        )
+        assert [p for p, _ in loc] == [p for p, _ in dist]
+        for (pl, vl), (pd_, vd) in zip(loc, dist):
+            assert abs(vl - vd) < 1e-9, (pl, vl, vd)
+
+
+def test_train_adversarial_repeats(spark):
+    """Repeated-substring corpora (the BPE ADVICE class) — strategies must
+    still agree and single chars must survive pruning."""
+    for texts in (["aaaa aaaa aa"], ["abab abab ab b"], ["banana banana ba"]):
+        df = _docs(spark, texts)
+        loc = ug.unigram_train(
+            df, vocab_size=6, n_iters=3, max_piece_len=3, max_pieces=6,
+            strategy="local",
+        )
+        dist = ug.unigram_train(
+            df, vocab_size=6, n_iters=3, max_piece_len=3, max_pieces=6,
+            strategy="distributed",
+        )
+        assert [p for p, _ in loc] == [p for p, _ in dist], (texts, loc, dist)
+        chars = {c for t in texts for c in t if c != " "}
+        kept = {p for p, _ in loc}
+        assert chars <= kept  # single chars never pruned
+        tot = sum(v for _, v in loc)
+        assert abs(tot - 1.0) < 1e-9  # a normalized distribution
+
+
+def test_tokenizer_artifact_roundtrip_and_segment(spark, tmp_path):
+    df = _docs(spark, ["hash hash hashing table", "tab table hash"])
+    tok = ug.train_unigram_tokenizer(df, vocab_size=14, n_iters=2, max_piece_len=4)
+    out = {r["doc_id"]: r for r in tok.segment(df).collect()}
+    assert out[0]["n_words"] == 4 and out[1]["n_words"] == 3
+    assert all(r["n_pieces"] >= r["n_words"] for r in out.values())
+
+    p = str(tmp_path / "unigram.json")
+    tok.save(p)
+    tok2 = ug.UnigramTokenizer.load(p)
+    assert tok2.pieces == tok.pieces and tok2.max_piece_len == tok.max_piece_len
+    out2 = {r["doc_id"]: r for r in tok2.segment(df).collect()}
+    assert out2[0]["n_pieces"] == out[0]["n_pieces"]
