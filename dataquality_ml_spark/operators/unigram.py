@@ -226,7 +226,11 @@ def viterbi_segment_words(
     occ = _occurrences(words, probs, max_piece_len).localCheckpoint(eager=False)
 
     v = words.select(
-        "word", F.lit(0).alias("pos"), F.lit(1.0).alias("vp"), F.lit(0).alias("np")
+        "word",
+        F.lit(0).alias("pos"),
+        F.lit(1.0).alias("vp"),
+        F.lit(0).alias("np"),
+        F.array().cast("array<string>").alias("path"),
     )
     for i in range(1, max_word_len + 1):
         cand = (
@@ -242,6 +246,7 @@ def viterbi_segment_words(
                 (F.col("p.vp") * F.col("o.prob")).alias("vp"),
                 (F.col("p.np") + 1).alias("np"),
                 F.col("o.s").alias("s"),
+                F.concat(F.col("p.path"), F.array(F.col("o.piece"))).alias("path"),
             )
         )
         best = (
@@ -254,7 +259,7 @@ def viterbi_segment_words(
                 ),
             )
             .where(F.col("_rk") == 1)
-            .select("word", F.lit(i).alias("pos"), "vp", "np")
+            .select("word", F.lit(i).alias("pos"), "vp", "np", "path")
         )
         # same linear-lineage barrier as em_expected_counts' loop
         v = v.unionByName(best).localCheckpoint(eager=False)
@@ -265,7 +270,70 @@ def viterbi_segment_words(
             "word",
             F.col("np").alias("n_pieces"),
             F.round(F.log(F.col("vp")), 4).alias("logp"),
+            F.col("path").alias("pieces"),
         )
+    )
+
+
+def unigram_build_vocab(pieces: list[tuple[str, float]]) -> dict[str, int]:
+    """piece → token id, in (prob desc, piece asc) order — the order
+    ``unigram_train`` already returns, so ids are stable and
+    engine-portable."""
+    return {p: i for i, (p, _) in enumerate(pieces)}
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Corpus → token-id sequences under a unigram LM: Viterbi-segment the
+    WORD relation (the piece path rides through the DP as an array — no
+    backpointer walk), broadcast-join paths back to the positionally
+    exploded corpus, map pieces to ids through a broadcast vocab relation,
+    and reassemble each document in (word, piece) position order with a
+    sort-free array_sort(collect_list(struct)).
+
+    Words with no segmentation under the vocabulary (foreign characters)
+    emit a single ``unk_id`` token — the same contract as
+    ``bpe_tokenize``.  Output: (id, token_ids array<int>, n_ids)."""
+    spark = df.sparkSession
+    wc = word_counts(df, text_col)
+    seg = viterbi_segment_words(
+        wc, spark.createDataFrame(pieces, "piece string, prob double"),
+        max_piece_len,
+    ).select("word", "pieces")
+    vocab = unigram_build_vocab(pieces)
+    vdf = F.broadcast(
+        spark.createDataFrame(list(vocab.items()), "piece string, tid int")
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "word")
+    ).where(F.col("word") != "")
+    with_path = ex.join(F.broadcast(seg), "word", "left").select(
+        id_col,
+        "wpos",
+        # unsegmentable word → one UNK piece standing for the whole word
+        F.coalesce(F.col("pieces"), F.array(F.col("word"))).alias("pieces"),
+    )
+    sym = with_path.select(
+        id_col, "wpos", F.posexplode("pieces").alias("spos", "piece")
+    )
+    mapped = sym.join(vdf, "piece", "left").select(
+        id_col,
+        "wpos",
+        "spos",
+        F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("wpos", "spos", "tid"))),
+        lambda s: s.getField("tid"),
+    )
+    return mapped.groupBy(id_col).agg(
+        ordered.alias("token_ids"), F.count(F.lit(1)).alias("n_ids")
     )
 
 
@@ -488,6 +556,9 @@ class UnigramTokenizer:
         wc = word_counts(df, text_col)
         seg = viterbi_segment_words(wc, pdf, self.max_piece_len)
         return unigram_segment(df, seg, text_col, id_col)
+
+    def tokenize(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        return unigram_tokenize(df, self.pieces, self.max_piece_len, text_col, id_col)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

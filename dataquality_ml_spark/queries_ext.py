@@ -3761,17 +3761,19 @@ def _ug_em_oracle() -> str:
 
 def _ug_viterbi_ctes(n: int = _UG_L) -> str:
     parts = [
-        "v0 AS (SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS vp, 0 AS np FROM words)",
+        "v0 AS (SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS vp, 0 AS np, "
+        "CAST([] AS VARCHAR[]) AS path FROM words)",
         "vx0 AS (SELECT * FROM v0)",
     ]
     for i in range(1, n + 1):
         parts.append(
-            f"c{i} AS (SELECT o.word, p.vp * o.prob AS vp, p.np + 1 AS np, o.s "
+            f"c{i} AS (SELECT o.word, p.vp * o.prob AS vp, p.np + 1 AS np, o.s, "
+            f"list_append(p.path, o.piece) AS path "
             f"FROM occ o JOIN vx{i - 1} p ON p.word = o.word AND p.pos = o.s "
             f"WHERE o.e = {i})"
         )
         parts.append(
-            f"v{i} AS (SELECT word, {i} AS pos, vp, np FROM ("
+            f"v{i} AS (SELECT word, {i} AS pos, vp, np, path FROM ("
             f"SELECT *, ROW_NUMBER() OVER (PARTITION BY word "
             f"ORDER BY vp DESC, np, s) AS rk FROM c{i}) WHERE rk = 1)"
         )
@@ -3779,7 +3781,7 @@ def _ug_viterbi_ctes(n: int = _UG_L) -> str:
             f"vx{i} AS (SELECT * FROM vx{i - 1} UNION ALL SELECT * FROM v{i})"
         )
     parts.append(
-        f"segw AS (SELECT v.word, v.np AS n_pieces FROM vx{n} v "
+        f"segw AS (SELECT v.word, v.np AS n_pieces, v.path FROM vx{n} v "
         f"JOIN words w ON w.word = v.word AND v.pos = length(w.word))"
     )
     return ",\n    ".join(parts)
@@ -4066,3 +4068,66 @@ def host_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return hcr(docs, blocklist=_HOST_BLOCKLIST, cap=5).orderBy("host")
+
+
+def _ug_tokenize_oracle() -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    return f"""
+    WITH {_TOKS_CTE},{_ug_base_ctes()},
+    {_ug_viterbi_ctes()},
+    vocab AS (
+      SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY prob DESC, piece) - 1 AS INT)
+               AS tid
+      FROM p0
+    ),
+    exd AS (
+      SELECT doc_id,
+             unnest([{{'w': t[i], 'i': i}} for i in generate_series(1, len(t))]) AS x
+      FROM toks WHERE doc_id < 40
+    ),
+    wp AS (
+      SELECT e.doc_id, e.x.i AS wpos,
+             COALESCE(s.path, [e.x.w]) AS pieces
+      FROM exd e LEFT JOIN segw s ON s.word = e.x.w
+      WHERE e.x.w <> ''
+    ),
+    sy AS (
+      SELECT doc_id, wpos,
+             unnest([{{'p': pieces[j], 'j': j}}
+                     for j in generate_series(1, len(pieces))]) AS y
+      FROM wp
+    )
+    SELECT doc_id,
+           list(COALESCE(v.tid, -1) ORDER BY wpos, sy.y.j) AS token_ids,
+           COUNT(*) AS n_ids
+    FROM sy LEFT JOIN vocab v ON v.piece = sy.y.p
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("unigram_tokenize_docs", oracle=_ug_tokenize_oracle())
+def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus tokenization to id sequences (docs < 40): the
+    Viterbi piece path rides through the relational DP as an array (no
+    backpointer walk), paths broadcast-join back to the positionally
+    exploded corpus, ids come from the (prob desc, piece) vocab order,
+    and unsegmentable words emit a single UNK — the ``bpe_tokenize``
+    contract under the unigram model.  The oracle replays path carrying
+    with ``list_append`` through the same unrolled CTEs."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators import unigram as ug
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        wc = ug.word_counts(docs).localCheckpoint(eager=False)
+        srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
+        tot = sum(r["freq"] for r in srows)
+        pieces = sorted(
+            ((r["piece"], r["freq"] / tot) for r in srows),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return ug.unigram_tokenize(
+            docs.where(F.col("doc_id") < 40), pieces, _UG_ML
+        ).orderBy("doc_id")

@@ -1400,3 +1400,26 @@ def test_host_curation_report_caps_and_blocks(spark):
     assert out["bad.example.com"]["blocked"] == 1
     assert out["bad.example.com"]["n_kept"] == 0
     assert out["small.example.com"]["avg_tokens"] == 2.0
+
+
+def test_simhash_60bit_reduces_band_aliasing(spark):
+    """bits=60 (15-bit bands at k=3) must find the same PLANTED near-dup
+    as bits=32 while using the 60-bit portable hash; genuinely unrelated
+    docs stay unmatched at either width."""
+    from dataquality_ml_spark.operators.dedup import simhash_hamming_pairs
+
+    # long doc: one extra token perturbs few fingerprint bits
+    base = " ".join(f"tok{i % 25}" for i in range(120))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, " ".join(f"other{i}" for i in range(60))),
+        ],
+        "doc_id bigint, text string",
+    )
+    for bits in (32, 60):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 simhash_hamming_pairs(df, k=3, bits=bits).collect()}
+        assert (1, 2) in pairs, bits
+        assert not any(3 in p for p in pairs), (bits, pairs)

@@ -144,3 +144,21 @@ def test_tokenizer_artifact_roundtrip_and_segment(spark, tmp_path):
     assert tok2.pieces == tok.pieces and tok2.max_piece_len == tok.max_piece_len
     out2 = {r["doc_id"]: r for r in tok2.segment(df).collect()}
     assert out2[0]["n_pieces"] == out[0]["n_pieces"]
+
+
+def test_unigram_tokenize_ids_and_unk(spark):
+    df = _docs(spark, ["hash hash table", "tab hash"])
+    tok = ug.train_unigram_tokenizer(df, vocab_size=14, n_iters=2, max_piece_len=4)
+    vocab = ug.unigram_build_vocab(tok.pieces)
+    out = {r["doc_id"]: r for r in tok.tokenize(df).collect()}
+    # every id maps back to a piece whose concatenation rebuilds each doc
+    inv = {i: p for p, i in vocab.items()}
+    for d, text in ((0, "hash hash table"), (1, "tab hash")):
+        rebuilt = "".join(inv[i] for i in out[d]["token_ids"])
+        assert rebuilt == text.replace(" ", "")
+        assert out[d]["n_ids"] == len(out[d]["token_ids"])
+
+    # foreign corpus: unknown characters -> single UNK per word
+    foreign = _docs(spark, ["xyzzy"])
+    [row] = tok.tokenize(foreign).collect()
+    assert row["token_ids"] == [-1]
