@@ -154,7 +154,11 @@ def em_expected_counts(
             .agg(F.sum(F.col("p.a") * F.col("o.prob")).alias("a"))
             .select("word", F.lit(i).alias("pos"), "a")
         )
-        af = af.unionByName(af_step).localCheckpoint(eager=False)
+        af = af.unionByName(af_step)
+        if i % 2 == 0 or i == max_word_len:
+            # barrier every 2nd step: lineage depth stays <= 2 joins
+            # (linear total work) at half the scheduling cost
+            af = af.localCheckpoint(eager=False)
 
     # backward: beta(wl) = 1; beta(j) = sum_i p(word[j..i]) * beta(i)
     bt = words.select("word", F.length("word").alias("pos"), F.lit(1.0).alias("b"))
@@ -171,7 +175,9 @@ def em_expected_counts(
             .agg(F.sum(F.col("o.prob") * F.col("n.b")).alias("b"))
             .select("word", (F.length("word") - k).alias("pos"), "b")
         )
-        bt = bt.unionByName(bt_step).localCheckpoint(eager=False)
+        bt = bt.unionByName(bt_step)
+        if k % 2 == 0 or k == max_word_len:
+            bt = bt.localCheckpoint(eager=False)
 
     z = (
         af.alias("a")
@@ -261,8 +267,10 @@ def viterbi_segment_words(
             .where(F.col("_rk") == 1)
             .select("word", F.lit(i).alias("pos"), "vp", "np", "path")
         )
-        # same linear-lineage barrier as em_expected_counts' loop
-        v = v.unionByName(best).localCheckpoint(eager=False)
+        # same every-2nd-step linear-lineage barrier as em_expected_counts
+        v = v.unionByName(best)
+        if i % 2 == 0 or i == max_word_len:
+            v = v.localCheckpoint(eager=False)
     return (
         v.join(words.select("word", F.length("word").alias("_wl")), "word")
         .where(F.col("pos") == F.col("_wl"))

@@ -4131,3 +4131,152 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ug.unigram_tokenize(
             docs.where(F.col("doc_id") < 40), pieces, _UG_ML
         ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 5 (cont.): composed showcase queries
+# ===========================================================================
+
+
+def _tokenizer_compare_oracle() -> str:
+    seg_bpe = _bpe_segment_oracle()
+    seg_ug = _ug_segment_oracle()
+    return f"""
+    SELECT 'bpe' AS tokenizer,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_pieces,
+           ROUND(SUM(n_subwords) / CAST(SUM(n_words) AS DOUBLE), 4)
+             AS pieces_per_word
+    FROM ({seg_bpe}) b
+    UNION ALL
+    SELECT 'unigram',
+           CAST(SUM(n_words) AS BIGINT),
+           CAST(SUM(n_pieces) AS BIGINT),
+           ROUND(SUM(n_pieces) / CAST(SUM(n_words) AS DOUBLE), 4)
+    FROM ({seg_ug}) u
+    ORDER BY tokenizer
+    """
+
+
+@register("tokenizer_compare_docs", oracle=_tokenizer_compare_oracle())
+def tokenizer_compare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer bake-off on one corpus: BPE (6 merges) vs the seed
+    unigram LM, corpus-level fertility (pieces per word) side by side —
+    the report that picks a tokenizer family before committing to a 32k
+    vocab run.  Composes two independently-oracled segmentation
+    pipelines; each stays one corpus pass after its vocab-relation
+    training."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators import unigram as ug
+    from dataquality_ml_spark.operators.bpe import bpe_segment, bpe_train
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        docs = _docs_nfc(spark, sf_dir)
+        merges = bpe_train(docs, num_merges=_BPE_N)
+        b = bpe_segment(docs, merges).agg(
+            F.lit("bpe").alias("tokenizer"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subwords").alias("n_pieces"),
+            F.round(F.sum("n_subwords") / F.sum("n_words"), 4).alias(
+                "pieces_per_word"
+            ),
+        )
+        wc = ug.word_counts(docs).localCheckpoint(eager=False)
+        srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
+        tot = sum(r["freq"] for r in srows)
+        pdf = spark.createDataFrame(
+            [(r["piece"], r["freq"] / tot) for r in srows],
+            "piece string, prob double",
+        )
+        seg = ug.viterbi_segment_words(wc, pdf, _UG_ML).select("word", "n_pieces")
+        u = ug.unigram_segment(docs, seg).agg(
+            F.lit("unigram").alias("tokenizer"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.sum("n_words"), 4).alias(
+                "pieces_per_word"
+            ),
+        )
+        return b.unionByName(u).orderBy("tokenizer")
+
+
+def _cluster_balanced_oracle(k: int = 4, cap: int = 25) -> str:
+    from dataquality_ml_spark.queries import _kmeans_cte
+
+    return f"""
+    WITH {_kmeans_cte(k)},
+    r AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY (vec_id * 2654435761) % 4294967296, vec_id)
+               AS sample_rank
+      FROM a3
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= {cap}
+    ORDER BY cluster, sample_rank
+    """
+
+
+@register("cluster_balanced_sample", oracle=_cluster_balanced_oracle())
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus sampling over EMBEDDINGS: k-means cluster
+    assignment (the deterministic hash-init trainer) + an equal per-cluster
+    document cap via the skew-proof quota sampler — the embedding-space
+    analogue of per-source temperature sampling (semantic balance instead
+    of provenance balance)."""
+    from dataquality_ml_spark.operators import similarity as sim3
+    from dataquality_ml_spark.operators.relational import quota_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim3.kmeans_fit(emb, k=4, iters=2)
+    assigned = sim3.kmeans_assign(emb, cents)
+    return (
+        quota_sample(assigned, "cluster", "vec_id", 25)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+        .orderBy("cluster", "sample_rank")
+    )
+
+
+def _dup_cluster_sizes_oracle() -> str:
+    from dataquality_ml_spark.queries import _ORACLES
+
+    return f"""
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT keep_id) AS BIGINT) AS n_clusters
+    FROM ({_ORACLES["dup_clusters_docs"]}) c
+    GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+@register("dup_cluster_sizes", oracle=_dup_cluster_sizes_oracle())
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the corpus-health number that
+    distinguishes 'a few giant boilerplate families' from 'many pairwise
+    twins' (they need different dedup policies).  One aggregation over the
+    already-oracled connected-components output."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators import dedup as dd3
+    from dataquality_ml_spark.operators import graph as gr3
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        pairs = dd3.ngram_jaccard_pairs(
+            _docs_nfc(spark, sf_dir), k=5, threshold=0.8
+        ).select("id_a", "id_b")
+        clusters = gr3.dedup_clusters(pairs)
+        return (
+            clusters.groupBy("cluster_size")
+            .agg(F.countDistinct("keep_id").alias("n_clusters"))
+            .select(
+                F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            )
+            .orderBy("cluster_size")
+        )
