@@ -381,15 +381,53 @@ class DQEngine:
         return rel.top_k(scored_df.where(F.col("is_anomaly")), "score", k)
 
     # -- corpus curation ---------------------------------------------------
-    def train_tokenizer(self, docs: DataFrame, num_merges: int = 1000, text_col: str = "text"):
-        """BPE tokenizer lifecycle entry (operators.bpe): distributed word
-        count, incremental in-memory merges, persistable artifact."""
-        from dataquality_ml_spark.operators.bpe import train_tokenizer
+    def train_tokenizer(
+        self,
+        docs: DataFrame,
+        num_merges: int = 1000,
+        text_col: str = "text",
+        kind: str = "bpe",
+        vocab_size: int = 1000,
+    ):
+        """Tokenizer lifecycle entry: ``kind='bpe'`` (operators.bpe —
+        distributed word count, incremental in-memory merges) or
+        ``kind='unigram'`` (operators.unigram — Kudo 2018 EM over a
+        substring seed vocab, pruned to ``vocab_size``).  Both return a
+        persistable artifact with the same ``tokenize`` contract."""
+        if kind == "bpe":
+            from dataquality_ml_spark.operators.bpe import train_tokenizer
 
-        return train_tokenizer(docs, num_merges, text_col)
+            return train_tokenizer(docs, num_merges, text_col)
+        if kind == "unigram":
+            from dataquality_ml_spark.operators.unigram import (
+                train_unigram_tokenizer,
+            )
+
+            return train_unigram_tokenizer(
+                docs, vocab_size=vocab_size, text_col=text_col
+            )
+        raise ValueError("kind must be 'bpe' or 'unigram'")
 
     def tokenize(self, docs: DataFrame, tokenizer, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
         return tokenizer.tokenize(docs, text_col, id_col)
+
+    def curate_hosts(
+        self,
+        docs: DataFrame,
+        url_col: str = "url",
+        blocklist: list[str] | None = None,
+        cap: int = 1000,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Host/domain-level curation report (operators.web): per
+        registered host — doc count, mean token count, blocklist flag and
+        per-host cap survivors."""
+        from dataquality_ml_spark.operators.web import host_curation_report
+
+        return host_curation_report(
+            docs, url_col, text_col, id_col, blocklist, cap
+        )
 
     def suggest_rules(self, df: DataFrame, columns: list[str], **kw) -> DataFrame:
         """Mine candidate DQ rules (rules.suggest_rules) — feed the result

@@ -117,6 +117,17 @@ def tokens(col: Column | str, unicode_form: str | None = _DEFAULT) -> Column:
     return F.split(normalize_text(col, unicode_form), r"\s+")
 
 
+def fold_accents(col: Column | str) -> Column:
+    """Diacritic folding: NFD decomposition (the shared Arrow-batched
+    normalizer) followed by a JVM-side regexp that strips combining marks
+    — 'Café' → 'Cafe'.  The matcher/fuzzy-dedup companion to NFC: NFC
+    makes equal text hash equal; accent folding makes NEAR-equal text
+    (diacritic variants of the same word) compare equal.  DuckDB oracle
+    equivalent: ``strip_accents(x)`` (verified: both drop Mn marks after
+    canonical decomposition)."""
+    return F.regexp_replace(unicode_normalize(col, "NFD"), r"\p{M}", "")
+
+
 def portable_hash32(col: Column | str) -> Column:
     """Deterministic 32-bit string hash identical across engines:
     first 8 hex digits of md5, parsed as an unsigned int."""

@@ -4280,3 +4280,32 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("cluster_size")
         )
+
+
+@register(
+    "accent_fold_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(strip_accents(text)) AS fold_fp,
+           CAST(length(text) - length(strip_accents(text)) AS BIGINT)
+             AS n_marks_removed
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def accent_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding end-to-end: NFD + combining-mark strip vs DuckDB's
+    utf8proc ``strip_accents`` — per-doc folded-text fingerprint and the
+    number of marks removed.  The fuzzy-matching companion to
+    ``nfc_normalize_docs`` (diacritic variants of a word compare equal
+    after folding)."""
+    from dataquality_ml_spark.functions.scalar import fold_accents
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    folded = fold_accents(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(folded).alias("fold_fp"),
+        (F.length("text") - F.length(folded)).cast("bigint").alias(
+            "n_marks_removed"
+        ),
+    ).orderBy("doc_id")

@@ -1423,3 +1423,16 @@ def test_simhash_60bit_reduces_band_aliasing(spark):
                  simhash_hamming_pairs(df, k=3, bits=bits).collect()}
         assert (1, 2) in pairs, bits
         assert not any(3 in p for p in pairs), (bits, pairs)
+
+
+def test_fold_accents_diacritic_variants(spark):
+    from dataquality_ml_spark.functions.scalar import fold_accents
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "niño"), (3, "über"), (4, None), (5, "plain")],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r["f"] for r in df.select("id", fold_accents("text").alias("f")).collect()}
+    assert out[1] == "Cafe" and out[2] == "nino" and out[3] == "uber"
+    assert out[4] is None and out[5] == "plain"

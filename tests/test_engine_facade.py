@@ -292,3 +292,24 @@ def test_facade_tokenizer_and_rules_entries(spark, tmp_path):
     sug = eng.suggest_rules(ev, ["kind", "v"])
     rep = {r["rule"]: r["n_violations"] for r in eng.check_rules(ev, sug).collect()}
     assert rep["not_null(kind)"] == 0
+
+
+def test_facade_unigram_tokenizer_and_host_curation(spark):
+    from dataquality_ml_spark.engine import DQEngine
+
+    eng = DQEngine(spark)
+    docs = spark.createDataFrame(
+        [(1, "hash hash table", "https://a.example.com/1"),
+         (2, "tab hash rows", "https://a.example.com/2"),
+         (3, "join scan", "https://b.example.com/1")],
+        "doc_id bigint, text string, url string",
+    )
+    tok = eng.train_tokenizer(docs, kind="unigram", vocab_size=16)
+    ids = {r["doc_id"]: r["n_ids"] for r in eng.tokenize(docs, tok).collect()}
+    assert set(ids) == {1, 2, 3} and all(v > 0 for v in ids.values())
+
+    rep = {r["host"]: r for r in eng.curate_hosts(
+        docs, blocklist=["b.example.com"], cap=1
+    ).collect()}
+    assert rep["a.example.com"]["n_docs"] == 2 and rep["a.example.com"]["n_kept"] == 1
+    assert rep["b.example.com"]["blocked"] == 1 and rep["b.example.com"]["n_kept"] == 0
