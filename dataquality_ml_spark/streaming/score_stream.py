@@ -326,3 +326,58 @@ def stream_stream_interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
     return lsel.join(rsel, cond, how)
+
+
+def oov_monitor_stream(
+    stream_df: DataFrame,
+    tokenizer,
+    checkpoint: str,
+    out_fn: Callable[[dict], None],
+    alarm_rate: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_once: bool = True,
+):
+    """Tokenizer-health monitor on a document stream: each micro-batch is
+    tokenized under a FROZEN tokenizer artifact (BPE or unigram — anything
+    with the ``tokenize`` contract emitting ``token_ids``/``n_ids`` with
+    UNK = -1) and reduced to one summary dict ``(batch_id, n_docs, n_ids,
+    n_unk, oov_rate, alarm)`` handed to ``out_fn``.  A rising OOV rate is
+    the earliest signal that the corpus drifted away from the tokenizer's
+    training domain (new language, new markup, encoding regressions) —
+    the streaming twin of the batch ``bpe_oov_by_source`` report.
+
+    Only the aggregate dict crosses to the driver; tokenization inside the
+    micro-batch is the batch operator unchanged (broadcast vocab join, no
+    UDF)."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = tokenizer.tokenize(batch_df, text_col, id_col)
+        row = ids.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_ids"), F.lit(0)).alias("n_ids"),
+            F.coalesce(
+                F.sum(F.size(F.filter("token_ids", lambda t: t == -1))),
+                F.lit(0),
+            ).alias("n_unk"),
+        ).first()
+        n_ids = int(row["n_ids"])
+        n_unk = int(row["n_unk"])
+        rate = (n_unk / n_ids) if n_ids else 0.0
+        out_fn(
+            {
+                "batch_id": batch_id,
+                "n_docs": int(row["n_docs"]),
+                "n_ids": n_ids,
+                "n_unk": n_unk,
+                "oov_rate": round(rate, 6),
+                "alarm": rate > alarm_rate,
+            }
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

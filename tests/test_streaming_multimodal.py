@@ -760,3 +760,47 @@ def test_stream_stream_left_outer_emits_unconverted_views(spark, tmp_path):
     }
     assert (1, 1) in rows          # converted view matched
     assert (2, None) in rows       # unconverted view emitted with nulls
+
+
+def test_streaming_oov_monitor_foreachbatch(spark, tmp_path):
+    """Tokenizer-health stream: a frozen BPE tokenizer scores each
+    micro-batch's OOV rate; the in-domain batch stays quiet, the
+    foreign-alphabet batch alarms."""
+    from dataquality_ml_spark.operators.bpe import train_tokenizer
+    from dataquality_ml_spark.streaming.score_stream import oov_monitor_stream
+
+    train = spark.createDataFrame(
+        [(i, "hash table scan join batch") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    tok = train_tokenizer(train, num_merges=4)
+
+    src_dir = str(tmp_path / "oovsrc")
+    in_domain = [(100 + i, "hash scan join") for i in range(20)]
+    foreign = [(200 + i, "xyzq wvzk qqqq") for i in range(20)]
+    for rows in (in_domain, foreign):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    results: list[dict] = []
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = oov_monitor_stream(
+        stream,
+        tok,
+        checkpoint=str(tmp_path / "oovckpt"),
+        out_fn=results.append,
+        alarm_rate=0.05,
+    )
+    q.awaitTermination(180)
+
+    assert len(results) == 2
+    by_alarm = sorted(results, key=lambda r: r["oov_rate"])
+    quiet, loud = by_alarm
+    assert quiet["oov_rate"] == 0.0 and not quiet["alarm"]
+    assert loud["oov_rate"] > 0.5 and loud["alarm"]
+    assert all(r["n_docs"] == 20 for r in results)
