@@ -126,6 +126,12 @@ def _ops():
 def main() -> None:
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # optional op filter (comma list): pair-ENUMERATION operators are
+    # output-bound on the synthetic corpus (a 30-word vocabulary makes
+    # most documents near-dups of each other, so the pair listing itself
+    # grows ~n^2) — at large factors run the linear-by-design set and
+    # measure the pair families through their capped/production knobs.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from dataquality_ml_spark import get_spark
 
@@ -144,6 +150,8 @@ def main() -> None:
 
         _dd.dedup_exact(docs).count()
         for name, (kind, fn) in _ops().items():
+            if only is not None and name not in only:
+                continue
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             out = fn(inputs[kind])
