@@ -225,3 +225,54 @@ def domain_reweight(
         )
         .orderBy(source_col)
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixing manifest with EPOCH accounting (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given target mixture
+    weights and a total token budget, report per source the available
+    tokens, the target token allocation (budget · normalized weight) and
+    the implied number of EPOCHS (target/available — >1 means the source
+    repeats, the data-constrained regime; ≤1 means subsampling).
+
+    One corpus scan (token-count agg per source); weights ride as a
+    broadcast relation.  Sources absent from ``weights`` get weight 0.
+    Output: (source, n_tokens, weight, target_tokens, epochs)."""
+    from dataquality_ml_spark.functions.scalar import tokens
+
+    spark = df.sparkSession
+    tot_w = sum(weights.values())
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, w / tot_w) for s, w in weights.items()],
+            f"{source_col} string, weight double",
+        )
+    )
+    avail = (
+        df.select(F.col(source_col), F.size(tokens(text_col)).alias("_nt"))
+        .groupBy(source_col)
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    return (
+        avail.join(wdf, source_col, "left")
+        .select(
+            source_col,
+            "n_tokens",
+            F.round(F.coalesce("weight", F.lit(0.0)), 6).alias("weight"),
+            F.round(
+                F.lit(float(token_budget)) * F.coalesce("weight", F.lit(0.0)), 4
+            ).alias("target_tokens"),
+            F.round(
+                F.lit(float(token_budget))
+                * F.coalesce("weight", F.lit(0.0))
+                / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+    )

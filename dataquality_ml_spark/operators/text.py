@@ -529,3 +529,70 @@ def bigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def trim_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+    max_punct_ratio: float = 0.5,
+    max_line_docs: int | None = None,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style LINE filtering: split documents on newlines,
+    drop lines that are (a) shorter than ``min_chars`` characters,
+    (b) mostly punctuation/digits (ratio > ``max_punct_ratio``), or
+    (c) corpus-wide boilerplate — the same (trimmed, lowercased) line
+    occurring in more than ``max_line_docs`` distinct documents (nav bars,
+    cookie banners; None disables the corpus check).  Documents are
+    reassembled in original line order.
+
+    Scale shape: per-line heuristics are narrow posexplode + codegen
+    expressions; the boilerplate set is a map-side-combined line-hash
+    count whose over-threshold survivors broadcast back as an anti-join —
+    boilerplate lines are the corpus's hottest keys, and they collapse in
+    the partial aggregate exactly like ``dedup_spans``' span hashes.
+    Output: (id, text, n_lines, n_kept)."""
+    from dataquality_ml_spark.functions.scalar import portable_hash60
+
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line")
+    )
+    norm = F.trim(F.lower(F.col("line")))
+    n_punct = F.length(F.regexp_replace(norm, r"[a-z\s]", ""))
+    heur_ok = (F.length(norm) >= min_chars) & (
+        F.when(F.length(norm) > 0, n_punct / F.length(norm)).otherwise(F.lit(1.0))
+        <= max_punct_ratio
+    )
+    lines = lines.withColumn("_ok", heur_ok).withColumn(
+        "_lh", portable_hash60(norm)
+    )
+    if max_line_docs is not None:
+        hot = (
+            lines.where(F.col("_ok"))
+            .groupBy("_lh")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .where(F.col("_nd") > max_line_docs)
+            .select("_lh")
+        )
+        lines = lines.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "_lh", "left")
+        keep = F.col("_ok") & F.col("_hot").isNull()
+    else:
+        keep = F.col("_ok")
+    marked = lines.withColumn("_keep", keep)
+    rebuilt = F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("ln", "line"))
+                )
+            ),
+            lambda s: s.getField("line"),
+        ),
+    )
+    return marked.groupBy(id_col).agg(
+        rebuilt.alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+    )

@@ -4309,3 +4309,112 @@ def accent_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_marks_removed"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "trim_boilerplate_docs",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'ad -- click here now!!' || chr(10) || 'x'
+               AS t2
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, x.i AS ln, x.l AS line, trim(lower(x.l)) AS norm
+      FROM (
+        SELECT doc_id,
+               unnest([{'l': ls[i], 'i': i}
+                       for i in generate_series(1, len(ls))]) AS x
+        FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM aug)
+      )
+    ),
+    hr AS (
+      SELECT *,
+             length(norm) >= 10
+             AND (CASE WHEN length(norm) > 0
+                  THEN length(regexp_replace(norm, '[a-z\\s]', '', 'g'))
+                       / CAST(length(norm) AS DOUBLE)
+                  ELSE 1.0 END) <= 0.5 AS ok
+      FROM ln
+    ),
+    hot AS (
+      SELECT norm FROM hr WHERE ok GROUP BY norm
+      HAVING COUNT(DISTINCT doc_id) > 50
+    ),
+    mk AS (
+      SELECT h.doc_id, h.ln, h.line,
+             h.ok AND ht.norm IS NULL AS keep
+      FROM hr h LEFT JOIN hot ht ON ht.norm = h.norm
+    )
+    SELECT doc_id,
+           md5(array_to_string(list(line ORDER BY ln)
+                 FILTER (WHERE keep), chr(10))) AS text_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM mk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def trim_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line filtering end-to-end: every document gets a
+    corpus-wide boilerplate line and a too-short line appended (the
+    testdata ships single-line docs), then the trimmer must drop exactly
+    those — the short line by the length heuristic, the repeated line by
+    the hot-line anti-join — and reassemble the original text in order.
+    Output fingerprints the rebuilt text."""
+    from dataquality_ml_spark.operators.text import trim_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nad -- click here now!!\nx"),
+        ),
+    )
+    out = trim_boilerplate_lines(docs, max_line_docs=50)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_fp"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mixture_epochs_sources",
+    oracle="""
+    WITH toks2 AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(nfc_normalize(text))), '\\s+'))
+               AS nt
+      FROM documents
+    ),
+    avail AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+              FROM toks2 GROUP BY source),
+    w AS (
+      SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+        AS t(source, wraw)
+    ),
+    nw AS (SELECT source, wraw / (SELECT SUM(wraw) FROM w) AS weight FROM w)
+    SELECT a.source, a.n_tokens,
+           ROUND(COALESCE(nw.weight, 0.0), 6) + 0 AS weight,
+           ROUND(1000000.0 * COALESCE(nw.weight, 0.0), 4) + 0 AS target_tokens,
+           ROUND(1000000.0 * COALESCE(nw.weight, 0.0) / a.n_tokens, 4) + 0
+             AS epochs
+    FROM avail a LEFT JOIN nw USING (source)
+    ORDER BY a.source
+    """,
+)
+def mixture_epochs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-accounted mixing manifest: a 1M-token budget split 50/30/20
+    across three sources; per source the available tokens, the target
+    allocation, and the implied epochs — >1 epoch = the data-constrained
+    repetition regime (Muennighoff et al. 2023), ≤1 = subsample.  One
+    token-count aggregation; weights broadcast."""
+    from dataquality_ml_spark.operators.selection import mixture_epochs
+
+    return mixture_epochs(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=1_000_000,
+    ).orderBy("source")

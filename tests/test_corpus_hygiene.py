@@ -1436,3 +1436,28 @@ def test_fold_accents_diacritic_variants(spark):
     out = {r["id"]: r["f"] for r in df.select("id", fold_accents("text").alias("f")).collect()}
     assert out[1] == "Cafe" and out[2] == "nino" and out[3] == "uber"
     assert out[4] is None and out[5] == "plain"
+
+
+def test_trim_boilerplate_lines_semantics(spark):
+    """Line filters: short lines and punct-heavy lines drop by heuristic,
+    corpus-repeated lines drop by the hot-line set, survivors reassemble
+    in original order."""
+    from dataquality_ml_spark.operators.text import trim_boilerplate_lines
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (i, f"real content line number {i} alpha beta\n{boiler}\nok?\n!!!???!!!###")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in trim_boilerplate_lines(df, max_line_docs=5).collect()}
+    for i in range(10):
+        r = out[i]
+        assert r["n_lines"] == 4
+        # boilerplate (10 docs > 5), 'ok?' (short), '!!!...' (punct) drop
+        assert r["n_kept"] == 1
+        assert r["text"] == f"real content line number {i} alpha beta"
+
+    # without the corpus check the boilerplate line survives
+    out2 = {r["doc_id"]: r for r in trim_boilerplate_lines(df).collect()}
+    assert out2[0]["n_kept"] == 2 and boiler in out2[0]["text"]

@@ -362,3 +362,45 @@ def test_jl_project_raises_on_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="empty"):
         jl_project(empty, out_dim=4)
+
+
+def test_ann_drift_empty_batch_and_unfitted_guard(spark):
+    import numpy as np
+    import pytest
+
+    from dataquality_ml_spark.operators.similarity import ANNIndex
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(50, 4)))],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ANNIndex.build(df, n_clusters=2, m=2, k=4, iters=1)
+    with pytest.raises(ValueError, match="fit_distance_profile"):
+        idx.drift_report(df)
+    idx.fit_distance_profile(df, bins=4)
+    empty = df.where("vec_id < 0")
+    rep = idx.drift_report(empty).collect()
+    # all-empty current side: every bin p_cur = 0, PSI finite (EPS clamp)
+    assert len(rep) == 4 and all(r["p_cur"] == 0.0 for r in rep)
+    assert all(abs(r["psi_total"]) < float("inf") for r in rep)
+
+
+def test_mixture_epochs_regimes(spark):
+    """Epoch accounting: scarce up-weighted source repeats (>1 epoch),
+    abundant down-weighted source subsamples (<1); unweighted source gets
+    zero allocation."""
+    from dataquality_ml_spark.operators.selection import mixture_epochs
+
+    rows = (
+        [(i, "a", "w " * 9 + "w") for i in range(5)]        # 50 tokens
+        + [(100 + i, "b", "w " * 9 + "w") for i in range(100)]  # 1000 tokens
+        + [(900 + i, "c", "w w") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["source"]: r for r in mixture_epochs(
+        df, {"a": 0.5, "b": 0.5}, token_budget=500, source_col="source"
+    ).collect()}
+    assert out["a"]["n_tokens"] == 50 and out["a"]["epochs"] == 5.0   # 250/50
+    assert out["b"]["n_tokens"] == 1000 and out["b"]["epochs"] == 0.25
+    assert out["c"]["weight"] == 0.0 and out["c"]["target_tokens"] == 0.0

@@ -162,3 +162,16 @@ def test_unigram_tokenize_ids_and_unk(spark):
     foreign = _docs(spark, ["xyzzy"])
     [row] = tok.tokenize(foreign).collect()
     assert row["token_ids"] == [-1]
+
+
+def test_unigram_empty_and_single_char_corpora(spark):
+    """Degenerate corpora must not crash: empty corpus trains an empty
+    vocab; a single 1-char word yields that char with prob 1."""
+    empty = _docs(spark, [])
+    assert ug.unigram_train(empty, vocab_size=5, n_iters=2) == []
+
+    one = _docs(spark, ["a a a"])
+    pieces = ug.unigram_train(one, vocab_size=5, n_iters=2)
+    assert pieces == [("a", 1.0)]
+    [row] = ug.unigram_tokenize(one, pieces, 4).collect()
+    assert row["token_ids"] == [0, 0, 0]
