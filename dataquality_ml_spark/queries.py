@@ -2922,13 +2922,54 @@ def subword_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile boundaries of the event value distribution — the
     ranking-family analytic the reference never had; deterministic
-    tie-break via event_id."""
+    tie-break via event_id.
+
+    Scale shape (VERDICT r5 item 1): NTILE's semantics need every row's
+    GLOBAL rank, but a `Window.orderBy(value, event_id)` with no partition
+    key funnels the whole fact table through one task.  Decompose the
+    global rank instead (the spearman midrank trick, one level deeper):
+
+    1. rows-before-my-value: cumulative count over the grouped
+       DISTINCT-value relation (|distinct| rows — a window over an
+       aggregate, never raw rows);
+    2. rank-within-my-value: `row_number` PARTITIONED BY value ordered by
+       event_id — parallel, shuffles on the value key only;
+    3. global rank = (1) + (2); NTILE bucket from the global rank with
+       exact integer arithmetic (first n%10 buckets take floor(n/10)+1
+       rows — standard NTILE fill), n coming from a 1-row broadcast agg.
+
+    Identical output to the single-window form for any tie pattern (min /
+    max / count per bucket don't depend on intra-(value,event_id) order),
+    asserted plan-shape-wise in tests/test_misc_ops.py."""
     from pyspark.sql import Window
 
-    ev_df = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    w = Window.orderBy("value", "event_id")
+    ev_df = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("value", "event_id")
+    )
+    g = ev_df.groupBy("value").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_before = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "value",
+        F.coalesce(F.sum("_cnt").over(w_before), F.lit(0)).alias("_before"),
+    )
+    n_row = g.agg(F.sum("_cnt").cast("bigint").alias("_n"))
+    w_in = Window.partitionBy("value").orderBy("event_id")
+    q = (F.col("_n") / 10).cast("bigint")  # floor(n/10)
+    r = F.col("_n") % 10
+    i = F.col("_before") + F.col("_rn")  # 1-based global rank
+    big = q + 1  # first r buckets hold q+1 rows each
+    decile = F.when(
+        i <= r * big, ((i - 1) / big).cast("bigint") + 1
+    ).otherwise(
+        r + ((i - r * big - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1
+    )
     return (
-        ev_df.select("value", F.ntile(10).over(w).alias("decile"))
+        ev_df.withColumn("_rn", F.row_number().over(w_in).cast("bigint"))
+        .join(cum, "value")
+        .crossJoin(F.broadcast(n_row))
+        .select("value", decile.cast("bigint").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
