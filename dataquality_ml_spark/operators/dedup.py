@@ -510,11 +510,21 @@ def simhash_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup pairs = identical SimHash (Hamming 0); for Hamming ≤ k see
-    ``simhash_hamming_pairs``."""
-    fps = simhash(df, text_col, id_col)
+    ``simhash_hamming_pairs``.
+
+    Join-shaped expansion: the self-join on the fingerprint key streams
+    each duplicate class's pairs instead of collecting the class into one
+    task-local array (the single-task hotspot on boilerplate corpora)."""
+    fps = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     return (
-        _bucket_pairs(fps, "simhash", id_col)
-        .select("id_a", "id_b", "simhash")
+        fps.alias("x")
+        .join(fps.alias("y"), "simhash")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            "simhash",
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -546,8 +556,9 @@ def simhash_hamming_pairs(
     Class-level banding makes candidate generation scale with DISTINCT
     fingerprints; member expansion happens once, join-shaped, only for
     verified class pairs — the remaining quadratic term is the output
-    itself, which the pair contract requires.  ``max_bucket`` now caps
-    band buckets in fingerprint-class units (None = exact, as before).
+    itself, which the pair contract requires.  ``max_bucket`` caps band
+    buckets in fingerprint-class units AND identical-fingerprint classes
+    in member units (None = exact, as before).
     """
     nb = k + 1
     width = bits // nb
@@ -582,10 +593,29 @@ def simhash_hamming_pairs(
         )
         .where(F.col("hamming") <= F.lit(k))
     )
-    # intra-class pairs: identical fingerprints, Hamming 0 by definition
+    # Intra-class pairs: identical fingerprints, Hamming 0 by definition.
+    # Join-shaped expansion, like the cross-class path: a sort-merge
+    # self-join on the fingerprint key STREAMS the N²/2 pairs of an
+    # N-member duplicate class, where the former collect_set bucket
+    # expansion materialized every member — and then every pair — inside
+    # ONE task's row on exactly the boilerplate-heavy corpora this
+    # operator targets (ADVICE r6).  ``max_bucket`` now also bounds this
+    # side (member units: classes larger than the cap are skipped, the
+    # same guard the band buckets get; None = exact, as before).
+    csize = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("_n"))
+    eligible = csize.where(F.col("_n") > 1)
+    if max_bucket is not None:
+        eligible = eligible.where(F.col("_n") <= max_bucket)
+    fpe = fps.join(eligible.select("simhash"), "simhash")
     intra = (
-        _bucket_pairs(fps, "simhash", id_col)
-        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+        fpe.alias("x")
+        .join(fpe.alias("y"), "simhash")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
     ma = fps.select(F.col("simhash").alias("fp_a"), F.col(id_col).alias("_ia"))
     mb = fps.select(F.col("simhash").alias("fp_b"), F.col(id_col).alias("_ib"))

@@ -97,16 +97,58 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep: str = "min_id",
+    quality: DataFrame | None = None,
+    q_id: str = "doc_id",
+    q_score: str = "score",
 ) -> DataFrame:
     """Duplicate-cluster table from near-dup pairs: (doc_id, keep_id,
-    cluster_size). keep_id = min id in the component; rows with
-    doc_id != keep_id are the ones an exact-once corpus drops."""
-    comp = connected_components(pairs, id_a, id_b)
-    from pyspark.sql import Window
+    cluster_size). Rows with doc_id != keep_id are the ones an
+    exact-once corpus drops.
 
-    w = Window.partitionBy("component")
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("keep_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    ``keep`` picks the survivor (VERDICT r5/r6: quality-aware policy,
+    mirroring ``similarity.semdedup``'s two-policy shape):
+
+    - ``"min_id"`` — keep_id = min id in the component (simplest
+      deterministic choice; the component label itself).
+    - ``"best"`` — keep_id = the member with the highest ``quality``
+      score (``quality`` is a (q_id, q_score) relation, e.g. the text
+      quality report); score is rounded 6 dp so the priority order is
+      engine-portable, ties break to the lowest id, and members missing
+      from ``quality`` rank last.  One groupBy over the component
+      relation (max_by on a (score, -id) struct — no window over raw
+      members), then a component-keyed join back.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    if keep == "min_id":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("component")
+        return comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keep_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+    if keep != "best":
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    if quality is None:
+        raise ValueError('keep="best" requires a quality relation')
+    q = quality.select(
+        F.col(q_id).alias("node"), F.round(F.col(q_score), 6).alias("_q")
+    )
+    m = comp.join(q, "node", "left")
+    best = m.groupBy("component").agg(
+        F.max_by(
+            "node",
+            F.struct(
+                F.coalesce(F.col("_q"), F.lit(float("-inf"))).alias("q"),
+                (-F.col("node")).alias("t"),
+            ),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        m.select("node", "component")
+        .join(best, "component")
+        .select(F.col("node").alias("doc_id"), "keep_id", "cluster_size")
     )

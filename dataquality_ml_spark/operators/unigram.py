@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 
 from dataquality_ml_spark.functions.scalar import tokens
 
+#: Hard cap on the DP lattice depth (one bounded join per character
+#: position).  Without it, ``max_word_len=None`` defaulted to the corpus
+#: max word length, so a single pathological token (base64 blob, glued
+#: URL, unsegmented CJK run) turned the driver-side plan loop into
+#: thousands of join steps — a plan explosion, not an executor problem.
+#: Words longer than the cap are excluded from the DP relation and fall
+#: back to UNK downstream (``unigram_tokenize``'s existing contract),
+#: mirroring ``max_piece_len``'s bound on the substring explosion and the
+#: unrolled-CTE oracles, whose fixed unroll depth drops over-length words
+#: at the final-position join the same way.
+DEFAULT_MAX_WORD_LEN = 32
+
+
+def _effective_max_word_len(words: DataFrame, max_word_len: int | None) -> int:
+    """min(corpus max word length, requested-or-default cap) — the DP
+    never runs more steps than the data needs, and never more than the
+    cap regardless of adversarial input."""
+    corpus_max = int(words.agg(F.max(F.length("word"))).first()[0] or 0)
+    cap = DEFAULT_MAX_WORD_LEN if max_word_len is None else max_word_len
+    return min(corpus_max, cap)
+
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) — the one corpus-scale pass."""
@@ -130,9 +151,15 @@ def em_expected_counts(
     bounded join per character position (max_word_len steps), every
     relation is vocab-sized, and the piece table rides broadcast — which
     is exactly why the unrolled-CTE DuckDB oracle can replay the step
-    verbatim.  Output: (piece, ecnt)."""
-    if max_word_len is None:
-        max_word_len = int(words.agg(F.max(F.length("word"))).first()[0] or 0)
+    verbatim.  Output: (piece, ecnt).
+
+    The lattice depth is capped (``DEFAULT_MAX_WORD_LEN``): words longer
+    than the cap are filtered out of the DP relation up front — they
+    could never reach the final-position normalizer join anyway, so this
+    changes no output row, only bounds the plan loop and skips their
+    occurrence explosion."""
+    max_word_len = _effective_max_word_len(words, max_word_len)
+    words = words.where(F.length("word") <= max_word_len)
     occ = _occurrences(words, probs, max_piece_len).localCheckpoint(eager=False)
 
     # forward: alpha(0) = 1; alpha(i) = sum_j alpha(j) * p(word[j..i]).
@@ -226,9 +253,14 @@ def viterbi_segment_words(
     (lattice depth ≤ max word length), so underflow is not a concern.
     Tie-break on equal path probability: fewer pieces, then earlier
     start — deterministic and engine-portable.
-    Output: (word, n_pieces, logp)."""
-    if max_word_len is None:
-        max_word_len = int(words.agg(F.max(F.length("word"))).first()[0] or 0)
+    Output: (word, n_pieces, logp).
+
+    Lattice depth capped like ``em_expected_counts``: over-length words
+    are dropped from the DP relation (they get no segmentation row), so
+    ``unigram_tokenize``'s UNK fallback covers them — which also keeps
+    the probability product clear of underflow (≤ cap factors)."""
+    max_word_len = _effective_max_word_len(words, max_word_len)
+    words = words.where(F.length("word") <= max_word_len)
     occ = _occurrences(words, probs, max_piece_len).localCheckpoint(eager=False)
 
     v = words.select(
@@ -297,6 +329,7 @@ def unigram_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     unk_id: int = -1,
+    max_word_len: int | None = None,
 ) -> DataFrame:
     """Corpus → token-id sequences under a unigram LM: Viterbi-segment the
     WORD relation (the piece path rides through the DP as an array — no
@@ -312,7 +345,7 @@ def unigram_tokenize(
     wc = word_counts(df, text_col)
     seg = viterbi_segment_words(
         wc, spark.createDataFrame(pieces, "piece string, prob double"),
-        max_piece_len,
+        max_piece_len, max_word_len,
     ).select("word", "pieces")
     vocab = unigram_build_vocab(pieces)
     vdf = F.broadcast(
@@ -378,6 +411,8 @@ def _py_em_step(
     implementation the relational DP must match."""
     ecnt: dict[str, float] = {}
     for w, c in words.items():
+        if len(w) > DEFAULT_MAX_WORD_LEN:
+            continue  # same cap as the relational DP — over-length → UNK
         n = len(w)
         alpha = [0.0] * (n + 1)
         alpha[0] = 1.0
@@ -408,7 +443,10 @@ def _py_viterbi(
     word: str, probs: dict[str, float], max_piece_len: int
 ) -> tuple[list[str], float]:
     """Best segmentation of one word (ties: higher prob, fewer pieces,
-    earlier start — same probability-PRODUCT rule as the relational DP)."""
+    earlier start — same probability-PRODUCT rule as the relational DP).
+    Over-cap words are unsegmentable by contract, like the relational DP."""
+    if len(word) > DEFAULT_MAX_WORD_LEN:
+        return [], float("-inf")
     n = len(word)
     best: list = [None] * (n + 1)
     best[0] = (1.0, 0, [])
@@ -466,9 +504,12 @@ def _py_train(
             ecnt.setdefault(p, 0.0)
         # prune to vocab_size: single chars always kept
         singles = {p: c for p, c in ecnt.items() if len(p) == 1}
+        # prune sort key rounds ecnt to 4 dp (same precision the EM oracle
+        # checks at): last-ulp float differences between engines/strategies
+        # cannot flip the keep/drop decision; residual ties break on piece
         multis = sorted(
             ((p, c) for p, c in ecnt.items() if len(p) >= 2),
-            key=lambda t: (-t[1], t[0]),
+            key=lambda t: (-round(t[1], 4), t[0]),
         )
         keep = dict(singles)
         for p, c in multis:
@@ -515,7 +556,7 @@ def unigram_train(
         return _py_train(words, vocab_size, n_iters, max_piece_len, max_pieces)
 
     spark = df.sparkSession
-    max_wl = int(wc.agg(F.max(F.length("word"))).first()[0] or 0)
+    max_wl = _effective_max_word_len(wc, None)
     seed = seed_pieces(wc, max_piece_len, max_pieces)
     srows = seed.collect()
     chars = [r["piece"] for r in srows if len(r["piece"]) == 1]
@@ -533,9 +574,11 @@ def unigram_train(
         for p in chars:
             ecnt.setdefault(p, 0.0)
         singles = {p: c for p, c in ecnt.items() if len(p) == 1}
+        # same 4-dp-rounded prune key as _py_train — keeps the two
+        # strategies' keep/drop decisions identical under last-ulp drift
         multis = sorted(
             ((p, c) for p, c in ecnt.items() if len(p) >= 2),
-            key=lambda t: (-t[1], t[0]),
+            key=lambda t: (-round(t[1], 4), t[0]),
         )
         keep = dict(singles)
         for p, c in multis:

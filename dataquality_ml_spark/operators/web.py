@@ -21,10 +21,88 @@ from pyspark.sql import functions as F
 from dataquality_ml_spark.functions.scalar import tokens
 
 
+#: Host bucket for rows whose URL has no parsable host.  NULL keys are
+#: invisible to the quota sampler's inner join (NULL never equals NULL),
+#: so NULL hosts were silently uncappable and unblockable (ADVICE r5);
+#: an explicit bucket makes them first-class — countable, cappable, and
+#: blockable like any other host.
+UNPARSED_HOST = "(unparsed)"
+
+#: Tracking query parameters stripped by ``canonical_url`` — the
+#: analytics decorations (UTM campaign tags, click ids) that make one
+#: page surface as many URLs in a crawl.
+TRACKING_PARAM_RE = (
+    "utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
+)
+
+
 def with_host(df: DataFrame, url_col: str = "url", out: str = "host") -> DataFrame:
     """Extract the registered host from a URL column (``parse_url`` —
-    engine builtin; the DuckDB oracle mirrors it with a regexp)."""
-    return df.withColumn(out, F.parse_url(F.col(url_col), F.lit("HOST")))
+    engine builtin; the DuckDB oracle mirrors it with a regexp).
+    Unparsable URLs land in the explicit ``UNPARSED_HOST`` bucket rather
+    than NULL, so downstream cap/blocklist joins see them."""
+    return df.withColumn(
+        out,
+        # try_parse_url: NULL (not an error) on malformed input — Spark 4's
+        # parse_url raises INVALID_URL, which would fail the whole job on
+        # one bad crawl record
+        F.coalesce(
+            F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(UNPARSED_HOST)
+        ),
+    )
+
+
+def canonical_url(col):
+    """Canonical form of a URL — pure builtin regexp algebra (no UDF, so
+    it rides whole-stage codegen and the DuckDB oracle replays it
+    verbatim with ``regexp_replace(..., 'g')``):
+
+    - strip the fragment (``#...``);
+    - lowercase the scheme and authority (never the path — paths are
+      case-sensitive);
+    - collapse ``http://`` to ``https://`` and drop a ``www.`` prefix
+      (the two aliasing axes crawl frontiers actually see);
+    - delete tracking query parameters (``TRACKING_PARAM_RE``), then
+      collapse the separator debris they leave (``?&`` runs, trailing
+      ``?``/``&``);
+    - normalize ``/?`` to ``?`` and strip one trailing slash.
+
+    Strings with no ``scheme://authority`` prefix are returned trimmed
+    but otherwise untouched — unparsable URLs stay distinct instead of
+    collapsing into one another."""
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    auth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    c = F.concat(
+        F.lower(F.regexp_extract(u, f"({auth})", 1)),
+        F.regexp_extract(u, f"{auth}(.*)$", 1),
+    )
+    c = F.regexp_replace(c, "^http://", "https://")
+    c = F.regexp_replace(c, "://www\\.", "://")
+    c = F.regexp_replace(c, f"([?&])({TRACKING_PARAM_RE})=[^&#]*", "$1")
+    c = F.regexp_replace(c, "([?&])[?&]+", "$1")
+    c = F.regexp_replace(c, "[?&]+$", "")
+    c = F.regexp_replace(c, "/\\?", "?")
+    c = F.regexp_replace(c, "/$", "")
+    return F.when(F.trim(col).rlike(auth), c).otherwise(F.trim(col))
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup on the canonical form: one map-side-combined
+    groupBy on ``canonical_url`` — (canon_url, n_docs, keep_id), keeping
+    the min-id document per canonical URL (the deterministic survivor
+    rule ``dedup_exact`` uses).  At 100 TB this is a single shuffle on
+    the canonical-url key; the canonicalization itself is codegen'd
+    string algebra on the scan."""
+    return (
+        df.withColumn("canon_url", canonical_url(F.col(url_col)))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
 
 
 def host_curation_report(

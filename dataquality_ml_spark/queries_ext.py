@@ -3839,7 +3839,9 @@ def unigram_em_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = [(r["piece"], r["freq"] / tot) for r in srows]
     pdf = spark.createDataFrame(probs, "piece string, prob double")
     return (
-        ug.em_expected_counts(wc, pdf, _UG_ML)
+        # cap == the oracle's unroll depth, so both engines drop
+        # over-length words at exactly the same lattice depth
+        ug.em_expected_counts(wc, pdf, _UG_ML, max_word_len=_UG_L)
         .select("piece", (F.round("ecnt", 4) + 0).alias("ecnt"))
         .orderBy("piece")
     )
@@ -3865,7 +3867,9 @@ def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(r["piece"], r["freq"] / tot) for r in srows],
             "piece string, prob double",
         )
-        seg = ug.viterbi_segment_words(wc, pdf, _UG_ML).select("word", "n_pieces")
+        seg = ug.viterbi_segment_words(
+            wc, pdf, _UG_ML, max_word_len=_UG_L
+        ).select("word", "n_pieces")
         return ug.unigram_segment(docs, seg).orderBy("doc_id")
 
 
@@ -4129,7 +4133,8 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=lambda t: (-t[1], t[0]),
         )
         return ug.unigram_tokenize(
-            docs.where(F.col("doc_id") < 40), pieces, _UG_ML
+            docs.where(F.col("doc_id") < 40), pieces, _UG_ML,
+            max_word_len=_UG_L,
         ).orderBy("doc_id")
 
 
@@ -4189,7 +4194,9 @@ def tokenizer_compare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(r["piece"], r["freq"] / tot) for r in srows],
             "piece string, prob double",
         )
-        seg = ug.viterbi_segment_words(wc, pdf, _UG_ML).select("word", "n_pieces")
+        seg = ug.viterbi_segment_words(
+            wc, pdf, _UG_ML, max_word_len=_UG_L
+        ).select("word", "n_pieces")
         u = ug.unigram_segment(docs, seg).agg(
             F.lit("unigram").alias("tokenizer"),
             F.sum("n_words").alias("n_words"),
@@ -4418,3 +4425,165 @@ def mixture_epochs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         token_budget=1_000_000,
     ).orderBy("source")
+
+
+# ===========================================================================
+# Round 7: URL canonicalization + URL-level dedup (VERDICT r6 item 4)
+# ===========================================================================
+
+_URL_AUTH = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+_URL_CANON_SQL = r"""
+      CASE WHEN regexp_matches(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://')
+      THEN
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+              || regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+          '^http://', 'https://', 'g'),
+          '://www\.', '://', 'g'),
+          '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*',
+          '\1', 'g'),
+          '([?&])[?&]+', '\1', 'g'),
+          '[?&]+$', '', 'g'),
+          '/\?', '?', 'g'),
+          '/$', '', 'g')
+      ELSE trim(url) END
+"""
+
+
+@register(
+    "url_dedup_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             'https://' || source || '.example.org/page/'
+               || CAST(doc_id // 4 AS VARCHAR) AS base
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 97 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+          WHEN doc_id % 4 = 1 THEN 'HTTP://WWW.'
+               || upper(source || '.example.org') || '/page/'
+               || CAST(doc_id // 4 AS VARCHAR)
+          WHEN doc_id % 4 = 2 THEN base || '/?utm_source=feed&utm_campaign=x'
+          WHEN doc_id % 4 = 3 THEN base || '?gclid=abc123&fbclid=z9'
+          ELSE base END AS url
+      FROM d
+    ),
+    su AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '', 'g') AS s
+           FROM u),
+    c AS (SELECT doc_id, {_URL_CANON_SQL} AS canon_url FROM su)
+    SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM c GROUP BY canon_url ORDER BY canon_url
+    """,
+)
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup on the canonical form (VERDICT r6 item 4):
+    synthesize four surface variants per page — plain, SHOUTING
+    scheme/host + www, trailing-slash + UTM tags, click-id params — and
+    every ~97th doc an unparsable string.  Canonicalization (pure
+    codegen'd regexp algebra, ``operators/web.canonical_url``) collapses
+    the four variants to one URL while unparsable strings stay distinct;
+    dedup is one map-side-combined groupBy on the canonical key.  The
+    oracle replays the same regexp pipeline with DuckDB's 'g'-flagged
+    ``regexp_replace``."""
+    from dataquality_ml_spark.operators.web import url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/page/"),
+        F.expr("doc_id div 4").cast("string"),
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTP://WWW."),
+                F.upper(F.concat(F.col("source"), F.lit(".example.org"))),
+                F.lit("/page/"),
+                F.expr("doc_id div 4").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("/?utm_source=feed&utm_campaign=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.concat(base, F.lit("?gclid=abc123&fbclid=z9")),
+        )
+        .otherwise(base)
+    )
+    return (
+        url_dedup(d.withColumn("url", url))
+        .select(
+            "canon_url",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("keep_id").cast("bigint").alias("keep_id"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+@register(
+    "dedup_best_survivor_docs",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id, doc_id // 6 AS grp,
+             len(string_split_regex(trim(text), '\s+')) AS q
+      FROM documents
+    ),
+    sz AS (SELECT grp, COUNT(*) AS cluster_size FROM g
+           GROUP BY grp HAVING COUNT(*) > 1),
+    k AS (
+      SELECT grp, doc_id AS keep_id FROM (
+        SELECT grp, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY q DESC, doc_id)
+                 AS rk
+        FROM g) WHERE rk = 1
+    )
+    SELECT g.doc_id, k.keep_id, sz.cluster_size
+    FROM g JOIN sz USING (grp) JOIN k USING (grp)
+    ORDER BY g.doc_id
+    """,
+)
+def dedup_best_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-survivor policy (VERDICT r6 item 5):
+    near-dup clusters (synthesized as blocks of 6 consecutive doc_ids so
+    the oracle can replay membership exactly) resolved with
+    ``dedup_clusters(keep="best")`` — the survivor is the member with the
+    most tokens, NOT the min id, ties to the lowest id.  The oracle
+    replays the keeper with a full per-group window; equality proves the
+    groupBy/max_by decomposition picks the identical survivor."""
+    from dataquality_ml_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.withColumn("_grp", F.expr("doc_id div 6"))
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "_grp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    quality = d.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("score")
+    )
+    return (
+        dedup_clusters(pairs, keep="best", quality=quality)
+        .select(
+            "doc_id",
+            F.col("keep_id").cast("bigint").alias("keep_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1461,3 +1461,123 @@ def test_trim_boilerplate_lines_semantics(spark):
     # without the corpus check the boilerplate line survives
     out2 = {r["doc_id"]: r for r in trim_boilerplate_lines(df).collect()}
     assert out2[0]["n_kept"] == 2 and boiler in out2[0]["text"]
+
+
+def test_simhash_duplicate_saturated_corpus_and_cap(spark):
+    """Duplicate-saturated corpus (VERDICT r6 item 2): one fingerprint
+    class holds most of the corpus.  The join-shaped intra-class
+    expansion must emit every N²/2 pair exactly once without a
+    collect_set of the whole class, and ``max_bucket`` must now bound the
+    intra-class side too — a class larger than the cap is skipped, the
+    same guard the band buckets get."""
+    from itertools import combinations
+
+    from dataquality_ml_spark.operators.dedup import simhash_hamming_pairs
+
+    dup = "boilerplate header identical on every page of this site"
+    texts = [dup] * 12 + [
+        "one genuinely unique document about adaptive query execution",
+        "another unique document on broadcast joins and skew salting",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(df, k=3).collect()
+        if r["hamming"] == 0
+    }
+    want = set(combinations(range(12), 2))
+    assert got >= want  # every intra-class pair, exactly once (set ==)
+    n_intra = sum(
+        1 for r in simhash_hamming_pairs(df, k=3).collect() if r["hamming"] == 0
+    )
+    assert n_intra >= len(want)  # no pair lost
+
+    # cap below the class size: the 12-member class is skipped entirely,
+    # so no Hamming-0 pair among the duplicate ids survives
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(df, k=3, max_bucket=8).collect()
+    }
+    assert not (capped & want)
+
+
+def test_canonical_url_and_unparsed_host_bucket(spark):
+    """canonical_url collapses scheme-case/www/tracking/trailing-slash
+    variants, leaves unparsable strings distinct; with_host routes
+    host-less rows to the explicit UNPARSED_HOST bucket so the quota
+    sampler's inner join can no longer silently drop them (ADVICE r5)."""
+    from dataquality_ml_spark.operators.web import (
+        UNPARSED_HOST,
+        canonical_url,
+        host_curation_report,
+        with_host,
+    )
+
+    variants = [
+        "https://site.example.org/page/7",
+        "HTTP://WWW.SITE.EXAMPLE.ORG/page/7",
+        "https://site.example.org/page/7/?utm_source=feed&utm_campaign=x",
+        "https://site.example.org/page/7?gclid=abc&fbclid=z#frag",
+        "https://site.example.org/page/7?utm_a=1&keep=2&utm_b=3",
+        "not a url at all",
+        "also notaurl",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants)], "doc_id bigint, url string"
+    )
+    got = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    canon = "https://site.example.org/page/7"
+    assert got[0] == got[1] == got[2] == got[3] == canon
+    assert got[4] == canon + "?keep=2"  # non-tracking param survives
+    assert got[5] == "not a url at all" and got[6] == "also notaurl"
+
+    hosts = {r["doc_id"]: r["host"] for r in with_host(df).collect()}
+    assert hosts[0] == "site.example.org"
+    assert hosts[5] == UNPARSED_HOST and hosts[6] == UNPARSED_HOST
+
+    # unparsed bucket is cappable + blockable like any host
+    df2 = df.withColumn("text", F.lit("some words here"))
+    rep = {r["host"]: r for r in
+           host_curation_report(df2, cap=1, blocklist=[UNPARSED_HOST]).collect()}
+    assert rep[UNPARSED_HOST]["n_docs"] == 2
+    assert rep[UNPARSED_HOST]["blocked"] == 1
+    assert rep[UNPARSED_HOST]["n_kept"] == 0
+
+
+def test_dedup_clusters_keep_best(spark):
+    """keep="best" survivor policy: highest quality wins, ties break to
+    the lowest id, members missing from the quality relation rank last,
+    and keep="min_id" behavior is unchanged."""
+    from dataquality_ml_spark.operators.graph import dedup_clusters
+
+    # two components: {1,2,3} (chain) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    # node 3 has the best score; node 11 missing → 10 wins despite lower
+    # score than nothing; tie between 1 and 2 is irrelevant (3 wins)
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.5), (3, 0.9), (10, -4.0)],
+        "doc_id bigint, score double",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_clusters(pairs, keep="best", quality=quality).collect()}
+    assert {out[n]["keep_id"] for n in (1, 2, 3)} == {3}
+    assert out[1]["cluster_size"] == 3
+    assert {out[n]["keep_id"] for n in (10, 11)} == {10}
+
+    # exact tie across the whole component → lowest id survives
+    q_tied = spark.createDataFrame(
+        [(n, 1.0) for n in (1, 2, 3, 10, 11)], "doc_id bigint, score double"
+    )
+    tied = {r["doc_id"]: r["keep_id"] for r in
+            dedup_clusters(pairs, keep="best", quality=q_tied).collect()}
+    assert tied[3] == 1 and tied[11] == 10
+
+    # min_id default unchanged
+    mn = {r["doc_id"]: r["keep_id"] for r in dedup_clusters(pairs).collect()}
+    assert mn == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -367,3 +367,66 @@ def test_suggest_rules_all_null_numeric_column(spark):
     assert ("dead", "in_range") not in kinds
     assert ("dead", "not_null") not in kinds
     assert ("live", "in_range") in kinds
+
+
+def test_value_deciles_plan_and_ntile_parity(spark, tmp_path):
+    """value_deciles' decomposed-rank rewrite (VERDICT r5 item 1 / r6
+    item 3): (a) values match F.ntile exactly on a heavily-tied dataset,
+    and (b) the physical plan has NO partition-less window over the raw
+    events relation — every global window sits above an aggregate."""
+    import re
+
+    from pyspark.sql import Window
+
+    from dataquality_ml_spark import plans
+    from dataquality_ml_spark.queries import value_deciles
+
+    # heavily tied events: 1,000 rows over 7 distinct values (+ NULLs)
+    rows = [(i, float(i % 7)) for i in range(1000)] + [(2000, None), (2001, None)]
+    spark.createDataFrame(rows, "event_id bigint, value double").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+
+    got = value_deciles(spark, str(tmp_path))
+    want = (
+        spark.read.parquet(f"{tmp_path}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .withColumn(
+            "decile", F.ntile(10).over(Window.orderBy("value", "event_id"))
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+    # plan shape: for every window with an UNPARTITIONED spec (first spec
+    # argument is an ordering, i.e. carries ASC/DESC), the subtree below
+    # it must hit an Aggregate before any parquet Scan — the global
+    # windows only ever run over grouped relations, never raw rows.
+    plan = plans.formatted_plan(got)
+    tree, _, details = plan.partition("\n\n")
+    global_ids = set()
+    for m in re.finditer(r"\((\d+)\) Window\n(?:[^\n]*\n)*?\s*Arguments: "
+                         r"\[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        first_arg = m.group(2).split(",")[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            global_ids.add(m.group(1))
+    assert global_ids, "expected at least one global window (cumulative counts)"
+    tree_lines = tree.splitlines()
+    for wid in global_ids:
+        idx = next(
+            i for i, ln in enumerate(tree_lines) if f"Window ({wid})" in ln
+        )
+        for ln in tree_lines[idx + 1:]:
+            if "Aggregate" in ln:
+                break  # grouped input before any scan: scale-safe
+            assert "Scan parquet" not in ln, (
+                f"global window ({wid}) runs over the raw scan:\n{tree}"
+            )

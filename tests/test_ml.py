@@ -344,3 +344,41 @@ def test_explain_supports_keras_dense_backend(spark):
     contrib = model.feature_contributions(x)
     assert contrib.shape == (80, 3)
     assert np.allclose(contrib.mean(axis=1), model.reconstruction_error(x))
+
+
+def test_feature_model_memo_invalidates_on_data_change(spark, tmp_path):
+    """The fitted-feature memo is keyed on (sf_dir, file fingerprint):
+    rewriting the data in place must trigger a refit, not serve stale
+    stats (ADVICE r5 low)."""
+    import time
+
+    from dataquality_ml_spark.queries import (
+        _lineitem_features,
+        clear_feature_model_memo,
+    )
+
+    def write(mult):
+        rows = [
+            (i, 1, "N", float(i * mult), 100.0 * i * mult, 0.04, 0.02)
+            for i in range(1, 21)
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey bigint, l_linenumber int, l_returnflag string, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/lineitem.parquet"
+        )
+
+    clear_feature_model_memo()
+    write(1)
+    _, m1 = _lineitem_features(spark, str(tmp_path))
+    _, m1b = _lineitem_features(spark, str(tmp_path))
+    assert m1b is m1  # unchanged data → memo hit
+
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    write(3)
+    _, m2 = _lineitem_features(spark, str(tmp_path))
+    assert m2 is not m1  # regenerated data → refit
+    clear_feature_model_memo()

@@ -1,0 +1,102 @@
+"""Scale-curve CI smoke (VERDICT r5 item 6 / r6 item 6): measure the
+wall-clock scaling exponent α = log(t_4x / t_1x) / log(4) of the headline
+corpus operators on synthetic corpora at 1× and 4× size, and assert each
+stays clearly sublinear in measured cost.
+
+This is the test that would have caught both registry scale-killers as
+MEASUREMENTS instead of code-review findings: the pre-rewrite
+simhash intra-class expansion measured α≈1.9 on a duplicate-saturated
+corpus, and an unbounded unigram DP loop scales with max word length, not
+corpus size — both now pinned here.
+
+Methodology notes baked into the thresholds:
+- Each op gets one warm-up run at 1× (JIT, codegen, shuffle-service
+  spin-up), then the measured 1× and 4× runs.  Spark's fixed per-job
+  overhead (~0.3-1 s) biases α DOWN at these sizes, so a LOW bound
+  cannot prove linearity — but a quadratic blow-up still shows clearly
+  (the simhash incident measured α≈1.9 at 10×).  The assert bound 1.25
+  leaves noise headroom while failing hard on quadratic regressions.
+- The corpora are deterministic expression-generated (no Python row
+  loops): bounded vocab (so the word/vocab relations saturate — the
+  property the tokenizer family's corpus-independence relies on), plus a
+  20% identical-boilerplate class to saturate duplicate handling.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+N1 = 1_500
+FACTOR = 4
+ALPHA_BOUND = 1.25
+
+
+def _docs(spark, n: int):
+    """Deterministic synthetic corpus: 18 words/doc from a 97-word vocab;
+    every 5th doc is the same boilerplate line (duplicate saturation)."""
+    boiler = "the same boilerplate header on every page of this site again"
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 5 == 0, F.lit(boiler))
+            .otherwise(
+                F.expr(
+                    "array_join(transform(sequence(1, 18), "
+                    "i -> concat('w', pmod(id * i + i * i, 97))), ' ')"
+                )
+            )
+            .alias("text"),
+        )
+        .localCheckpoint(eager=True)  # generation cost off the clock
+    )
+
+
+def _measure(fn, df) -> float:
+    t0 = time.monotonic()
+    fn(df)
+    return time.monotonic() - t0
+
+
+def _alpha(spark, fn) -> float:
+    d1, d4 = _docs(spark, N1), _docs(spark, N1 * FACTOR)
+    _measure(fn, d1)  # warm-up
+    t1 = max(_measure(fn, d1), 1e-3)
+    t4 = max(_measure(fn, d4), 1e-3)
+    return math.log(t4 / t1) / math.log(FACTOR)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["simhash_hamming", "minhash_pairs", "unigram_em", "exact_dedup"],
+)
+def test_headliner_scale_exponent(spark, name):
+    from dataquality_ml_spark.operators import dedup, unigram as ug
+
+    if name == "simhash_hamming":
+        fn = lambda df: dedup.simhash_hamming_pairs(df, k=3).count()  # noqa: E731
+    elif name == "minhash_pairs":
+        fn = lambda df: dedup.minhash_dedup_pairs(df).count()  # noqa: E731
+    elif name == "exact_dedup":
+        fn = lambda df: dedup.dedup_exact(df).count()  # noqa: E731
+    else:
+
+        def fn(df):
+            wc = ug.word_counts(df).localCheckpoint(eager=False)
+            srows = ug.seed_pieces(wc, 4, 24).collect()
+            tot = sum(r["freq"] for r in srows)
+            pdf = df.sparkSession.createDataFrame(
+                [(r["piece"], r["freq"] / tot) for r in srows],
+                "piece string, prob double",
+            )
+            ug.em_expected_counts(wc, pdf, 4).count()
+
+    a = _alpha(spark, fn)
+    assert a < ALPHA_BOUND, (
+        f"{name}: scaling exponent α={a:.2f} at {FACTOR}× corpus size — "
+        f"superlinear regression (bound {ALPHA_BOUND})"
+    )

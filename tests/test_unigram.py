@@ -175,3 +175,57 @@ def test_unigram_empty_and_single_char_corpora(spark):
     assert pieces == [("a", 1.0)]
     [row] = ug.unigram_tokenize(one, pieces, 4).collect()
     assert row["token_ids"] == [0, 0, 0]
+
+
+def test_pathological_long_token_bounded_dp(spark):
+    """A single 1,000-char token must NOT inflate the DP plan loop: the
+    lattice depth is capped at DEFAULT_MAX_WORD_LEN, the over-length word
+    is excluded from the DP relation, and it tokenizes to a single UNK —
+    while normal words in the same corpus segment exactly as before
+    (ADVICE r6 medium / VERDICT r6 item 1)."""
+    blob = "ab" * 500  # 1,000 chars, fully coverable by the vocab
+    df = _docs(spark, [f"hash table {blob}", "hash hash table"])
+    clean = _docs(spark, ["hash table", "hash hash table"])
+
+    wc = ug.word_counts(df)
+    probs, pdf = _seed_probs(spark, wc, ml=4, mp=12)
+
+    # the effective lattice depth is the cap, not the 1,000-char max
+    assert ug._effective_max_word_len(wc, None) == ug.DEFAULT_MAX_WORD_LEN
+
+    # EM: over-length word contributes nothing; z-normalized totals cover
+    # exactly the characters of the in-cap words
+    got = ug.em_expected_counts(wc, pdf, 4).collect()
+    covered = sum(r["ecnt"] * len(r["piece"]) for r in got)
+    in_cap_chars = sum(
+        len(r["word"]) * r["cnt"]
+        for r in wc.collect()
+        if len(r["word"]) <= ug.DEFAULT_MAX_WORD_LEN
+    )
+    assert abs(covered - in_cap_chars) < 1e-9
+
+    # Viterbi: the blob gets no segmentation row → UNK on tokenize;
+    # the clean words' segmentations are unchanged by the blob's presence
+    seg = {r["word"]: r["n_pieces"] for r in
+           ug.viterbi_segment_words(wc, pdf, 4).collect()}
+    assert blob not in seg
+    wc_clean = ug.word_counts(clean)
+    seg_clean = {r["word"]: r["n_pieces"] for r in
+                 ug.viterbi_segment_words(wc_clean, pdf, 4).collect()}
+    for w, n in seg_clean.items():
+        assert seg[w] == n
+
+    # training completes (the point: bounded plan, no 1,000-step loop)
+    # and both strategies still agree in the blob's presence
+    loc = ug.unigram_train(df, vocab_size=12, n_iters=2, strategy="local")
+    dist = ug.unigram_train(df, vocab_size=12, n_iters=2, strategy="distributed")
+    assert [p for p, _ in loc] == [p for p, _ in dist]
+    for (p1, q1), (p2, q2) in zip(loc, dist):
+        assert abs(q1 - q2) < 1e-9
+
+    # tokenize: blob word → single UNK id
+    pieces = loc
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in ug.unigram_tokenize(df, pieces, 4).collect()}
+    assert rows[0][-1] == -1  # trailing blob token is UNK
+    assert -1 not in rows[1]
