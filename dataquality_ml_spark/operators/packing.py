@@ -174,3 +174,136 @@ def pack_pieces(
         (p_start - seq_lo).alias("piece_offset"),
         (p_end - p_start + 1).alias("piece_len"),
     )
+
+
+def pack_doc_boundary(
+    df: DataFrame,
+    budget: int,
+    n_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    block: int = 512,
+) -> DataFrame:
+    """Greedy next-fit sequence packing at DOCUMENT boundaries: a doc
+    that would straddle the ``budget`` opens a new sequence instead (the
+    no-straddle trainer contract), so sequences carry padding — which is
+    exactly what ``packing_fill_report`` measures.  Docs with
+    n >= budget take ceil(n/budget) sequences of their own.
+
+    Greedy next-fit is inherently sequential (the assignment depends on
+    the running fill), so it cannot be a prefix sum.  Scale shape: docs
+    get a deterministic global rank (``pack_sequences`` with unit
+    weights — the distributed two-level prefix sum), ranks split into
+    fixed ``block``-doc blocks, each block packs independently with an
+    in-memory greedy loop (``applyInPandas``, ≤ ``block`` rows per
+    task — bounded, embarrassingly parallel), and block-local sequence
+    ids shift by an exclusive prefix sum over the per-block sequence
+    counts (a |docs|/block-sized relation through the same two-level
+    machinery).  Deviation from a single global greedy scan, documented:
+    every block starts a fresh sequence, wasting at most one partial
+    sequence per ``block`` docs — the run is deterministic and
+    oracle-replayable, unlike range-partition-boundary packing.
+
+    Output: (id_col, n_col, seq_id)."""
+    import pandas as pd
+
+    ranked = (
+        pack_sequences(
+            df.select(id_col).withColumn("_one", F.lit(1)),
+            budget=block,
+            n_col="_one",
+            id_col=id_col,
+        )
+        .select(
+            id_col,
+            F.col("seq_id").alias("_blk"),
+            F.col("seq_offset").alias("_idx"),
+        )
+        .join(df.select(id_col, n_col), id_col)
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_idx")
+        seq, fill, assigned = 0, 0, []
+        for n in pdf[n_col]:
+            n = int(n)
+            if n >= budget:
+                asn = seq + 1 if fill > 0 else seq
+                assigned.append(asn)
+                seq, fill = asn + (n + budget - 1) // budget, 0
+            elif fill + n > budget:
+                seq += 1
+                assigned.append(seq)
+                fill = n
+            else:
+                assigned.append(seq)
+                fill += n
+        nseqs = seq + (1 if fill > 0 else 0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                n_col: pdf[n_col].values,
+                "_blk": pdf["_blk"].values,
+                "_local_seq": assigned,
+                "_blk_nseqs": nseqs,
+            }
+        )
+
+    packed = ranked.groupBy("_blk").applyInPandas(
+        _pack,
+        schema=f"{id_col} bigint, {n_col} bigint, _blk bigint, "
+        "_local_seq bigint, _blk_nseqs bigint",
+    ).localCheckpoint(eager=False)
+
+    # exclusive prefix over per-block sequence counts — the block stats
+    # relation is |docs|/block rows, pushed through the same two-level
+    # decomposition (unit-weight pack_sequences would re-rank; here the
+    # key IS the order, so partition subtotals + driver prefix suffice)
+    bstats = packed.select("_blk", "_blk_nseqs").distinct()
+    parts = bstats.repartitionByRange(F.col("_blk")).sortWithinPartitions("_blk")
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    subtotals = (
+        with_pid.groupBy("_pid").agg(F.sum("_blk_nseqs").alias("_psum")).collect()
+    )
+    acc, offsets = 0, []
+    for r in sorted(subtotals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += int(r["_psum"] or 0)
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_off = (
+        with_pid.join(off_df, "_pid")
+        .withColumn(
+            "_blk_off",
+            F.coalesce(F.sum("_blk_nseqs").over(w), F.lit(0)) + F.col("_off"),
+        )
+        .select("_blk", "_blk_off")
+    )
+    return (
+        packed.join(F.broadcast(blk_off), "_blk")
+        .select(
+            id_col,
+            n_col,
+            (F.col("_blk_off") + F.col("_local_seq")).alias("seq_id"),
+        )
+    )
+
+
+def packing_fill_report(
+    assigned: DataFrame, budget: int, n_col: str = "n_tokens"
+) -> DataFrame:
+    """Fill-rate report over a packing assignment: per sequence the doc
+    count, used tokens, and fill rate (used/budget — the padding a
+    no-straddle trainer eats).  One map-side-combined groupBy.
+    Output: (seq_id, n_docs, used_tokens, fill_rate)."""
+    return assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_col).cast("bigint").alias("used_tokens"),
+        F.round(F.sum(n_col) / F.lit(float(budget)), 4).alias("fill_rate"),
+    )

@@ -4587,3 +4587,77 @@ def dedup_best_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _pack_fill_oracle(bud: int = 256, blk: int = 64) -> str:
+    """Replay block-greedy next-fit packing as a RECURSIVE CTE: the
+    working table advances one in-block doc index per iteration carrying
+    (open seq, fill) state — the sequential scan pack_doc_boundary
+    distributes blockwise."""
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    asn = (
+        f"CASE WHEN b.nt >= {bud} THEN "
+        f"(CASE WHEN st.fill > 0 THEN st.seq + 1 ELSE st.seq END) "
+        f"WHEN st.fill + b.nt > {bud} THEN st.seq + 1 ELSE st.seq END"
+    )
+    return f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    n AS (SELECT doc_id, len(t) AS nt,
+                 ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rnk
+          FROM toks),
+    b AS (SELECT doc_id, nt, rnk // {blk} AS blk, rnk % {blk} AS idx FROM n),
+    st AS (
+      SELECT blk, CAST(-1 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS seq,
+             CAST(0 AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS assigned,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS nt
+      FROM (SELECT DISTINCT blk FROM b)
+      UNION ALL
+      SELECT b.blk, b.idx,
+        CASE WHEN b.nt >= {bud} THEN ({asn}) + (b.nt + {bud - 1}) // {bud}
+             ELSE ({asn}) END AS seq,
+        CASE WHEN b.nt >= {bud} THEN 0
+             WHEN st.fill + b.nt > {bud} THEN b.nt
+             ELSE st.fill + b.nt END AS fill,
+        {asn} AS assigned,
+        b.doc_id, b.nt
+      FROM st JOIN b ON b.blk = st.blk AND b.idx = st.idx + 1
+    ),
+    asn AS (SELECT blk, doc_id, nt, assigned FROM st WHERE idx >= 0),
+    fin AS (SELECT blk, MAX(idx) AS mi FROM st GROUP BY blk),
+    bstat AS (SELECT st.blk,
+                     st.seq + CASE WHEN st.fill > 0 THEN 1 ELSE 0 END AS nseqs
+              FROM st JOIN fin ON fin.blk = st.blk AND fin.mi = st.idx),
+    offs AS (SELECT blk, COALESCE(SUM(nseqs) OVER (ORDER BY blk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM bstat),
+    g AS (SELECT a.doc_id, a.nt, o.off + a.assigned AS seq_id
+          FROM asn a JOIN offs o ON o.blk = a.blk)
+    SELECT seq_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS used_tokens,
+           ROUND(SUM(nt) / {bud}.0, 4) + 0 AS fill_rate
+    FROM g GROUP BY seq_id ORDER BY seq_id
+    """
+
+
+@register("pack_fill_report_docs", oracle=_pack_fill_oracle())
+def pack_fill_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fill-rate report (VERDICT r5 item 5 carry): doc-boundary
+    (no-straddle) greedy packing at budget=256 in 64-doc blocks, then the
+    per-sequence fill report — the padding-loss accounting a trainer
+    needs before committing to a no-straddle data loader.  The oracle
+    replays the greedy scan as a recursive CTE; equality proves the
+    blockwise distribution (bounded applyInPandas + two-level sequence
+    renumbering) matches the sequential semantics exactly."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators.packing import (
+        pack_doc_boundary,
+        packing_fill_report,
+    )
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        n_df = tx.token_stats(_docs_nfc(spark, sf_dir)).select(
+            "doc_id", "n_tokens"
+        )
+        assigned = pack_doc_boundary(n_df, budget=256, block=64)
+        return packing_fill_report(assigned, budget=256).orderBy("seq_id")

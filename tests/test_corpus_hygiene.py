@@ -1581,3 +1581,51 @@ def test_dedup_clusters_keep_best(spark):
     # min_id default unchanged
     mn = {r["doc_id"]: r["keep_id"] for r in dedup_clusters(pairs).collect()}
     assert mn == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pack_doc_boundary_greedy_and_oversize(spark):
+    """pack_doc_boundary: no doc straddles the budget, greedy next-fit
+    matches a sequential reference replay (including oversize docs taking
+    ceil(n/budget) sequences of their own), and the fill report accounts
+    every token exactly once."""
+    from dataquality_ml_spark.operators.packing import (
+        pack_doc_boundary,
+        packing_fill_report,
+    )
+
+    budget, block = 10, 4
+    ns = [3, 4, 2, 6, 5, 25, 1, 9, 2, 8, 7]  # includes an oversize (25)
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ns)], "doc_id bigint, n_tokens bigint"
+    )
+    got = {r["doc_id"]: r["seq_id"] for r in
+           pack_doc_boundary(df, budget, block=block).collect()}
+
+    # sequential reference: same blockwise greedy
+    want, seq_base = {}, 0
+    for b in range(0, len(ns), block):
+        seq, fill = 0, 0
+        for i in range(b, min(b + block, len(ns))):
+            n = ns[i]
+            if n >= budget:
+                asn = seq + 1 if fill > 0 else seq
+                want[i] = seq_base + asn
+                seq, fill = asn + -(-n // budget), 0
+            elif fill + n > budget:
+                seq += 1
+                want[i], fill = seq_base + seq, n
+            else:
+                want[i] = seq_base + seq
+                fill += n
+        seq_base += seq + (1 if fill > 0 else 0)
+    assert got == want
+
+    rep = packing_fill_report(
+        pack_doc_boundary(df, budget, block=block), budget
+    ).collect()
+    assert sum(r["used_tokens"] for r in rep) == sum(ns)
+    # no-straddle: every non-oversize sequence fits within budget
+    for r in rep:
+        docs_in_seq = [ns[i] for i, s in got.items() if s == r["seq_id"]]
+        if all(n < budget for n in docs_in_seq):
+            assert r["used_tokens"] <= budget
