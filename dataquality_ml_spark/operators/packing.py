@@ -285,8 +285,11 @@ def pack_doc_boundary(
         )
         .select("_blk", "_blk_off")
     )
+    # no broadcast hint: blk_off is |docs|/block rows — comfortably
+    # broadcastable at test scale (AQE will pick that), but at 100 TB it
+    # is ~100M rows and the _blk-keyed shuffle join is the right plan
     return (
-        packed.join(F.broadcast(blk_off), "_blk")
+        packed.join(blk_off, "_blk")
         .select(
             id_col,
             n_col,
