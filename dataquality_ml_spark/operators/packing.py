@@ -37,36 +37,18 @@ def pack_sequences(
     seq_id = global_start // budget, seq_offset = global_start % budget,
     where global_start = sum of n_col over all docs ordered before it.
     Documents may straddle a budget boundary (offset + n > budget); a
-    trainer that forbids straddling filters or re-packs the stragglers."""
-    parts = df.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    subtotals = (
-        with_pid.groupBy("_pid").agg(F.sum(n_col).alias("_psum")).collect()
-    )
-    acc = 0
-    offsets = []
-    for r in sorted(subtotals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], acc))
-        acc += r["_psum"]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "_pid int, _off long")
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum(n_col).over(w), F.lit(0)) + F.col("_off")
-    return (
-        with_pid.join(off_df, "_pid")
-        .withColumn("_start", start)
-        .select(
-            id_col,
-            n_col,
-            (F.col("_start") / budget).cast("bigint").alias("seq_id"),
-            (F.col("_start") % budget).alias("seq_offset"),
-        )
+    trainer that forbids straddling uses ``pack_doc_boundary``.
+
+    The prefix sum is ``relational.exclusive_prefix_sum`` — the
+    two-level decomposition documented in the module docstring, shared
+    with ``value_deciles``' global rank."""
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    return exclusive_prefix_sum(df, id_col, n_col, out="_start").select(
+        id_col,
+        n_col,
+        (F.col("_start") / budget).cast("bigint").alias("seq_id"),
+        (F.col("_start") % budget).alias("seq_offset"),
     )
 
 
@@ -256,35 +238,15 @@ def pack_doc_boundary(
 
     # exclusive prefix over per-block sequence counts — the block stats
     # relation is |docs|/block rows, pushed through the same two-level
-    # decomposition (unit-weight pack_sequences would re-rank; here the
-    # key IS the order, so partition subtotals + driver prefix suffice)
-    bstats = packed.select("_blk", "_blk_nseqs").distinct()
-    parts = bstats.repartitionByRange(F.col("_blk")).sortWithinPartitions("_blk")
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    subtotals = (
-        with_pid.groupBy("_pid").agg(F.sum("_blk_nseqs").alias("_psum")).collect()
-    )
-    acc, offsets = 0, []
-    for r in sorted(subtotals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], acc))
-        acc += int(r["_psum"] or 0)
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("_blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    blk_off = (
-        with_pid.join(off_df, "_pid")
-        .withColumn(
-            "_blk_off",
-            F.coalesce(F.sum("_blk_nseqs").over(w), F.lit(0)) + F.col("_off"),
-        )
-        .select("_blk", "_blk_off")
-    )
+    # decomposition as the rank stage
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    blk_off = exclusive_prefix_sum(
+        packed.select("_blk", "_blk_nseqs").distinct(),
+        "_blk",
+        "_blk_nseqs",
+        out="_blk_off",
+    ).select("_blk", "_blk_off")
     # no broadcast hint: blk_off is |docs|/block rows — comfortably
     # broadcastable at test scale (AQE will pick that), but at 100 TB it
     # is ~100M rows and the _blk-keyed shuffle join is the right plan

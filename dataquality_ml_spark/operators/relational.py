@@ -388,3 +388,57 @@ def temperature_sample(
         f"{group_col} {group_type}, _cnt bigint, _quota int",
     )
     return _two_phase_quota_window(df, group_col, key, quota_df, margin)
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "_before",
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` in ``order_col``
+    order: every row gains ``out`` = sum of val over all rows strictly
+    before it.  The single-task killer this replaces is
+    ``sum() over (order by order_col)`` with no partition key — the
+    whole relation through one window task.
+
+    Two-level decomposition (the ``packing.pack_sequences`` shape,
+    extracted for reuse): range-repartition on the order key (ranges are
+    totally ordered across partitions, so partition id IS rank order),
+    aggregate per-partition subtotals (|partitions| rows — the only
+    thing the driver ever sees), exclusive-prefix them driver-side,
+    broadcast the partition offsets back, and add an intra-partition
+    running sum (window PARTITIONED by partition id — parallel).  Output
+    is invariant to where the sampled range boundaries land.
+
+    ``order_col`` must be unique per row for a deterministic result (use
+    a distinct/grouped relation or a unique key).  Adds one range
+    shuffle; the result keeps the range partitioning, so a downstream
+    orderBy(order_col) is nearly free.
+    """
+    parts = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    subtotals = (
+        with_pid.groupBy("_pid").agg(F.sum(val_col).alias("_psum")).collect()
+    )
+    acc, offsets = 0, []
+    for r in sorted(subtotals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += int(r["_psum"] or 0)
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_pid.join(off_df, "_pid")
+        .withColumn(
+            out, F.coalesce(F.sum(val_col).over(w), F.lit(0)) + F.col("_off")
+        )
+        .drop("_pid", "_off")
+    )

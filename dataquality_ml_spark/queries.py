@@ -2957,11 +2957,11 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole fact table through one task.  Decompose the global rank
     instead, with a salt level so no single value funnels either:
 
-    1. rows-before-my-value: cumulative count over the grouped
-       DISTINCT-value relation (|distinct| rows — a window over an
-       aggregate, never raw rows; ASSUMES distinct-value cardinality is
-       aggregate-sized, which fixed-precision measurement values
-       guarantee — it saturates under corpus growth);
+    1. rows-before-my-value: exclusive prefix sum over the grouped
+       DISTINCT-value relation via ``relational.exclusive_prefix_sum``
+       (two-level range-partition decomposition — NO global window
+       anywhere in the plan, so even an unbounded distinct-value
+       cardinality cannot funnel a task);
     2. rows-before-my-salt-within-my-value: cumulative count over the
        (value, salt) grouped relation (≤ |distinct|·32 rows) — so a
        heavy-hitter value's rows spread over 32 tasks instead of one;
@@ -2979,6 +2979,8 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events relation) in tests/test_misc_ops.py."""
     from pyspark.sql import Window
 
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
     n_salt = 32
     ev = (
         _t(spark, sf_dir, "events")
@@ -2988,10 +2990,8 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gs = ev.groupBy("value", "_salt").agg(F.count(F.lit(1)).alias("_c"))
     g = gs.groupBy("value").agg(F.sum("_c").alias("_cnt"))
-    w_val = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    cum_v = g.select(
-        "value",
-        F.coalesce(F.sum("_cnt").over(w_val), F.lit(0)).alias("_before_v"),
+    cum_v = exclusive_prefix_sum(g, "value", "_cnt", out="_before_v").select(
+        "value", "_before_v"
     )
     w_salt = (
         Window.partitionBy("value")

@@ -4661,3 +4661,198 @@ def pack_fill_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assigned = pack_doc_boundary(n_df, budget=256, block=64)
         return packing_fill_report(assigned, budget=256).orderBy("seq_id")
+
+
+def _pack_compare_oracle() -> str:
+    from dataquality_ml_spark.queries import _TOKS_CTE
+
+    fill = _pack_fill_oracle()
+    return f"""
+    WITH straddle AS (
+      SELECT seq_id, SUM(piece_len) AS used FROM (
+        WITH {_TOKS_CTE},
+        n AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+          FROM n
+        ),
+        pieces AS (
+          SELECT doc_id, strt, n_tokens,
+                 unnest(generate_series(CAST(strt // 256 AS BIGINT),
+                                        CAST((strt + n_tokens - 1) // 256 AS BIGINT)))
+                   AS seq_id
+          FROM c WHERE n_tokens > 0
+        )
+        SELECT seq_id,
+          CAST(LEAST(strt + n_tokens - 1, seq_id * 256 + 255)
+               - GREATEST(strt, seq_id * 256) + 1 AS BIGINT) AS piece_len
+        FROM pieces
+      ) GROUP BY seq_id
+    ),
+    db AS (SELECT seq_id, used_tokens AS used FROM ({fill}))
+    SELECT 'doc_boundary' AS packer, COUNT(*) AS n_seqs,
+           CAST(SUM(used) AS BIGINT) AS used_tokens,
+           ROUND(AVG(used / 256.0), 4) + 0 AS mean_fill
+    FROM db
+    UNION ALL
+    SELECT 'straddle', COUNT(*), CAST(SUM(used) AS BIGINT),
+           ROUND(AVG(used / 256.0), 4) + 0
+    FROM straddle
+    ORDER BY packer
+    """
+
+
+@register("pack_efficiency_compare_docs", oracle=_pack_compare_oracle())
+def pack_efficiency_compare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing strategy bake-off at budget=256: token-straddling prefix
+    packing (every sequence full except the last) vs doc-boundary greedy
+    (padding where a doc won't fit) — sequence count, used tokens, and
+    mean fill rate side by side.  This is the report that prices the
+    no-straddle trainer contract in wasted sequences before a 100 TB
+    packing run.  Composes two independently-oracled packers; each is
+    one corpus pass after the shared token count."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators.packing import (
+        pack_doc_boundary,
+        pack_pieces,
+        pack_sequences,
+        packing_fill_report,
+    )
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        n_df = (
+            tx.token_stats(_docs_nfc(spark, sf_dir))
+            .select("doc_id", "n_tokens")
+            .localCheckpoint(eager=False)
+        )
+
+        def summarize(rep: DataFrame, label: str) -> DataFrame:
+            return rep.agg(
+                F.lit(label).alias("packer"),
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("used_tokens").cast("bigint").alias("used_tokens"),
+                (F.round(F.avg(F.col("used_tokens") / F.lit(256.0)), 4)
+                 + F.lit(0.0)).alias("mean_fill"),
+            )
+
+        straddle = packing_fill_report(
+            pack_pieces(pack_sequences(n_df, budget=256), budget=256),
+            budget=256,
+            n_col="piece_len",
+        )
+        db = packing_fill_report(
+            pack_doc_boundary(n_df, budget=256, block=64), budget=256
+        )
+        return (
+            summarize(db, "doc_boundary")
+            .unionByName(summarize(straddle, "straddle"))
+            .orderBy("packer")
+        )
+
+
+@register(
+    "url_decontam_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             'https://' || source || '.example.org/page/'
+               || CAST(doc_id // 4 AS VARCHAR) AS base
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, source,
+        CASE
+          WHEN doc_id % 97 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+          WHEN doc_id % 4 = 1 THEN 'HTTP://WWW.'
+               || upper(source || '.example.org') || '/page/'
+               || CAST(doc_id // 4 AS VARCHAR)
+          WHEN doc_id % 4 = 2 THEN base || '/?utm_source=feed&utm_campaign=x'
+          WHEN doc_id % 4 = 3 THEN base || '?gclid=abc123&fbclid=z9'
+          ELSE base END AS url
+      FROM d
+    ),
+    su AS (SELECT doc_id, source, url,
+                  regexp_replace(trim(url), '#.*$', '', 'g') AS s
+           FROM u),
+    c AS (SELECT doc_id, source, {_URL_CANON_SQL} AS canon_url FROM su),
+    bench AS (
+      SELECT DISTINCT canon_url FROM c
+      WHERE doc_id % 4 = 0 AND (doc_id // 4) % 13 = 0 AND doc_id % 97 <> 0
+    )
+    SELECT c.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b.canon_url IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM c LEFT JOIN bench b USING (canon_url)
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def url_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level benchmark decontamination: the complement of the n-gram
+    ``decontam`` family — pages whose CANONICAL URL appears in a
+    benchmark's source list are contaminated regardless of surface form
+    (tracking params, scheme/host case, trailing slash all collapse
+    first).  The benchmark list is every 13th page group's plain URL;
+    its case/param variants in the corpus must still be caught.  Scale
+    shape: canonicalization is codegen'd scan algebra, the benchmark set
+    is a broadcast join (benchmark URL lists are model-parameter-sized),
+    one groupBy on source."""
+    from dataquality_ml_spark.operators.web import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/page/"),
+        F.expr("doc_id div 4").cast("string"),
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTP://WWW."),
+                F.upper(F.concat(F.col("source"), F.lit(".example.org"))),
+                F.lit("/page/"),
+                F.expr("doc_id div 4").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("/?utm_source=feed&utm_campaign=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.concat(base, F.lit("?gclid=abc123&fbclid=z9")),
+        )
+        .otherwise(base)
+    )
+    c = d.withColumn("canon_url", canonical_url(url)).localCheckpoint(
+        eager=False
+    )
+    bench = (
+        c.where(
+            (F.col("doc_id") % 4 == 0)
+            & (F.expr("(doc_id div 4) % 13") == 0)
+            & (F.col("doc_id") % 97 != 0)
+        )
+        .select("canon_url")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        c.join(F.broadcast(bench), "canon_url", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

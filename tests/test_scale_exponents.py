@@ -100,3 +100,50 @@ def test_headliner_scale_exponent(spark, name):
         f"{name}: scaling exponent α={a:.2f} at {FACTOR}× corpus size — "
         f"superlinear regression (bound {ALPHA_BOUND})"
     )
+
+
+def test_value_deciles_scale_exponent(spark, tmp_path):
+    """The decomposed global-NTILE query (salted rank + distributed
+    prefix sum): must stay sublinear in measured cost at 4× rows under a
+    heavy-hitter value distribution (one value holds 20% of rows)."""
+    from dataquality_ml_spark.queries import value_deciles
+
+    def mk(n, d):
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 5 == 0, F.lit(7.0))
+            .otherwise((F.col("id") % 2000).cast("double") / 16)
+            .alias("value"),
+        ).write.mode("overwrite").parquet(f"{tmp_path}/{d}/events.parquet")
+        return f"{tmp_path}/{d}"
+
+    p1, p4 = mk(20_000, "s1"), mk(80_000, "s4")
+    value_deciles(spark, p1).collect()  # warm-up
+    t1 = max(_measure(lambda _: value_deciles(spark, p1).collect(), None), 1e-3)
+    t4 = max(_measure(lambda _: value_deciles(spark, p4).collect(), None), 1e-3)
+    a = math.log(t4 / t1) / math.log(4)
+    assert a < ALPHA_BOUND, f"value_deciles α={a:.2f}"
+
+
+def test_pack_doc_boundary_scale_exponent(spark):
+    """Blockwise greedy packing: bounded per-block tasks + two-level
+    renumbering must stay sublinear in measured cost at 4× docs."""
+    from dataquality_ml_spark.operators.packing import pack_doc_boundary
+
+    def mk(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.pmod(F.col("id") * 37 + 11, 90) + 10).alias("n_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    d1, d4 = mk(10_000), mk(40_000)
+    fn = lambda df: pack_doc_boundary(df, budget=256, block=512).count()  # noqa: E731
+    fn(d1)  # warm-up
+    t1 = max(_measure(fn, d1), 1e-3)
+    t4 = max(_measure(fn, d4), 1e-3)
+    a = math.log(t4 / t1) / math.log(4)
+    assert a < ALPHA_BOUND, f"pack_doc_boundary α={a:.2f}"
