@@ -381,3 +381,26 @@ def oov_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def url_dedup_stream(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup on the CANONICAL form: the crawl-ingest
+    face of ``web.url_dedup`` — tracking-param / scheme-case /
+    trailing-slash variants of a page arriving across micro-batches come
+    out exactly once.  Canonicalization is the same codegen'd regexp
+    algebra as the batch operator (stateless projection, no UDF); state
+    is one canonical-URL key per horizon, evicted by
+    ``dropDuplicatesWithinWatermark`` like ``dedup_stream``."""
+    from dataquality_ml_spark.operators.web import canonical_url
+
+    return dedup_stream(
+        stream_df.withColumn("canon_url", canonical_url(F.col(url_col))),
+        ["canon_url"],
+        ts_col,
+        watermark,
+    )

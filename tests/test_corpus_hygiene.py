@@ -1629,3 +1629,40 @@ def test_pack_doc_boundary_greedy_and_oversize(spark):
         docs_in_seq = [ns[i] for i, s in got.items() if s == r["seq_id"]]
         if all(n < budget for n in docs_in_seq):
             assert r["used_tokens"] <= budget
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """canonical_url is idempotent: canonical(canonical(u)) ==
+    canonical(u) over a 400-URL adversarial fuzz corpus (mixed schemes,
+    case, www, stacked tracking params, separator debris, fragments,
+    unicode, garbage).  Idempotence is the property the separator-cleanup
+    regex chain could silently lose."""
+    import random
+
+    rng = random.Random(7)
+    schemes = ["https://", "http://", "HTTP://", "ftp://", ""]
+    hosts = ["www.Site.ORG", "site.org", "WWW.EXAMPLE.com", "a.b.c.de", "xn--bcher-kva.ch"]
+    paths = ["", "/", "/p", "/p/", "/P/Q", "/p//q/", "/p%20x"]
+    params = ["utm_source=a", "utm_campaign=b%20c", "gclid=1", "fbclid=2",
+              "ref=x", "x=1", "keep=2", "a=b=c", "empty=", "flag"]
+    frags = ["", "#f", "#a?b&c"]
+    urls = []
+    for _ in range(400):
+        ps = "&".join(rng.sample(params, rng.randint(0, 4)))
+        sep = rng.choice(["?", "?&", "??", ""]) if ps else rng.choice(["", "?", "?&"])
+        urls.append(
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+            + sep + ps + rng.choice(frags)
+        )
+    urls += ["", "   ", "not a url", "héllo wörld", "https://", "?x=1", "#only"]
+
+    from dataquality_ml_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    bad = (
+        df.select("url", once.alias("c1"), canonical_url(once).alias("c2"))
+        .where(~(F.col("c1").eqNullSafe(F.col("c2"))))
+        .collect()
+    )
+    assert not bad, f"non-idempotent canonicalization: {bad[:5]}"

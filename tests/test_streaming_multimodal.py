@@ -804,3 +804,55 @@ def test_streaming_oov_monitor_foreachbatch(spark, tmp_path):
     assert quiet["oov_rate"] == 0.0 and not quiet["alarm"]
     assert loud["oov_rate"] > 0.5 and loud["alarm"]
     assert all(r["n_docs"] == 20 for r in results)
+
+
+def test_url_dedup_stream_collapses_variants(spark, tmp_path):
+    """Streaming canonical-URL dedup: case/tracking/trailing-slash
+    variants of the same page arriving in DIFFERENT micro-batches emit
+    exactly one row per page; distinct pages all survive — and the
+    result matches the batch url_dedup on the union of the batches."""
+    from dataquality_ml_spark.operators.web import url_dedup
+    from dataquality_ml_spark.streaming.score_stream import url_dedup_stream
+
+    src_dir = str(tmp_path / "usrc")
+    schema = "doc_id long, ts timestamp, url string"
+    batch1 = [(i, "2024-01-01 10:00:00", f"https://site.org/page/{i}")
+              for i in range(20)]
+    batch2 = (
+        [(100 + i, "2024-01-01 10:20:00",
+          f"HTTP://WWW.SITE.ORG/page/{i}?utm_source=x") for i in range(10)]
+        + [(200 + i, "2024-01-01 10:20:00", f"https://site.org/page/{20 + i}/")
+           for i in range(5)]
+    )
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, "doc_id long, ts string, url string").select(
+            "doc_id", F.col("ts").cast("timestamp").alias("ts"), "url"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out_dir = str(tmp_path / "uout")
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "uckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    # pages 0-19 from batch1 (batch2's UTM/case variants of 0-9 are dups)
+    # + 5 new trailing-slash pages 20-24 = 25 distinct canonical urls
+    assert got.count() == 25
+    assert got.select("canon_url").distinct().count() == 25
+
+    # matches batch semantics on the union
+    allrows = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, ts string, url string"
+    )
+    assert url_dedup(allrows).count() == 25
