@@ -1002,9 +1002,45 @@ def _parquet_fingerprint(path: str) -> tuple:
 
 
 def clear_feature_model_memo() -> None:
-    """Drop all memoized fitted feature models (long-session escape
-    hatch; the fingerprint key already handles regenerated files)."""
+    """Drop all memoized fitted models — features AND quantizers —
+    (long-session escape hatch; the fingerprint keys already handle
+    regenerated files)."""
     _FEATURE_MODEL_MEMO.clear()
+    _QUANT_MEMO.clear()
+
+
+_QUANT_MEMO: dict = {}
+
+
+def _memo_kmeans(spark: SparkSession, sf_dir: str, **kw):
+    """Memoized coarse-quantizer training: ``kmeans_fit`` is
+    deterministic (hash init, optional centroid rounding), so the six
+    ANN-family queries that train k=4 centroids over the same embeddings
+    table share ONE fit per (data fingerprint, params) — the production
+    train-once/reuse contract ``ANNIndex`` already embodies, applied to
+    the inline queries (the round-4 feature-trio memo, for quantizers)."""
+    key = (
+        "kmeans",
+        sf_dir,
+        _parquet_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        tuple(sorted(kw.items())),
+    )
+    if key not in _QUANT_MEMO:
+        _QUANT_MEMO[key] = sim.kmeans_fit(_t(spark, sf_dir, "embeddings"), **kw)
+    return _QUANT_MEMO[key]
+
+
+def _memo_pq(spark: SparkSession, sf_dir: str, **kw):
+    """Memoized PQ codebook training (see ``_memo_kmeans``)."""
+    key = (
+        "pq",
+        sf_dir,
+        _parquet_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        tuple(sorted(kw.items())),
+    )
+    if key not in _QUANT_MEMO:
+        _QUANT_MEMO[key] = sim.pq_train(_t(spark, sf_dir, "embeddings"), **kw)
+    return _QUANT_MEMO[key]
 
 
 def _lineitem_features(spark: SparkSession, sf_dir: str):
@@ -3409,7 +3445,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators import similarity as sim_ops
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
+    from dataquality_ml_spark.queries import _memo_kmeans
+
+    cents = _memo_kmeans(spark, sf_dir, k=4, iters=2)
     return sim_ops.kmeans_assign(emb, cents).orderBy("vec_id")
 
 
@@ -3683,7 +3721,7 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic per-subspace k-means, so the full train+encode
     pipeline is oracle-checked against its unrolled SQL."""
     emb = _t(spark, sf_dir, "embeddings")
-    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    cbs = _memo_pq(spark, sf_dir, m=2, k=4, iters=1)
     codes = sim.pq_encode(emb, cbs)
     return codes.select(
         "vec_id",
@@ -3727,7 +3765,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances (broadcast, |q|*m*k rows) joined to the exploded code table —
     raw vectors are never touched at search time."""
     emb = _t(spark, sf_dir, "embeddings")
-    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    cbs = _memo_pq(spark, sf_dir, m=2, k=4, iters=1)
     codes = sim.pq_encode(emb, cbs)
     queries_df = emb.where(F.col("vec_id") < 10)
     out = sim.pq_adc_topk(queries_df, codes, cbs, topk=5)
@@ -3958,8 +3996,8 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector and raw vectors appear in no join. The full train(coarse) +
     train(PQ) + encode + search pipeline is one oracle-checked query."""
     emb = _t(spark, sf_dir, "embeddings")
-    coarse = sim.kmeans_fit(emb, k=4, iters=2, round_dp=6)
-    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    coarse = _memo_kmeans(spark, sf_dir, k=4, iters=2, round_dp=6)
+    cbs = _memo_pq(spark, sf_dir, m=2, k=4, iters=1)
     queries_df = emb.where(F.col("vec_id") < 10)
     out = sim.ivf_pq_topk(emb, queries_df, coarse, cbs, topk=5)
     return out.select(
@@ -4070,8 +4108,8 @@ def ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse k-means train, PQ train, encode, ADC search, refine — is one
     oracle-checked query."""
     emb = _t(spark, sf_dir, "embeddings")
-    coarse = sim.kmeans_fit(emb, k=4, iters=2, round_dp=6)
-    cbs = sim.pq_train(emb, m=2, k=4, iters=1)
+    coarse = _memo_kmeans(spark, sf_dir, k=4, iters=2, round_dp=6)
+    cbs = _memo_pq(spark, sf_dir, m=2, k=4, iters=1)
     queries_df = emb.where(F.col("vec_id") < 10)
     out = sim.ivf_pq_refine_topk(emb, queries_df, coarse, cbs, topk=5, shortlist=20)
     return out.select(

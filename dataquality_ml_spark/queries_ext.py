@@ -2269,7 +2269,9 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators import similarity as sim_ops
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
+    from dataquality_ml_spark.queries import _memo_kmeans
+
+    cents = _memo_kmeans(spark, sf_dir, k=4, iters=2)
     return sim_ops.semdedup(emb, cents, tau=0.25).orderBy("vec_id")
 
 
@@ -2438,7 +2440,9 @@ def semdedup_centroid_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators import similarity as sim_ops
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim_ops.kmeans_fit(emb, k=4, iters=2)
+    from dataquality_ml_spark.queries import _memo_kmeans
+
+    cents = _memo_kmeans(spark, sf_dir, k=4, iters=2)
     return sim_ops.semdedup(
         emb, cents, tau=0.25, keep="centroid_far"
     ).orderBy("vec_id")
@@ -4238,7 +4242,9 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators.relational import quota_sample
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim3.kmeans_fit(emb, k=4, iters=2)
+    from dataquality_ml_spark.queries import _memo_kmeans
+
+    cents = _memo_kmeans(spark, sf_dir, k=4, iters=2)
     assigned = sim3.kmeans_assign(emb, cents)
     return (
         quota_sample(assigned, "cluster", "vec_id", 25)
