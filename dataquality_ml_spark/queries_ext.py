@@ -2873,6 +2873,62 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_N = 6
 
+_TOK_MEMO: dict = {}
+
+
+def _memo_bpe_merges(spark: SparkSession, sf_dir: str, num_merges: int = 6):
+    """Memoized BPE merge training: deterministic (tie-broken) merges over
+    the same corpus are model parameters — the four BPE queries that each
+    retrained them now share one fit per (sf_dir, data fingerprint), the
+    quantizer-memo pattern applied to tokenizers."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators.bpe import bpe_train
+    from dataquality_ml_spark.queries import _docs_nfc, _parquet_fingerprint
+
+    key = (
+        "bpe",
+        sf_dir,
+        _parquet_fingerprint(f"{sf_dir}/documents.parquet"),
+        num_merges,
+    )
+    if key not in _TOK_MEMO:
+        with pre_normalized():
+            _TOK_MEMO[key] = bpe_train(
+                _docs_nfc(spark, sf_dir), num_merges=num_merges
+            )
+    return _TOK_MEMO[key]
+
+
+def _ug_shared(spark: SparkSession, sf_dir: str):
+    """Memoized unigram-LM shared artifacts per (sf_dir, data
+    fingerprint): the NFC word-count relation (checkpointed — the one
+    corpus pass), the seed-probability list, and the Viterbi word
+    segmentation under the seed LM (checkpointed — the DP).  The four
+    unigram queries derive these from identical inputs; train once,
+    reuse.  Returns (wc, probs, seg)."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators import unigram as ug
+    from dataquality_ml_spark.queries import _docs_nfc, _parquet_fingerprint
+
+    key = ("ug", sf_dir, _parquet_fingerprint(f"{sf_dir}/documents.parquet"))
+    hit = _TOK_MEMO.get(key)
+    if hit is None:
+        with pre_normalized():
+            wc = ug.word_counts(_docs_nfc(spark, sf_dir)).localCheckpoint(
+                eager=True
+            )
+            srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
+            tot = sum(r["freq"] for r in srows)
+            probs = [(r["piece"], r["freq"] / tot) for r in srows]
+            pdf = spark.createDataFrame(probs, "piece string, prob double")
+            seg = ug.viterbi_segment_words(
+                wc, pdf, _UG_ML, max_word_len=_UG_L
+            ).localCheckpoint(eager=True)
+        hit = (wc, probs, seg)
+        _TOK_MEMO[key] = hit
+    return hit
+
+
 # Double-separator word symbol string (mirrors operators/bpe.py
 # word_symbol_str): '··c··h··</w>··'.
 _BPE_WORD_EXPR = "regexp_replace(word, '(.)', '··\\1', 'g') || '··</w>··'"
@@ -2975,7 +3031,7 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable; the oracle replays training step-for-step in SQL."""
     from dataquality_ml_spark.operators.bpe import bpe_merge_df, bpe_train
 
-    merges = bpe_train(_t(spark, sf_dir, "documents"), num_merges=_BPE_N)
+    merges = _memo_bpe_merges(spark, sf_dir, num_merges=_BPE_N)
     return bpe_merge_df(spark, merges).orderBy("merge_rank")
 
 
@@ -2991,7 +3047,7 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        merges = bpe_train(docs, num_merges=_BPE_N)
+        merges = _memo_bpe_merges(spark, sf_dir, num_merges=_BPE_N)
         return bpe_segment(docs, merges).orderBy("doc_id")
 
 
@@ -3265,7 +3321,7 @@ def bpe_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        merges = bpe_train(docs, num_merges=_BPE_N)
+        merges = _memo_bpe_merges(spark, sf_dir, num_merges=_BPE_N)
         n_df = bpe_segment(docs, merges).select(
             "doc_id", F.col("n_subwords").alias("n_tokens")
         )
@@ -3835,12 +3891,7 @@ def unigram_em_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely because the E-step is relational algebra."""
     from dataquality_ml_spark.operators import unigram as ug
 
-    wc = ug.word_counts(_t(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
-    srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
-    tot = sum(r["freq"] for r in srows)
-    probs = [(r["piece"], r["freq"] / tot) for r in srows]
+    wc, probs, _ = _ug_shared(spark, sf_dir)
     pdf = spark.createDataFrame(probs, "piece string, prob double")
     return (
         # cap == the oracle's unroll depth, so both engines drop
@@ -3864,17 +3915,10 @@ def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        wc = ug.word_counts(docs).localCheckpoint(eager=False)
-        srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
-        tot = sum(r["freq"] for r in srows)
-        pdf = spark.createDataFrame(
-            [(r["piece"], r["freq"] / tot) for r in srows],
-            "piece string, prob double",
-        )
-        seg = ug.viterbi_segment_words(
-            wc, pdf, _UG_ML, max_word_len=_UG_L
-        ).select("word", "n_pieces")
-        return ug.unigram_segment(docs, seg).orderBy("doc_id")
+        _, _, seg = _ug_shared(spark, sf_dir)
+        return ug.unigram_segment(
+            docs, seg.select("word", "n_pieces")
+        ).orderBy("doc_id")
 
 
 @register("unigram_pieces_docs")  # full EM trainer → rows-only check;
@@ -4129,13 +4173,8 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        wc = ug.word_counts(docs).localCheckpoint(eager=False)
-        srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
-        tot = sum(r["freq"] for r in srows)
-        pieces = sorted(
-            ((r["piece"], r["freq"] / tot) for r in srows),
-            key=lambda t: (-t[1], t[0]),
-        )
+        _, probs, _ = _ug_shared(spark, sf_dir)
+        pieces = sorted(probs, key=lambda t: (-t[1], t[0]))
         return ug.unigram_tokenize(
             docs.where(F.col("doc_id") < 40), pieces, _UG_ML,
             max_word_len=_UG_L,
@@ -4182,7 +4221,7 @@ def tokenizer_compare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        merges = bpe_train(docs, num_merges=_BPE_N)
+        merges = _memo_bpe_merges(spark, sf_dir, num_merges=_BPE_N)
         b = bpe_segment(docs, merges).agg(
             F.lit("bpe").alias("tokenizer"),
             F.sum("n_words").alias("n_words"),
@@ -4191,17 +4230,8 @@ def tokenizer_compare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pieces_per_word"
             ),
         )
-        wc = ug.word_counts(docs).localCheckpoint(eager=False)
-        srows = ug.seed_pieces(wc, _UG_ML, _UG_MP).collect()
-        tot = sum(r["freq"] for r in srows)
-        pdf = spark.createDataFrame(
-            [(r["piece"], r["freq"] / tot) for r in srows],
-            "piece string, prob double",
-        )
-        seg = ug.viterbi_segment_words(
-            wc, pdf, _UG_ML, max_word_len=_UG_L
-        ).select("word", "n_pieces")
-        u = ug.unigram_segment(docs, seg).agg(
+        _, _, seg = _ug_shared(spark, sf_dir)
+        u = ug.unigram_segment(docs, seg.select("word", "n_pieces")).agg(
             F.lit("unigram").alias("tokenizer"),
             F.sum("n_words").alias("n_words"),
             F.sum("n_pieces").alias("n_pieces"),
