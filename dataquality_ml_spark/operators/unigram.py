@@ -330,6 +330,7 @@ def unigram_tokenize(
     id_col: str = "doc_id",
     unk_id: int = -1,
     max_word_len: int | None = None,
+    seg_words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus → token-id sequences under a unigram LM: Viterbi-segment the
     WORD relation (the piece path rides through the DP as an array — no
@@ -342,11 +343,18 @@ def unigram_tokenize(
     emit a single ``unk_id`` token — the same contract as
     ``bpe_tokenize``.  Output: (id, token_ids array<int>, n_ids)."""
     spark = df.sparkSession
-    wc = word_counts(df, text_col)
-    seg = viterbi_segment_words(
-        wc, spark.createDataFrame(pieces, "piece string, prob double"),
-        max_piece_len, max_word_len,
-    ).select("word", "pieces")
+    if seg_words is None:
+        wc = word_counts(df, text_col)
+        seg = viterbi_segment_words(
+            wc, spark.createDataFrame(pieces, "piece string, prob double"),
+            max_piece_len, max_word_len,
+        ).select("word", "pieces")
+    else:
+        # a word's Viterbi path depends only on (word, probs), never the
+        # counts — a segmentation computed over ANY superset word relation
+        # under the SAME pieces is reusable verbatim (extra words ride the
+        # broadcast join harmlessly); callers pass the memoized corpus seg
+        seg = seg_words.select("word", "pieces")
     vocab = unigram_build_vocab(pieces)
     vdf = F.broadcast(
         spark.createDataFrame(list(vocab.items()), "piece string, tid int")

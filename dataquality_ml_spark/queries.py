@@ -1030,6 +1030,31 @@ def _memo_kmeans(spark: SparkSession, sf_dir: str, **kw):
     return _QUANT_MEMO[key]
 
 
+def _dup_clusters_shared(spark: SparkSession, sf_dir: str):
+    """Memoized near-dup cluster relation (ngram-Jaccard pairs →
+    connected components), eagerly checkpointed: ``dup_clusters_docs``
+    and ``dup_cluster_sizes`` consume the IDENTICAL relation, and the CC
+    iteration is several jobs — resolve clusters once per (sf_dir, data
+    fingerprint)."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized
+    from dataquality_ml_spark.operators import graph as gr_ops
+
+    key = (
+        "dupclusters",
+        sf_dir,
+        _parquet_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
+    if key not in _QUANT_MEMO:
+        with pre_normalized():
+            pairs = dd.ngram_jaccard_pairs(
+                _docs_nfc(spark, sf_dir), k=5, threshold=0.8
+            ).select("id_a", "id_b")
+            _QUANT_MEMO[key] = gr_ops.dedup_clusters(pairs).localCheckpoint(
+                eager=True
+            )
+    return _QUANT_MEMO[key]
+
+
 def _memo_pq(spark: SparkSession, sf_dir: str, **kw):
     """Memoized PQ codebook training (see ``_memo_kmeans``)."""
     key = (
@@ -3150,13 +3175,7 @@ def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label connected components — (doc_id, keep_id=min id in component,
     cluster_size). The step that turns pairwise dedup output into the
     keep/drop decision a corpus build actually executes."""
-    from dataquality_ml_spark.functions.scalar import pre_normalized
-
-    with pre_normalized():
-        pairs = dd.ngram_jaccard_pairs(
-            _docs_nfc(spark, sf_dir), k=5, threshold=0.8
-        ).select("id_a", "id_b")
-        return gr.dedup_clusters(pairs).orderBy("doc_id")
+    return _dup_clusters_shared(spark, sf_dir).orderBy("doc_id")
 
 
 # ===========================================================================

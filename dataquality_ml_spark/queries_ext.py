@@ -4173,11 +4173,11 @@ def unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        _, probs, _ = _ug_shared(spark, sf_dir)
+        _, probs, seg = _ug_shared(spark, sf_dir)
         pieces = sorted(probs, key=lambda t: (-t[1], t[0]))
         return ug.unigram_tokenize(
             docs.where(F.col("doc_id") < 40), pieces, _UG_ML,
-            max_word_len=_UG_L,
+            max_word_len=_UG_L, seg_words=seg,
         ).orderBy("doc_id")
 
 
@@ -4304,25 +4304,18 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishes 'a few giant boilerplate families' from 'many pairwise
     twins' (they need different dedup policies).  One aggregation over the
     already-oracled connected-components output."""
-    from dataquality_ml_spark.functions.scalar import pre_normalized
-    from dataquality_ml_spark.operators import dedup as dd3
-    from dataquality_ml_spark.operators import graph as gr3
-    from dataquality_ml_spark.queries import _docs_nfc
+    from dataquality_ml_spark.queries import _dup_clusters_shared
 
-    with pre_normalized():
-        pairs = dd3.ngram_jaccard_pairs(
-            _docs_nfc(spark, sf_dir), k=5, threshold=0.8
-        ).select("id_a", "id_b")
-        clusters = gr3.dedup_clusters(pairs)
-        return (
-            clusters.groupBy("cluster_size")
-            .agg(F.countDistinct("keep_id").alias("n_clusters"))
-            .select(
-                F.col("cluster_size").cast("bigint").alias("cluster_size"),
-                F.col("n_clusters").cast("bigint").alias("n_clusters"),
-            )
-            .orderBy("cluster_size")
+    clusters = _dup_clusters_shared(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.countDistinct("keep_id").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
         )
+        .orderBy("cluster_size")
+    )
 
 
 @register(
