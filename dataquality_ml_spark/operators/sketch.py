@@ -1,0 +1,233 @@
+"""Mergeable, engine-portable sketches on the md5 portable hash.
+
+Three classic streaming sketches — KMV (k-minimum-values) distinct-count
+[Bar-Yossef et al. 2002], count-min frequency [Cormode & Muthukrishnan
+2005], and a deterministic bottom-k reservoir sample — re-expressed as
+Catalyst plans.  The pseudo-randomness in all three comes from
+``portable_hash32/60`` (first hex digits of md5), so the approximate
+ESTIMATES themselves are deterministic and replay bit-identically in the
+DuckDB oracles, and every sketch merges associatively:
+
+- bottom-k sets merge by union-then-re-truncate,
+- count-min counters merge by elementwise sum,
+
+which is what makes them 100 TB-shaped: fixed-size state per group,
+map-side combinable, and streamable (a micro-batch's sketch folds into
+the running one without reprocessing history).
+
+Scale notes
+-----------
+- ``_bottomk`` never funnels a whole group through one task: a first
+  window pass partitioned by (group, pmod(hash, salt)) prunes each salt
+  bucket to its k smallest, so the final per-group window sees at most
+  salt·k candidate rows per group regardless of group size.  Salting is
+  purely physical — the result equals the unsalted bottom-k.
+- A count-min sketch is ``width × depth`` rows no matter the corpus
+  size; the build is one shuffle over that bounded key space with
+  map-side combine, and lookups broadcast the sketch.
+
+Reference scope: the reference repo has no sketch family — this module
+belongs to the training-data-pipeline surface (cardinality / heavy-hitter
+monitoring where an exact distinct over 10^11 values is a shuffle you
+cannot afford).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.functions.scalar import portable_hash32, portable_hash60
+
+# 2^60 as a double — the normalizer that maps a 60-bit hash into (0, 1].
+_TWO60 = float(1 << 60)
+
+
+def _bottomk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    hash_col: str,
+    k: int,
+    *tiebreak: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Rows with the ``k`` smallest ``hash_col`` values per group,
+    skew-proof via a two-level salted window.
+
+    Level 1 partitions by (group, pmod(hash, salt_buckets)) and keeps the
+    k smallest per salt bucket — a heavy group spreads over
+    ``salt_buckets`` tasks instead of one.  Level 2 re-ranks the at most
+    ``salt_buckets * k`` survivors per group.  Equivalent to a single
+    ``row_number() OVER (PARTITION BY group ORDER BY hash, *tiebreak)``
+    — the oracle SQL uses exactly that one-window form.
+
+    Output adds ``_bk_rank`` (1-based rank within the group).
+    """
+    order = [F.col(hash_col).asc()] + [F.col(t).asc() for t in tiebreak]
+    salt = F.pmod(F.col(hash_col), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "_bk_salt").orderBy(*order)
+    pruned = (
+        df.withColumn("_bk_salt", salt)
+        .withColumn("_bk_r1", F.row_number().over(w1))
+        .filter(F.col("_bk_r1") <= k)
+        .drop("_bk_r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pruned.withColumn("_bk_rank", F.row_number().over(w2))
+        .filter(F.col("_bk_rank") <= k)
+        .drop("_bk_salt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """The KMV sketch relation: per group, the ≤k smallest DISTINCT
+    60-bit hashes of ``value_col`` with their rank.  Mergeable: the
+    sketch of a union is ``_bottomk`` of the unioned sketches (tested in
+    ``tests/test_sketch.py``)."""
+    cols = list(group_cols)
+    hashed = (
+        df.select(*cols, portable_hash60(F.col(value_col)).alias("kmv_h"))
+        .distinct()  # distinct BEFORE the windows: multiset → set semantics
+    )
+    return _bottomk(hashed, cols, "kmv_h", k).withColumnRenamed("_bk_rank", "kmv_rank")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch.
+
+    If the group holds fewer than k distinct values the sketch IS the
+    value set and the estimate is exact; otherwise the classic unbiased
+    estimator (k-1) / U_(k) with U_(k) = kth-smallest-hash / 2^60.
+    ``est_distinct`` is rounded to 4dp so the oracle comparison is not a
+    last-ulp bet (both engines do the same two IEEE divisions
+    left-to-right, but rounding is free insurance)."""
+    cols = list(group_cols)
+    sk = kmv_sketch(df, value_col, group_cols, k)
+    agg = sk.groupBy(*cols).agg(
+        F.count("*").alias("n_kept"),
+        F.max("kmv_h").alias("kth_hash"),
+    )
+    u_k = F.col("kth_hash").cast("double") / F.lit(_TWO60)
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+    return agg.select(*cols, "n_kept", F.round(est, 4).alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of the multiset in ``item_col``: a
+    (depth, bucket, cnt) relation with ``depth × width`` rows max.
+
+    Row i of the sketch uses hash_i(x) = portable_hash32(i || '|' || x)
+    mod width — depth independent hash rows from one md5 family.  The
+    build explodes each item into ``depth`` (row, bucket) cells and
+    aggregates once; the shuffle key space is bounded by depth·width, so
+    map-side combine collapses almost everything before the exchange."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cms_depth")
+    cells = df.select(F.col(item_col).alias("_it")).select(
+        d, F.col("_it")
+    )
+    bucket = F.pmod(
+        portable_hash32(F.concat_ws("|", F.col("cms_depth").cast("string"), F.col("_it"))),
+        F.lit(width),
+    )
+    return (
+        cells.select("cms_depth", bucket.alias("cms_bucket"))
+        .groupBy("cms_depth", "cms_bucket")
+        .agg(F.count("*").alias("cms_cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` from a count-min sketch:
+    min over the depth rows of the addressed counters.  The sketch is
+    aggregate-sized → broadcast join; missing cells count 0 (item never
+    hashed there).  Guarantees est ≥ true count (property-tested)."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cms_depth")
+    probes = items.select(F.col(item_col).alias("_it")).distinct().select(d, "_it")
+    probes = probes.withColumn(
+        "cms_bucket",
+        F.pmod(
+            portable_hash32(
+                F.concat_ws("|", F.col("cms_depth").cast("string"), F.col("_it"))
+            ),
+            F.lit(width),
+        ),
+    )
+    joined = probes.join(
+        F.broadcast(sketch), on=["cms_depth", "cms_bucket"], how="left"
+    ).withColumn("cms_cnt", F.coalesce("cms_cnt", F.lit(0)))
+    return (
+        joined.groupBy("_it")
+        .agg(F.min("cms_cnt").alias("est_count"))
+        .withColumnRenamed("_it", item_col)
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches built with the same (width, depth):
+    elementwise counter sum (outer union of cells)."""
+    return (
+        a.unionByName(b)
+        .groupBy("cms_depth", "cms_bucket")
+        .agg(F.sum("cms_cnt").alias("cms_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k reservoir
+# ---------------------------------------------------------------------------
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    group_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    seed: str = "res",
+) -> DataFrame:
+    """Exactly-k uniform-without-replacement sample per group: keep the k
+    rows whose salted portable hash of ``id_col`` is smallest.  Unlike
+    ``sample_hash`` (Bernoulli, fraction-sized) this yields an exact
+    count, and unlike ``sample_exact`` (orderBy limit on a random) it is
+    engine-portable, deterministic, and MERGEABLE — the bottom-k of a
+    union is the bottom-k of the per-shard bottom-k unions, so shards /
+    micro-batches maintain it incrementally.  Adds ``res_rank``."""
+    h = portable_hash60(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    hashed = df.withColumn("res_h", h)
+    out = _bottomk(hashed, list(group_cols), "res_h", k, id_col)
+    return out.withColumnRenamed("_bk_rank", "res_rank")

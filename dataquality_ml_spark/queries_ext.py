@@ -4885,3 +4885,178 @@ def url_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable engine-portable sketches (operators/sketch.py): KMV distinct-
+# count, count-min heavy hitters, deterministic bottom-k reservoir.  The
+# pseudo-randomness is the md5 portable hash, so the APPROXIMATE estimates
+# themselves replay bit-identically in DuckDB — the oracle checks the
+# sketch math, not just row counts.
+# ---------------------------------------------------------------------------
+
+_SK_TOKS_CTE = (
+    "toks AS (SELECT doc_id, source, lang, "
+    "string_split_regex(trim(lower(nfc_normalize(text))), '\\s+') AS t "
+    "FROM documents)"
+)
+
+
+@register(
+    "kmv_distinct_tokens_docs",
+    oracle=f"""
+    WITH {_SK_TOKS_CTE},
+    tok AS (SELECT source, unnest(t) AS token FROM toks),
+    ex AS (SELECT source, COUNT(DISTINCT token) AS n_exact FROM tok GROUP BY source),
+    h AS (SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS kmv_h
+          FROM tok),
+    r AS (SELECT source, kmv_h,
+                 row_number() OVER (PARTITION BY source ORDER BY kmv_h) AS rk
+          FROM h),
+    skc AS (SELECT source, COUNT(*) AS n_kept, MAX(kmv_h) AS kth
+            FROM r WHERE rk <= 64 GROUP BY source),
+    est AS (SELECT source, n_kept,
+                   ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                         ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                         END, 4) AS est_kmv
+            FROM skc)
+    SELECT ex.source, ex.n_exact, est.est_kmv,
+           ROUND(ABS(est.est_kmv - ex.n_exact) / ex.n_exact, 4) AS rel_err
+    FROM ex JOIN est ON ex.source = est.source
+    ORDER BY ex.source
+    """,
+)
+def kmv_distinct_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via a k=64 KMV sketch
+    (Bar-Yossef et al. 2002), checked against the exact distinct AND
+    against the oracle's replay of the estimator itself — the estimate is
+    deterministic because the 'random' hash is the md5 portable hash.
+    100 TB shape: the sketch state is 64 bigints per group (vs an exact
+    distinct whose shuffle carries every token type), the bottom-k window
+    is salted two-level so a dominant source never funnels through one
+    task, and sketches merge associatively across shards/streams."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.operators import sketch as sk
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        tok = (
+            _docs_nfc(spark, sf_dir)
+            .select("source", F.explode(tokens(F.col("text"))).alias("token"))
+            .localCheckpoint(eager=False)
+        )
+    exact = tok.groupBy("source").agg(F.countDistinct("token").alias("n_exact"))
+    est = sk.kmv_distinct(tok, "token", ["source"], k=64).withColumnRenamed(
+        "est_distinct", "est_kmv"
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "n_exact",
+            "est_kmv",
+            F.round(
+                F.abs(F.col("est_kmv") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "cms_heavy_tokens_docs",
+    oracle=f"""
+    WITH {_SK_TOKS_CTE},
+    tok AS (SELECT unnest(t) AS token FROM toks),
+    ex AS (SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    heavy AS (SELECT token, n_exact FROM ex, tot WHERE n_exact * 200 > tot.n),
+    cells AS (SELECT g.d,
+                     CAST('0x' || substr(md5(CAST(g.d AS VARCHAR) || '|' || token), 1, 8)
+                          AS BIGINT) % 1024 AS bucket,
+                     COUNT(*) AS cnt
+              FROM tok CROSS JOIN generate_series(0, 3) AS g(d)
+              GROUP BY 1, 2),
+    probes AS (SELECT h.token, h.n_exact, g.d,
+                      CAST('0x' || substr(md5(CAST(g.d AS VARCHAR) || '|' || h.token), 1, 8)
+                           AS BIGINT) % 1024 AS bucket
+               FROM heavy h CROSS JOIN generate_series(0, 3) AS g(d)),
+    est AS (SELECT p.token, p.n_exact, MIN(COALESCE(c.cnt, 0)) AS est_cms
+            FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+            GROUP BY 1, 2)
+    SELECT token, n_exact, est_cms, est_cms - n_exact AS overcount
+    FROM est ORDER BY token
+    """,
+)
+def cms_heavy_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (frequency > 0.5% of the corpus) with their
+    count-min estimates (Cormode & Muthukrishnan 2005; width=1024,
+    depth=4, hash row i = portable_hash32(i || '|' || token)).  The
+    oracle replays the full sketch — build, point queries, min-over-depth
+    — so the CMS overestimate values themselves are hash-checked.
+    100 TB shape: the sketch is ≤ depth×width = 4096 rows no matter the
+    corpus (the build shuffle's key space is that bounded, so map-side
+    combine collapses it), lookups broadcast the sketch, and the heavy
+    cutoff is exact bigint algebra (n·200 > total), no float compare."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.operators import sketch as sk
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        tok = (
+            _docs_nfc(spark, sf_dir)
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .localCheckpoint(eager=False)
+        )
+    exact = tok.groupBy("token").agg(F.count("*").alias("n_exact"))
+    tot = tok.agg(F.count("*").alias("_tot"))
+    heavy = (
+        exact.join(F.broadcast(tot))
+        .filter(F.col("n_exact") * 200 > F.col("_tot"))
+        .drop("_tot")
+    )
+    sketch = sk.cms_build(tok, "token", width=1024, depth=4)
+    est = sk.cms_estimate(sketch, heavy.select("token"), "token", width=1024, depth=4)
+    return (
+        heavy.join(est, "token")
+        .select(
+            "token",
+            "n_exact",
+            F.col("est_count").alias("est_cms"),
+            (F.col("est_count") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+@register(
+    "reservoir_docs_by_lang",
+    oracle="""
+    WITH h AS (SELECT lang, doc_id,
+                      CAST('0x' || substr(md5('res|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS res_h
+               FROM documents),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY res_h, doc_id) AS rk
+          FROM h)
+    SELECT lang, doc_id, CAST(rk AS INT) AS res_rank
+    FROM r WHERE rk <= 5 ORDER BY lang, res_rank
+    """,
+)
+def reservoir_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5 uniform-without-replacement docs per language via the
+    deterministic bottom-k reservoir (keep the 5 smallest salted portable
+    hashes).  Unlike Bernoulli ``sample_hash`` the output size is exact;
+    unlike ``orderBy(rand()).limit`` it is engine-portable and MERGEABLE
+    — per-shard bottom-k unions re-truncate to the global bottom-k, so a
+    stream maintains it incrementally.  The salted two-level window keeps
+    every task bounded under language skew."""
+    from dataquality_ml_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return (
+        sk.reservoir_sample(docs, k=5, group_cols=["lang"], id_col="doc_id")
+        .select("lang", "doc_id", "res_rank")
+        .orderBy("lang", "res_rank")
+    )

@@ -1,0 +1,135 @@
+"""Sketch family (operators/sketch.py): mergeability, estimator
+properties, and the skew-proof plan shape.
+
+The load-bearing claims: (1) every sketch merges associatively — that is
+what makes it maintainable per-shard / per-micro-batch at 100 TB without
+reprocessing; (2) count-min never undercounts; (3) KMV is exact below k
+and deterministic above it; (4) the bottom-k window is salted two-level,
+equal to the single-window definition, with no partition-less window
+anywhere in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark.operators import sketch as sk
+
+
+def _tokens_df(spark, n=3000, mod=200, prefix="tok"):
+    """n rows over `mod` distinct skewed tokens (Zipf-ish via i % (i%mod+1))."""
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), (F.col("id") % mod) % ((F.col("id") % 7) + 13))
+        .cast("string")
+        .alias("token"),
+        (F.col("id") % 2).alias("half"),
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    out = sk.kmv_distinct(df, "v", ["g"], k=64).collect()
+    assert len(out) == 1
+    assert out[0]["n_kept"] == 40
+    assert out[0]["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_within_theory_bound(spark):
+    # 2,000 distinct values, k=64: expected rel error ~ 1/sqrt(k-2) ≈ 0.13;
+    # assert a loose 3-sigma-ish bound so the test is not a coin flip.
+    df = spark.range(2000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    est = sk.kmv_distinct(df, "v", (), k=64).collect()[0]["est_distinct"]
+    assert abs(est - 2000) / 2000 < 0.4
+
+
+def test_kmv_sketch_merges(spark):
+    """KMV(A ∪ B) == bottom-k of (KMV(A) ∪ KMV(B)) — shard-maintainable."""
+    df = _tokens_df(spark)
+    whole = sk.kmv_sketch(df, "token", (), k=16).select("kmv_h")
+    parts = [
+        sk.kmv_sketch(df.filter(F.col("half") == h), "token", (), k=16).select("kmv_h")
+        for h in (0, 1)
+    ]
+    merged = sk._bottomk(parts[0].unionByName(parts[1]).distinct(), [], "kmv_h", 16)
+    assert sorted(r["kmv_h"] for r in whole.collect()) == sorted(
+        r["kmv_h"] for r in merged.select("kmv_h").collect()
+    )
+
+
+def test_cms_never_undercounts_and_is_tight_here(spark):
+    df = _tokens_df(spark)
+    exact = {r["token"]: r["n"] for r in df.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    sketch = sk.cms_build(df, "token", width=256, depth=4)
+    est = {
+        r["token"]: r["est_count"]
+        for r in sk.cms_estimate(sketch, df.select("token"), "token", 256, 4).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n  # CMS one-sided error guarantee
+    # with 13 distinct tokens in 256 buckets collisions are rare: most exact
+    assert sum(est[t] == n for t, n in exact.items()) >= len(exact) - 2
+
+
+def test_cms_merge_equals_whole(spark):
+    df = _tokens_df(spark)
+    whole = sk.cms_build(df, "token", width=128, depth=3)
+    a = sk.cms_build(df.filter(F.col("half") == 0), "token", width=128, depth=3)
+    b = sk.cms_build(df.filter(F.col("half") == 1), "token", width=128, depth=3)
+    merged = sk.cms_merge(a, b)
+    key = lambda r: (r["cms_depth"], r["cms_bucket"], r["cms_cnt"])  # noqa: E731
+    assert sorted(map(key, whole.collect())) == sorted(map(key, merged.collect()))
+
+
+def test_cms_sketch_is_bounded(spark):
+    df = _tokens_df(spark, n=5000)
+    assert sk.cms_build(df, "token", width=64, depth=2).count() <= 128
+
+
+def test_reservoir_exact_k_and_matches_single_window(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("doc_id")
+    )
+    got = sk.reservoir_sample(df, k=7, group_cols=["g"], id_col="doc_id")
+    counts = {r["g"]: r["n"] for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # reference: the unsalted single-window definition
+    from dataquality_ml_spark.functions.scalar import portable_hash60
+
+    h = portable_hash60(F.concat_ws("|", F.lit("res"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("g").orderBy(F.col("res_h").asc(), F.col("doc_id").asc())
+    want = (
+        df.withColumn("res_h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+    )
+    assert sorted((r["g"], r["doc_id"]) for r in got.collect()) == sorted(
+        (r["g"], r["doc_id"]) for r in want.collect()
+    )
+    # small groups: keep all n when n < k
+    tiny = df.filter(F.col("doc_id") < 4)
+    assert sk.reservoir_sample(tiny, k=7, group_cols=["g"], id_col="doc_id").count() == 4
+
+
+def test_bottomk_plan_has_no_partitionless_window(spark):
+    """Both window passes carry a partition spec — a dominant group can
+    never funnel through a single task (the level-1 salt splits it)."""
+    import re
+
+    from dataquality_ml_spark import plans
+
+    df = spark.range(1000).select(
+        F.lit("one_group").alias("g"), F.col("id").alias("doc_id")
+    )
+    out = sk.reservoir_sample(df, k=5, group_cols=["g"], id_col="doc_id")
+    plan = plans.formatted_plan(out)
+    for m in re.finditer(r"Window \[(.*)\]", plan):
+        spec = m.group(1)
+        assert "windowspecdefinition(" in spec
+        inner = spec.split("windowspecdefinition(", 1)[1]
+        # first argument of the spec must be a partition column, not an
+        # ordering (orderings carry ASC/DESC markers immediately)
+        first_arg = inner.split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, plan
