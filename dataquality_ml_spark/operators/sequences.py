@@ -96,3 +96,48 @@ def explode_sequences(df: DataFrame, seq_col: str = "sequence") -> DataFrame:
     dropDuplicates, replacing the reference's positional padding
     (app/LSTM_AE.py:372-464)."""
     return df.withColumn("__elem", F.explode(F.col(seq_col))).drop(seq_col)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    max_gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts at a key's first
+    event and whenever the gap to the previous event exceeds
+    ``max_gap_seconds``; ``session_seq`` (1-based per key) is the running
+    count of session starts — the classic lag → start-flag → cumulative
+    sum decomposition, all analytic functions over ONE (key, order)
+    partitioning so the two Window nodes share a single shuffle.
+
+    100 TB shape: one exchange on the session key; state per task is one
+    key-group's ordered run (the same bound every per-entity window op in
+    this engine carries).  The streaming counterpart is
+    ``F.session_window`` (see streaming/score_stream.py); this is the
+    batch/backfill face with exact event-time semantics."""
+    w = Window.partitionBy(key).orderBy(order, id_col)
+    e = F.col(order).cast("double")
+    prev = F.lag(e).over(w)
+    is_new = F.when(prev.isNull() | ((e - prev) > max_gap_seconds), 1).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("session_seq", seq.cast("bigint"))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    order: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-session rollup over a ``sessionize`` output: event count,
+    duration in seconds, value sum.  One map-side-combined groupBy on
+    (key, session_seq) — co-partitioned with the sessionize shuffle, so
+    AQE usually folds it into the same exchange."""
+    e = F.col(order).cast("double")
+    return df.groupBy(key, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(e) - F.min(e), 4).alias("duration_s"),
+        F.round(F.sum(value), 4).alias("sum_value"),
+    )

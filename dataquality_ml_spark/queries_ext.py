@@ -5060,3 +5060,45 @@ def reservoir_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "res_rank")
         .orderBy("lang", "res_rank")
     )
+
+
+@register(
+    "session_stats_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, value,
+             EXTRACT(EPOCH FROM ts) AS e,
+             LAG(EXTRACT(EPOCH FROM ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+      FROM events
+    ),
+    f AS (SELECT *, CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END AS nw
+          FROM g),
+    s AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_seq
+          FROM f)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           ROUND(MAX(e) - MIN(e), 4) AS duration_s,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION rollup (duration, value sum) under 30-min-gap
+    sessionization — the companion of the per-USER ``sessionize_events``
+    count query (queries.py:1584), now via the reusable
+    ``sequences.sessionize``/``session_stats`` operators:
+    lag → start-flag → cumulative sum, both analytics over one
+    (user_id, ts) partitioning — a single shuffle — then a
+    co-partitioned groupBy.  The batch face of the streaming
+    ``session_window`` aggregation; classic clickstream/backfill shape
+    the reference's per-row pandas pipeline cannot express."""
+    from dataquality_ml_spark.operators.sequences import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", order="ts", max_gap_seconds=1800.0)
+    return session_stats(sess, key="user_id", order="ts", value="value").orderBy(
+        "user_id", "session_seq"
+    )

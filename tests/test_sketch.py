@@ -133,3 +133,44 @@ def test_bottomk_plan_has_no_partitionless_window(spark):
         # ordering (orderings carry ASC/DESC markers immediately)
         first_arg = inner.split(",", 1)[0]
         assert "ASC" not in first_arg and "DESC" not in first_arg, plan
+
+
+# ---------------------------------------------------------------------------
+# sessionize (operators/sequences.py) — semantics + one-shuffle plan
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_semantics_and_single_exchange(spark):
+    import re
+
+    from dataquality_ml_spark import plans
+    from dataquality_ml_spark.operators.sequences import session_stats, sessionize
+
+    rows = [
+        # user a: events at t=0, 100, 2000 (gap>1800 → new session), 2100
+        ("a", 1, 0.0, 1.0),
+        ("a", 2, 100.0, 2.0),
+        ("a", 3, 2000.0, 3.0),
+        ("a", 4, 2100.0, 4.0),
+        # user b: one event
+        ("b", 5, 50.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, __import__("datetime").datetime.fromtimestamp(t, __import__("datetime").timezone.utc), v) for u, i, t, v in rows],
+        "user_id string, event_id bigint, ts timestamp, value double",
+    )
+    sess = sessionize(df, key="user_id", order="ts", max_gap_seconds=1800.0)
+    got = {(r["user_id"], r["event_id"]): r["session_seq"] for r in sess.collect()}
+    assert got == {("a", 1): 1, ("a", 2): 1, ("a", 3): 2, ("a", 4): 2, ("b", 5): 1}
+
+    stats = session_stats(sess, key="user_id", order="ts", value="value").collect()
+    by = {(r["user_id"], r["session_seq"]): r for r in stats}
+    assert by[("a", 1)]["n_events"] == 2 and by[("a", 1)]["duration_s"] == 100.0
+    assert by[("a", 2)]["sum_value"] == 7.0
+    assert by[("b", 1)]["n_events"] == 1 and by[("b", 1)]["duration_s"] == 0.0
+
+    # both analytic windows + the rollup share ONE hash exchange on user_id
+    # (formatted plans print each op as "(n) Exchange" in the detail section)
+    plan = plans.formatted_plan(session_stats(sess))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
