@@ -404,3 +404,66 @@ def url_dedup_stream(
         ts_col,
         watermark,
     )
+
+
+def cms_monitor_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+    trigger_once: bool = True,
+):
+    """Streaming corpus-frequency monitor on a count-min sketch: each
+    micro-batch's tokens build a partial CMS (``sketch.cms_build`` — one
+    bounded-key-space aggregate per batch) and its ≤ depth×width cells
+    fold into the running counter matrix by elementwise sum — the
+    associative merge that makes CMS stream-maintainable with ZERO
+    per-key state-store entries for an unbounded token domain.
+
+    Like ``bloom_dedup_stream``, state is one fixed-size array mutated
+    driver-side between micro-batches: only sketch cells cross to the
+    driver, never token rows.  The array is what a production pipeline
+    persists next to the checkpoint; ``estimate`` answers point queries
+    from it (min over depth rows, the standard CMS read).
+
+    Returns (query, get_sketch, estimate) — ``get_sketch()`` yields the
+    (depth, width) numpy counter matrix; ``estimate(tokens)`` returns
+    {token: est_count} computed driver-side from the matrix with the
+    same md5 hash family the distributed build uses.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from dataquality_ml_spark.functions.scalar import tokens as tok_fn
+    from dataquality_ml_spark.operators.sketch import cms_build
+
+    state = {"cms": np.zeros((depth, width), dtype=np.int64)}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(tok_fn(F.col(text_col))).alias("token"))
+        cells = cms_build(toks, "token", width=width, depth=depth).collect()
+        part = np.zeros((depth, width), dtype=np.int64)
+        for r in cells:
+            part[r["cms_depth"], r["cms_bucket"]] = r["cms_cnt"]
+        state["cms"] = state["cms"] + part
+
+    def estimate(items) -> dict:
+        cms = state["cms"]
+        out = {}
+        for it in items:
+            est = None
+            for d in range(depth):
+                h = int(hashlib.md5(f"{d}|{it}".encode()).hexdigest()[:8], 16) % width
+                c = int(cms[d, h])
+                est = c if est is None else min(est, c)
+            out[it] = est
+        return out
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), lambda: state["cms"], estimate

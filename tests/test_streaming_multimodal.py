@@ -856,3 +856,45 @@ def test_url_dedup_stream_collapses_variants(spark, tmp_path):
         batch1 + batch2, "doc_id long, ts string, url string"
     )
     assert url_dedup(allrows).count() == 25
+
+
+def test_cms_monitor_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS must equal the batch sketch over the full corpus —
+    the associative counter-sum merge across micro-batches is exact, and
+    driver-side point estimates never undercount the true frequency."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.sketch import cms_build
+    from dataquality_ml_spark.functions.scalar import tokens as tok_fn
+
+    schema = "doc_id bigint, text string"
+    rows1 = [(0, "alpha beta alpha"), (1, "beta gamma")]
+    rows2 = [(2, "alpha delta"), (3, "gamma gamma beta")]
+    in_dir = tmp_path / "cms_in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, get_sketch, estimate = ss.cms_monitor_stream(
+        stream, checkpoint=str(tmp_path / "cms_ckpt"), width=64, depth=3
+    )
+    q.awaitTermination(120)
+
+    # stream == batch: the accumulated matrix equals one batch build
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    toks = batch_df.select(F.explode(tok_fn(F.col("text"))).alias("token"))
+    want = np.zeros((3, 64), dtype=np.int64)
+    for r in cms_build(toks, "token", width=64, depth=3).collect():
+        want[r["cms_depth"], r["cms_bucket"]] = r["cms_cnt"]
+    got = get_sketch()
+    assert (got == want).all()
+    assert int(got.sum()) == 3 * 10  # 10 tokens x 3 depth rows
+
+    # driver-side estimates: >= truth, exact here (tiny token set)
+    est = estimate(["alpha", "beta", "gamma", "delta"])
+    assert est == {"alpha": 3, "beta": 3, "gamma": 3, "delta": 1}
