@@ -231,3 +231,61 @@ def reservoir_sample(
     hashed = df.withColumn("res_h", h)
     out = _bottomk(hashed, list(group_cols), "res_h", k, id_col)
     return out.withColumnRenamed("_bk_rank", "res_rank")
+
+
+# ---------------------------------------------------------------------------
+# HLL (Apache DataSketches, Spark builtin) — the JVM-side production path
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lgk: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate per group via Spark's builtin DataSketches
+    HLL (``hll_sketch_agg`` → ``hll_sketch_estimate``), the
+    whole-stage-codegen production path for corpus cardinality: fixed
+    2^lgk-register state per group, map-side partial merge, ~1.04/√(2^lgk)
+    relative error (~1.6% at lgk=12).
+
+    vs ``kmv_distinct``: HLL is cheaper at scale (registers, not a
+    window) and JVM-native, but its estimate depends on the DataSketches
+    implementation, so it is NOT oracle-replayable in DuckDB — the query
+    registers rows-only and the accuracy contract lives in
+    ``tests/test_sketch.py`` (rel err vs exact, merge consistency).
+    KMV is the cross-engine-deterministic face; HLL is the fast face."""
+    cols = list(group_cols)
+    return df.groupBy(*cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lgk))
+        ).alias("est_hll")
+    )
+
+
+def hll_sketch_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lgk: int = 12,
+) -> DataFrame:
+    """The mergeable binary HLL sketch per group (persist next to a
+    manifest; fold shards with ``hll_union_agg``)."""
+    cols = list(group_cols)
+    return df.groupBy(*cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll_sketch")
+    )
+
+
+def hll_union_estimate(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fold per-shard sketches (``hll_sketch_by_group`` outputs unioned
+    together) into one estimate per group — the incremental-corpus
+    cardinality path: new shards merge in O(registers), no reprocessing."""
+    cols = list(group_cols)
+    return sketches.groupBy(*cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll_sketch"))).alias("est_hll")
+    )

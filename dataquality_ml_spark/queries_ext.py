@@ -5102,3 +5102,38 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(sess, key="user_id", order="ts", value="value").orderBy(
         "user_id", "session_seq"
     )
+
+
+@register("hll_distinct_tokens_docs")
+def hll_distinct_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via Spark's builtin
+    DataSketches HLL (2^12 registers, ~1.6% expected error) next to the
+    exact count — the JVM-native fast face of ``kmv_distinct_tokens_docs``.
+    Registered rows-only: the estimate depends on the DataSketches
+    implementation, which DuckDB's approx_count_distinct does not share,
+    so there is no cross-engine replay; the accuracy contract (rel err
+    vs exact, shard-merge consistency via ``hll_union_agg``) is pinned in
+    tests/test_sketch.py instead.  100 TB shape: fixed register state per
+    group, map-side partial merge, no window, no Python."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.operators import sketch as sk
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        tok = _docs_nfc(spark, sf_dir).select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+    exact = tok.groupBy("source").agg(F.countDistinct("token").alias("n_exact"))
+    est = sk.hll_distinct(tok, "token", ["source"], lgk=12)
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "n_exact",
+            "est_hll",
+            F.round(
+                F.abs(F.col("est_hll") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )

@@ -174,3 +174,32 @@ def test_sessionize_gap_semantics_and_single_exchange(spark):
     plan = plans.formatted_plan(session_stats(sess))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# HLL (Spark builtin DataSketches) — accuracy + shard-merge contracts
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_and_union_merge(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("half"),
+        F.concat(F.lit("u"), F.col("id")).alias("v"),
+    )
+    est = sk.hll_distinct(df, "v", (), lgk=12).collect()[0]["est_hll"]
+    assert abs(est - 5000) / 5000 < 0.05  # ~1.6% expected at lgk=12
+
+    # shard-merge: union of per-half sketches estimates the same corpus
+    shards = sk.hll_sketch_by_group(
+        df.withColumn("g", F.lit("all")), "v", ["g", "half"], lgk=12
+    ).drop("half")
+    merged = sk.hll_union_estimate(shards, ["g"]).collect()[0]["est_hll"]
+    assert abs(merged - 5000) / 5000 < 0.05
+    # halves overlap zero → merged ≈ whole-corpus estimate
+    assert abs(merged - est) / 5000 < 0.02
+
+
+def test_hll_exactish_small(spark):
+    df = spark.range(50).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    est = sk.hll_distinct(df, "v", (), lgk=12).collect()[0]["est_hll"]
+    assert est == 50  # sparse mode is exact at tiny cardinalities
