@@ -234,6 +234,91 @@ def reservoir_sample(
 
 
 # ---------------------------------------------------------------------------
+# Pairwise Jaccard from KMV sketches (bottom-k union trick)
+# ---------------------------------------------------------------------------
+
+
+def kmv_pairwise_jaccard(
+    sketches: DataFrame,
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """All-pairs set-overlap estimates between groups from their KMV
+    sketches alone [Cohen & Kaplan 2007, bottom-k sketches]: for a pair
+    (a, b), let M be the k smallest hashes of K(a) ∪ K(b) — which IS the
+    KMV sketch of the union, since the k smallest of a union are among
+    the per-side k smallest — then
+
+        J(a, b) ≈ |M ∩ K(a) ∩ K(b)| / |M|
+
+    (each element of M is a uniform sample of the union, and it lands in
+    both sketches iff it is in the intersection).  When the union has
+    fewer than k distinct hashes the sketch is the union and the estimate
+    is exact.  ``est_union`` applies the (k-1)/U_(k) KMV estimator to M,
+    and ``est_overlap`` = J · |A ∪ B| estimates the shared-value count —
+    the corpus-contamination number.
+
+    Everything is deterministic on the portable hash, so the estimates
+    replay bit-identically in the DuckDB oracle.
+
+    100 TB shape: the corpus is touched only to build ``sketches``
+    (one pass, fixed k-row state per group); this function never sees a
+    raw token.  Per-pair state is ≤2k rows, so the pair window needs no
+    salting.  All-pairs fan-out is O(|groups|²·k) — sized for group-level
+    cardinalities (sources, shards, snapshots: 10²-10³ groups), not for
+    doc-level pairs (that is MinHash-LSH's job in dedup.py).
+
+    Input: output of ``kmv_sketch`` (group_col, kmv_h, kmv_rank).
+    Output: (src_a, src_b, n_union_kept, n_both, jaccard_est, est_union,
+    est_overlap) for every unordered pair src_a < src_b.
+    """
+    # The sketch relation is consumed three times (pair list + both union
+    # sides); checkpoint it so the corpus-sized sketch build runs once —
+    # the checkpointed relation is only |groups|·k rows.
+    sk = sketches.select(F.col(group_col), "kmv_h").localCheckpoint(eager=False)
+    srcs = sk.select(group_col).distinct()
+    pairs = (
+        srcs.select(F.col(group_col).alias("src_a"))
+        .join(srcs.select(F.col(group_col).alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    mem_a = sk.select(F.col(group_col).alias("src_a"), "kmv_h")
+    mem_b = sk.select(F.col(group_col).alias("src_b"), "kmv_h")
+    sides = (
+        pairs.join(F.broadcast(mem_a), "src_a")
+        .select("src_a", "src_b", "kmv_h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(F.broadcast(mem_b), "src_b").select(
+                "src_a", "src_b", "kmv_h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+    )
+    u = sides.groupBy("src_a", "src_b", "kmv_h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("kmv_h").asc())
+    m = u.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    agg = m.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        F.max("kmv_h").alias("_kth"),
+    )
+    jac = F.col("n_both").cast("double") / F.col("n_union_kept")
+    est_union = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(_TWO60)))
+    return agg.select(
+        "src_a",
+        "src_b",
+        "n_union_kept",
+        "n_both",
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(F.round(jac, 4) * F.round(est_union, 4), 2).alias("est_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # HLL (Apache DataSketches, Spark builtin) — the JVM-side production path
 # ---------------------------------------------------------------------------
 

@@ -5104,6 +5104,74 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_overlap_docs",
+    oracle=f"""
+    WITH {_SK_TOKS_CTE},
+    tok AS (SELECT source, unnest(t) AS token FROM toks),
+    h AS (SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS kmv_h
+          FROM tok),
+    r AS (SELECT source, kmv_h,
+                 row_number() OVER (PARTITION BY source ORDER BY kmv_h) AS rk
+          FROM h),
+    sk AS (SELECT source, kmv_h FROM r WHERE rk <= 64),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    sides AS (
+        SELECT p.src_a, p.src_b, s.kmv_h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.kmv_h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.src_b
+    ),
+    u AS (SELECT src_a, src_b, kmv_h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+          FROM sides GROUP BY src_a, src_b, kmv_h),
+    m AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                       ORDER BY kmv_h) AS rk
+          FROM u),
+    agg AS (SELECT src_a, src_b, COUNT(*) AS n_union_kept,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+                   MAX(kmv_h) AS kth
+            FROM m WHERE rk <= 64 GROUP BY src_a, src_b),
+    est AS (SELECT src_a, src_b, n_union_kept, n_both,
+                   ROUND(CAST(n_both AS DOUBLE) / n_union_kept, 4) AS jaccard_est,
+                   ROUND(CASE WHEN n_union_kept < 64
+                         THEN CAST(n_union_kept AS DOUBLE)
+                         ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+                         END, 4) AS est_union
+            FROM agg)
+    SELECT src_a, src_b, n_union_kept, n_both, jaccard_est, est_union,
+           ROUND(jaccard_est * est_union, 2) AS est_overlap
+    FROM est
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs source-overlap matrix from KMV sketches alone (bottom-k
+    union trick, Cohen & Kaplan 2007): per source pair, estimated token
+    Jaccard, union cardinality, and shared-token count — the
+    which-sources-duplicate-each-other report that drives source-level
+    mixing and contamination decisions.  The corpus is read once to build
+    64-hash-per-source sketches; the pair matrix never touches a raw
+    token, so the cost is O(|sources|²·k) regardless of corpus size.
+    The estimates are deterministic on the md5 portable hash and the
+    oracle replays the full estimator bit-identically."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.operators import sketch as sk
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        tok = _docs_nfc(spark, sf_dir).select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+    sketches = sk.kmv_sketch(tok, "token", ["source"], k=64)
+    return sk.kmv_pairwise_jaccard(sketches, "source", k=64).orderBy(
+        "src_a", "src_b"
+    )
+
+
 @register("hll_distinct_tokens_docs")
 def hll_distinct_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-token cardinality via Spark's builtin

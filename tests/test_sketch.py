@@ -177,6 +177,50 @@ def test_sessionize_gap_semantics_and_single_exchange(spark):
 
 
 # ---------------------------------------------------------------------------
+# Pairwise Jaccard from KMV sketches (bottom-k union trick)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_jaccard_exact_below_k(spark):
+    # A = 0..29, B = 20..49 → |A∩B| = 10, |A∪B| = 50 < k → exact
+    rows = [("a", f"v{i}") for i in range(30)] + [("b", f"v{i}") for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "source string, v string")
+    sks = sk.kmv_sketch(df, "v", ["source"], k=64)
+    out = sk.kmv_pairwise_jaccard(sks, "source", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("a", "b")
+    assert r["n_union_kept"] == 50 and r["n_both"] == 10
+    assert r["jaccard_est"] == 0.2
+    assert r["est_union"] == 50.0
+    assert r["est_overlap"] == 10.0
+
+
+def test_kmv_jaccard_estimate_large(spark):
+    # A = 0..999, B = 500..1499 → J = 500/1500 = 1/3, union = 1500
+    rows = [("a", f"t{i}") for i in range(1000)] + [
+        ("b", f"t{i}") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "source string, v string")
+    sks = sk.kmv_sketch(df, "v", ["source"], k=64)
+    r = sk.kmv_pairwise_jaccard(sks, "source", k=64).collect()[0]
+    # σ(J) = sqrt(J(1-J)/k) ≈ 0.059 at k=64 — allow ~2.5σ
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.15
+    assert abs(r["est_union"] - 1500) / 1500 < 0.35
+    assert r["n_union_kept"] == 64
+
+
+def test_kmv_jaccard_all_pairs_present(spark):
+    rows = [(f"s{g}", f"w{g}_{i}") for g in range(4) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, v string")
+    sks = sk.kmv_sketch(df, "v", ["source"], k=16)
+    out = sk.kmv_pairwise_jaccard(sks, "source", k=16).collect()
+    got = {(r["src_a"], r["src_b"]) for r in out}
+    assert got == {(f"s{i}", f"s{j}") for i in range(4) for j in range(i + 1, 4)}
+    assert all(r["jaccard_est"] == 0.0 for r in out)  # disjoint vocabularies
+
+
+# ---------------------------------------------------------------------------
 # HLL (Spark builtin DataSketches) — accuracy + shard-merge contracts
 # ---------------------------------------------------------------------------
 
