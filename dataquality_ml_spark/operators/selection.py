@@ -276,3 +276,40 @@ def mixture_epochs(
             ).alias("epochs"),
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    token_budget: int,
+    score_col: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    out: str = "tokens_before",
+) -> DataFrame:
+    """Maximal-prefix greedy selection under a GLOBAL token budget: rank
+    rows by (``score_col`` desc, ``id_col`` asc) and keep the longest
+    prefix whose cumulative ``tokens_col`` sum fits ``token_budget`` —
+    "take the best documents until the training-token budget is spent",
+    the final gate of a curation pipeline once per-doc quality scores
+    exist.  Prefix semantics (a row is kept iff ALL better-scored rows
+    plus itself fit) keep the operator deterministic and one-pass; this
+    is the fractional-knapsack greedy without splitting the boundary doc.
+
+    Distributed via ``relational.exclusive_prefix_sum`` over a struct
+    sort key (-score, id) — range repartition + per-partition windows,
+    NO partition-less window, so a 10^10-doc corpus never funnels
+    through one task.  Adds ``out`` = tokens consumed by strictly
+    better-ranked rows.
+    """
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    keyed = df.withColumn(
+        "_ord",
+        F.struct(
+            (-F.col(score_col)).alias("s"), F.col(id_col).alias("i")
+        ),
+    )
+    cum = exclusive_prefix_sum(keyed, "_ord", tokens_col, out=out)
+    return cum.filter(
+        F.col(out) + F.col(tokens_col) <= F.lit(int(token_budget))
+    ).drop("_ord")

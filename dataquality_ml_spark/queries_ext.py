@@ -5105,6 +5105,60 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "budget_select_docs",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+            string_split_regex(trim(lower(nfc_normalize(text))), '\\s+') AS t
+          FROM documents),
+    q AS (SELECT doc_id, len(t) AS n_tokens,
+            COALESCE(ROUND(len(list_filter(t, w -> w IN ({stops})))
+                     / CAST(len(t) AS DOUBLE), 4), 0.0) AS score
+          FROM toks),
+    c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tokens_before
+          FROM q)
+    SELECT doc_id, score, n_tokens, tokens_before
+    FROM c WHERE tokens_before + n_tokens <= 50000
+    ORDER BY score DESC, doc_id
+    """.format(stops=", ".join(f"'{w}'" for w in tx.STOPWORDS)),
+)
+def budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: score every doc
+    (stopword fraction as the natural-language-ness proxy), rank
+    (score desc, doc_id), keep the maximal prefix that fits a 50k-token
+    training budget — ``selection.budget_select`` over the shared
+    distributed prefix sum, so the global cumulative-token rank runs as
+    range partitions + per-partition windows with no partition-less
+    window anywhere.  The oracle replays the greedy as one window
+    cumulative sum."""
+    from dataquality_ml_spark.operators import selection as sel
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    with pre_normalized():
+        t = _docs_nfc(spark, sf_dir).select(
+            "doc_id", tokens(F.col("text")).alias("t")
+        )
+    from dataquality_ml_spark.operators.text import STOPWORDS
+
+    n_tok = F.size("t")
+    stop_frac = F.round(
+        F.size(F.filter("t", lambda w: w.isin(*STOPWORDS))) / n_tok, 4
+    )
+    scored = t.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.coalesce(stop_frac, F.lit(0.0)).alias("score"),
+    )
+    out = sel.budget_select(scored, 50_000, "score", "n_tokens", "doc_id")
+    return out.select("doc_id", "score", "n_tokens", "tokens_before").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+
+
+@register(
     "source_overlap_docs",
     oracle=f"""
     WITH {_SK_TOKS_CTE},

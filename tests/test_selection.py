@@ -404,3 +404,30 @@ def test_mixture_epochs_regimes(spark):
     assert out["a"]["n_tokens"] == 50 and out["a"]["epochs"] == 5.0   # 250/50
     assert out["b"]["n_tokens"] == 1000 and out["b"]["epochs"] == 0.25
     assert out["c"]["weight"] == 0.0 and out["c"]["target_tokens"] == 0.0
+
+
+def test_budget_select_prefix_semantics(spark):
+    from dataquality_ml_spark.operators.selection import budget_select
+
+    # rank by (score desc, id): b(10), d(10), a(30), c(40), e(40)
+    rows = [
+        (1, "a", 0.5, 30),
+        (2, "b", 0.9, 10),
+        (3, "c", 0.3, 40),
+        (4, "d", 0.9, 10),  # ties with b → id order, b first
+        (5, "e", 0.3, 40),  # ties with c → c first
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string, score double, n_tokens int")
+    out = {
+        r["name"]: r["tokens_before"]
+        for r in budget_select(df, 55, "score", "n_tokens").collect()
+    }
+    # prefix: b(0)+d(10)+a(20) = 50 ≤ 55; c would need 50+40 → cut,
+    # and e (same size, worse rank) is cut too — prefix, not knapsack
+    assert out == {"b": 0, "d": 10, "a": 20}
+
+    # budget below the first doc → empty; huge budget → everything
+    assert budget_select(df, 5, "score", "n_tokens").count() == 0
+    big = budget_select(df, 10_000, "score", "n_tokens")
+    assert big.count() == 5
+    assert big.agg(F.max(F.col("tokens_before") + F.col("n_tokens"))).first()[0] == 130
