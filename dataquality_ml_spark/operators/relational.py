@@ -7,6 +7,8 @@ in pandas/numpy (P9, L4-L6); here they are all distributed DataFrame plans.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType
@@ -304,7 +306,7 @@ def snapshot_diff(
     old_df: DataFrame,
     new_df: DataFrame,
     id_col: str = "doc_id",
-    content_col: str = "text",
+    content_col: str | Sequence[str] = "text",
 ) -> DataFrame:
     """Corpus version diff — what changed between two snapshots of the
     same table: ``added`` (id only in new), ``removed`` (only in old),
@@ -313,18 +315,33 @@ def snapshot_diff(
     against content, so the diff compares an md5 CONTENT hash, not
     row equality — column order or metadata churn doesn't alarm.
 
+    ``content_col`` may be a list of columns: each is cast to string and
+    coalesced to a sentinel BEFORE the unit-separator concat — a plain
+    ``concat_ws`` skips nulls, which would let (a, NULL, b) alias
+    (a, b, NULL) across columns.
+
     One full-outer shuffle join on the id; each side carries only
     (id, 16-byte hash), so the shuffle is narrow no matter how wide the
     documents are. NULL content hashes compare via null-safe equality
     (two null-text versions are 'unchanged', not 'changed').
     """
+    if isinstance(content_col, str):
+        fp = F.md5(F.col(content_col))
+    else:
+        fp = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                    for c in content_col
+                ],
+            )
+        )
     o = old_df.select(
-        F.col(id_col), F.md5(F.col(content_col)).alias("_h_old"),
-        F.lit(True).alias("_in_old"),
+        F.col(id_col), fp.alias("_h_old"), F.lit(True).alias("_in_old")
     )
     n = new_df.select(
-        F.col(id_col), F.md5(F.col(content_col)).alias("_h_new"),
-        F.lit(True).alias("_in_new"),
+        F.col(id_col), fp.alias("_h_new"), F.lit(True).alias("_in_new")
     )
     return (
         o.join(n, id_col, "full_outer")

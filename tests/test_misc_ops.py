@@ -432,3 +432,29 @@ def test_value_deciles_plan_and_ntile_parity(spark, tmp_path):
             assert "Scan parquet" not in ln, (
                 f"global window ({wid}) runs over the raw scan:\n{tree}"
             )
+
+
+def test_snapshot_diff_statuses_and_null_content(spark):
+    from dataquality_ml_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "doc_id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "now-set"), (3, "CHANGED", "z"), (5, "e", "v")],
+        "doc_id long, text string, meta string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, "doc_id", ("text", "meta")).collect()
+    }
+    # null→value in a fingerprint col counts as changed (each col is
+    # sentinel-coalesced before concat_ws); id 2 flips b|NULL → b|now-set
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
