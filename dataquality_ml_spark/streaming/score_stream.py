@@ -467,3 +467,68 @@ def cms_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), lambda: state["cms"], estimate
+
+
+def hll_monitor_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    lgk: int = 12,
+    trigger_once: bool = True,
+):
+    """Streaming distinct-cardinality monitor on DataSketches HLL: each
+    micro-batch's tokens build per-group binary sketches JVM-side
+    (``sketch.hll_sketch_by_group``) and fold into the running per-group
+    sketches with ``hll_union_agg`` — register-wise max, so the merged
+    sketch is IDENTICAL to a single-pass build over the whole stream
+    (order-independent, idempotent on replays of the same values), with
+    zero per-key state for an unbounded token domain.
+
+    The cross-batch union runs as a tiny Spark job over (state ∪ batch)
+    sketch rows; what crosses to the driver is one ≤2^lgk-byte sketch
+    per group, never token rows.  The sketch rows are what a production
+    pipeline persists next to the checkpoint.
+
+    Returns (query, get_sketches, estimates) — ``get_sketches()`` yields
+    the [(group, bytes)] state; ``estimates()`` runs
+    ``hll_sketch_estimate`` over it and returns {group: est}.
+    """
+    from dataquality_ml_spark.functions.scalar import tokens as tok_fn
+    from dataquality_ml_spark.operators.sketch import hll_sketch_by_group
+
+    schema = f"{group_col} string, hll_sketch binary"
+    state: dict = {"rows": None, "spark": None}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state["spark"] = spark
+        toks = batch_df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.explode(tok_fn(F.col(text_col))).alias("token"),
+        )
+        part = hll_sketch_by_group(toks, "token", [group_col], lgk=lgk)
+        if state["rows"]:
+            prev = spark.createDataFrame(state["rows"], schema)
+            part = part.unionByName(prev)
+        merged = part.groupBy(group_col).agg(
+            F.hll_union_agg(F.col("hll_sketch")).alias("hll_sketch")
+        )
+        state["rows"] = [(r[group_col], bytes(r["hll_sketch"])) for r in merged.collect()]
+
+    def estimates() -> dict:
+        if not state["rows"]:
+            return {}
+        df = state["spark"].createDataFrame(state["rows"], schema)
+        out = df.select(
+            group_col,
+            F.hll_sketch_estimate(F.col("hll_sketch")).alias("est"),
+        ).collect()
+        return {r[group_col]: r["est"] for r in out}
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), lambda: state["rows"], estimates

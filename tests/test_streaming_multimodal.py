@@ -898,3 +898,45 @@ def test_cms_monitor_stream_matches_batch_sketch(spark, tmp_path):
     # driver-side estimates: >= truth, exact here (tiny token set)
     est = estimate(["alpha", "beta", "gamma", "delta"])
     assert est == {"alpha": 3, "beta": 3, "gamma": 3, "delta": 1}
+
+
+def test_hll_monitor_stream_matches_batch_sketch(spark, tmp_path):
+    """Cross-batch hll_union_agg must reproduce the single-pass batch
+    sketch exactly: HLL registers are per-slot maxima, so union is
+    order-independent and replay-idempotent."""
+    from dataquality_ml_spark.operators.sketch import hll_distinct
+    from dataquality_ml_spark.functions.scalar import tokens as tok_fn
+
+    schema = "source string, text string"
+    rows1 = [("a", "alpha beta alpha"), ("b", "beta gamma")]
+    rows2 = [("a", "alpha delta"), ("b", "gamma epsilon beta")]
+    in_dir = tmp_path / "hll_in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, get_sketches, estimates = ss.hll_monitor_stream(
+        stream, checkpoint=str(tmp_path / "hll_ckpt"), lgk=12
+    )
+    q.awaitTermination(120)
+
+    est = estimates()
+    # tiny cardinalities → sparse mode is exact: a={alpha,beta,delta},
+    # b={beta,gamma,epsilon}
+    assert {g: round(v) for g, v in est.items()} == {"a": 3, "b": 3}
+
+    # stream == batch: merged estimates equal the one-shot batch sketch
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    toks = batch_df.select(
+        "source", F.explode(tok_fn(F.col("text"))).alias("token")
+    )
+    want = {
+        r["source"]: r["est_hll"]
+        for r in hll_distinct(toks, "token", ["source"], lgk=12).collect()
+    }
+    assert est == want
