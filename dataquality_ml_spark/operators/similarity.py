@@ -1492,3 +1492,67 @@ class ANNIndex:
             d["coarse_cents"], d["codebooks"], d["nprobe"], d["id_col"],
             d["vec_col"], d.get("dist_profile"),
         )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion [Cormack, Clarke & Buettcher 2009] of two
+    ranked candidate lists per query — the standard hybrid-retrieval
+    combiner (lexical ⊕ vector):
+
+        rrf(d) = Σ_systems 1 / (k_const + rank_system(d))
+
+    Candidates outside a system's list contribute 0 for that system (the
+    practical top-N variant — no full corpus rank needed).  Input
+    relations carry (query_col, cand_col, rank_col); output is the
+    fused top-``topk`` per query with both source ranks kept for audit.
+
+    Determinism: ranks are integers, 1/(k+r) is one IEEE division, the
+    two terms add in fixed order, and the fused rank breaks ties on the
+    candidate id — bit-stable across engines for the DuckDB replay.
+
+    100 TB shape: both inputs are already bounded (top-N per query), so
+    the fusion join + window touch O(|queries|·N) rows regardless of
+    corpus size; the expensive part is PRODUCING the inputs (kNN / LSH /
+    lexical top-N), each of which has its own scale path in this module.
+    """
+    ra = a.select(
+        F.col(query_col), F.col(cand_col), F.col(rank_col).alias("rank_a")
+    )
+    rb = b.select(
+        F.col(query_col), F.col(cand_col), F.col(rank_col).alias("rank_b")
+    )
+    fused = (
+        ra.join(rb, [query_col, cand_col], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k_const) + F.col("rank_a")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k_const) + F.col("rank_b")), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(cand_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= topk)
+        .select(
+            query_col, cand_col, "rank_a", "rank_b", "rrf_score", "fused_rank"
+        )
+        .orderBy(query_col, "fused_rank")
+    )

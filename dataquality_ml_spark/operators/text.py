@@ -596,3 +596,49 @@ def trim_boilerplate_lines(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("_keep").cast("int")).alias("n_kept"),
     )
+
+
+def jaccard_topk(
+    toksets: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    set_col: str = "tset",
+) -> DataFrame:
+    """Lexical top-k retrieval: for each query doc, the ``k`` candidates
+    with the highest distinct-token Jaccard — the exact-overlap half of
+    a hybrid (lexical ⊕ vector) search.  Mirrors
+    ``similarity.knn_bruteforce``'s contract: queries broadcast, corpus
+    streams through a nested-loop join (never shuffled), similarity
+    ROUNDED to 4 dp with the candidate id as tie-break so ranks are
+    bit-stable across engines, and Spark 4's WindowGroupLimit prunes the
+    per-query rank window map-side to k rows per task.
+
+    ``toksets`` rows are (id_col, set_col: array<string> ALREADY
+    distinct); pass ``F.array_distinct(tokens(text))`` projections.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(set_col).alias("q_set")
+        )
+    )
+    c = toksets.select(
+        F.col(id_col).alias("neighbor_id"), F.col(set_col).alias("c_set")
+    )
+    inter = F.size(F.array_intersect(F.col("q_set"), F.col("c_set")))
+    union = F.size("q_set") + F.size("c_set") - inter
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(inter / union.cast("double"), 4) + F.lit(0.0)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -5105,6 +5105,72 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_docs",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    vs AS (SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) + 0 AS sim
+           FROM q, c WHERE neighbor_id != query_id),
+    vr AS (SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank_a
+           FROM vs QUALIFY rank_a <= 20),
+    toks AS (SELECT doc_id,
+               list_distinct(string_split_regex(trim(lower(nfc_normalize(text))), '\\s+')) AS tset
+             FROM documents),
+    lq AS (SELECT doc_id AS query_id, tset AS q_set FROM toks WHERE doc_id < 3),
+    ls AS (SELECT lq.query_id, t.doc_id AS neighbor_id,
+             ROUND(len(list_intersect(q_set, tset))
+               / CAST(len(q_set) + len(tset) - len(list_intersect(q_set, tset)) AS DOUBLE), 4) + 0 AS sim
+           FROM lq, toks t WHERE t.doc_id != lq.query_id),
+    lr AS (SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank_b
+           FROM ls QUALIFY rank_b <= 20),
+    f AS (SELECT COALESCE(vr.query_id, lr.query_id) AS query_id,
+             COALESCE(vr.neighbor_id, lr.neighbor_id) AS neighbor_id,
+             vr.rank_a, lr.rank_b,
+             ROUND(COALESCE(CAST(1 AS DOUBLE)/(60 + vr.rank_a), 0.0)
+                 + COALESCE(CAST(1 AS DOUBLE)/(60 + lr.rank_b), 0.0), 6) + 0 AS rrf_score
+          FROM vr FULL OUTER JOIN lr
+            ON vr.query_id = lr.query_id AND vr.neighbor_id = lr.neighbor_id)
+    SELECT query_id, neighbor_id, rank_a, rank_b, rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS fused_rank
+    FROM f QUALIFY fused_rank <= 10
+    ORDER BY query_id, fused_rank
+    """,
+)
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): per query doc, the vector top-20 (exact cosine over the
+    aligned embeddings table) and the lexical top-20 (distinct-token
+    Jaccard) fuse as Σ 1/(60+rank) into one ranking — the
+    retrieval-based curation face (find training docs related to a seed
+    set by meaning OR wording).  Both candidate generators broadcast
+    the 3 query vectors/token-sets and stream the corpus; the fusion
+    join and window touch only O(|queries|·20) rows.  All scores are
+    4dp-rounded with id tie-breaks, so the oracle replays every rank
+    bit-identically."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.operators import text as txo
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = sim.knn_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=20)
+    with pre_normalized():
+        tok = _docs_nfc(spark, sf_dir).select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tset")
+        )
+    tok = tok.localCheckpoint(eager=False)
+    lex = txo.jaccard_topk(tok, tok.where(F.col("doc_id") < 3), k=20)
+    return sim.rrf_fuse(vec, lex, topk=10)
+
+
+@register(
     "budget_select_docs",
     oracle="""
     WITH toks AS (SELECT doc_id,

@@ -1666,3 +1666,45 @@ def test_canonical_url_idempotent_fuzz(spark):
         .collect()
     )
     assert not bad, f"non-idempotent canonicalization: {bad[:5]}"
+
+
+def test_rrf_fuse_math_and_disjoint_lists(spark):
+    from dataquality_ml_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r["neighbor_id"]: r for r in rrf_fuse(a, b, topk=10).collect()}
+    # 11 appears in both lists: 1/62 + 1/61
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[11]["fused_rank"] == 1
+    # single-system candidates contribute only their own term
+    assert out[10]["rrf_score"] == round(1 / 61, 6)
+    assert out[13]["rrf_score"] == round(1 / 62, 6)
+    assert out[12]["rrf_score"] == round(1 / 63, 6)
+    assert out[10]["rank_b"] is None and out[13]["rank_a"] is None
+    # tie-break: 10 (1/61) beats nothing equal; 13 (1/62) vs 12 (1/63)
+    order = sorted(out.values(), key=lambda r: r["fused_rank"])
+    assert [r["neighbor_id"] for r in order] == [11, 10, 13, 12]
+
+
+def test_jaccard_topk_exact_sets(spark):
+    from dataquality_ml_spark.operators.text import jaccard_topk
+
+    rows = [
+        (0, ["a", "b", "c", "d"]),
+        (1, ["a", "b", "c", "x"]),   # J(0,1) = 3/5 = 0.6
+        (2, ["a", "b", "y", "z"]),   # J(0,2) = 2/6 ≈ 0.3333
+        (3, ["p", "q"]),             # J(0,3) = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tset array<string>")
+    got = jaccard_topk(df, df.where(F.col("doc_id") == 0), k=2).collect()
+    assert [(r["neighbor_id"], r["sim"], r["rank"]) for r in got] == [
+        (1, 0.6, 1),
+        (2, 0.3333, 2),
+    ]
