@@ -629,11 +629,14 @@ def jaccard_topk(
     )
     inter = F.size(F.array_intersect(F.col("q_set"), F.col("c_set")))
     union = F.size("q_set") + F.size("c_set") - inter
+    # guard union=0 (two empty sets): 0/0.0 is NaN, and NaN sorts ABOVE
+    # every real similarity in a desc window — define J(∅,∅) = 0 instead
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        F.round(inter / union.cast("double"), 4) + F.lit(0.0)
+    )
     scored = (
         c.join(q, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim", F.round(inter / union.cast("double"), 4) + F.lit(0.0)
-        )
+        .withColumn("sim", jac)
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

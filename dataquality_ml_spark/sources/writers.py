@@ -92,3 +92,51 @@ def write_parquet_observed(
     ]
     df.observe(obs, *metrics).write.mode(mode).parquet(path)
     return dict(obs.get)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    fmt: str = "parquet",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Sharded training-data export: assign every row a deterministic
+    shard = portable_hash(key) mod n_shards, write one partition
+    directory per shard (``shard=N/``), and return a per-shard manifest
+    (row count, optional token sum) computed from a READ-BACK of the
+    written files — the manifest certifies what is actually on disk,
+    not what the plan intended.
+
+    Hash sharding (vs range) keeps shards statistically balanced with
+    zero knowledge of the key distribution and is stable under
+    re-export: the same row lands in the same shard forever, so
+    downstream loaders can resume / diff shards across corpus versions.
+    ``fmt`` is ``parquet`` or ``json`` (JSONL — one object per line, the
+    common LM-training interchange).
+
+    100 TB shape: the shard column is one codegen'd projection; the
+    write is the normal distributed partitioned write (no coalesce, no
+    driver data); the manifest is an aggregate over the read-back scan,
+    partition-pruned per shard.
+    """
+    from pyspark.sql import functions as F
+
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    shard = F.pmod(portable_hash32(F.col(key_col).cast("string")), F.lit(n_shards))
+    out = df.withColumn("shard", shard)
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if fmt == "parquet":
+        writer.parquet(path)
+        back = df.sparkSession.read.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+        back = df.sparkSession.read.schema(out.schema).json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt}")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_count_col is not None:
+        aggs.append(F.sum(token_count_col).cast("bigint").alias("n_tokens"))
+    return back.groupBy("shard").agg(*aggs).orderBy("shard")

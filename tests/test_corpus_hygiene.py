@@ -1708,3 +1708,15 @@ def test_jaccard_topk_exact_sets(spark):
         (1, 0.6, 1),
         (2, 0.3333, 2),
     ]
+
+
+def test_jaccard_topk_empty_sets_score_zero(spark):
+    from dataquality_ml_spark.operators.text import jaccard_topk
+
+    rows = [(0, ["a", "b"]), (1, []), (2, ["a"])]
+    df = spark.createDataFrame(rows, "doc_id long, tset array<string>")
+    # empty query vs empty candidate must NOT rank first on a NaN score
+    got = jaccard_topk(df, df.where(F.col("doc_id") == 1), k=3).collect()
+    assert all(r["sim"] == 0.0 for r in got)
+    got0 = jaccard_topk(df, df.where(F.col("doc_id") == 0), k=3).collect()
+    assert [(r["neighbor_id"], r["sim"]) for r in got0] == [(2, 0.5), (1, 0.0)]
