@@ -5170,6 +5170,92 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rrf_fuse(vec, lex, topk=10)
 
 
+def _hybrid_ivf_oracle() -> str:
+    from dataquality_ml_spark.queries import _CENT_CTE, _COS_SQL
+
+    return f"""
+    WITH {_CENT_CTE},
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assign_scored AS (
+      SELECT v.vec_id, c.centroid_id,
+        ROUND(list_dot_product(v.emb, c.centroid)
+          / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) + 0 AS sim
+      FROM vecs v, cent c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT v.vec_id AS query_id, v.emb AS qv, a.cluster AS q_cluster
+      FROM vecs v JOIN assign a USING (vec_id) WHERE v.vec_id < 3
+    ),
+    c AS (
+      SELECT v.vec_id AS neighbor_id, v.emb AS cv, a.cluster AS c_cluster
+      FROM vecs v JOIN assign a USING (vec_id)
+    ),
+    vs AS (
+      SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 4) + 0 AS sim
+      FROM q JOIN c ON c_cluster = q_cluster AND neighbor_id != query_id
+    ),
+    vr AS (SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank_a
+           FROM vs QUALIFY rank_a <= 20),
+    toks AS (SELECT doc_id,
+               list_distinct(string_split_regex(trim(lower(nfc_normalize(text))), '\\s+')) AS tset
+             FROM documents),
+    lq AS (SELECT doc_id AS query_id, tset AS q_set FROM toks WHERE doc_id < 3),
+    ls AS (SELECT lq.query_id, t.doc_id AS neighbor_id,
+             ROUND(len(list_intersect(q_set, tset))
+               / CAST(len(q_set) + len(tset) - len(list_intersect(q_set, tset)) AS DOUBLE), 4) + 0 AS sim
+           FROM lq, toks t WHERE t.doc_id != lq.query_id),
+    lr AS (SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank_b
+           FROM ls QUALIFY rank_b <= 20),
+    f AS (SELECT COALESCE(vr.query_id, lr.query_id) AS query_id,
+             COALESCE(vr.neighbor_id, lr.neighbor_id) AS neighbor_id,
+             vr.rank_a, lr.rank_b,
+             ROUND(COALESCE(CAST(1 AS DOUBLE)/(60 + vr.rank_a), 0.0)
+                 + COALESCE(CAST(1 AS DOUBLE)/(60 + lr.rank_b), 0.0), 6) + 0 AS rrf_score
+          FROM vr FULL OUTER JOIN lr
+            ON vr.query_id = lr.query_id AND vr.neighbor_id = lr.neighbor_id)
+    SELECT query_id, neighbor_id, rank_a, rank_b, rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS fused_rank
+    FROM f QUALIFY fused_rank <= 10
+    ORDER BY query_id, fused_rank
+    """
+
+
+@register("hybrid_search_ivf_docs", oracle=_hybrid_ivf_oracle())
+def hybrid_search_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of ``hybrid_search_docs``: the vector half goes
+    through the IVF index (cluster-pruned candidate generation — the
+    corpus side of the cosine join shrinks to the probed cells) instead
+    of the brute-force scan, then reciprocal-rank-fuses with the same
+    lexical top-20.  Same fusion operator, same oracle algebra — only
+    the candidate generator swaps, which is the point of keeping
+    ``rrf_fuse`` generator-agnostic."""
+    from dataquality_ml_spark.functions.scalar import pre_normalized, tokens
+    from dataquality_ml_spark.operators import text as txo
+    from dataquality_ml_spark.queries import _docs_nfc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.centroids_by_label(emb)
+    vec = sim.knn_ivf(emb, emb.where(F.col("vec_id") < 3), cents, k=20)
+    with pre_normalized():
+        tok = _docs_nfc(spark, sf_dir).select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tset")
+        )
+    tok = tok.localCheckpoint(eager=False)
+    lex = txo.jaccard_topk(tok, tok.where(F.col("doc_id") < 3), k=20)
+    return sim.rrf_fuse(vec, lex, topk=10)
+
+
 @register(
     "budget_select_docs",
     oracle="""
