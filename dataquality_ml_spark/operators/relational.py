@@ -433,8 +433,16 @@ def exclusive_prefix_sum(
     shuffle; the result keeps the range partitioning, so a downstream
     orderBy(order_col) is nearly free.
     """
-    parts = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(
-        order_col
+    # Lazy-checkpoint the range-partitioned relation: it is consumed
+    # twice (the subtotal collect below is its own job, then the final
+    # plan reads it again) — without the checkpoint the upstream scan +
+    # range shuffle run twice.  The subtotal job materializes it; the
+    # second pass reads executor-local partitions.  Also load-bearing
+    # for determinism: both passes must see identical range boundaries.
+    parts = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .localCheckpoint(eager=False)
     )
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     subtotals = (
