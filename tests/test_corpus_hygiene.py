@@ -1720,3 +1720,39 @@ def test_jaccard_topk_empty_sets_score_zero(spark):
     assert all(r["sim"] == 0.0 for r in got)
     got0 = jaccard_topk(df, df.where(F.col("doc_id") == 0), k=3).collect()
     assert [(r["neighbor_id"], r["sim"]) for r in got0] == [(2, 0.5), (1, 0.0)]
+
+
+def test_rrf_fuse_matches_python_reference_randomized(spark):
+    """Seeded randomized differential: fused scores/ranks must equal the
+    plain-Python RRF over arbitrary overlapping top-N lists."""
+    import random
+
+    from dataquality_ml_spark.operators.similarity import rrf_fuse
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        cands = list(range(100))
+
+        def ranked_list(n):
+            picks = rng.sample(cands, n)
+            return [(0, c, r + 1) for r, c in enumerate(picks)]
+
+        la, lb = ranked_list(20), ranked_list(20)
+        a = spark.createDataFrame(la, "query_id long, neighbor_id long, rank int")
+        b = spark.createDataFrame(lb, "query_id long, neighbor_id long, rank int")
+
+        ra = {c: r for _, c, r in la}
+        rb = {c: r for _, c, r in lb}
+        scores = {
+            c: round(
+                (1 / (60 + ra[c]) if c in ra else 0.0)
+                + (1 / (60 + rb[c]) if c in rb else 0.0),
+                6,
+            )
+            for c in set(ra) | set(rb)
+        }
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+        got = rrf_fuse(a, b, topk=10).collect()
+        assert [(r["neighbor_id"], r["rrf_score"]) for r in got] == want, seed
+        assert [r["fused_rank"] for r in got] == list(range(1, len(got) + 1))

@@ -431,3 +431,43 @@ def test_budget_select_prefix_semantics(spark):
     big = budget_select(df, 10_000, "score", "n_tokens")
     assert big.count() == 5
     assert big.agg(F.max(F.col("tokens_before") + F.col("n_tokens"))).first()[0] == 130
+
+
+def test_budget_select_matches_python_greedy_randomized(spark):
+    """Seeded randomized differential: the distributed prefix-sum greedy
+    must equal the obvious single-threaded greedy, and the kept set must
+    grow monotonically with the budget."""
+    import random
+
+    from dataquality_ml_spark.operators.selection import budget_select
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = [
+            (i, round(rng.random(), 4), rng.randint(1, 50))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens int")
+
+        def py_greedy(budget):
+            kept, used = set(), 0
+            for i, s, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+                if used + n <= budget:
+                    kept.add(i)
+                    used += n
+                else:
+                    break  # prefix semantics: stop at first overflow
+            return kept
+
+        prev = set()
+        for budget in (0, 137, 1000, 10**6):
+            got = {
+                r["doc_id"]
+                for r in budget_select(df, budget, "score", "n_tokens").collect()
+            }
+            assert got == py_greedy(budget), (seed, budget)
+            # total fits the budget; monotone growth with budget
+            tok = {i: n for i, _, n in rows}
+            assert sum(tok[i] for i in got) <= budget
+            assert prev <= got
+            prev = got
