@@ -1304,6 +1304,85 @@ def hard_negatives(
     )
 
 
+def label_positives(
+    emb_df: DataFrame,
+    anchor_df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The positive-mining twin of ``hard_negatives``: for each anchor,
+    the top-k most-similar corpus vectors carrying the SAME label
+    (excluding the anchor itself) — the in-class nearest neighbors a
+    triplet/InfoNCE loss pairs against the mined negatives.  Identical
+    100 TB shape: anchors broadcast, corpus streams, 4dp-rounded sim +
+    id tie-break for engine-portable ranks."""
+    a = F.broadcast(
+        anchor_df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            F.col(label_col).alias("anchor_label"),
+        )
+    )
+    c = emb_df.select(
+        F.col(id_col).alias("pos_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("pos_label"),
+    )
+    scored = (
+        c.join(
+            a,
+            (F.col("pos_label") == F.col("anchor_label"))
+            & (F.col("pos_id") != F.col("anchor_id")),
+        )
+        .withColumn(
+            "sim", F.round(cosine_sim(F.col("a_vec"), F.col("c_vec")), 4) + F.lit(0.0)
+        )
+        .select("anchor_id", "anchor_label", "pos_id", "pos_label", "sim")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("pos_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def triplet_manifest(
+    emb_df: DataFrame,
+    anchor_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training triplet manifest: per anchor, the hardest
+    in-class positive (rank-1 same-label neighbor) and the hardest
+    out-of-class negative (rank-1 ``hard_negatives``), plus
+    ``margin`` = pos_sim − neg_sim — the per-triplet difficulty a
+    curriculum or margin-based loss filters on (margin ≤ 0 means the
+    negative currently sits closer than the positive: the exact
+    triplets metric learning needs).  One inner join of two bounded
+    rank-1 relations on the anchor id."""
+    pos = label_positives(emb_df, anchor_df, k=1, id_col=id_col,
+                          vec_col=vec_col, label_col=label_col).select(
+        "anchor_id", "anchor_label", "pos_id", F.col("sim").alias("pos_sim")
+    )
+    neg = hard_negatives(emb_df, anchor_df, k=1, id_col=id_col,
+                         vec_col=vec_col, label_col=label_col).select(
+        "anchor_id", "neg_id", F.col("sim").alias("neg_sim")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    ).orderBy("anchor_id")
+
+
 def assignment_distances(
     emb_df: DataFrame,
     cents: list[list[float]],

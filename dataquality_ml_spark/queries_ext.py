@@ -5170,6 +5170,59 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rrf_fuse(vec, lex, topk=10)
 
 
+@register(
+    "triplet_manifest_embeddings",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS cid, label AS clabel, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT anchor_id, anchor_label, cid, clabel,
+             ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))), 4) + 0 AS sim
+      FROM a, c WHERE cid != anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, anchor_label, cid AS pos_id, sim AS pos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY sim DESC, cid) AS rn
+            FROM scored WHERE clabel = anchor_label)
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cid AS neg_id, sim AS neg_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY sim DESC, cid) AS rn
+            FROM scored WHERE clabel != anchor_label)
+      WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_sim,
+           n.neg_id, n.neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 4) AS margin
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    ORDER BY p.anchor_id
+    """,
+)
+def triplet_manifest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplets per anchor (vec_id < 10): hardest
+    same-label positive ⊕ hardest different-label negative
+    (``similarity.triplet_manifest``), with margin = pos_sim − neg_sim
+    — the per-triplet difficulty a metric-learning curriculum filters
+    on.  Both miners broadcast the anchors and stream the corpus; the
+    manifest join touches only the two rank-1 relations."""
+    from dataquality_ml_spark.operators.similarity import triplet_manifest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return triplet_manifest(emb, emb.where(F.col("vec_id") < 10))
+
+
 def _hybrid_ivf_oracle() -> str:
     from dataquality_ml_spark.queries import _CENT_CTE, _COS_SQL
 

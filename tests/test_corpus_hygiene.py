@@ -1756,3 +1756,24 @@ def test_rrf_fuse_matches_python_reference_randomized(spark):
         got = rrf_fuse(a, b, topk=10).collect()
         assert [(r["neighbor_id"], r["rrf_score"]) for r in got] == want, seed
         assert [r["fused_rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_triplet_manifest_semantics(spark):
+    """Positive is the nearest SAME-label (not self), negative the
+    nearest DIFFERENT-label; margin can be negative when the negative
+    sits closer."""
+    from dataquality_ml_spark.operators.similarity import triplet_manifest
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "b"),   # closest overall — wrong label → negative
+        (2, [0.5, 0.5], "a"),   # same label → positive
+        (3, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = triplet_manifest(df, df.where(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pos_id"], r["neg_id"]) == (2, 1)
+    assert r["neg_sim"] > r["pos_sim"]  # hard negative beats the positive
+    assert r["margin"] == round(r["pos_sim"] - r["neg_sim"], 4) and r["margin"] < 0
