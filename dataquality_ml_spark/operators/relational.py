@@ -410,8 +410,10 @@ def temperature_sample(
 def exclusive_prefix_sum(
     df: DataFrame,
     order_col: str,
-    val_col: str,
-    out: str = "_before",
+    val_col: str | list[str],
+    out: str | list[str] = "_before",
+    descending: bool = False,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Distributed exclusive prefix sum of ``val_col`` in ``order_col``
     order: every row gains ``out`` = sum of val over all rows strictly
@@ -428,11 +430,34 @@ def exclusive_prefix_sum(
     running sum (window PARTITIONED by partition id — parallel).  Output
     is invariant to where the sampled range boundaries land.
 
-    ``order_col`` must be unique per row for a deterministic result (use
-    a distinct/grouped relation or a unique key).  Adds one range
-    shuffle; the result keeps the range partitioning, so a downstream
-    orderBy(order_col) is nearly free.
+    ``val_col``/``out`` accept parallel lists to prefix-sum several
+    integral measures in ONE decomposition (one range shuffle, one
+    subtotal job — e.g. cumulative TP and FP of a threshold sweep).
+    ``descending=True`` runs the prefix in descending ``order_col``
+    order ("sum of all rows strictly greater") without negating keys.
+    ``keys`` makes the prefix PER GROUP (restart at 0 for each distinct
+    key tuple) while still range-partitioning on (keys…, order) — the
+    driver sees one offset row per (partition, key-tuple-in-partition),
+    bounded by |partitions| + |keys| (each key spans contiguous
+    partitions, so a key adds rows only where it straddles a boundary).
+
+    ``order_col`` must be unique per row (within its key group when
+    ``keys`` is given) for a deterministic result; values must be
+    integral (counts/tokens — subtotals are exact-summed driver-side).
+    Adds one range shuffle; the result keeps the range partitioning, so
+    a downstream orderBy(order_col) is nearly free.
     """
+    val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(val_cols) != len(outs):
+        raise ValueError("val_col and out must have the same length")
+    keys = list(keys or [])
+    rng_exprs = [F.col(k) for k in keys] + [
+        F.col(order_col).desc() if descending else F.col(order_col)
+    ]
+    sort_exprs = [F.asc(k) for k in keys] + [
+        F.desc(order_col) if descending else F.asc(order_col)
+    ]
     # Lazy-checkpoint the range-partitioned relation: it is consumed
     # twice (the subtotal collect below is its own job, then the final
     # plan reads it again) — without the checkpoint the upstream scan +
@@ -440,30 +465,45 @@ def exclusive_prefix_sum(
     # second pass reads executor-local partitions.  Also load-bearing
     # for determinism: both passes must see identical range boundaries.
     parts = (
-        df.repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(*rng_exprs)
+        .sortWithinPartitions(*sort_exprs)
         .localCheckpoint(eager=False)
     )
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    subtotals = (
-        with_pid.groupBy("_pid").agg(F.sum(val_col).alias("_psum")).collect()
+    subtotals = with_pid.groupBy("_pid", *keys).agg(
+        *[F.sum(c).alias(f"_psum_{i}") for i, c in enumerate(val_cols)]
+    ).collect()
+    accs: dict = {}
+    offsets = []
+    for r in sorted(subtotals, key=lambda r: (r["_pid"],)):
+        kt = tuple(r[k] for k in keys)
+        acc = accs.setdefault(kt, [0] * len(val_cols))
+        offsets.append((r["_pid"], *kt, *acc))
+        accs[kt] = [
+            a + int(r[f"_psum_{i}"] or 0) for i, a in enumerate(acc)
+        ]
+    key_schema = "".join(
+        f"{k} {df.schema[k].dataType.simpleString()}, " for k in keys
     )
-    acc, offsets = 0, []
-    for r in sorted(subtotals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], acc))
-        acc += int(r["_psum"] or 0)
+    off_schema = (
+        "_pid int, "
+        + key_schema
+        + ", ".join(f"_off_{i} long" for i in range(len(val_cols)))
+    )
     off_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        df.sparkSession.createDataFrame(
+            offsets or [(0, *([None] * len(keys)), *([0] * len(val_cols)))],
+            off_schema,
+        )
     )
     w = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
+        Window.partitionBy("_pid", *keys)
+        .orderBy(sort_exprs[-1])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        with_pid.join(off_df, "_pid")
-        .withColumn(
-            out, F.coalesce(F.sum(val_col).over(w), F.lit(0)) + F.col("_off")
+    res = with_pid.join(off_df, ["_pid", *keys])
+    for i, (c, o) in enumerate(zip(val_cols, outs)):
+        res = res.withColumn(
+            o, F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(f"_off_{i}")
         )
-        .drop("_pid", "_off")
-    )
+    return res.drop("_pid", *[f"_off_{i}" for i in range(len(val_cols))])

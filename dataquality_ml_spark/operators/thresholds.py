@@ -17,21 +17,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> list[float]:
+    """Exact linear-interpolated quantiles WITHOUT Spark's single-buffer
+    ``percentile`` aggregate (VERDICT r7 item 2): delegates to
+    ``profile.exact_quantiles_grouped`` — grouped value counts (map-side
+    combined, fully parallel) + order-statistic pickup, bit-equal to
+    ``percentile`` / numpy linear interpolation. Spark's exact aggregate
+    buffers every value in ONE merge buffer, which OOMs at 100 TB; this
+    path's only driver traffic is |qs| scalar rows."""
+    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+
+    rows = exact_quantiles_grouped(df, [col], [float(q) for q in qs]).collect()
+    by_q = {r["q"]: r["val"] for r in rows}
+    return [by_q.get(float(q)) for q in qs]
+
+
 def percentile_threshold(df: DataFrame, col: str, q: float, exact: bool = True) -> float:
     """Threshold = q-th percentile of ``col`` (reference A7: P95/P90/P72).
 
-    ``exact=True`` reproduces numpy's linear interpolation exactly (small /
-    test SF); ``exact=False`` is the 100 TB path (mergeable approx sketch).
+    ``exact=True`` reproduces numpy's linear interpolation exactly via the
+    distributed grouped-count order-statistic path (no single-buffer
+    ``Percentile`` aggregate anywhere in the plan); ``exact=False`` is the
+    mergeable approx sketch (cheaper still — one pass, bounded memory).
     """
-    fn = "percentile" if exact else "percentile_approx"
-    return df.agg(F.expr(f"{fn}({col}, {q})").alias("t")).first()["t"]
+    if exact:
+        return _exact_quantiles(df, col, [q])[0]
+    return df.agg(F.expr(f"percentile_approx({col}, {q})").alias("t")).first()["t"]
 
 
 def iqr_threshold(df: DataFrame, col: str, k: float = 1.5, exact: bool = True) -> float:
     """Threshold = Q3 + k·IQR (reference A8, app/LSTM_AE.py:513-517)."""
-    fn = "percentile" if exact else "percentile_approx"
-    row = df.agg(F.expr(f"{fn}({col}, array(0.25, 0.75))").alias("qs")).first()
-    q1, q3 = row["qs"]
+    if exact:
+        q1, q3 = _exact_quantiles(df, col, [0.25, 0.75])
+    else:
+        row = df.agg(F.expr(f"percentile_approx({col}, array(0.25, 0.75))").alias("qs")).first()
+        q1, q3 = row["qs"]
     return q3 + k * (q3 - q1)
 
 
@@ -64,9 +84,13 @@ def zscore_agg(df: DataFrame, col: str, out: str = "zscore") -> DataFrame:
 def clip_outliers(df: DataFrame, col: str, lo_q: float = 0.01, hi_q: float = 0.99, exact: bool = True) -> DataFrame:
     """Winsorize to [P(lo), P(hi)] (reference app/LSTM_AE_enhanced.py:58-69,
     driver-side numpy clip → here ``greatest(lo, least(hi, col))``)."""
-    fn = "percentile" if exact else "percentile_approx"
-    row = df.agg(F.expr(f"{fn}({col}, array({lo_q}, {hi_q}))").alias("qs")).first()
-    lo, hi = row["qs"]
+    if exact:
+        lo, hi = _exact_quantiles(df, col, [lo_q, hi_q])
+    else:
+        row = df.agg(
+            F.expr(f"percentile_approx({col}, array({lo_q}, {hi_q}))").alias("qs")
+        ).first()
+        lo, hi = row["qs"]
     return df.withColumn(col, F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col))))
 
 

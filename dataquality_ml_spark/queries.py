@@ -1785,11 +1785,14 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (evaluate.roc_auc_binned structure).
 
     The fact table collapses to per-DISTINCT-score (pos, neg) counts FIRST
-    (map-side-combined hash agg), and the cumulative window runs over those
-    |distinct scores| rows — never a global window over raw rows. Same
-    result as row-level cumsum + per-score max, one task-sized sort input.
+    (map-side-combined hash agg); the descending cumulative TP/FP then come
+    from ONE distributed exclusive prefix sum over the grouped relation
+    (``relational.exclusive_prefix_sum(descending=True)``, both measures in
+    a single decomposition — VERDICT r7 item 1). For continuous scores
+    |distinct| ≈ |rows|, so the former `Window.orderBy(desc(s))` cumulative
+    sum was a single-task funnel; no partition-less window remains.
     """
-    from pyspark.sql import Window
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
 
     ev_df = _t(spark, sf_dir, "events")
     scored = ev_df.select(
@@ -1803,11 +1806,12 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("y"), 1)).alias("pos"),
         F.count(F.when(~F.col("y"), 1)).alias("neg"),
     )
-    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    per_s = by_s.select(
+    per_s = exclusive_prefix_sum(
+        by_s, "s", ["pos", "neg"], out=["_tp_above", "_fp_above"], descending=True
+    ).select(
         "s",
-        F.sum("pos").over(w).alias("tp"),
-        F.sum("neg").over(w).alias("fp"),
+        (F.col("_tp_above") + F.col("pos")).alias("tp"),
+        (F.col("_fp_above") + F.col("neg")).alias("fp"),
     )
     j = per_s.select(
         F.col("s"),
@@ -3085,9 +3089,13 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE _r + (_i - _r * _big - 1) div greatest(_q, 1L) + 1 END"
     )
     return (
+        # No broadcast hints on off_s / cum_v (ADVICE r7): both scale with
+        # |distinct values|, which is unbounded for continuous doubles — a
+        # forced broadcast would collect an unbounded relation driver-side.
+        # AQE picks broadcast when they measure small, shuffle join when not.
         ev.withColumn("_rn", F.row_number().over(w_in).cast("bigint"))
-        .join(F.broadcast(off_s), ["value", "_salt"])
-        .join(F.broadcast(cum_v), "value")
+        .join(off_s, ["value", "_salt"])
+        .join(cum_v, "value")
         .crossJoin(F.broadcast(n_row))
         .withColumn("_i", F.col("_before_v") + F.col("_before_s") + F.col("_rn"))
         .withColumn("_q", F.expr("_n div 10"))

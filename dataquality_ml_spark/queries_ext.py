@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dataquality_ml_spark.operators import profile as prof
 from dataquality_ml_spark.operators import text as tx
 from dataquality_ml_spark.operators import thresholds as th
+from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
 from dataquality_ml_spark.queries import _t, register
 
 
@@ -993,11 +994,14 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
 
     def midranks(col: str):
+        # midrank(v) = rows strictly below v + (ties+1)/2. The strictly-
+        # below count is a distributed exclusive prefix sum over the
+        # grouped DISTINCT-value relation (VERDICT r7 item 1) — for a
+        # continuous column |distinct| ≈ |rows|, so the former
+        # `Window.orderBy(v)` cumulative sum was a single-task funnel.
         gc = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        return gc.select(
-            "v",
-            (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias("mr"),
+        return exclusive_prefix_sum(gc, "v", "cnt", out="_below").select(
+            "v", (F.col("_below") + (F.col("cnt") + 1) / 2.0).alias("mr")
         )
 
     mx = midranks("l_quantity").withColumnsRenamed({"v": "vx", "mr": "mrx"})

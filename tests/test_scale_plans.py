@@ -1,0 +1,120 @@
+"""Plan-shape gates for the round-8 scale rewrites (VERDICT r7 items 1-2):
+
+- spearman_qty_price / youden_threshold must contain NO partition-less
+  window anywhere — their distinct-value cumulative sums now run through
+  ``relational.exclusive_prefix_sum`` (two-level range decomposition).
+- the exact-percentile path (``thresholds.percentile_threshold(exact=True)``
+  and friends) must never plan Spark's single-buffer ``Percentile``
+  aggregate — it routes through ``profile.exact_quantiles_grouped``.
+
+Value parity for the rewrites is pinned separately: the DuckDB oracles in
+tests/test_oracle_parity.py stayed hash-green across the rewrite, and the
+equality tests below pin the threshold helpers against the single-buffer
+aggregate bit-for-bit on tie-heavy data.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dataquality_ml_spark import plans
+
+
+def _global_window_specs(plan: str) -> list[str]:
+    """Window operator ids whose FIRST windowspecdefinition argument is an
+    ordering (carries ASC/DESC) — i.e. unpartitioned global windows (same
+    detection as test_misc_ops.test_value_deciles_plan_and_ntile_parity)."""
+    out = []
+    for m in re.finditer(
+        r"\((\d+)\) Window\n(?:[^\n]*\n)*?\s*Arguments: "
+        r"\[[^\]]*windowspecdefinition\(([^)]*)\)",
+        plan,
+    ):
+        first_arg = m.group(2).split(",")[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            out.append(m.group(1))
+    return out
+
+
+def test_spearman_no_global_window(spark, sf_dir):
+    from dataquality_ml_spark.queries_ext import spearman_qty_price
+
+    df = spearman_qty_price(spark, sf_dir)
+    assert _global_window_specs(plans.formatted_plan(df)) == []
+
+
+def test_youden_no_global_window(spark, sf_dir):
+    from dataquality_ml_spark.queries import youden_threshold
+
+    df = youden_threshold(spark, sf_dir)
+    assert _global_window_specs(plans.formatted_plan(df)) == []
+
+
+def test_exact_quantiles_plan_has_no_percentile_aggregate(spark):
+    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+
+    df = spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("value")
+    )
+    q = exact_quantiles_grouped(df, ["value"], [0.25, 0.5, 0.95])
+    plan = plans.formatted_plan(q)
+    assert not re.search(r"\bpercentile\(", plan), plan
+    # the cumulative step must not be a global window either — it goes
+    # through the keyed exclusive_prefix_sum decomposition
+    assert _global_window_specs(plan) == []
+
+
+def test_percentile_threshold_matches_single_buffer_aggregate(spark):
+    from dataquality_ml_spark.operators import thresholds as th
+
+    # tie-heavy + interpolation-forcing: 501 rows over 37 distinct doubles
+    df = spark.range(501).select(
+        ((F.col("id") * 7919) % 37 / 3.0).alias("v")
+    )
+    for q in (0.5, 0.9, 0.95, 0.999):
+        want = df.agg(F.expr(f"percentile(v, {q})").alias("t")).first()["t"]
+        got = th.percentile_threshold(df, "v", q, exact=True)
+        assert got == want, (q, got, want)  # bit-equal, not approx
+
+    want_row = df.agg(F.expr("percentile(v, array(0.25, 0.75))").alias("qs")).first()
+    q1, q3 = want_row["qs"]
+    assert th.iqr_threshold(df, "v", k=1.5, exact=True) == q3 + 1.5 * (q3 - q1)
+
+
+def test_exclusive_prefix_sum_multi_descending_keyed(spark):
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    rows = [(k, float(v), v % 5 + 1, (v * 3) % 7) for k in ("a", "b") for v in range(40)]
+    df = spark.createDataFrame(rows, "k string, ord double, x int, y int")
+
+    # multi-measure descending, single group: matches a brute-force python
+    # prefix computed from sorted rows
+    one = df.where(F.col("k") == "a")
+    got = {
+        r["ord"]: (r["bx"], r["by"])
+        for r in exclusive_prefix_sum(
+            one, "ord", ["x", "y"], out=["bx", "by"], descending=True
+        ).collect()
+    }
+    data = sorted([(r["ord"], r["x"], r["y"]) for r in one.collect()], reverse=True)
+    ax = ay = 0
+    for o, x, y in data:
+        assert got[o] == (ax, ay), o
+        ax += x
+        ay += y
+
+    # keyed: prefix restarts per key
+    gotk = {
+        (r["k"], r["ord"]): r["bx"]
+        for r in exclusive_prefix_sum(df, "ord", "x", out="bx", keys=["k"]).collect()
+    }
+    for k in ("a", "b"):
+        data = sorted(
+            [(r["ord"], r["x"]) for r in df.where(F.col("k") == k).collect()]
+        )
+        acc = 0
+        for o, x in data:
+            assert gotk[(k, o)] == acc, (k, o)
+            acc += x
