@@ -413,13 +413,18 @@ def unigram_segment(
 # Pure-Python reference implementations (local strategy + differential tests)
 # ---------------------------------------------------------------------------
 def _py_em_step(
-    words: dict[str, int], probs: dict[str, float], max_piece_len: int
+    words: dict[str, int],
+    probs: dict[str, float],
+    max_piece_len: int,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
 ) -> dict[str, float]:
     """In-memory forward-backward expected counts — the reference
-    implementation the relational DP must match."""
+    implementation the relational DP must match.  ``max_word_len`` is
+    threaded from the caller (ADVICE r7) so an explicit cap ≠ 32 keeps
+    the Python and relational strategies excluding the SAME words."""
     ecnt: dict[str, float] = {}
     for w, c in words.items():
-        if len(w) > DEFAULT_MAX_WORD_LEN:
+        if len(w) > max_word_len:
             continue  # same cap as the relational DP — over-length → UNK
         n = len(w)
         alpha = [0.0] * (n + 1)
@@ -448,12 +453,17 @@ def _py_em_step(
 
 
 def _py_viterbi(
-    word: str, probs: dict[str, float], max_piece_len: int
+    word: str,
+    probs: dict[str, float],
+    max_piece_len: int,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
 ) -> tuple[list[str], float]:
     """Best segmentation of one word (ties: higher prob, fewer pieces,
     earlier start — same probability-PRODUCT rule as the relational DP).
-    Over-cap words are unsegmentable by contract, like the relational DP."""
-    if len(word) > DEFAULT_MAX_WORD_LEN:
+    Over-cap words are unsegmentable by contract, like the relational DP;
+    ``max_word_len`` mirrors the relational ``_effective_max_word_len``
+    threading (ADVICE r7) so explicit caps agree across strategies."""
+    if len(word) > max_word_len:
         return [], float("-inf")
     n = len(word)
     best: list = [None] * (n + 1)
@@ -482,6 +492,7 @@ def _py_train(
     n_iters: int,
     max_piece_len: int,
     max_pieces: int,
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
 ) -> list[tuple[str, float]]:
     """Pure-Python unigram-LM trainer: seed → EM × n_iters with pruning to
     vocab_size after each M-step (single chars never pruned)."""
@@ -501,7 +512,7 @@ def _py_train(
     tot = sum(sel.values())
     probs = {p: f / tot for p, f in sel.items()}
     for _ in range(n_iters):
-        ecnt = _py_em_step(words, probs, max_piece_len)
+        ecnt = _py_em_step(words, probs, max_piece_len, max_word_len)
         # drop pieces with zero expectation except single chars
         ecnt = {
             p: c

@@ -30,9 +30,13 @@ UNPARSED_HOST = "(unparsed)"
 
 #: Tracking query parameters stripped by ``canonical_url`` — the
 #: analytics decorations (UTM campaign tags, click ids) that make one
-#: page surface as many URLs in a crawl.
+#: page surface as many URLs in a crawl.  Bare ``ref`` is deliberately
+#: NOT in the list (ADVICE r7): many sites use it functionally (e.g.
+#: ``?ref=<branch>`` on code forges), so stripping it would merge
+#: genuinely different pages — callers who know their corpus can opt in
+#: via ``extra_params``.
 TRACKING_PARAM_RE = (
-    "utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
+    "utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src"
 )
 
 
@@ -52,7 +56,7 @@ def with_host(df: DataFrame, url_col: str = "url", out: str = "host") -> DataFra
     )
 
 
-def canonical_url(col):
+def canonical_url(col, extra_params: str | None = None):
     """Canonical form of a URL — pure builtin regexp algebra (no UDF, so
     it rides whole-stage codegen and the DuckDB oracle replays it
     verbatim with ``regexp_replace(..., 'g')``):
@@ -60,16 +64,26 @@ def canonical_url(col):
     - strip the fragment (``#...``);
     - lowercase the scheme and authority (never the path — paths are
       case-sensitive);
-    - collapse ``http://`` to ``https://`` and drop a ``www.`` prefix
+    - collapse ``http://`` to ``https://`` and drop a LEADING ``www.``
       (the two aliasing axes crawl frontiers actually see);
-    - delete tracking query parameters (``TRACKING_PARAM_RE``), then
+    - delete tracking query parameters (``TRACKING_PARAM_RE``, plus an
+      opt-in ``extra_params`` alternation such as ``"ref|tag"``), then
       collapse the separator debris they leave (``?&`` runs, trailing
       ``?``/``&``);
-    - normalize ``/?`` to ``?`` and strip one trailing slash.
+    - normalize ``/?`` to ``?`` at the path/query boundary and strip one
+      trailing slash from a query-less URL.
+
+    The structural rules are ANCHORED to the start/boundary of the
+    OUTER url (ADVICE r7): a URL carried inside a query parameter
+    (``?next=https://www.x.com/``) keeps its ``www.`` and trailing
+    slash — only the page's own surface forms collapse.
 
     Strings with no ``scheme://authority`` prefix are returned trimmed
     but otherwise untouched — unparsable URLs stay distinct instead of
     collapsing into one another."""
+    params = TRACKING_PARAM_RE if not extra_params else (
+        f"{TRACKING_PARAM_RE}|{extra_params}"
+    )
     u = F.regexp_replace(F.trim(col), "#.*$", "")
     auth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
     c = F.concat(
@@ -77,12 +91,12 @@ def canonical_url(col):
         F.regexp_extract(u, f"{auth}(.*)$", 1),
     )
     c = F.regexp_replace(c, "^http://", "https://")
-    c = F.regexp_replace(c, "://www\\.", "://")
-    c = F.regexp_replace(c, f"([?&])({TRACKING_PARAM_RE})=[^&#]*", "$1")
+    c = F.regexp_replace(c, "^(https?://)www\\.", "$1")
+    c = F.regexp_replace(c, f"([?&])({params})=[^&#]*", "$1")
     c = F.regexp_replace(c, "([?&])[?&]+", "$1")
     c = F.regexp_replace(c, "[?&]+$", "")
-    c = F.regexp_replace(c, "/\\?", "?")
-    c = F.regexp_replace(c, "/$", "")
+    c = F.regexp_replace(c, "^([^?]*)/\\?", "$1?")
+    c = F.regexp_replace(c, "^([^?]*)/$", "$1")
     return F.when(F.trim(col).rlike(auth), c).otherwise(F.trim(col))
 
 

@@ -1015,12 +1015,18 @@ def _parquet_fingerprint(path: str) -> tuple:
 
 
 def clear_feature_model_memo() -> None:
-    """Drop all memoized fitted models — features AND quantizers —
-    (long-session escape hatch; the fingerprint keys already handle
-    regenerated files)."""
+    """Drop ALL memoized fitted models/artifacts — features, quantizers,
+    NFC projections, and the tokenizer memo in ``queries_ext`` (whose
+    entries hold session-bound checkpointed DataFrames: after a
+    SparkSession restart they reference a dead context, so the escape
+    hatch must purge them too — ADVICE r7).  The fingerprint keys already
+    handle regenerated files."""
     _FEATURE_MODEL_MEMO.clear()
     _QUANT_MEMO.clear()
     _DOCS_NFC_MEMO.clear()
+    from dataquality_ml_spark import queries_ext  # local: avoids a cycle
+
+    queries_ext._TOK_MEMO.clear()
 
 
 _QUANT_MEMO: dict = {}

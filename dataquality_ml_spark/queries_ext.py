@@ -4473,13 +4473,13 @@ _URL_CANON_SQL = r"""
             lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
               || regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
           '^http://', 'https://', 'g'),
-          '://www\.', '://', 'g'),
-          '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*',
+          '^(https?://)www\.', '\1', 'g'),
+          '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*',
           '\1', 'g'),
           '([?&])[?&]+', '\1', 'g'),
           '[?&]+$', '', 'g'),
-          '/\?', '?', 'g'),
-          '/$', '', 'g')
+          '^([^?]*)/\?', '\1?', 'g'),
+          '^([^?]*)/$', '\1', 'g')
       ELSE trim(url) END
 """
 

@@ -427,6 +427,15 @@ def cms_monitor_stream(
     persists next to the checkpoint; ``estimate`` answers point queries
     from it (min over depth rows, the standard CMS read).
 
+    Delivery semantics (ADVICE r7): ``foreachBatch`` is at-least-once, and
+    elementwise sum — unlike the HLL twin's register-wise max — is NOT
+    idempotent, so a replayed batch would double-count.  The fold is
+    therefore keyed on ``batch_id``: already-applied ids are skipped, which
+    makes a within-run replay exact.  Across a RESTART the persisted array
+    must be saved/restored together with the checkpoint (same contract as
+    the bloom bitmap); restoring a stale array while the checkpoint has
+    advanced undercounts, restoring a newer one double-counts.
+
     Returns (query, get_sketch, estimate) — ``get_sketch()`` yields the
     (depth, width) numpy counter matrix; ``estimate(tokens)`` returns
     {token: est_count} computed driver-side from the matrix with the
@@ -439,15 +448,18 @@ def cms_monitor_stream(
     from dataquality_ml_spark.functions.scalar import tokens as tok_fn
     from dataquality_ml_spark.operators.sketch import cms_build
 
-    state = {"cms": np.zeros((depth, width), dtype=np.int64)}
+    state = {"cms": np.zeros((depth, width), dtype=np.int64), "applied": set()}
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in state["applied"]:
+            return  # at-least-once replay of an already-folded batch
         toks = batch_df.select(F.explode(tok_fn(F.col(text_col))).alias("token"))
         cells = cms_build(toks, "token", width=width, depth=depth).collect()
         part = np.zeros((depth, width), dtype=np.int64)
         for r in cells:
             part[r["cms_depth"], r["cms_bucket"]] = r["cms_cnt"]
         state["cms"] = state["cms"] + part
+        state["applied"].add(batch_id)
 
     def estimate(items) -> dict:
         cms = state["cms"]

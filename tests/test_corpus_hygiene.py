@@ -1535,6 +1535,26 @@ def test_canonical_url_and_unparsed_host_bucket(spark):
     assert got[4] == canon + "?keep=2"  # non-tracking param survives
     assert got[5] == "not a url at all" and got[6] == "also notaurl"
 
+    # ADVICE r7: structural rules are anchored to the OUTER url — a URL
+    # carried as a query-parameter value keeps its www. and trailing
+    # slash; bare ?ref= is functional (not tracking) and survives
+    extra = [
+        (100, "https://a.example.com/login?next=https://www.x.com/"),
+        (101, "https://forge.example.com/repo/blob?ref=main"),
+        (102, "https://forge.example.com/repo/blob?ref=dev"),
+    ]
+    df3 = spark.createDataFrame(extra, "doc_id bigint, url string")
+    got3 = {r["doc_id"]: r["c"] for r in
+            df3.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got3[100] == "https://a.example.com/login?next=https://www.x.com/"
+    assert got3[101] == "https://forge.example.com/repo/blob?ref=main"
+    assert got3[101] != got3[102]  # different branches stay distinct
+    # ...but a caller who KNOWS ref is decorative can opt in
+    got_opt = {r["doc_id"]: r["c"] for r in
+               df3.select("doc_id", canonical_url(F.col("url"),
+                          extra_params="ref").alias("c")).collect()}
+    assert got_opt[101] == got_opt[102] == "https://forge.example.com/repo/blob"
+
     hosts = {r["doc_id"]: r["host"] for r in with_host(df).collect()}
     assert hosts[0] == "site.example.org"
     assert hosts[5] == UNPARSED_HOST and hosts[6] == UNPARSED_HOST
