@@ -81,7 +81,16 @@ def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> 
     """Scale path for AUC: quantize scores into ``bins`` buckets (one
     aggregation, fully parallel), then apply the midrank formula to the
     per-bucket (n_pos, n_neg) histogram — O(bins) driver work, error
-    bounded by bucket width. This is how AUC survives 100 TB."""
+    bounded by bucket width. This is how AUC survives 100 TB.
+
+    The only window runs over the ≤ ``bins``-row histogram — bounded by
+    a constant knob, not by data, so the single-partition sort it plans
+    is a non-hazard (unlike the exact path's row-level rank).  Pair
+    counting is EXACT integer arithmetic (2·won summed as decimal(38,0)
+    — no half-pair doubles, overflow-safe past int64), with ONE double
+    division at the end, so a DuckDB oracle replaying the same algebra
+    is bit-identical (cross-engine float rule: identical left-to-right
+    pure-float ops after exact integer aggregation)."""
     lohi = df.agg(F.min(score).alias("lo"), F.max(score).alias("hi")).first()
     lo, hi = float(lohi["lo"]), float(lohi["hi"])
     width = (hi - lo) / bins or 1.0
@@ -103,14 +112,23 @@ def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> 
         F.col("nn"),
         F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("nn_below"),
     )
-    # pairs won = positives beat all negatives in lower buckets + half of ties in-bucket
+    # doubled pairs won = positives beat all negatives in lower buckets
+    # (×2) + ties in-bucket (×1) — stays integral, summed exactly
+    won2 = (
+        F.col("np").cast("decimal(38,0)")
+        * (2 * F.col("nn_below") + F.col("nn")).cast("decimal(38,0)")
+    )
     agg = scored.agg(
-        F.sum(F.col("np") * F.col("nn_below") + F.col("np") * F.col("nn") / 2).alias("won"),
+        F.sum(won2).alias("won2"),
         F.sum("np").alias("np"),
         F.sum("nn").alias("nn"),
     )
     return agg.select(
-        F.round(F.col("won") / (F.col("np") * F.col("nn")), 4).alias("auc"),
+        F.round(
+            F.col("won2").cast("double")
+            / (2.0 * F.col("np") * F.col("nn")),
+            4,
+        ).alias("auc"),
         "np",
         "nn",
     )

@@ -374,3 +374,108 @@ def hll_union_estimate(
     return sketches.groupBy(*cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("hll_sketch"))).alias("est_hll")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin quantile sketch (VERDICT r7 item 4)
+# ---------------------------------------------------------------------------
+
+
+def qsketch_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Mergeable quantile sketch: an equi-width histogram over the FROZEN
+    range [lo, hi) — (group…, qs_bin, qs_cnt) with ≤ ``bins`` rows per
+    group no matter the corpus size.
+
+    The (lo, hi, bins) triple is the sketch's frozen quantizer (the same
+    contract as the ANN index artifact ``similarity.ann_index``): shards
+    and micro-batches built under the SAME triple merge by elementwise
+    count sum (``qsketch_merge``) with merge(a,b) == build(a ∪ b)
+    EXACTLY — integer bin counts, no estimator drift, which is what the
+    sketch family's persist-across-shards contract requires and Spark's
+    ``percentile_approx`` (per-query, non-persistable) cannot offer.
+    Out-of-range values clamp into the terminal bins, so a drifted shard
+    still counts (range drift is then visible as terminal-bin mass — the
+    retrain signal, mirroring ``ann_index_drift``).
+
+    One fully parallel aggregation over a key space bounded by
+    bins·|groups|; map-side combine collapses everything before the
+    exchange.  A7/A8 percentile thresholds at 100 TB read from this
+    artifact instead of re-scanning history (error ≤ one bin width)."""
+    width = (float(hi) - float(lo)) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+        ),
+    )
+    cols = list(group_cols)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*cols, b.cast("int").alias("qs_bin"))
+        .groupBy(*cols, "qs_bin")
+        .agg(F.count(F.lit(1)).alias("qs_cnt"))
+    )
+
+
+def qsketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge quantile sketches built under the same (lo, hi, bins):
+    elementwise bin-count sum — associative, commutative, and EQUAL to
+    the single-pass build over the concatenated data."""
+    cols = list(group_cols)
+    return (
+        a.unionByName(b)
+        .groupBy(*cols, "qs_bin")
+        .agg(F.sum("qs_cnt").alias("qs_cnt"))
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin sketch: locate the bin holding
+    rank q·n in the cumulative histogram, interpolate uniformly within it
+    (est = lo + width·(bin + (q·n − cum_before)/cnt)) — the standard
+    histogram read, error ≤ one bin width.
+
+    The cumulative window runs over the ≤ bins·|groups| histogram rows —
+    bounded by constant knobs, not data (same non-hazard class as
+    ``evaluate.roc_auc_binned``).  Pure double algebra with exact integer
+    cumulative counts, so a DuckDB oracle replaying the formula is
+    bit-identical.  ``qs`` must lie in (0, 1].  Output: (group…, q, est)."""
+    width = (float(hi) - float(lo)) / bins
+    cols = list(group_cols)
+    w = Window.partitionBy(*cols).orderBy("qs_bin")
+    cum = sketch.withColumn("qs_cum", F.sum("qs_cnt").over(w))
+    n = sketch.groupBy(*cols).agg(F.sum("qs_cnt").alias("qs_n"))
+    cum = cum.join(F.broadcast(n), cols) if cols else cum.crossJoin(
+        F.broadcast(n)
+    )
+    q_structs = F.explode(
+        F.array(*[F.lit(float(q)).alias("q") for q in qs])
+    ).alias("q")
+    tagged = cum.select(*cols, "qs_bin", "qs_cnt", "qs_cum", "qs_n", q_structs)
+    # target rank in (0, n]; the holding bin is the FIRST with cum ≥ rank
+    rank = F.col("q") * F.col("qs_n")
+    holds = (F.col("qs_cum") >= rank) & (
+        F.col("qs_cum") - F.col("qs_cnt") < rank
+    )
+    est = F.lit(float(lo)) + F.lit(width) * (
+        F.col("qs_bin")
+        + (rank - (F.col("qs_cum") - F.col("qs_cnt"))) / F.col("qs_cnt")
+    )
+    return tagged.where(holds).groupBy(*cols, "q").agg(F.min(est).alias("est"))

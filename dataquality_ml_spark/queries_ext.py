@@ -5468,3 +5468,102 @@ def hll_distinct_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# Round 8: binned-AUC oracle face (VERDICT r7 item 3)
+# ===========================================================================
+@register(
+    "roc_auc_binned_value",
+    oracle="""
+    WITH lh AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+      WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT LEAST(999, CAST(FLOOR((value - lo) /
+               (CASE WHEN (hi - lo) / 1000.0 = 0 THEN 1.0
+                     ELSE (hi - lo) / 1000.0 END)) AS BIGINT)) AS bk,
+             (event_type = 'error') AS y
+      FROM events, lh WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT bk,
+             COUNT(*) FILTER (WHERE y)     AS np,
+             COUNT(*) FILTER (WHERE NOT y) AS nn
+      FROM b GROUP BY bk
+    ),
+    sc AS (
+      SELECT np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+      FROM hist
+    )
+    SELECT ROUND(CAST(SUM(CAST(np AS HUGEINT) * (2 * nn_below + nn)) AS DOUBLE)
+                 / (2.0 * SUM(np) * SUM(nn)), 4) AS auc,
+           SUM(np) AS np, SUM(nn) AS nn
+    FROM sc
+    """,
+)
+def roc_auc_binned_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB AUC face, driver-gated like the exact one (VERDICT r7
+    item 3): same Mann-Whitney midrank statistic as ``roc_auc_value``
+    (reference A12, lib/utils.py:117-151) but over a 1000-bucket score
+    histogram — one fully parallel aggregation, a window over ≤ 1000
+    rows, exact integer pair counting (decimal/HUGEINT on the two
+    engines), and a single double division; bit-identical cross-engine
+    by construction.  ``tests/test_ml.py`` pins binned ≈ exact."""
+    from dataquality_ml_spark.operators import evaluate as ev
+
+    ev_df = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("label", F.col("event_type") == "error")
+    )
+    return ev.roc_auc_binned(ev_df, "value", "label", bins=1000)
+
+
+# ===========================================================================
+# Round 8: mergeable fixed-bin quantile sketch (VERDICT r7 item 4)
+# ===========================================================================
+@register(
+    "quantile_sketch_events",
+    oracle="""
+    WITH h AS (
+      SELECT LEAST(199, GREATEST(0, CAST(FLOOR((value - 0.0) / 2.5) AS BIGINT)))
+               AS qs_bin,
+             COUNT(*) AS qs_cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT qs_bin, qs_cnt,
+             SUM(qs_cnt) OVER (ORDER BY qs_bin) AS cum,
+             SUM(qs_cnt) OVER () AS n
+      FROM h
+    ),
+    q AS (SELECT UNNEST(CAST([0.5, 0.9, 0.95, 0.99] AS DOUBLE[])) AS q)
+    SELECT q.q AS q,
+           ROUND(MIN(0.0 + 2.5 * (qs_bin + (q.q * n - (cum - qs_cnt)) / qs_cnt)),
+                 4) + 0 AS est
+    FROM c, q
+    WHERE cum >= q.q * n AND cum - qs_cnt < q.q * n
+    GROUP BY q.q ORDER BY q.q
+    """,
+)
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile thresholds read from the mergeable fixed-bin quantile
+    sketch (VERDICT r7 item 4): the persistable/cross-shard face of
+    reference A7/A8 — a frozen (lo=0, hi=500, bins=200) quantizer, one
+    fully parallel histogram aggregation, and a bounded-window read with
+    uniform-within-bin interpolation.  merge == whole is pinned in
+    tests/test_sketch.py; the streaming face is
+    ``streaming.qsketch_monitor_stream``.  The DuckDB oracle replays the
+    identical integer-count + double algebra bit-for-bit."""
+    from dataquality_ml_spark.operators import sketch as sk
+
+    ev_df = _t(spark, sf_dir, "events")
+    s = sk.qsketch_build(ev_df, "value", 0.0, 500.0, bins=200)
+    est = sk.qsketch_quantiles(s, [0.5, 0.9, 0.95, 0.99], 0.0, 500.0, bins=200)
+    return est.select(
+        "q", (F.round("est", 4) + F.lit(0.0)).alias("est")
+    ).orderBy("q")

@@ -544,3 +544,71 @@ def hll_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), lambda: state["rows"], estimates
+
+
+def qsketch_monitor_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 1024,
+    trigger_once: bool = True,
+):
+    """Streaming quantile monitor on the fixed-bin sketch
+    (``sketch.qsketch_build`` — VERDICT r7 item 4): each micro-batch's
+    values histogram under the frozen (lo, hi, bins) quantizer and the
+    ≤ ``bins`` cells fold into the running counter array by elementwise
+    sum — the exact-merge property that makes the sketch
+    stream-maintainable with zero per-key state (A7/A8 percentile
+    thresholds read live from the array, no history rescans).
+
+    Like ``cms_monitor_stream``: state is one fixed-size array mutated
+    driver-side; only bin cells cross to the driver, never value rows.
+    The fold is keyed on ``batch_id`` (at-least-once replays skipped);
+    across restarts the persisted array must be saved/restored together
+    with the checkpoint.
+
+    Returns (query, get_hist, quantiles) — ``get_hist()`` yields the
+    length-``bins`` numpy counter array; ``quantiles(qs)`` returns
+    {q: est} by the same uniform-within-bin read as
+    ``sketch.qsketch_quantiles`` (driver-side over the bounded array).
+    """
+    import numpy as np
+
+    from dataquality_ml_spark.operators.sketch import qsketch_build
+
+    state = {"hist": np.zeros(bins, dtype=np.int64), "applied": set()}
+    width = (float(hi) - float(lo)) / bins
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in state["applied"]:
+            return
+        cells = qsketch_build(batch_df, value_col, lo, hi, bins=bins).collect()
+        part = np.zeros(bins, dtype=np.int64)
+        for r in cells:
+            part[r["qs_bin"]] = r["qs_cnt"]
+        state["hist"] = state["hist"] + part
+        state["applied"].add(batch_id)
+
+    def quantiles(qs) -> dict:
+        hist = state["hist"]
+        n = int(hist.sum())
+        out = {}
+        cum = np.cumsum(hist)
+        for q in qs:
+            rank = q * n
+            if n == 0:
+                out[q] = None
+                continue
+            b = int(np.searchsorted(cum, rank, side="left"))
+            before = int(cum[b - 1]) if b > 0 else 0
+            out[q] = float(lo) + width * (b + (rank - before) / int(hist[b]))
+        return out
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), lambda: state["hist"], quantiles

@@ -940,3 +940,57 @@ def test_hll_monitor_stream_matches_batch_sketch(spark, tmp_path):
         for r in hll_distinct(toks, "token", ["source"], lgk=12).collect()
     }
     assert est == want
+
+
+def test_qsketch_monitor_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming quantile monitor must equal the batch sketch over the
+    full corpus (elementwise bin-count sum is exact), and the driver-side
+    quantile read must match sketch.qsketch_quantiles on the same data."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators import sketch as sk
+
+    schema = "event_id bigint, value double"
+    rows1 = [(i, float(i % 50)) for i in range(100)]
+    rows2 = [(i + 100, float(i % 80) + 10.0) for i in range(100)]
+    in_dir = tmp_path / "qs_in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, get_hist, quantiles = ss.qsketch_monitor_stream(
+        stream,
+        checkpoint=str(tmp_path / "qs_ckpt"),
+        value_col="value",
+        lo=0.0,
+        hi=100.0,
+        bins=50,
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    want = np.zeros(50, dtype=np.int64)
+    for r in sk.qsketch_build(batch_df, "value", 0.0, 100.0, bins=50).collect():
+        want[r["qs_bin"]] = r["qs_cnt"]
+    got = get_hist()
+    assert (got == want).all()
+    assert int(got.sum()) == 200
+
+    est_stream = quantiles([0.5, 0.9])
+    est_batch = {
+        r["q"]: r["est"]
+        for r in sk.qsketch_quantiles(
+            sk.qsketch_build(batch_df, "value", 0.0, 100.0, bins=50),
+            [0.5, 0.9],
+            0.0,
+            100.0,
+            bins=50,
+        ).collect()
+    }
+    for qq in (0.5, 0.9):
+        assert abs(est_stream[qq] - est_batch[qq]) < 1e-9
