@@ -5567,3 +5567,378 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "q", (F.round("est", 4) + F.lit(0.0)).alias("est")
     ).orderBy("q")
+
+
+# ===========================================================================
+# Round 8: derived partsupp → TPC-H q2/q9/q11/q16/q20 (VERDICT r7 item 5)
+#
+# The driver's testdata ships no partsupp relation, so the five TPC-H join
+# shapes that need it are closed over a DERIVED partsupp: a deterministic
+# pure-arithmetic expansion of part × {0..3} (4 suppliers per part, the
+# TPC-H multiplicity) that BOTH engines compute independently from the
+# same parquet — (p_partkey + i·(S//4+1)) mod S for the supplier spread,
+# integer-arithmetic attrs, and an exact cost-in-cents twin (ps_costc) so
+# threshold/HAVING comparisons aggregate in exact integers (a float-sum
+# boundary flip would change the ROW SET, not just a rounding digit).
+# Dates/filters are adapted to the driver corpus (1995-2001, NATION_*/
+# real region names); shapes and join graphs are the TPC-H ones.
+# ===========================================================================
+
+_PARTSUPP_CTE = """
+    _sn AS (SELECT COUNT(*) AS s FROM supplier),
+    _i4 AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (s // 4 + 1)) % s AS ps_suppkey,
+             CAST((p_partkey * 7 + i * 11) % 9999 + 1 AS INTEGER) AS ps_availqty,
+             CAST((p_partkey * 31 + ((p_partkey + i * (s // 4 + 1)) % s) * 17)
+                  % 100000 AS DOUBLE) / 100.0 AS ps_supplycost,
+             (p_partkey * 31 + ((p_partkey + i * (s // 4 + 1)) % s) * 17)
+                  % 100000 AS ps_costc
+      FROM part, _i4, _sn
+    )
+"""
+
+_PS_SUPP_COUNT_MEMO: dict = {}
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see section comment): 4 rows per part, unique
+    (ps_partkey, ps_suppkey), attrs pure integer arithmetic — identical
+    under any partitioning and bit-reproducible in DuckDB.  |partsupp| =
+    4·|part|: a FACT relation at 100 TB (never broadcast it); the only
+    driver traffic is the supplier COUNT (memoized scalar)."""
+    if sf_dir not in _PS_SUPP_COUNT_MEMO:
+        _PS_SUPP_COUNT_MEMO[sf_dir] = _t(spark, sf_dir, "supplier").count()
+    s = _PS_SUPP_COUNT_MEMO[sf_dir]
+    step = s // 4 + 1
+    base = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+    )
+    suppkey = (F.col("ps_partkey") + F.col("_i") * F.lit(step)) % F.lit(s)
+    costc = (F.col("ps_partkey") * 31 + suppkey * 17) % 100000
+    return base.select(
+        "ps_partkey",
+        suppkey.alias("ps_suppkey"),
+        ((F.col("ps_partkey") * 7 + F.col("_i") * 11) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (costc.cast("double") / 100.0).alias("ps_supplycost"),
+        costc.cast("bigint").alias("ps_costc"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    eligible AS (
+      SELECT p.p_partkey, p.p_brand, ps.ps_supplycost, ps.ps_suppkey
+      FROM part p
+      JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+      JOIN supplier s  ON s.s_suppkey   = ps.ps_suppkey
+      JOIN nation n    ON n.n_nationkey = s.s_nationkey
+      JOIN region r    ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size = 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+    ),
+    mn AS (SELECT p_partkey, MIN(ps_supplycost) AS min_cost
+           FROM eligible GROUP BY 1)
+    SELECT s.s_acctbal, s.s_name, n.n_name, e.p_partkey, e.p_brand,
+           ROUND(e.ps_supplycost, 2) AS ps_supplycost
+    FROM eligible e
+    JOIN mn ON mn.p_partkey = e.p_partkey AND e.ps_supplycost = mn.min_cost
+    JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, e.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: selective part filter → region-restricted
+    supplier star → per-part MIN(ps_supplycost) → join-back on the
+    minimum (the decorrelated form of the spec's correlated subquery —
+    what Catalyst would rewrite it to anyway) → top-100.
+
+    100 TB plan: part filter pushes to the scan; supplier⋈nation⋈region
+    is a broadcast chain (dims); partsupp⋈part shuffles on partkey; the
+    min-cost relation is per-part aggregate-sized and AQE picks the join
+    strategy for the join-back.  Float-equality on the min is safe: both
+    sides carry the identical double (same bit pattern, no arithmetic
+    between agg and compare)."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp), ps.ps_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "ps_supplycost",
+            "s_suppkey", "s_name", "s_acctbal", "n_name",
+        )
+    )
+    mn = (
+        elig.groupBy(F.col("p_partkey").alias("mn_partkey"))
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+    )
+    return (
+        elig.join(
+            mn,
+            (F.col("p_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("ps_supplycost", 2).alias("ps_supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                     - ps.ps_costc * CAST(l.l_quantity AS BIGINT) * 100)
+                 / 10000.0, 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation × year): the 6-relation join with
+    partsupp keyed on BOTH (partkey, suppkey).  Profit aggregates in
+    EXACT integer 1e-4-dollar units (prices/discounts are 2-decimal,
+    quantities integral — cents×percent arithmetic stays in bigint), so
+    the sum is order-independent and the DuckDB replay bit-identical;
+    one double division at the end.
+
+    100 TB plan: p_name filter prunes part before broadcast; lineitem
+    shuffles once on (partkey, suppkey) for the partsupp join (both
+    fact-sized); orders⋈lineitem shuffles on orderkey; supplier/nation
+    broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    profit_u = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        - F.col("ps_costc") * F.col("l_quantity").cast("bigint") * 100
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_u) / 10000.0, 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    filt AS (
+      SELECT ps.ps_partkey, ps.ps_costc * ps.ps_availqty AS vc
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    byp AS (SELECT ps_partkey, SUM(vc) AS vcents FROM filt GROUP BY 1),
+    tot AS (SELECT SUM(vcents) AS tcents FROM byp)
+    SELECT ps_partkey, ROUND(vcents / 100.0, 2) AS stock_value
+    FROM byp, tot
+    WHERE vcents > tcents * 0.0001
+    ORDER BY stock_value DESC, ps_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock by nation): per-part stock value
+    vs a fraction-of-total HAVING threshold.  The value aggregates in
+    EXACT integer cents (ps_costc × ps_availqty) so the threshold
+    comparison can never flip a borderline part between engines — a
+    float-sum boundary here changes the row set, not a digit.
+
+    100 TB plan: nation→supplier is a broadcast chain; partsupp shuffles
+    once on ps_partkey for the per-part agg; the grand total is a 1-row
+    aggregate broadcast back (no second scan of partsupp)."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    filt = (
+        ps.join(
+            F.broadcast(
+                supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+                .select("s_suppkey")
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", (F.col("ps_costc") * F.col("ps_availqty")).alias("vc"))
+    )
+    byp = filt.groupBy("ps_partkey").agg(F.sum("vc").alias("vcents"))
+    tot = byp.agg(F.sum("vcents").alias("tcents"))
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .where(F.col("vcents") > F.col("tcents") * 0.0001)
+        .select(
+            "ps_partkey",
+            F.round(F.col("vcents") / 100.0, 2).alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), F.asc("ps_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts by part attrs): attribute
+    filters + an anti-join exclusion list (the spec's Customer
+    Complaints supplier set, adapted to a deterministic s_acctbal
+    predicate) + COUNT(DISTINCT) per attribute group.
+
+    100 TB plan: part filters push to the scan and part broadcasts; the
+    exclusion list is an aggregate-sized broadcast ANTI join (NOT IN on
+    a non-null key = left_anti, no null trap); the distinct-count
+    shuffles once on the (brand, type, size) group key with partial
+    aggregation."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 100)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(bad_supp, "ps_suppkey", "left_anti")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    qty AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+      JOIN qty    ON qty.l_partkey = ps.ps_partkey
+                 AND qty.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > 0.5 * qty.q
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of a part family):
+    year-windowed shipped-quantity aggregate per (part, supplier) vs
+    50% of available stock, then a DISTINCT supplier projection joined
+    to names.  Adapted: pairs with NO shipments in the window are out
+    (inner join to the qty aggregate), vs the spec's compare-against-0 —
+    both engines implement the identical semantics.  Quantities are
+    integral doubles → the 0.5·q threshold is exact.
+
+    100 TB plan: the shipdate window pushes to the lineitem scan; the
+    qty aggregate shuffles lineitem once on (partkey, suppkey) and the
+    partsupp join reuses that key; part filter broadcast; the final
+    DISTINCT is supplier-cardinality-sized."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    excess = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            qty,
+            (qty.l_partkey == ps.ps_partkey) & (qty.l_suppkey == ps.ps_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(excess, supp.s_suppkey == excess.ps_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
