@@ -2,13 +2,15 @@
 opaque ``binary`` columns with typed metadata).
 
 The Spark-side mechanics — schema, partitioning, Arrow batch shape, UDF
-signatures — are real and tested; the actual media decoding is STUBBED
-(``decode_stub``) because no image/audio libraries exist in this container.
-Swapping the stub for PIL/librosa/ffmpeg changes only the function body:
-the batch iterator contract (``mapInPandas`` over binary + metadata
-columns, bounded batches via maxRecordsPerBatch) is exactly what a real
-decoder needs at 100 TB — media bytes never leave the executor, only
-fixed-width features come back.
+signatures — are real and tested.  Image decoding is REAL-WHEN-IMPORTABLE
+(``decode_image``: PIL when the executor can import it, contract-tested
+against a fake module; ``decode_stub`` is the deterministic fallback this
+container uses because it ships no image/audio libraries).  Header-level
+metadata parsing (PNG/GIF/JPEG) is always real.  Video demux/audio remain
+stubbed pending a library.  The batch iterator contract (``mapInPandas``
+over binary + metadata columns, bounded batches via maxRecordsPerBatch)
+is exactly what a real decoder needs at 100 TB — media bytes never leave
+the executor, only fixed-width features come back.
 """
 
 from __future__ import annotations
@@ -67,19 +69,98 @@ def decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, feats
 
 
+def _image_features(w: int, h: int, arr: np.ndarray) -> np.ndarray:
+    """The fixed 8-dim feature vector both decode paths emit — shared so
+    the stub and the real decoder honor the SAME output contract (only
+    the array's provenance differs: raw payload bytes vs decoded
+    grayscale pixels)."""
+    return np.array(
+        [
+            arr.mean(),
+            arr.std(),
+            arr.min(),
+            arr.max(),
+            float(len(arr)),
+            float(w),
+            float(h),
+            float(arr.sum() % 997),
+        ],
+        dtype=np.float32,
+    )
+
+
+def decode_image(payload: bytes, pil_module=None) -> tuple[int, int, np.ndarray]:
+    """REAL image decode when an imaging library is available (VERDICT r7
+    item 7 — the ``keras_adapter`` real-when-importable pattern): open the
+    payload with PIL, convert to grayscale, and emit (width, height,
+    8-dim pixel features) under the exact ``decode_stub`` contract —
+    same tuple shape, same feature semantics, ``NotImplementedError``
+    on empty/undecodable payloads (the skip path callers already handle).
+
+    ``pil_module`` is the injectable dependency (tests pass a fake PIL;
+    production leaves None for the real ``import PIL``). The container
+    this repo ships in has no imaging library — the fake-module contract
+    test is what pins the real path's behavior, mirroring
+    tests/test_keras_adapter.py's fake-keras."""
+    import io
+
+    if not payload:
+        raise NotImplementedError("empty payload: nothing to decode")
+    if pil_module is None:
+        import PIL.Image  # noqa: PLC0415 — the optional dependency gate
+        import PIL
+
+        pil_module = PIL
+    try:
+        img = pil_module.Image.open(io.BytesIO(payload))
+        img = img.convert("L")
+        w, h = img.size
+        arr = np.asarray(img, dtype=np.uint8).ravel()
+    except NotImplementedError:
+        raise
+    except Exception as e:  # undecodable bytes → the documented skip path
+        raise NotImplementedError(f"payload not decodable: {e}") from e
+    return w, h, _image_features(w, h, arr)
+
+
 def decode_features(
-    df: DataFrame, bin_col: str, id_col: str
+    df: DataFrame, bin_col: str, id_col: str, decoder: str = "auto"
 ) -> DataFrame:
     """Decode + feature-extract over binary payloads via ``mapInPandas``:
     per-partition Arrow batches in, fixed-width feature rows out. Corrupt /
-    empty payloads are skipped (counted rows lost = input − output)."""
+    empty payloads are skipped (counted rows lost = input − output).
+
+    ``decoder``: ``"auto"`` uses the REAL PIL decode (``decode_image``)
+    when PIL imports ON THE EXECUTOR, falling back to the deterministic
+    ``decode_stub`` otherwise — so the same pipeline code runs real
+    pixels in a media-enabled cluster and stays testable here;
+    ``"pil"`` requires PIL (fails loudly); ``"stub"`` forces the fake.
+    The import attempt happens inside the worker (once per batch
+    iterator), never on the driver, and no module object rides the
+    closure."""
+    if decoder not in ("auto", "pil", "stub"):
+        raise ValueError("decoder must be auto|pil|stub")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = False
+        if decoder in ("auto", "pil"):
+            try:
+                import PIL.Image  # noqa: F401,PLC0415
+                import PIL  # noqa: F401,PLC0415
+
+                use_pil = True
+            except ImportError:
+                if decoder == "pil":
+                    raise
         for pdf in batches:
             out = {"id": [], "width": [], "height": [], "n_bytes": [], "features": []}
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
                 try:
-                    w, h, feats = decode_stub(bytes(payload) if payload is not None else b"")
+                    if use_pil:
+                        w, h, feats = decode_image(raw)
+                    else:
+                        w, h, feats = decode_stub(raw)
                 except NotImplementedError:
                     continue
                 out["id"].append(rid)
@@ -87,7 +168,11 @@ def decode_features(
                 out["height"].append(h)
                 out["n_bytes"].append(len(payload))
                 out["features"].append(feats.tolist())
-            yield pd.DataFrame(out)
+            # a batch where every payload was skipped yields nothing: an
+            # empty pandas frame types 'features' float64, which Arrow
+            # cannot convert to list<float>
+            if out["id"]:
+                yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=FEATURE_SCHEMA)
 
@@ -132,7 +217,8 @@ def sample_frames(
                     out["frame_idx"].append(i)
                     out["n_frames"].append(len(frames))
                     out["frame_bytes"].append(frames[i])
-            yield pd.DataFrame(out)
+            if out["id"]:  # same all-skipped Arrow-typing guard as decode
+                yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(sample, schema=FRAME_SCHEMA)
 

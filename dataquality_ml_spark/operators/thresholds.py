@@ -111,19 +111,30 @@ def mad_robust_outliers(
 
     Three grouped aggregations (med → MAD → counts), each a map-side-combined
     shuffle on ``group_col`` only; per-group scalars move through broadcast
-    joins, so no row ever visits the driver. ``exact=False`` switches both
-    medians to the mergeable approx sketch for the 100 TB path.
+    joins, so no row ever visits the driver. ``exact=True`` computes both
+    medians through the distributed grouped-count order-statistic path
+    (``profile.exact_quantiles_grouped`` — bit-equal to ``percentile``, no
+    per-group single-buffer aggregate, so a group with many distinct
+    values cannot OOM its buffer); ``exact=False`` switches both medians
+    to the mergeable approx sketch for the cheapest one-pass form.
     """
-    fn = "percentile" if exact else "percentile_approx"
-    med = df.groupBy(group_col).agg(
-        F.expr(f"{fn}({value_col}, 0.5)").alias("med")
-    )
+    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+
+    def _grouped_median(rel: DataFrame, col: str, out: str) -> DataFrame:
+        if exact:
+            return (
+                exact_quantiles_grouped(rel, [col], [0.5], group_by=[group_col])
+                .select(group_col, F.col("val").alias(out))
+            )
+        return rel.groupBy(group_col).agg(
+            F.expr(f"percentile_approx({col}, 0.5)").alias(out)
+        )
+
+    med = _grouped_median(df, value_col, "med")
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "abs_dev", F.abs(F.col(value_col) - F.col("med"))
     )
-    mad = dev.groupBy(group_col).agg(
-        F.expr(f"{fn}(abs_dev, 0.5)").alias("mad")
-    )
+    mad = _grouped_median(dev, "abs_dev", "mad")
     thr = F.lit(k) * F.lit(1.4826) * F.col("mad")
     return (
         dev.join(F.broadcast(mad), group_col)

@@ -994,3 +994,110 @@ def test_qsketch_monitor_stream_matches_batch_sketch(spark, tmp_path):
     }
     for qq in (0.5, 0.9):
         assert abs(est_stream[qq] - est_batch[qq]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Real-when-importable image decode (round 8, VERDICT r7 item 7)
+# ---------------------------------------------------------------------------
+def make_fake_pil(pixels, size):
+    """A module-shaped fake PIL: Image.open returns an object whose
+    convert('L')/size/__array__ yield the given grayscale pixels —
+    the same injection pattern as tests/test_keras_adapter.make_fake_keras."""
+    import types
+
+    import numpy as np
+
+    class _FakeImg:
+        def __init__(self):
+            self.size = size  # (w, h)
+            self.converted_to = None
+
+        def convert(self, mode):
+            self.converted_to = mode
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            a = np.asarray(pixels, dtype=dtype or np.uint8)
+            return a
+
+    opened = {}
+
+    def _open(buf):
+        opened["bytes"] = buf.read()
+        img = _FakeImg()
+        opened["img"] = img
+        return img
+
+    fake = types.SimpleNamespace(Image=types.SimpleNamespace(open=_open))
+    return fake, opened
+
+
+def test_decode_image_with_fake_pil_matches_contract():
+    """decode_image under a fake PIL honors the decode_stub contract:
+    same (w, h, 8-dim features) tuple, features computed from DECODED
+    grayscale pixels, grayscale conversion requested, and the payload
+    delivered to the library byte-for-byte."""
+    import numpy as np
+
+    pixels = np.arange(12, dtype=np.uint8).reshape(3, 4)  # h=3, w=4
+    fake, opened = make_fake_pil(pixels, size=(4, 3))
+    payload = b"\x89PNG-fake-payload"
+    w, h, feats = mm.decode_image(payload, pil_module=fake)
+    assert (w, h) == (4, 3)
+    assert opened["bytes"] == payload
+    assert opened["img"].converted_to == "L"
+    flat = pixels.ravel()
+    want = [
+        flat.mean(), flat.std(), flat.min(), flat.max(),
+        float(flat.size), 4.0, 3.0, float(flat.sum() % 997),
+    ]
+    assert feats.dtype == np.float32
+    assert np.allclose(feats, np.array(want, dtype=np.float32))
+
+
+def test_decode_image_failure_paths():
+    """Empty payloads and library decode errors both surface as the
+    documented NotImplementedError skip path."""
+    import types
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"", pil_module=object())
+
+    def _boom(buf):
+        raise OSError("cannot identify image file")
+
+    broken = types.SimpleNamespace(Image=types.SimpleNamespace(open=_boom))
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"not-an-image", pil_module=broken)
+
+
+def test_decode_features_auto_falls_back_to_stub_here(spark):
+    """In this container (no PIL) decoder='auto' must produce EXACTLY the
+    stub output — the fallback changes nothing; decoder='pil' fails
+    loudly at execution because the executor cannot import PIL."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, bytearray(b"")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    auto = sorted(
+        (r["id"], r["width"], r["height"], tuple(r["features"]))
+        for r in mm.decode_features(df, "payload", "doc_id", decoder="auto").collect()
+    )
+    stub = sorted(
+        (r["id"], r["width"], r["height"], tuple(r["features"]))
+        for r in mm.decode_features(df, "payload", "doc_id", decoder="stub").collect()
+    )
+    assert auto == stub and len(auto) == 1  # empty/null payloads skipped
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL unexpectedly present; forced-pil path not testable")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception):
+        mm.decode_features(df, "payload", "doc_id", decoder="pil").collect()
