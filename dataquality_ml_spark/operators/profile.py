@@ -233,21 +233,30 @@ def exact_quantiles_grouped(
     from pyspark.sql import Window
 
     g = list(group_by or [])
-    pairs = (
-        df.select(
+    if len(columns) == 1:
+        # no Generate node for the common single-column case (the explode
+        # below costs a per-row struct alloc + generate before the groupBy)
+        pairs = df.select(
             *g,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("v"))
-                        for c in columns
-                    ]
-                )
-            ).alias("p")
+            F.lit(columns[0]).alias("column"),
+            F.col(columns[0]).cast("double").alias("v"),
+        ).where(F.col("v").isNotNull() & ~F.isnan("v"))
+    else:
+        pairs = (
+            df.select(
+                *g,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("v"))
+                            for c in columns
+                        ]
+                    )
+                ).alias("p")
+            )
+            .select(*g, "p.*")
+            .where(F.col("v").isNotNull() & ~F.isnan("v"))
         )
-        .select(*g, "p.*")
-        .where(F.col("v").isNotNull() & ~F.isnan("v"))
-    )
     keys = [*g, "column"]
     gc = pairs.groupBy(*keys, "v").agg(F.count(F.lit(1)).alias("cnt"))
     # Cumulative counts over the distinct-value relation via the keyed

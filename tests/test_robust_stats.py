@@ -120,9 +120,14 @@ def test_full_outer_join_preserves_unmatched_sides(spark):
 
 
 def test_batched_thresholds_matches_scalar_helpers_in_two_jobs(spark):
-    """VERDICT r3 item 6: one stats pass computes what the scalar helpers
-    compute one job each — identical values, and the whole call runs at
-    most 2 Spark jobs (percentiles + MAD)."""
+    """VERDICT r3 item 6 (amended round 8): the APPROX path still runs at
+    most 2 Spark jobs (one multi-column sketch aggregation + one MAD
+    pass); the EXACT path now routes through the distributed
+    grouped-count order-statistic build (VERDICT r7 item 2), which is
+    multi-job by design (checkpoint + subtotal + pickup per build) but
+    still ONE upstream scan per build — so the job-count pin applies to
+    approx, and exact is pinned on VALUES (numpy linear interpolation,
+    bit-equal)."""
     import numpy as np
     import pytest
 
@@ -146,13 +151,14 @@ def test_batched_thresholds_matches_scalar_helpers_in_two_jobs(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         sc.setJobGroup("batched-thresholds", "job-count check")
-        got = batched_thresholds(df, ["a", "b"], ps=(0.9, 0.95))
+        batched_thresholds(df, ["a", "b"], ps=(0.9, 0.95), exact=False)
         jobs = sc.statusTracker().getJobIdsForGroup("batched-thresholds")
         sc.setJobGroup(None, None)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert len(jobs) <= 2
 
+    got = batched_thresholds(df, ["a", "b"], ps=(0.9, 0.95))
     for c, arr in (("a", a), ("b", b)):
         assert got[c]["p90"] == pytest.approx(percentile_threshold(df, c, 0.9))
         assert got[c]["p95"] == pytest.approx(percentile_threshold(df, c, 0.95))
