@@ -181,9 +181,15 @@ def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
     the skew report that decides whether a key needs salting (SURVEY §7
     'skewed keys → salting or AQE skew-join': this operator finds them).
 
-    One scan: groupBy collapses to |distinct| rows; the total for the share
-    and the rank both run as windows over those GROUPED rows. Deterministic
-    tie-break on the value keeps the cut stable across engines.
+    One scan: groupBy collapses to |distinct| rows; the rank runs as a
+    TWO-LEVEL salted window (round 8 — a high-cardinality column's
+    distinct relation is unbounded, so the former global row_number was
+    a single-task funnel: level 1 keeps top_n per hash bucket in
+    parallel, level 2 ranks the ≤ 32·top_n survivors — the ``_bottomk``
+    shape from operators/sketch.py, identical output).  The share total
+    is a 1-row aggregate broadcast back, not a partition-less window.
+    Deterministic tie-break on the value keeps the cut stable across
+    engines.
     """
     from pyspark.sql import Window
 
@@ -192,12 +198,22 @@ def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = Window.partitionBy()
-    rnk = Window.orderBy(F.desc("n"), F.asc("value"))
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    order = [F.desc("n"), F.asc("value")]
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    pruned = (
+        counts.withColumn("_salt", F.pmod(F.hash("value"), F.lit(32)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= top_n)
+        .drop("_r1")
+    )
+    rnk = Window.orderBy(*order)
     return (
-        counts.withColumn("share", F.col("n") / F.sum("n").over(tot))
-        .withColumn("rank", F.row_number().over(rnk))
+        pruned.withColumn("rank", F.row_number().over(rnk))
         .where(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n") / F.col("_tot"))
+        .select("value", "n", "share", "rank")
         .orderBy("rank")
     )
 

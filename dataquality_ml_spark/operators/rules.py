@@ -167,15 +167,20 @@ def suggest_rules(
       percentiles, with the observed in-range fraction as support
       (nulls count as out of range, identically in the oracle).
 
-    Two aggregation passes total, regardless of column count: pass 1 is
-    one agg (counts, distincts, percentiles for every column at once);
-    pass 2 computes set membership lists and range supports only for the
-    columns pass 1 qualified.  Both passes return aggregates — the
-    suggestions themselves are model parameters, assembled driver-side.
+    Pass structure, regardless of column count: one agg for counts and
+    distincts, one distributed grouped-count quantile build for ALL
+    numeric columns' percentiles (round 8: the former in-agg
+    ``F.percentile`` buffered each column's full value-count map in one
+    merge buffer), then one pass-2 agg computing set membership lists
+    and range supports only for the columns that qualified.  Everything
+    returned is aggregate-sized — the suggestions themselves are model
+    parameters, assembled driver-side.
 
     Output: (column, rule, lo, hi, vals, support), floats rounded 4 dp.
     """
     from pyspark.sql.types import NumericType, StringType
+
+    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
 
     q1, q2 = range_q
     numeric = [c for c in columns if isinstance(df.schema[c].dataType, NumericType)]
@@ -186,22 +191,27 @@ def suggest_rules(
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
     for c in strings:
         aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
-    for c in numeric:
-        aggs.append(
-            F.percentile(F.col(c), F.array(F.lit(q1), F.lit(q2))).alias(f"pq_{c}")
-        )
     s1 = df.agg(*aggs).collect()[0]
     n = s1["_n"]
 
+    pq: dict[str, tuple[float, float]] = {}
+    if numeric:
+        got: dict[str, dict[float, float]] = {}
+        for r in exact_quantiles_grouped(df, numeric, [q1, q2]).collect():
+            got.setdefault(r["column"], {})[r["q"]] = r["val"]
+        pq = {
+            c: (got[c][q1], got[c][q2]) for c in numeric if c in got
+        }
+
     set_cols = [c for c in strings if s1[f"nd_{c}"] <= max_set_card]
-    # A fully-null numeric column yields NULL percentiles — no in_range
+    # A fully-null numeric column yields no quantile rows — no in_range
     # rule can be mined for it (and unpacking None would crash).
-    range_cols = [c for c in numeric if s1[f"pq_{c}"] is not None]
+    range_cols = [c for c in numeric if c in pq]
     aggs2 = []
     for c in set_cols:
         aggs2.append(F.sort_array(F.collect_set(F.col(c))).alias(f"set_{c}"))
     for c in range_cols:
-        lo, hi = s1[f"pq_{c}"]
+        lo, hi = pq[c]
         aggs2.append(
             F.avg(
                 F.when(F.col(c).between(F.lit(lo), F.lit(hi)), 1.0).otherwise(0.0)
@@ -222,7 +232,7 @@ def suggest_rules(
              round(s1[f"nn_{c}"] / n, 4))
         )
     for c in range_cols:
-        lo, hi = s1[f"pq_{c}"]
+        lo, hi = pq[c]
         rows.append(
             (c, "in_range", round(float(lo), 4), round(float(hi), 4), None,
              round(float(s2[f"sup_{c}"]), 4))

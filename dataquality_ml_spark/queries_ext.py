@@ -2168,12 +2168,15 @@ def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "mean_logprob")
         .localCheckpoint(eager=False)
     )
-    [trow] = lp.agg(
-        F.expr(
-            "percentile(mean_logprob, array(0.3333333333333333, 0.6666666666666666))"
-        ).alias("qs")
-    ).collect()
-    t1, t2 = (round(q, 6) for q in trow["qs"])
+    from dataquality_ml_spark.operators.thresholds import _exact_quantiles
+
+    # distributed exact terciles (round 8): mean_logprob is continuous, so
+    # |distinct| ≈ |docs| and the former single-buffer percentile
+    # aggregate was the VERDICT r7 item 2 hazard; values bit-equal
+    tq = _exact_quantiles(
+        lp, "mean_logprob", [0.3333333333333333, 0.6666666666666666]
+    )
+    t1, t2 = (round(q, 6) for q in tq)
     b = lp.withColumn(
         "bucket",
         F.when(F.col("mean_logprob") <= F.lit(t1), "tail")
@@ -5942,3 +5945,308 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 drift-test family: the rank-based, body-shift, and localized
+# complements to ks_drift_events — all on the shared grouped-distinct-value
+# + distributed-prefix-sum machinery (operators/drift.py _ecdf_counts), so
+# none funnels a row-sized relation through one task at any cardinality.
+# Reference A12/drift context: the reference retrains daily but never
+# tests distribution shift (app/test_AE.py:87-97); these are the
+# production-grade tests that decide WHEN its retrain should fire.
+# ---------------------------------------------------------------------------
+_DRIFT_SPLIT_TS = "2024-01-16"  # events span 2024-01; halves = ref vs cur
+
+
+@register(
+    "mann_whitney_drift_events",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (SELECT v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM tagged GROUP BY v),
+    mr AS (
+      SELECT n_a, n_a + n_b AS cnt,
+             SUM(n_a + n_b) OVER (ORDER BY v) - (n_a + n_b)
+               + (n_a + n_b + 1) / 2.0 AS midrank
+      FROM per_v
+    ),
+    s AS (
+      SELECT SUM(n_a * midrank) AS ra,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS ties,
+             CAST(SUM(n_a) AS DOUBLE) AS na,
+             CAST(SUM(cnt - n_a) AS DOUBLE) AS nb
+      FROM mr
+    )
+    SELECT ra - na * (na + 1) / 2 AS u_stat,
+           ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+                 / SQRT(na * nb / 12
+                        * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))),
+                 6) + 0 AS z_score,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM s
+    """,
+)
+def mann_whitney_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U drift between the two halves of the events month:
+    pooled midranks from grouped value counts + exclusive_prefix_sum
+    (drift.rank_sum_test) — every midrank is a multiple of 0.5, so
+    u_stat is IEEE-exact and unrounded on both engines."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    out = dr.rank_sum_test(ref, cur, "value")
+    return out.select(
+        "u_stat",
+        (F.round("z_score", 6) + F.lit(0.0)).alias("z_score"),
+        "n_a",
+        "n_b",
+    )
+
+
+@register(
+    "cvm_drift_events",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (SELECT v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM tagged GROUP BY v),
+    cum AS (
+      SELECT n_a, n_b,
+             SUM(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(n_a) OVER () AS tot_a,
+             SUM(n_b) OVER () AS tot_b
+      FROM per_v
+    ),
+    s AS (
+      SELECT SUM(CAST(n_a + n_b AS HUGEINT)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)) AS s,
+             MAX(CAST(tot_a + tot_b AS HUGEINT) * (tot_a + tot_b) * tot_a * tot_b) AS denom,
+             MAX(tot_a) AS n_a, MAX(tot_b) AS n_b
+      FROM cum
+    )
+    SELECT ROUND(CAST(s AS DOUBLE) / CAST(denom AS DOUBLE), 6) + 0 AS cvm_t,
+           n_a, n_b
+    FROM s
+    """,
+)
+def cvm_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift between the events-month halves
+    (drift.cvm_statistic): the squared-ECDF-gap numerator reduces in
+    exact integer decimals, so both engines round the SAME double."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    out = dr.cvm_statistic(ref, cur, "value")
+    return out.select(
+        (F.round("cvm_t", 6) + F.lit(0.0)).alias("cvm_t"), "n_a", "n_b"
+    )
+
+
+@register(
+    "qq_drift_deciles",
+    oracle=f"""
+    WITH a AS (
+      SELECT value AS v FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT value AS v FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    qa AS (
+      SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+             UNNEST(QUANTILE_CONT(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS va
+      FROM a
+    ),
+    qb AS (
+      SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+             UNNEST(QUANTILE_CONT(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS vb
+      FROM b
+    )
+    SELECT CAST(qa.q AS DOUBLE) AS q,
+           ROUND(va, 6) AS val_a,
+           ROUND(vb, 6) AS val_b,
+           ROUND(vb - va, 6) AS gap
+    FROM qa JOIN qb ON qa.q = qb.q
+    ORDER BY q
+    """,
+)
+def qq_drift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile Q-Q drift table between the events-month halves — WHERE the
+    distribution moved, not just whether (drift.qq_table: one
+    exact_quantiles_grouped build keyed on the side tag, never a
+    single-buffer percentile aggregate)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    out = dr.qq_table(ref, cur, "value")
+    return out.select(
+        "q",
+        F.round("val_a", 6).alias("val_a"),
+        F.round("val_b", 6).alias("val_b"),
+        F.round("gap", 6).alias("gap"),
+    ).orderBy("q")
+
+
+@register(
+    "mutual_info_source_lang",
+    oracle="""
+    WITH cont AS (
+      SELECT source, lang, COUNT(*) AS o FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ma AS (SELECT source, SUM(o) AS ma FROM cont GROUP BY 1),
+    mb AS (SELECT lang, SUM(o) AS mb FROM cont GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cont)
+    SELECT ROUND(SUM((o / n) * LN(o * n / (ma * mb))), 6) + 0 AS mi,
+           MAX(n) AS n
+    FROM cont
+    JOIN ma USING (source)
+    JOIN mb USING (lang)
+    CROSS JOIN tot
+    """,
+)
+def mutual_info_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a document's source and language — the
+    scale-free dependence ranking the mixture-design pass reads next to
+    chi2 (drift.mutual_information: one contingency scan, sums over
+    category-bounded cells only)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dr.mutual_information(docs, "source", "lang")
+    return out.select((F.round("mi", 6) + F.lit(0.0)).alias("mi"), "n")
+
+
+@register(
+    "ad_drift_events",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (SELECT v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM tagged GROUP BY v),
+    cum AS (
+      SELECT n_a, n_b,
+             SUM(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(n_a) OVER () AS tot_a,
+             SUM(n_b) OVER () AS tot_b
+      FROM per_v
+    ),
+    t AS (
+      SELECT CAST(n_a + n_b AS DOUBLE) AS l,
+             CAST(tot_a + tot_b AS DOUBLE) AS n,
+             CAST(ca + cb AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2 AS bb,
+             CAST(ca AS DOUBLE) - n_a / 2 AS m_a,
+             CAST(cb AS DOUBLE) - n_b / 2 AS m_b,
+             tot_a, tot_b
+      FROM cum
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN bb * (n - bb) - n * l / 4 > 0 THEN
+                   (l / n) * ((n * m_a - tot_a * bb) * (n * m_a - tot_a * bb))
+                     / (bb * (n - bb) - n * l / 4) / tot_a
+                 ELSE 0 END)
+           + SUM(CASE WHEN bb * (n - bb) - n * l / 4 > 0 THEN
+                   (l / n) * ((n * m_b - tot_b * bb) * (n * m_b - tot_b * bb))
+                     / (bb * (n - bb) - n * l / 4) / tot_b
+                 ELSE 0 END) AS inner_s,
+             MAX(tot_a) AS n_a, MAX(tot_b) AS n_b
+      FROM t
+    )
+    SELECT ROUND((CAST(n_a + n_b AS DOUBLE) - 1) / (n_a + n_b) * inner_s, 6) + 0 AS ad_a2,
+           n_a, n_b
+    FROM s
+    """,
+)
+def ad_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling drift between the events-month halves
+    (drift.anderson_darling, Scholz–Stephens midrank A² with k=2) — the
+    tail-weighted alarm KS/CvM miss; same _ecdf_counts machinery, no
+    unpartitioned window in the exact path."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    out = dr.anderson_darling(ref, cur, "value")
+    return out.select(
+        (F.round("ad_a2", 6) + F.lit(0.0)).alias("ad_a2"), "n_a", "n_b"
+    )
+
+
+@register(
+    "ks_drift_by_type",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY event_type, v
+    ),
+    cdf AS (
+      SELECT event_type,
+             SUM(n_a) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(SUM(n_a) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf_a,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(SUM(n_b) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf_b,
+             SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+      FROM per_v
+    )
+    SELECT event_type,
+           ROUND(MAX(ABS(cdf_a - cdf_b)), 6) + 0 AS ks_d,
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b
+    FROM cdf
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS drift between the events-month halves in ONE pass
+    (drift.ks_by_group): keyed prefix sums, per-key totals join — the
+    per-segment drift report without a per-segment job loop."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    out = dr.ks_by_group(ref, cur, "value", keys=["event_type"])
+    return out.select(
+        "event_type",
+        (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
+        "n_a",
+        "n_b",
+    ).orderBy("event_type")

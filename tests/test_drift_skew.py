@@ -192,3 +192,177 @@ def test_connected_components_long_path_converges(spark):
     comp = connected_components(edges, max_iter=40).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n
+
+
+# ---------------------------------------------------------------------------
+# Round-8 two-sample family: brute-force Python differentials for the new
+# drift tests (rank-sum, CvM, Q-Q, MI) on tie-heavy random data. The plan
+# shapes (no unpartitioned window in the exact paths) are gated separately
+# in tests/test_scale_plans.py.
+# ---------------------------------------------------------------------------
+def _two_samples(spark, seed=7, na=800, nb=650):
+    import random
+
+    rng = random.Random(seed)
+    av = [round(rng.gauss(0, 1), 2) for _ in range(na)]  # ties via rounding
+    bv = [round(rng.gauss(0.3, 1.2), 2) for _ in range(nb)]
+    a = spark.createDataFrame([(x,) for x in av], "v double")
+    b = spark.createDataFrame([(x,) for x in bv], "v double")
+    return av, bv, a, b
+
+
+def test_rank_sum_matches_brute_force(spark):
+    import collections
+    import math
+
+    from dataquality_ml_spark.operators.drift import rank_sum_test
+
+    av, bv, a, b = _two_samples(spark)
+    cnt = collections.Counter(av + bv)
+    mr, below = {}, 0
+    for v in sorted(cnt):
+        mr[v] = below + (cnt[v] + 1) / 2.0
+        below += cnt[v]
+    na, nb = len(av), len(bv)
+    n = na + nb
+    u = sum(mr[x] for x in av) - na * (na + 1) / 2
+    ties = sum(c**3 - c for c in cnt.values())
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    row = rank_sum_test(a, b, "v").first()
+    assert row["u_stat"] == u  # midranks are halves → IEEE-exact
+    assert abs(row["z_score"] - z) < 1e-9
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+
+
+def test_cvm_matches_brute_force(spark):
+    import collections
+
+    from dataquality_ml_spark.operators.drift import cvm_statistic
+
+    av, bv, a, b = _two_samples(spark)
+    na, nb = len(av), len(bv)
+    cnt = collections.Counter(av + bv)
+    ca = cb = 0
+    s = 0.0
+    for v in sorted(cnt):
+        ca += sum(1 for x in av if x == v)
+        cb += sum(1 for x in bv if x == v)
+        s += cnt[v] * (ca / na - cb / nb) ** 2
+    t = na * nb / (na + nb) ** 2 * s
+    row = cvm_statistic(a, b, "v").first()
+    assert abs(row["cvm_t"] - t) < 1e-9
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+
+
+def test_cvm_binned_close_to_exact(spark):
+    from dataquality_ml_spark.operators.drift import cvm_statistic
+
+    _, _, a, b = _two_samples(spark)
+    exact = cvm_statistic(a, b, "v").first()["cvm_t"]
+    binned = cvm_statistic(a, b, "v", bins=200, lo=-5.0, hi=5.0).first()["cvm_t"]
+    assert abs(binned - exact) < 0.05 * max(exact, 1e-9)
+
+
+def test_qq_table_matches_sorted_interpolation(spark):
+    import math
+
+    from dataquality_ml_spark.operators.drift import qq_table
+
+    av, bv, a, b = _two_samples(spark)
+    sa, sb = sorted(av), sorted(bv)
+
+    def qc(s, q):
+        i = q * (len(s) - 1)
+        lo, hi = int(math.floor(i)), int(math.ceil(i))
+        return s[lo] + (i - lo) * (s[hi] - s[lo])
+
+    rows = qq_table(a, b, "v").collect()
+    assert [r["q"] for r in rows] == [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    for r in rows:
+        assert r["val_a"] == qc(sa, r["q"])  # bit-equal interpolation
+        assert r["val_b"] == qc(sb, r["q"])
+        assert abs(r["gap"] - (r["val_b"] - r["val_a"])) < 1e-15
+
+
+def test_mutual_information_matches_brute_force(spark):
+    import collections
+    import math
+    import random
+
+    from dataquality_ml_spark.operators.drift import mutual_information
+
+    rng = random.Random(11)
+    pairs = [(rng.choice("abc"), rng.choice("xyzw")) for _ in range(3000)]
+    # inject real dependence so MI is far from 0
+    pairs += [("a", "x")] * 500 + [("b", "y")] * 400
+    df = spark.createDataFrame(pairs, "s string, l string")
+    pc = collections.Counter(pairs)
+    pa = collections.Counter(p[0] for p in pairs)
+    pb = collections.Counter(p[1] for p in pairs)
+    n = len(pairs)
+    mi = sum(
+        o / n * math.log(o * n / (pa[k[0]] * pb[k[1]])) for k, o in pc.items()
+    )
+    row = mutual_information(df, "s", "l").first()
+    assert abs(row["mi"] - mi) < 1e-9
+    assert row["n"] == n
+    # independence sanity: shuffling one side to a constant gives MI == 0
+    const = df.select("s", F.lit("z").alias("l"))
+    assert abs(mutual_information(const, "s", "l").first()["mi"]) < 1e-12
+
+
+def test_anderson_darling_matches_brute_force(spark):
+    import collections
+
+    from dataquality_ml_spark.operators.drift import anderson_darling
+
+    av, bv, a, b = _two_samples(spark)
+    na, nb = len(av), len(bv)
+    n = na + nb
+    cnt = collections.Counter(av + bv)
+    fa, fb = collections.Counter(av), collections.Counter(bv)
+    ca = cb = 0
+    inner = 0.0
+    for z in sorted(cnt):
+        l = cnt[z]
+        ca += fa.get(z, 0)
+        cb += fb.get(z, 0)
+        bb = ca + cb - l / 2
+        den = bb * (n - bb) - n * l / 4
+        if den <= 0:
+            continue
+        m_a = ca - fa.get(z, 0) / 2
+        m_b = cb - fb.get(z, 0) / 2
+        inner += (l / n) * (
+            (n * m_a - na * bb) ** 2 / den / na
+            + (n * m_b - nb * bb) ** 2 / den / nb
+        )
+    want = (n - 1) / n * inner
+    row = anderson_darling(a, b, "v").first()
+    assert abs(row["ad_a2"] - want) < 1e-9
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    # identical samples: every (N·M − n·B) gap is exactly 0 → A² == 0.0
+    assert anderson_darling(a, a, "v").first()["ad_a2"] == 0.0
+
+
+def test_ks_by_group_matches_per_group_ks(spark):
+    """Keyed single-pass KS == running the global operator once per
+    segment; one-sided segments report ks_d = 1.0 by convention."""
+    from dataquality_ml_spark.operators.drift import ks_by_group, ks_statistic
+
+    av, bv, a, b = _two_samples(spark)
+    ga = a.select(F.lit("s1").alias("g"), "v").unionAll(
+        a.select(F.lit("s2").alias("g"), (F.col("v") * 2).alias("v"))
+    )
+    gb = b.select(F.lit("s1").alias("g"), "v").unionAll(
+        b.select(F.lit("s3").alias("g"), (F.col("v") + 1).alias("v"))
+    )
+    rows = {r["g"]: r for r in ks_by_group(ga, gb, "v", keys=["g"]).collect()}
+    assert set(rows) == {"s1", "s2", "s3"}
+    want = ks_statistic(a, b, "v").first()
+    assert rows["s1"]["ks_d"] == want["ks_d"]
+    assert (rows["s1"]["n_a"], rows["s1"]["n_b"]) == (want["n_a"], want["n_b"])
+    # s2 exists only on side a, s3 only on side b → total drift
+    assert rows["s2"]["ks_d"] == 1.0 and rows["s2"]["n_b"] == 0
+    assert rows["s3"]["ks_d"] == 1.0 and rows["s3"]["n_a"] == 0

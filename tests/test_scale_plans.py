@@ -83,6 +83,83 @@ def test_percentile_threshold_matches_single_buffer_aggregate(spark):
     assert th.iqr_threshold(df, "v", k=1.5, exact=True) == q3 + 1.5 * (q3 - q1)
 
 
+def test_ks_exact_no_global_window(spark):
+    """ks_statistic exact mode (bins=None) runs its ECDF cumulatives
+    through exclusive_prefix_sum — a continuous column's distinct-value
+    relation is row-sized, so any unpartitioned window here is the
+    VERDICT r7 item-1 funnel."""
+    from dataquality_ml_spark.operators.drift import ks_statistic
+
+    a = spark.range(500).select((F.col("id") * 1.7).alias("v"))
+    b = spark.range(400).select((F.col("id") * 2.3 + 0.5).alias("v"))
+    out = ks_statistic(a, b, "v")
+    assert _global_window_specs(plans.formatted_plan(out)) == []
+
+    # value parity against the straightforward single-window form
+    import bisect
+
+    av = sorted(r["v"] for r in a.collect())
+    bv = sorted(r["v"] for r in b.collect())
+    want = max(
+        abs(
+            bisect.bisect_right(av, x) / len(av)
+            - bisect.bisect_right(bv, x) / len(bv)
+        )
+        for x in av + bv
+    )
+    got = out.first()
+    assert abs(got["ks_d"] - want) < 1e-12
+    assert (got["n_a"], got["n_b"]) == (500, 400)
+
+
+def test_rank_sum_and_cvm_no_global_window(spark):
+    """The exact paths of the round-8 two-sample tests share _ecdf_counts
+    with KS — distributed prefix sums only, no unpartitioned window."""
+    from dataquality_ml_spark.operators.drift import (
+        anderson_darling,
+        cvm_statistic,
+        rank_sum_test,
+    )
+
+    a = spark.range(300).select((F.col("id") * 1.3).alias("v"))
+    b = spark.range(200).select((F.col("id") * 0.7).alias("v"))
+    for out in (
+        rank_sum_test(a, b, "v"),
+        cvm_statistic(a, b, "v"),
+        anderson_darling(a, b, "v"),
+    ):
+        assert _global_window_specs(plans.formatted_plan(out)) == []
+
+
+def test_heavy_hitters_salted_two_level(spark):
+    """heavy_hitters' only unpartitioned window must consume the salted
+    level-1 survivors (≤ 32·top_n rows), never the raw distinct-value
+    relation: the plan shows a partitioned window BELOW the global one."""
+    import re as _re
+
+    from dataquality_ml_spark.operators.profile import heavy_hitters
+
+    df = spark.range(5000).select((F.col("id") % 237).alias("k"))
+    out = heavy_hitters(df, "k", top_n=10)
+    plan = plans.formatted_plan(out)
+    glob = _global_window_specs(plan)
+    assert len(glob) == 1  # the bounded level-2 rank only
+    # level-1 salted window exists (partitionBy _salt → first
+    # windowspecdefinition argument is the salt, not an ordering)
+    assert _re.search(r"windowspecdefinition\(_salt", plan), plan
+
+    # exactness: two-level == brute force on a tie-heavy distribution
+    rows = out.collect()
+    from collections import Counter
+
+    cnt = Counter(r["k"] for r in df.collect())
+    brute = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["value"], r["n"]) for r in rows] == brute
+    tot = sum(cnt.values())
+    for r in rows:
+        assert abs(r["share"] - r["n"] / tot) < 1e-12
+
+
 def test_exclusive_prefix_sum_multi_descending_keyed(spark):
     from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
 
