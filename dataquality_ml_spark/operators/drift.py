@@ -186,6 +186,7 @@ def ks_statistic(
     bins: int | None = None,
     lo: float | None = None,
     hi: float | None = None,
+    ecdf: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample KS distance as a 1-row DataFrame (ks_d, n_a, n_b).
 
@@ -193,8 +194,13 @@ def ks_statistic(
     only change there, so this is the true supremum); running CDFs via
     ``_ecdf_counts`` — distributed prefix sums in exact mode, a bounded
     bucket window in binned mode (the 100 TB path, D error ≤ bin mass).
+
+    ``ecdf``: a prebuilt (possibly checkpoint-memoized) ``_ecdf_counts``
+    relation — the four two-sample statistics read the SAME relation, so
+    a caller computing several of them should build it once and pass it
+    to each (``a``/``b``/``col`` are then ignored).
     """
-    cdf = _ecdf_counts(a, b, col, bins, lo, hi).select(
+    cdf = (ecdf if ecdf is not None else _ecdf_counts(a, b, col, bins, lo, hi)).select(
         (F.col("ca") / F.col("tot_a")).alias("cdf_a"),
         (F.col("cb") / F.col("tot_b")).alias("cdf_b"),
         "tot_a",
@@ -253,6 +259,7 @@ def cvm_statistic(
     bins: int | None = None,
     lo: float | None = None,
     hi: float | None = None,
+    ecdf: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample Cramér–von Mises criterion as a 1-row DataFrame
     (cvm_t, n_a, n_b) — the integrated-squared-ECDF-gap complement to KS
@@ -267,9 +274,10 @@ def cvm_statistic(
     across engines (the float rounding happens ONCE, casting the final
     exact sum). Same ``_ecdf_counts`` scaling story as KS; at extreme
     per-value counts the decimal could overflow — use ``bins=`` there
-    (which also bounds the relation).
+    (which also bounds the relation). ``ecdf``: prebuilt shared relation
+    (see ``ks_statistic``).
     """
-    ec = _ecdf_counts(a, b, col, bins, lo, hi)
+    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col, bins, lo, hi)
     # decimal BEFORE any product: the raw bigint products (ca·tot_b,
     # N²·tot_a·tot_b) overflow int64 well before 100 TB row counts
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -298,6 +306,7 @@ def rank_sum_test(
     a: DataFrame,
     b: DataFrame,
     col: str,
+    ecdf: DataFrame | None = None,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) two-sample test as a 1-row
     DataFrame (u_stat, z_score, n_a, n_b) — the rank-based drift test
@@ -318,9 +327,10 @@ def rank_sum_test(
     Every midrank is a multiple of 0.5 and every tie term an exact
     integer, so the sums are order-independent IEEE-exact below 2⁵³ —
     both engines reduce to bit-identical U and tie sums before the one
-    float expression for z.
+    float expression for z. ``ecdf``: prebuilt shared relation (see
+    ``ks_statistic``).
     """
-    ec = _ecdf_counts(a, b, col)
+    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col)
     cnt = F.col("n_a") + F.col("n_b")
     below = F.col("ca") + F.col("cb") - cnt  # exclusive pooled prefix
     mr = below + (cnt + F.lit(1)) / F.lit(2.0)
@@ -359,6 +369,7 @@ def anderson_darling(
     bins: int | None = None,
     lo: float | None = None,
     hi: float | None = None,
+    ecdf: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample Anderson–Darling statistic as a 1-row DataFrame
     (ad_a2, n_a, n_b) — the tail-weighted ECDF test (AD up-weights the
@@ -376,9 +387,10 @@ def anderson_darling(
     minus l_j/2). Every input rides the shared ``_ecdf_counts`` relation
     — grouped distinct values + distributed prefix sums, so the exact
     path has no unpartitioned window at any cardinality; ``bins=`` is
-    the bounded sketch path.
+    the bounded sketch path. ``ecdf``: prebuilt shared relation (see
+    ``ks_statistic``).
     """
-    ec = _ecdf_counts(a, b, col, bins, lo, hi)
+    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col, bins, lo, hi)
     l = (F.col("n_a") + F.col("n_b")).cast("double")
     n = (F.col("tot_a") + F.col("tot_b")).cast("double")
     bb = (F.col("ca") + F.col("cb")).cast("double") - l / 2
@@ -413,6 +425,7 @@ def qq_table(
     b: DataFrame,
     col: str,
     qs: list[float] | tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    ecdf: DataFrame | None = None,
 ) -> DataFrame:
     """Quantile–quantile drift report: one row per probe quantile with
     both sides' EXACT linear-interpolated quantiles and the gap —
@@ -420,35 +433,91 @@ def qq_table(
     (KS/CvM give one scalar; this localizes the shift for the drift
     triage report).
 
-    Both sides ride ONE ``exact_quantiles_grouped`` build keyed on the
-    side tag — grouped value counts + per-group distributed cumulative,
-    never Spark's single-buffer ``percentile`` aggregate (VERDICT r7
-    item 2), and parallelism grows with the group count.
+    Both sides' order statistics are picked straight off the shared
+    ``_ecdf_counts`` relation (round 8): value v occupies sorted index
+    range [c−n, c) on each side, so every probe quantile needs only the
+    floor/ceil order statistics of q·(tot−1) — a conditional aggregation
+    over the distinct-value relation, mirroring
+    ``profile.exact_quantiles_grouped``'s arithmetic bit-for-bit
+    (lo·(1−f) + hi·f, the ``percentile`` / QUANTILE_CONT form). Passing
+    ``ecdf`` shares one build across the whole two-sample family; NaNs
+    are assumed absent (``_ecdf_counts`` drops nulls only).
     """
-    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col)
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
 
-    tagged = (
-        a.where(F.col(col).isNotNull())
-        .select(F.col(col).alias("v"), F.lit("a").alias("side"))
-        .unionAll(
-            b.where(F.col(col).isNotNull()).select(
-                F.col(col).alias("v"), F.lit("b").alias("side")
+    # factory (not default-arg lambdas: PySpark derives the lambda-variable
+    # count from the Python ARITY, so extra capture params break analysis)
+    def _targets(n, cum, cnt):
+        return F.filter(
+            F.transform(
+                q_arr,
+                lambda q: F.struct(
+                    q.alias("q"),
+                    F.floor(q * (n - 1)).alias("k"),
+                    (q * (n - 1) - F.floor(q * (n - 1))).alias("frac"),
+                ),
+            ),
+            lambda s: ((s["k"] >= cum - cnt) & (s["k"] < cum))
+            | ((s["k"] + 1 >= cum - cnt) & (s["k"] + 1 < cum)),
+        )
+
+    sides = []
+    for side, tot in (("a", "tot_a"), ("b", "tot_b")):
+        n = F.col(tot)
+        cum = F.col(f"c{side}")
+        cnt = F.col(f"n_{side}")
+        targets = _targets(n, cum, cnt)
+        tagged = ec.select(
+            F.col("v").cast("double").alias("v"),
+            (cum - cnt).alias("start"),
+            cum.alias("end"),
+            F.explode(targets).alias("s"),
+        )
+        picked = (
+            tagged.groupBy(F.col("s.q").alias("q"))
+            .agg(
+                F.max(
+                    F.when(
+                        (F.col("s.k") >= F.col("start"))
+                        & (F.col("s.k") < F.col("end")),
+                        F.col("v"),
+                    )
+                ).alias("v_lo"),
+                F.max(
+                    F.when(
+                        (F.col("s.k") + 1 >= F.col("start"))
+                        & (F.col("s.k") + 1 < F.col("end")),
+                        F.col("v"),
+                    )
+                ).alias("v_hi"),
+                F.first("s.frac").alias("frac"),
+            )
+            .select(
+                "q",
+                F.when(
+                    F.col("v_hi").isNull() | (F.col("v_hi") == F.col("v_lo")),
+                    F.col("v_lo"),
+                )
+                .otherwise(
+                    F.col("v_lo") * (1 - F.col("frac"))
+                    + F.col("v_hi") * F.col("frac")
+                )
+                .alias(f"val_{side}"),
             )
         )
-    )
-    q = exact_quantiles_grouped(tagged, ["v"], list(qs), group_by=["side"])
-    piv = (
-        q.groupBy("q")
-        .pivot("side", ["a", "b"])
-        .agg(F.first("val"))
+        sides.append(picked)
+    return (
+        sides[0]
+        .join(sides[1], "q")
         .select(
             "q",
-            F.col("a").alias("val_a"),
-            F.col("b").alias("val_b"),
-            (F.col("b") - F.col("a")).alias("gap"),
+            "val_a",
+            "val_b",
+            (F.col("val_b") - F.col("val_a")).alias("gap"),
         )
+        .orderBy("q")
     )
-    return piv.orderBy("q")
 
 
 def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:

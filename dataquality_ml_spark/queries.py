@@ -2816,11 +2816,12 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS distance between the two halves of the events
     month (grouped-value ECDF sweep; see drift.ks_statistic for the binned
-    100 TB variant)."""
-    ev_df = _t(spark, sf_dir, "events")
-    ref = ev_df.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT)))
-    cur = ev_df.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT)))
-    out = dr_ops.ks_statistic(ref, cur, "value")
+    100 TB variant). Round 8: reads the checkpoint-memoized shared ECDF
+    relation the whole two-sample family reduces (queries_ext._events_ecdf
+    — same values, one build across KS/MW/CvM/AD)."""
+    from dataquality_ml_spark.queries_ext import _events_ecdf  # local: no cycle
+
+    out = dr_ops.ks_statistic(None, None, "value", ecdf=_events_ecdf(spark, sf_dir))
     return out.select(
         (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
         F.col("n_a").cast("bigint").alias("n_a"),

@@ -5959,6 +5959,30 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_SPLIT_TS = "2024-01-16"  # events span 2024-01; halves = ref vs cur
 
 
+def _events_ecdf(spark: SparkSession, sf_dir: str):
+    """Memoized shared ECDF relation for the two-sample drift family per
+    (sf_dir, data fingerprint): the four statistics (KS / Mann-Whitney /
+    CvM / Anderson-Darling) over the same (events.value, month-half
+    split) all read the SAME ``drift._ecdf_counts`` output — grouped
+    distinct values + prefix sums + totals. Build it once, lazily
+    checkpoint, and let each query reduce it its own way (the
+    deterministic-artifact memo contract: _TOK_MEMO entries are dropped
+    by ``clear_feature_model_memo`` and invalidate on the parquet
+    fingerprint)."""
+    from dataquality_ml_spark.operators.drift import _ecdf_counts
+    from dataquality_ml_spark.queries import _parquet_fingerprint
+
+    key = ("ecdf_ev", sf_dir, _parquet_fingerprint(f"{sf_dir}/events.parquet"))
+    hit = _TOK_MEMO.get(key)
+    if hit is None:
+        ev = _t(spark, sf_dir, "events")
+        ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+        cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+        hit = _ecdf_counts(ref, cur, "value").localCheckpoint(eager=False)
+        _TOK_MEMO[key] = hit
+    return hit
+
+
 @register(
     "mann_whitney_drift_events",
     oracle=f"""
@@ -6000,10 +6024,7 @@ def mann_whitney_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_stat is IEEE-exact and unrounded on both engines."""
     from dataquality_ml_spark.operators import drift as dr
 
-    ev = _t(spark, sf_dir, "events")
-    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    out = dr.rank_sum_test(ref, cur, "value")
+    out = dr.rank_sum_test(None, None, "value", ecdf=_events_ecdf(spark, sf_dir))
     return out.select(
         "u_stat",
         (F.round("z_score", 6) + F.lit(0.0)).alias("z_score"),
@@ -6050,10 +6071,7 @@ def cvm_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer decimals, so both engines round the SAME double."""
     from dataquality_ml_spark.operators import drift as dr
 
-    ev = _t(spark, sf_dir, "events")
-    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    out = dr.cvm_statistic(ref, cur, "value")
+    out = dr.cvm_statistic(None, None, "value", ecdf=_events_ecdf(spark, sf_dir))
     return out.select(
         (F.round("cvm_t", 6) + F.lit(0.0)).alias("cvm_t"), "n_a", "n_b"
     )
@@ -6095,10 +6113,7 @@ def qq_drift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-buffer percentile aggregate)."""
     from dataquality_ml_spark.operators import drift as dr
 
-    ev = _t(spark, sf_dir, "events")
-    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    out = dr.qq_table(ref, cur, "value")
+    out = dr.qq_table(None, None, "value", ecdf=_events_ecdf(spark, sf_dir))
     return out.select(
         "q",
         F.round("val_a", 6).alias("val_a"),
@@ -6190,10 +6205,7 @@ def ad_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window in the exact path."""
     from dataquality_ml_spark.operators import drift as dr
 
-    ev = _t(spark, sf_dir, "events")
-    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    out = dr.anderson_darling(ref, cur, "value")
+    out = dr.anderson_darling(None, None, "value", ecdf=_events_ecdf(spark, sf_dir))
     return out.select(
         (F.round("ad_a2", 6) + F.lit(0.0)).alias("ad_a2"), "n_a", "n_b"
     )
