@@ -287,7 +287,17 @@ def exact_quantiles_grouped(
         gc, "v", "cnt", out="_before", keys=keys
     ).withColumn("cum", F.col("_before") + F.col("cnt")).drop("_before")
     n = gc.groupBy(*keys).agg(F.sum("cnt").alias("n"))
-    cum = cum.join(F.broadcast(n), keys)
+    # null-safe join: a NULL group key is a real group (grouped
+    # ``percentile`` keeps it; a plain equi-join silently dropped it —
+    # latent until round 8's grouped-selection differential caught it)
+    nn = n
+    for k in keys:
+        nn = nn.withColumnRenamed(k, f"_n_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_n_{k}"))
+        cond = c if cond is None else (cond & c)
+    cum = cum.join(F.broadcast(nn), cond).drop(*[f"_n_{k}" for k in keys])
 
     q_arr = F.array(*[F.lit(float(q)) for q in qs])
     # Keep only the value rows whose index range contains k or k+1 for some
@@ -386,3 +396,249 @@ def join_skew_report(
         .orderBy(F.desc("out_rows"), F.asc("key"))
         .limit(top_n)
     )
+
+
+def exact_quantiles_select(
+    df: DataFrame,
+    col: str,
+    qs: list[float] | tuple[float, ...],
+    bins: int = 4096,
+    collect_limit: int = 65536,
+    group_by: list[str] | None = None,
+    max_groups: int = 64,
+):
+    """EXACT linear-interpolated quantiles of one column by iterative
+    histogram-refine SELECTION — the scalar-threshold fast path
+    (reference A7/A8 thresholds, ``np.percentile`` app/AE_model.py:197).
+
+    ``exact_quantiles_grouped`` is the general machinery, but it shuffles
+    the whole distinct-value relation (for continuous columns that is an
+    O(rows) shuffle). Selection never does: every order statistic the
+    quantiles need is located by repeatedly histogramming the value range
+    (Munro-Paterson-style refinement):
+
+    1. one narrow scan: per-group (n, min, max);
+    2. per refinement level, ONE narrow scan computes equi-width bucket
+       counts inside every still-active bucket chain (map-side combined —
+       the shuffle moves ≤ chains·bins count rows, never data rows); the
+       driver walks the histogram to find each target index's child
+       bucket;
+    3. chains holding ≤ ``collect_limit`` rows are batch-collected as
+       grouped (value, count) runs — ONE scan per level for all of them —
+       and the driver reads the order statistics off the sorted runs.
+
+    Driver state is O(chains·bins + collect_limit) regardless of data
+    size; depth is log_bins(n / collect_limit) — 0 extra levels at bench
+    SF, ≤2 at 10¹² rows. Values are bit-equal to ``percentile`` / DuckDB
+    QUANTILE_CONT (same floor/ceil order statistics, same
+    lo·(1−f) + hi·f interpolation); NaNs/nulls excluded exactly like
+    ``exact_quantiles_grouped``. Ties are free: a bucket whose value
+    range has collapsed resolves without collecting, and a depth cap
+    force-collects degenerate chains (past ~6 levels a chain's range
+    spans at most ~bins distinct DOUBLES, so the collect stays bounded).
+
+    Ungrouped (``group_by=None``): returns ``[val for q in qs]`` (None
+    on empty input). Grouped: returns ``{group_key_tuple: [vals]}`` —
+    per-SEGMENT thresholds located in the same shared scans, for a
+    BOUNDED number of groups (≤ ``max_groups``; beyond that the chain
+    tag expression stops being cheap, so it falls back to the
+    grouped-count build, which is the right shape for many groups).
+    """
+    import math
+
+    groups = list(group_by or [])
+    gcols = [F.col(g).alias(f"_g{i}") for i, g in enumerate(groups)]
+    gnames = [f"_g{i}" for i in range(len(groups))]
+    vals = df.select(*gcols, F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    # scanned once per refinement level + batched collects: materialize once
+    vals = vals.localCheckpoint(eager=False)
+    stats = (
+        vals.groupBy(*gnames).agg(
+            F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+        if groups
+        else vals.agg(
+            F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+    ).collect()
+
+    if groups and len(stats) > max_groups:
+        rows = exact_quantiles_grouped(
+            df, [col], [float(q) for q in qs], group_by=groups
+        ).collect()
+        by_g: dict = {}
+        for r in rows:
+            by_g.setdefault(tuple(r[g] for g in groups), {})[r["q"]] = r["val"]
+        return {g: [vv.get(float(q)) for q in qs] for g, vv in by_g.items()}
+
+    qs_f = [float(q) for q in qs]
+    plans: dict = {}  # gkey -> (list[(q, k, frac)], n)
+    chains = []  # (gkey, cond, base, cnt, lo, hi, sorted ks)
+    for r in stats:
+        gkey = tuple(r[g] for g in gnames) if groups else ()
+        n, glo, ghi = r["n"], r["lo"], r["hi"]
+        plan, needs = [], set()
+        for q in qs_f:
+            i = q * (n - 1)
+            k = int(math.floor(i))
+            frac = i - k
+            plan.append((q, k, frac))
+            needs.add(k)
+            if frac > 0 and k + 1 <= n - 1:
+                needs.add(k + 1)
+        plans[gkey] = (plan, n)
+        gcond = None
+        for i, gv in enumerate(gkey):
+            c = F.col(gnames[i]).eqNullSafe(F.lit(gv))
+            gcond = c if gcond is None else (gcond & c)
+        if n > 0:
+            # constant groups (glo == ghi) enter as already-collapsed
+            # chains — the loop's lo == hi shortcut resolves them
+            chains.append((gkey, gcond, 0, n, glo, ghi, sorted(needs)))
+
+    resolved: dict = {}  # (gkey, k) -> value
+
+    def _bucket(lo: float, hi: float):
+        w = (hi - lo) / bins
+        raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int")
+        return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+    def _walk(hist: dict, base: int, lo: float, hi: float, ks: list[int]):
+        """Locate each target index's child bucket; yields child chains."""
+        w0 = (hi - lo) / bins
+        cum = base
+        kiter = iter(ks)
+        k = next(kiter)
+        done = False
+        for bi in range(bins):
+            c = hist.get(bi, 0)
+            child_ks = []
+            while not done and k < cum + c:
+                child_ks.append(k)
+                try:
+                    k = next(kiter)
+                except StopIteration:
+                    done = True
+            if child_ks:
+                # child bounds are only a refinement hint — membership is
+                # decided by the bucket-id EXPRESSION, so float edge error
+                # cannot misplace a row
+                yield (bi, cum, c, lo + bi * w0, lo + (bi + 1) * w0, child_ks)
+            cum += c
+            if done:
+                break
+
+    def _tag(items):
+        """Disjoint-condition chain-id column (conds never overlap: they
+        differ in group key or in some level's bucket id)."""
+        tag = None
+        for idx, cond in items:
+            tag = (
+                F.when(cond, F.lit(idx))
+                if tag is None
+                else tag.when(cond, F.lit(idx))
+            )
+        return tag
+
+    depth = 0
+    while chains:
+        force = depth >= 8
+        refine, collectable = [], []
+        for ch in chains:
+            _g, _c, _b, cnt, lo, hi, _k = ch
+            if lo == hi:
+                for k in ch[6]:
+                    resolved[(ch[0], k)] = lo
+            elif force or cnt <= collect_limit:
+                collectable.append(ch)
+            else:
+                refine.append(ch)
+
+        if collectable:
+            # ONE scan resolves every collectable chain: tag rows by chain
+            # id, group by (chain, value), read runs driver-side
+            tag = _tag(
+                (idx, ch[1] if ch[1] is not None else F.lit(True))
+                for idx, ch in enumerate(collectable)
+            )
+            got_rows = (
+                vals.select(tag.alias("cid"), "v")
+                .where(F.col("cid").isNotNull())
+                .groupBy("cid", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            runs: dict = {}
+            for r in got_rows:
+                runs.setdefault(r["cid"], []).append((r["v"], r["c"]))
+            for idx, (gkey, _cond, base, _cnt, _lo, _hi, ks) in enumerate(
+                collectable
+            ):
+                got = sorted(runs.get(idx, []))
+                cum = base
+                it = iter(got)
+                v, c = next(it)
+                for k in ks:
+                    while k >= cum + c:
+                        cum += c
+                        v, c = next(it)
+                    resolved[(gkey, k)] = v
+
+        chains = []
+        depth += 1
+        if not refine:
+            break
+        # ONE scan per level: per-chain histograms via chain-id tag +
+        # per-chain bucket grids
+        tag = _tag(
+            (idx, ch[1] if ch[1] is not None else F.lit(True))
+            for idx, ch in enumerate(refine)
+        )
+        bex = None
+        for idx, (_g, _c, _b, _n, lo, hi, _k) in enumerate(refine):
+            e = _bucket(lo, hi)
+            bex = (
+                F.when(F.col("cid") == idx, e)
+                if bex is None
+                else bex.when(F.col("cid") == idx, e)
+            )
+        hist_rows = (
+            vals.select(tag.alias("cid"), "v")
+            .where(F.col("cid").isNotNull())
+            .select("cid", bex.alias("b"))
+            .groupBy("cid", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_chain: dict = {}
+        for r in hist_rows:
+            by_chain.setdefault(r["cid"], {})[r["b"]] = r["c"]
+        for idx, (gkey, cond, base, _cnt, lo, hi, ks) in enumerate(refine):
+            for bi, cum, c, clo, chi, child_ks in _walk(
+                by_chain.get(idx, {}), base, lo, hi, ks
+            ):
+                bexpr = _bucket(lo, hi) == bi
+                ccond = bexpr if cond is None else (cond & bexpr)
+                chains.append((gkey, ccond, cum, c, clo, chi, child_ks))
+
+    def _vals_for(gkey):
+        plan, n = plans[gkey]
+        if n == 0:
+            return [None for _ in qs_f]
+        out = []
+        for q, k, frac in plan:
+            vlo = resolved[(gkey, k)]
+            vhi = resolved.get((gkey, k + 1))
+            if frac == 0 or vhi is None or vhi == vlo:
+                out.append(vlo)
+            else:
+                out.append(vlo * (1 - frac) + vhi * frac)
+        return out
+
+    if not groups:
+        if not plans:  # empty input: the stats agg returned n=0 single row
+            return [None for _ in qs_f]
+        return _vals_for(())
+    return {g: _vals_for(g) for g in plans}

