@@ -180,7 +180,7 @@ def suggest_rules(
     """
     from pyspark.sql.types import NumericType, StringType
 
-    from dataquality_ml_spark.operators.profile import exact_quantiles_grouped
+    from dataquality_ml_spark.operators.profile import exact_quantiles_multi
 
     q1, q2 = range_q
     numeric = [c for c in columns if isinstance(df.schema[c].dataType, NumericType)]
@@ -196,11 +196,11 @@ def suggest_rules(
 
     pq: dict[str, tuple[float, float]] = {}
     if numeric:
-        got: dict[str, dict[float, float]] = {}
-        for r in exact_quantiles_grouped(df, numeric, [q1, q2]).collect():
-            got.setdefault(r["column"], {})[r["q"]] = r["val"]
+        got = exact_quantiles_multi(df, numeric, [q1, q2])
         pq = {
-            c: (got[c][q1], got[c][q2]) for c in numeric if c in got
+            c: (got[c][q1], got[c][q2])
+            for c in numeric
+            if got[c][q1] is not None
         }
 
     set_cols = [c for c in strings if s1[f"nd_{c}"] <= max_set_card]

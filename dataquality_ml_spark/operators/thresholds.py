@@ -113,11 +113,11 @@ def mad_robust_outliers(
     Three grouped aggregations (med → MAD → counts), each a map-side-combined
     shuffle on ``group_col`` only; per-group scalars move through broadcast
     joins, so no row ever visits the driver. ``exact=True`` computes both
-    medians through the distributed grouped-count order-statistic path
-    (``profile.exact_quantiles_grouped`` — bit-equal to ``percentile``, no
-    per-group single-buffer aggregate, so a group with many distinct
-    values cannot OOM its buffer); ``exact=False`` switches both medians
-    to the mergeable approx sketch for the cheapest one-pass form.
+    medians through per-group histogram-refine SELECTION
+    (``profile.exact_quantiles_select`` — bit-equal to ``percentile``, no
+    per-group single-buffer aggregate, no distinct-value shuffle);
+    ``exact=False`` switches both medians to the mergeable approx sketch
+    for the cheapest one-pass form.
     """
     from dataquality_ml_spark.operators.profile import exact_quantiles_select
 
@@ -179,9 +179,10 @@ def batched_thresholds(
 
     Returns ``{col: {"p90": …, "p95": …, "q1": …, "median": …, "q3": …,
     "iqr": …, "iqr_threshold": q3 + k·iqr, "mad": …}}`` — drop-in values
-    for :func:`flag_anomalies`. ``exact=True`` runs the distributed
-    grouped-count order-statistic path for ALL columns in one build
-    (bit-equal to ``percentile``, no single-buffer aggregate);
+    for :func:`flag_anomalies`. ``exact=True`` locates ALL columns'
+    order statistics in the shared histogram-refine selection scans
+    (bit-equal to ``percentile``, no single-buffer aggregate, no
+    distinct-value shuffle);
     ``exact=False`` is the mergeable approx sketch (cheapest — one pass,
     bounded memory), same as the scalar helpers.
     """
@@ -193,17 +194,11 @@ def batched_thresholds(
         qs = all_qs if qs is None else qs
         if exact:
             from dataquality_ml_spark.operators.profile import (
-                exact_quantiles_grouped,
+                exact_quantiles_multi,
             )
 
-            got: dict = {c: {} for c in qcols}
-            for r in exact_quantiles_grouped(rel, qcols, qs).collect():
-                got[r["column"]][r["q"]] = r["val"]
-            # an all-null column produces no rows: every stat is None
-            return {
-                c: (got[c] if got[c] else {q: None for q in qs})
-                for c in qcols
-            }
+            # all-null columns come back as {q: None} — every stat None
+            return exact_quantiles_multi(rel, qcols, qs)
         q_list = ", ".join(str(q) for q in qs)
         # collect(), not first(): first() plans an incremental limit that
         # can launch extra jobs; the agg output is one row by construction
