@@ -612,3 +612,82 @@ def qsketch_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), lambda: state["hist"], quantiles
+
+
+def drift_monitor_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    ref_hist,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    trigger_once: bool = True,
+):
+    """Streaming drift monitor: every micro-batch's values histogram under
+    the FROZEN (lo, hi, bins) quantizer of a reference histogram
+    (``sketch.qsketch_build`` over the training data — the artifact an
+    ``ANNIndex``-style deployment persists), and the driver computes the
+    batch-vs-reference drift panel over the two BOUNDED arrays:
+
+    - ``psi``   — Population Stability Index (drift.psi_bins semantics,
+      EPS-clamped proportions),
+    - ``ks_d``  — binned two-sample KS (max CDF gap; == what
+      ``drift.ks_statistic(bins=...)`` computes on the same quantizer),
+    - ``cvm_t`` — binned two-sample Cramér-von Mises
+      (== ``drift.cvm_statistic(bins=...)``).
+
+    This is the production face of reference A12's missing guard (the
+    reference retrains daily but never checks today's data against the
+    training distribution, app/test_AE.py:87-97): per batch only ≤bins
+    count cells cross to the driver, state is one bounded report list,
+    and the fold is keyed on ``batch_id`` (at-least-once replays
+    skipped). Returns (query, reports) — ``reports`` is the live list of
+    {batch_id, n, psi, ks_d, cvm_t} dicts in arrival order.
+    """
+    import numpy as np
+
+    from dataquality_ml_spark.operators.drift import EPS
+    from dataquality_ml_spark.operators.sketch import qsketch_build
+
+    ref = np.asarray(ref_hist, dtype=np.int64)
+    bins = len(ref)
+    reports: list = []
+    applied: set = set()
+
+    def _panel(cur: "np.ndarray") -> dict:
+        n_a, n_b = int(ref.sum()), int(cur.sum())
+        if n_b == 0:
+            return {"n": 0, "psi": None, "ks_d": None, "cvm_t": None}
+        p_ref = ref / n_a
+        p_cur = cur / n_b
+        pr = np.maximum(p_ref, EPS)
+        pc = np.maximum(p_cur, EPS)
+        psi = float(np.sum((pc - pr) * np.log(pc / pr)))
+        ca, cb = np.cumsum(ref), np.cumsum(cur)
+        ks = float(np.max(np.abs(ca / n_a - cb / n_b)))
+        # CvM over pooled bucket counts — mirrors drift.cvm_statistic's
+        # Σ cnt·(ca·tot_b − cb·tot_a)² / (N²·tot_a·tot_b) exactly
+        cnt = ref + cur
+        n = n_a + n_b
+        num = np.sum(
+            cnt.astype(object) * (ca.astype(object) * n_b - cb.astype(object) * n_a) ** 2
+        )  # object dtype: exact integer arithmetic, same as the DECIMAL path
+        cvm = float(num) / (float(n) * n * n_a * n_b)
+        return {"n": n_b, "psi": psi, "ks_d": ks, "cvm_t": cvm}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        cells = qsketch_build(batch_df, value_col, lo, hi, bins=bins).collect()
+        cur = np.zeros(bins, dtype=np.int64)
+        for r in cells:
+            cur[r["qs_bin"]] = r["qs_cnt"]
+        reports.append({"batch_id": batch_id, **_panel(cur)})
+        applied.add(batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), reports

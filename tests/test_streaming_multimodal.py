@@ -1101,3 +1101,65 @@ def test_decode_features_auto_falls_back_to_stub_here(spark):
         pass
     with _pytest.raises(Exception):
         mm.decode_features(df, "payload", "doc_id", decoder="pil").collect()
+
+
+def test_drift_monitor_stream_matches_batch_statistics(spark, tmp_path):
+    """Per-batch streaming drift panel == the batch binned operators on
+    the same frozen quantizer: psi == psi_bins total, ks_d ==
+    ks_statistic(bins=...), cvm_t == cvm_statistic(bins=...) for each
+    micro-batch vs the frozen reference."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators import drift as dr
+    from dataquality_ml_spark.operators import sketch as sk
+
+    schema = "event_id bigint, value double"
+    ref_rows = [(i, float((i * 7) % 50)) for i in range(300)]
+    b1 = [(i, float(i % 50)) for i in range(120)]          # same range
+    b2 = [(i + 200, float(i % 30) + 40.0) for i in range(150)]  # shifted
+    in_dir = tmp_path / "dm_in"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    ref_hist = np.zeros(25, dtype=np.int64)
+    for r in sk.qsketch_build(ref_df, "value", 0.0, 100.0, bins=25).collect():
+        ref_hist[r["qs_bin"]] = r["qs_cnt"]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, reports = ss.drift_monitor_stream(
+        stream,
+        checkpoint=str(tmp_path / "dm_ckpt"),
+        ref_hist=ref_hist,
+        value_col="value",
+        lo=0.0,
+        hi=100.0,
+    )
+    q.awaitTermination(120)
+    assert len(reports) == 2
+    # batches may arrive in either file order: match on batch size
+    by_n = {r["n"]: r for r in reports}
+    for rows in (b1, b2):
+        rep = by_n[len(rows)]
+        cur_df = spark.createDataFrame(rows, schema)
+        want_psi = (
+            dr.psi_bins(ref_df, cur_df, "value", lo=0.0, hi=100.0, bins=25)
+            .select("psi_total")
+            .first()[0]
+        )
+        want_ks = dr.ks_statistic(
+            ref_df, cur_df, "value", bins=25, lo=0.0, hi=100.0
+        ).first()["ks_d"]
+        want_cvm = dr.cvm_statistic(
+            ref_df, cur_df, "value", bins=25, lo=0.0, hi=100.0
+        ).first()["cvm_t"]
+        assert abs(rep["psi"] - want_psi) < 1e-12
+        assert abs(rep["ks_d"] - want_ks) < 1e-12
+        assert abs(rep["cvm_t"] - want_cvm) < 1e-12
+    # the shifted batch must alarm much harder than the in-range one
+    assert by_n[150]["psi"] > 5 * by_n[120]["psi"]
