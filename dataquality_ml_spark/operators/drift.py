@@ -591,3 +591,101 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .alias("dof"),
         F.max("n").alias("n"),
     )
+
+
+def psi_timeline(
+    df: DataFrame,
+    col: str,
+    period,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Drift TIMELINE: PSI of every period's value distribution against
+    the EARLIEST period — (period, psi, n), one row per period. The
+    "when did it start drifting" report that a single two-sample test
+    cannot answer; the retrain scheduler reads the first period whose
+    PSI crosses the alarm line.
+
+    ``period`` is a Column expression (e.g. ``F.dayofmonth("ts")``).
+    ONE scan: groupBy(period, bin) with fixed equi-width bins collapses
+    the data to ≤ |periods|·bins count rows; everything after (per-period
+    totals, missing-bin spine, the reference join, the PSI sum) runs on
+    that bounded relation. Same EPS clamp as ``psi_bins``, so
+    psi_timeline(period=half) at two periods reproduces psi_bins'
+    psi_total exactly.
+    """
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(
+            period.alias("period"), _bucket(F.col(col), lo, hi, bins).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    periods = counts.select("period").distinct()
+    spine = periods.crossJoin(
+        spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    tot = Window.partitionBy("period")  # ≤ |periods|·bins rows — bounded
+    props = (
+        spine.join(counts, ["period", "bin"], "left")
+        .select("period", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("n_tot", F.sum("n").over(tot))
+        .withColumn("p", F.col("n") / F.col("n_tot"))
+    )
+    ref_period = props.agg(F.min("period").alias("rp"))
+    ref = (
+        props.join(F.broadcast(ref_period), props.period == F.col("rp"))
+        .select(F.col("bin").alias("rbin"), F.col("p").alias("p_ref"))
+    )
+    pr = F.greatest(F.col("p_ref"), F.lit(EPS))
+    pc = F.greatest(F.col("p"), F.lit(EPS))
+    return (
+        props.join(F.broadcast(ref), props.bin == F.col("rbin"))
+        .groupBy("period")
+        .agg(
+            F.sum((pc - pr) * F.log(pc / pr)).alias("psi"),
+            F.max("n_tot").alias("n"),
+        )
+        .orderBy("period")
+    )
+
+
+def corr_drift(
+    a: DataFrame,
+    b: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Correlation drift between two samples: Pearson r of (x, y) on each
+    side plus Fisher's z-test of r_a == r_b — a RELATIONSHIP drift test
+    (PSI/KS watch marginals; a feature pair can keep both marginals and
+    still invert its relationship, which silently breaks any model that
+    learned it):
+
+        z = (atanh(r_a) − atanh(r_b)) / sqrt(1/(n_a−3) + 1/(n_b−3))
+
+    1-row result (r_a, r_b, fisher_z, n_a, n_b). ONE aggregation over
+    the tagged union: conditional corr/count ignore the other side's
+    nulled pairs, so both sides' moments come from a single map-side
+    combined scan. atanh is spelled 0.5·ln((1+r)/(1−r)) so both engines
+    run the identical expression tree.
+    """
+    tagged = a.select(
+        F.col(x).alias("x"), F.col(y).alias("y"), F.lit(1).alias("in_a")
+    ).unionAll(
+        b.select(F.col(x).alias("x"), F.col(y).alias("y"), F.lit(0).alias("in_a"))
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    side = lambda c, flag: F.when(F.col("in_a") == flag, F.col(c))  # noqa: E731
+    agg = tagged.agg(
+        F.corr(side("x", 1), side("y", 1)).alias("r_a"),
+        F.corr(side("x", 0), side("y", 0)).alias("r_b"),
+        F.count(F.when(F.col("in_a") == 1, 1)).alias("n_a"),
+        F.count(F.when(F.col("in_a") == 0, 1)).alias("n_b"),
+    )
+    atanh = lambda r: 0.5 * F.log((1 + r) / (1 - r))  # noqa: E731
+    z = (atanh(F.col("r_a")) - atanh(F.col("r_b"))) / F.sqrt(
+        1 / (F.col("n_a") - 3) + 1 / (F.col("n_b") - 3)
+    )
+    return agg.select("r_a", "r_b", z.alias("fisher_z"), "n_a", "n_b")

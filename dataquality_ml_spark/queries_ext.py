@@ -6262,3 +6262,100 @@ def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     ).orderBy("event_type")
+
+
+@register(
+    "psi_timeline_events",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS period,
+             LEAST(9, GREATEST(0, CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER))) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT p.period, b.bin
+      FROM (SELECT DISTINCT period FROM counts) p
+      CROSS JOIN (SELECT UNNEST(RANGE(10)) AS bin) b
+    ),
+    props AS (
+      SELECT s.period, s.bin, COALESCE(c.n, 0) AS n,
+             SUM(COALESCE(c.n, 0)) OVER (PARTITION BY s.period) AS n_tot
+      FROM spine s LEFT JOIN counts c ON c.period = s.period AND c.bin = s.bin
+    ),
+    p2 AS (
+      SELECT period, bin, n / CAST(n_tot AS DOUBLE) AS p, n_tot FROM props
+    ),
+    ref AS (
+      SELECT bin, p AS p_ref FROM p2
+      WHERE period = (SELECT MIN(period) FROM p2)
+    )
+    SELECT p2.period AS period,
+           ROUND(SUM((GREATEST(p, 1e-06) - GREATEST(p_ref, 1e-06))
+                     * LN(GREATEST(p, 1e-06) / GREATEST(p_ref, 1e-06))), 6) + 0 AS psi,
+           CAST(MAX(n_tot) AS BIGINT) AS n
+    FROM p2 JOIN ref USING (bin)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def psi_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift timeline: every day of the events month against day 1
+    (drift.psi_timeline) — WHEN the drift started, one bounded scan
+    (groupBy(day, bin) → ≤31·10 rows; all downstream math on that)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events")
+    out = dr.psi_timeline(
+        ev, "value", F.dayofmonth("ts").cast("int"), lo=0.0, hi=500.0, bins=10
+    )
+    return out.select(
+        "period",
+        (F.round("psi", 6) + F.lit(0.0)).alias("psi"),
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("period")
+
+
+_CORR_SPLIT = "1998-01-01"  # lineitem shipdates span 1995-2001
+
+
+@register(
+    "corr_drift_lineitem",
+    oracle=f"""
+    WITH s AS (
+      SELECT CORR(CASE WHEN l_shipdate < TIMESTAMP '{_CORR_SPLIT}' THEN l_quantity END,
+                  CASE WHEN l_shipdate < TIMESTAMP '{_CORR_SPLIT}' THEN l_extendedprice END) AS r_a,
+             CORR(CASE WHEN l_shipdate >= TIMESTAMP '{_CORR_SPLIT}' THEN l_quantity END,
+                  CASE WHEN l_shipdate >= TIMESTAMP '{_CORR_SPLIT}' THEN l_extendedprice END) AS r_b,
+             COUNT(CASE WHEN l_shipdate < TIMESTAMP '{_CORR_SPLIT}' THEN 1 END) AS n_a,
+             COUNT(CASE WHEN l_shipdate >= TIMESTAMP '{_CORR_SPLIT}' THEN 1 END) AS n_b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    )
+    SELECT ROUND(r_a, 6) + 0 AS r_a,
+           ROUND(r_b, 6) + 0 AS r_b,
+           ROUND((0.5 * LN((1 + r_a) / (1 - r_a)) - 0.5 * LN((1 + r_b) / (1 - r_b)))
+                 / SQRT(1.0 / (n_a - 3) + 1.0 / (n_b - 3)), 6) + 0 AS fisher_z,
+           n_a, n_b
+    FROM s
+    """,
+)
+def corr_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship drift: Pearson r of (quantity, price) before vs after
+    the 1995 shipdate split + Fisher z (drift.corr_drift) — marginals
+    can hold steady while the RELATIONSHIP a model learned inverts; one
+    conditional-moment aggregation over the tagged union."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_shipdate") < F.lit(_CORR_SPLIT).cast("timestamp"))
+    b = li.where(F.col("l_shipdate") >= F.lit(_CORR_SPLIT).cast("timestamp"))
+    out = dr.corr_drift(a, b, "l_quantity", "l_extendedprice")
+    return out.select(
+        (F.round("r_a", 6) + F.lit(0.0)).alias("r_a"),
+        (F.round("r_b", 6) + F.lit(0.0)).alias("r_b"),
+        (F.round("fisher_z", 6) + F.lit(0.0)).alias("fisher_z"),
+        "n_a",
+        "n_b",
+    )

@@ -366,3 +366,56 @@ def test_ks_by_group_matches_per_group_ks(spark):
     # s2 exists only on side a, s3 only on side b → total drift
     assert rows["s2"]["ks_d"] == 1.0 and rows["s2"]["n_b"] == 0
     assert rows["s3"]["ks_d"] == 1.0 and rows["s3"]["n_a"] == 0
+
+
+def test_psi_timeline_two_periods_equals_psi_bins(spark):
+    """psi_timeline with exactly two periods reproduces psi_bins'
+    psi_total for the second period (ref period's own PSI is 0), and the
+    per-period n counts the non-null rows."""
+    from dataquality_ml_spark.operators.drift import psi_bins, psi_timeline
+
+    av, bv, a, b = _two_samples(spark)
+    tagged = a.select(F.lit(1).alias("t"), "v").unionAll(
+        b.select(F.lit(2).alias("t"), "v")
+    )
+    rows = {
+        r["period"]: r
+        for r in psi_timeline(
+            tagged, "v", F.col("t"), lo=-4.0, hi=4.0, bins=16
+        ).collect()
+    }
+    assert rows[1]["psi"] == 0.0 and rows[1]["n"] == len(av)
+    want = (
+        psi_bins(a, b, "v", lo=-4.0, hi=4.0, bins=16)
+        .select("psi_total")
+        .first()[0]
+    )
+    assert abs(rows[2]["psi"] - want) < 1e-12
+    assert rows[2]["n"] == len(bv)
+
+
+def test_corr_drift_matches_brute_force(spark):
+    """corr_drift == numpy corrcoef per side + hand-computed Fisher z;
+    identical samples give z == 0 exactly."""
+    import math
+    import random
+
+    import numpy as np
+
+    from dataquality_ml_spark.operators.drift import corr_drift
+
+    rng = random.Random(5)
+    rows_a = [(x := rng.gauss(0, 1), 0.8 * x + rng.gauss(0, 0.5)) for _ in range(600)]
+    rows_b = [(x := rng.gauss(0, 1), -0.2 * x + rng.gauss(0, 1.0)) for _ in range(400)]
+    a = spark.createDataFrame(rows_a, "x double, y double")
+    b = spark.createDataFrame(rows_b, "x double, y double")
+    row = corr_drift(a, b, "x", "y").first()
+    ra = float(np.corrcoef([r[0] for r in rows_a], [r[1] for r in rows_a])[0, 1])
+    rb = float(np.corrcoef([r[0] for r in rows_b], [r[1] for r in rows_b])[0, 1])
+    na, nb = len(rows_a), len(rows_b)
+    z = (math.atanh(ra) - math.atanh(rb)) / math.sqrt(1 / (na - 3) + 1 / (nb - 3))
+    assert abs(row["r_a"] - ra) < 1e-9 and abs(row["r_b"] - rb) < 1e-9
+    assert abs(row["fisher_z"] - z) < 1e-9
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    same = corr_drift(a, a, "x", "y").first()
+    assert same["fisher_z"] == 0.0
