@@ -47,6 +47,10 @@ class FeatureModel:
     # cat col -> ordered category list (descending frequency, ties by value)
     categories: dict[str, list[str]] = field(default_factory=dict)
     strategy: str = "mean"
+    # cat col -> FULL distinct cardinality, recorded only for columns whose
+    # category list was truncated to fit_features' max_categories cap (the
+    # overflow tail routes to the handleInvalid="keep" bucket at transform)
+    overflow: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -88,11 +92,36 @@ def fit_features(
     strategy: str = "mean",
     exact_median: bool = True,
     min_valid: int = 1,
+    max_categories: int | None = 65536,
+    on_overflow: str = "error",
 ) -> FeatureModel:
     """Fit the pipeline: ONE aggregation for numeric stats (validity +
     impute value + μ/σ), one tiny groupBy per categorical column for
     frequency tables. Fit-on-normal is the caller's contract (pass the
-    ``failure == 0`` slice, reference app/AE_model.py:42-48)."""
+    ``failure == 0`` slice, reference app/AE_model.py:42-48).
+
+    ``max_categories`` caps what the driver ever collects per categorical
+    column (round 9 — this was the last unbounded driver collect reachable
+    from a core reference operator: MLlib StringIndexer's own contract
+    keeps labels as a driver-side model array, fine for the reference's 26
+    bounded-cardinality categoricals, but an ultra-high-cardinality column
+    at 100 TB would OOM the driver with no guardrail). Columns over the
+    cap hit the ``on_overflow`` contract:
+
+    - ``"error"`` (default): raise ValueError naming the columns and their
+      cardinalities — an exact full index over the cap is a deliberate,
+      loud failure, never an OOM. Raise the cap or pass ``"keep"``.
+    - ``"keep"``: index only the top ``max_categories`` categories
+      (descending frequency, ties by value — the same frequencyDesc cut,
+      so it equals the full fit truncated); every overflow value routes to
+      the existing handleInvalid="keep" bucket at transform time, and
+      ``model.overflow`` records the column's full cardinality.
+
+    The top-k cut itself never funnels: a two-level salted row_number
+    (the ``profile.heavy_hitters`` shape) keeps top-k per (col, salt)
+    bucket in parallel, then ranks the ≤ 32·k survivors per column —
+    driver state is O(cols · max_categories) by construction.
+    ``max_categories=None`` opts out (explicitly unbounded)."""
     from dataquality_ml_spark.operators.profile import _valid
 
     roles = roles or infer_roles(df, label_col)
@@ -144,7 +173,52 @@ def fit_features(
             .select("cv.col", "cv.val")
             .where(F.col("val").isNotNull())
         )
-        freq = stacked.groupBy("col", "val").count().collect()
+        counts = stacked.groupBy("col", "val").count()
+        if max_categories is not None:
+            from pyspark.sql import Window
+
+            # consumed twice (cardinality collect, then the top-k cut) —
+            # lazy checkpoint so the stack+groupBy scan runs once
+            counts = counts.localCheckpoint(eager=False)
+
+            # cardinalities first: ≤ |cats| rows to the driver, and the
+            # overflow contract fires BEFORE anything category-sized moves
+            card = {
+                r["col"]: r["n"]
+                for r in counts.groupBy("col")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            over = {c: n for c, n in card.items() if n > max_categories}
+            if over:
+                if on_overflow == "error":
+                    raise ValueError(
+                        "fit_features: categorical cardinality over "
+                        f"max_categories={max_categories}: "
+                        + ", ".join(f"{c}={n}" for c, n in sorted(over.items()))
+                        + " — raise max_categories or pass "
+                        "on_overflow='keep' (top-k index, overflow values "
+                        "take the handleInvalid='keep' bucket)"
+                    )
+                model.overflow = dict(sorted(over.items()))
+            # two-level salted top-k (profile.heavy_hitters shape): a
+            # global per-col row_number over an unbounded distinct-value
+            # relation would be a single-task funnel
+            order = [F.desc("count"), F.asc("val")]
+            w1 = Window.partitionBy("col", "_salt").orderBy(*order)
+            pruned = (
+                counts.withColumn("_salt", F.pmod(F.hash("val"), F.lit(32)))
+                .withColumn("_r1", F.row_number().over(w1))
+                .where(F.col("_r1") <= max_categories)
+                .drop("_r1", "_salt")
+            )
+            w2 = Window.partitionBy("col").orderBy(*order)
+            counts = (
+                pruned.withColumn("_r2", F.row_number().over(w2))
+                .where(F.col("_r2") <= max_categories)
+                .drop("_r2")
+            )
+        freq = counts.collect()
         by_col: dict[str, list] = {c: [] for c in cats}
         for r in freq:
             by_col[r["col"]].append((-r["count"], r["val"]))

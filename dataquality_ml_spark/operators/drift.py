@@ -172,7 +172,19 @@ def _ecdf_counts(
         tots = per_v.groupBy(*keys).agg(
             F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
         )
-        return cum.join(tots, keys)
+        # eqNullSafe, not a plain equi-join: groupBy KEEPS a NULL-keyed
+        # segment, and a plain join would silently drop it afterwards —
+        # the same null-group bug class fixed in exclusive_prefix_sum and
+        # exact_quantiles_grouped (round 8); GROUP BY semantics on both
+        # engines keep the NULL group, so the oracle would diverge.
+        tots = tots.select(
+            *[F.col(k).alias(f"__t_{k}") for k in keys], "tot_a", "tot_b"
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+            cond = c if cond is None else (cond & c)
+        return cum.join(tots, cond).drop(*[f"__t_{k}" for k in keys])
     tots = per_v.agg(
         F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
     )
@@ -260,6 +272,8 @@ def cvm_statistic(
     lo: float | None = None,
     hi: float | None = None,
     ecdf: DataFrame | None = None,
+    exact: bool = True,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Two-sample Cramér–von Mises criterion as a 1-row DataFrame
     (cvm_t, n_a, n_b) — the integrated-squared-ECDF-gap complement to KS
@@ -272,31 +286,105 @@ def cvm_statistic(
     The numerator sum runs in DECIMAL(38,0) — every term is an exact
     integer, so the reduction is order-independent and bit-identical
     across engines (the float rounding happens ONCE, casting the final
-    exact sum). Same ``_ecdf_counts`` scaling story as KS; at extreme
-    per-value counts the decimal could overflow — use ``bins=`` there
-    (which also bounds the relation). ``ecdf``: prebuilt shared relation
-    (see ``ks_statistic``).
+    exact sum). Same ``_ecdf_counts`` scaling story as KS.
+
+    Decimal ceiling: a term is cnt·gap² with |gap| = |ca·tot_b − cb·tot_a|
+    ≤ tot_a·tot_b ≤ (N/2)² — the bound is the POOLED ROW COUNT N, not the
+    tie structure, so terms reach 10³⁸ once N ≳ ~2·10⁹ regardless of
+    ``bins=`` (binning bounds the ROW count of the relation, not the
+    magnitudes). Under ANSI mode (Spark 4 default) the overflow throws
+    on its own; with ansi off Spark nulls the overflowing product and
+    ``sum`` skips nulls, so the exact path additionally guards the
+    result and RAISES instead of returning a silently-wrong statistic.
+    Above ~2·10⁹ pooled rows pass
+    ``exact=False`` — gaps are normalized to double CDF differences
+    before squaring (order-dependent float sum, ~1 ulp per term; not
+    bit-reproducible across engines but correct at any N).
+    ``ecdf``: prebuilt shared relation (see ``ks_statistic``).
+
+    ``keys``: per-SEGMENT statistics in the same single pass (the
+    ``ks_by_group`` pattern — keyed prefix sums, per-key totals,
+    parallelism grows with segment count; one row per key tuple).
+    One-sided segments report cvm_t = NULL (T has no finite one-sided
+    value; the KS face reports 1.0 there). A prebuilt ``ecdf`` must have
+    been built with the same ``keys``.
     """
-    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col, bins, lo, hi)
+    keys = list(keys or [])
+    ec = (
+        ecdf
+        if ecdf is not None
+        else _ecdf_counts(a, b, col, bins, lo, hi, keys=keys or None)
+    )
+
+    def _agg(sel, *aggs):
+        return sel.groupBy(*keys).agg(*aggs) if keys else sel.agg(*aggs)
+
+    if not exact:
+        # normalized-double path for N beyond the decimal ceiling:
+        # T = n_a·n_b/N · Σ cnt/N · (F_a − F_b)²  with F_i = c_i/tot_i
+        gap_d = F.col("ca") / F.col("tot_a") - F.col("cb") / F.col("tot_b")
+        cnt_d = (F.col("n_a") + F.col("n_b")).cast("double")
+        agg = _agg(
+            ec.select(
+                *keys, (cnt_d * gap_d * gap_d).alias("s_term"), "tot_a", "tot_b"
+            ),
+            F.sum("s_term").alias("s"),
+            F.max("tot_a").alias("n_a"),
+            F.max("tot_b").alias("n_b"),
+        )
+        nn = (F.col("n_a") + F.col("n_b")).cast("double")
+        return agg.select(
+            *keys,
+            (F.col("n_a") * F.col("n_b") / (nn * nn) * F.col("s")).alias(
+                "cvm_t"
+            ),
+            "n_a",
+            "n_b",
+        )
     # decimal BEFORE any product: the raw bigint products (ca·tot_b,
     # N²·tot_a·tot_b) overflow int64 well before 100 TB row counts
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     gap = dec(F.col("ca")) * F.col("tot_b") - dec(F.col("cb")) * F.col("tot_a")
     n = dec(F.col("tot_a") + F.col("tot_b"))
     term = dec(F.col("n_a") + F.col("n_b")) * gap * gap
-    agg = ec.select(
-        term.alias("s_term"),
-        (n * n * F.col("tot_a") * F.col("tot_b")).alias("denom"),
-        "tot_a",
-        "tot_b",
-    ).agg(
+    agg = _agg(
+        ec.select(
+            *keys,
+            term.alias("s_term"),
+            (n * n * F.col("tot_a") * F.col("tot_b")).alias("denom"),
+            "tot_a",
+            "tot_b",
+        ),
         F.sum("s_term").alias("s"),
         F.max("denom").alias("denom"),
         F.max("tot_a").alias("n_a"),
         F.max("tot_b").alias("n_b"),
     )
+    # fail LOUDLY on decimal overflow (sum/denom nulled) instead of
+    # returning a silently-wrong statistic; empty input (n_a null) is a
+    # legitimate null result, not an overflow
+    ok = (F.col("s").isNotNull() & F.col("denom").isNotNull()) | F.col(
+        "n_a"
+    ).isNull()
+    # one-sided segments (keyed mode): denom == 0 — report null, not a
+    # division artifact (the KS face reports 1.0 there; CvM's T has no
+    # finite one-sided value)
+    val = F.when(
+        F.col("denom") == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("s").cast("double") / F.col("denom").cast("double"))
     return agg.select(
-        (F.col("s").cast("double") / F.col("denom").cast("double")).alias("cvm_t"),
+        *keys,
+        F.when(ok, val)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "cvm_statistic exact path: DECIMAL(38,0) overflow — "
+                    "pooled n exceeds the ~2e9-row exact ceiling; rerun "
+                    "with exact=False (normalized double gaps)"
+                )
+            )
+        )
+        .alias("cvm_t"),
         "n_a",
         "n_b",
     )
@@ -307,6 +395,7 @@ def rank_sum_test(
     b: DataFrame,
     col: str,
     ecdf: DataFrame | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) two-sample test as a 1-row
     DataFrame (u_stat, z_score, n_a, n_b) — the rank-based drift test
@@ -329,22 +418,37 @@ def rank_sum_test(
     both engines reduce to bit-identical U and tie sums before the one
     float expression for z. ``ecdf``: prebuilt shared relation (see
     ``ks_statistic``).
+
+    ``keys``: per-SEGMENT tests in the same single pass (the
+    ``ks_by_group`` pattern — the keyed ``_ecdf_counts`` restarts the
+    pooled prefix per key, so midranks are per-segment by construction;
+    one row per key tuple, parallelism grows with segment count).
+    One-sided or constant segments have σ = 0 and report z_score = NULL.
+    A prebuilt ``ecdf`` must have been built with the same ``keys``.
     """
-    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col)
+    keys = list(keys or [])
+    ec = (
+        ecdf
+        if ecdf is not None
+        else _ecdf_counts(a, b, col, keys=keys or None)
+    )
     cnt = F.col("n_a") + F.col("n_b")
     below = F.col("ca") + F.col("cb") - cnt  # exclusive pooled prefix
     mr = below + (cnt + F.lit(1)) / F.lit(2.0)
-    agg = ec.select(
+    sel = ec.select(
+        *keys,
         (F.col("n_a") * mr).alias("ra_term"),
         (cnt * cnt * cnt - cnt).alias("tie_term"),
         "tot_a",
         "tot_b",
-    ).agg(
+    )
+    aggs = [
         F.sum("ra_term").alias("ra"),
         F.sum("tie_term").cast("double").alias("ties"),
         F.max("tot_a").cast("double").alias("na"),
         F.max("tot_b").cast("double").alias("nb"),
-    )
+    ]
+    agg = sel.groupBy(*keys).agg(*aggs) if keys else sel.agg(*aggs)
     n = F.col("na") + F.col("nb")
     u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
     mu = F.col("na") * F.col("nb") / 2
@@ -355,8 +459,14 @@ def rank_sum_test(
         * ((n + 1) - F.col("ties") / (n * (n - 1)))
     )
     return agg.select(
+        *keys,
         u.alias("u_stat"),
-        ((u - mu) / F.sqrt(var)).alias("z_score"),
+        # NaN > 0 is TRUE under Spark's NaN-greatest ordering, so the
+        # n==1 guard must be explicit, not folded into var > 0
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0) & (var > 0),
+            (u - mu) / F.sqrt(var),
+        ).alias("z_score"),
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
     )
@@ -370,6 +480,7 @@ def anderson_darling(
     lo: float | None = None,
     hi: float | None = None,
     ecdf: DataFrame | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Two-sample Anderson–Darling statistic as a 1-row DataFrame
     (ad_a2, n_a, n_b) — the tail-weighted ECDF test (AD up-weights the
@@ -389,8 +500,18 @@ def anderson_darling(
     path has no unpartitioned window at any cardinality; ``bins=`` is
     the bounded sketch path. ``ecdf``: prebuilt shared relation (see
     ``ks_statistic``).
+
+    ``keys``: per-SEGMENT A² in the same single pass (the ``ks_by_group``
+    pattern — keyed prefix sums + per-key totals; one row per key tuple).
+    One-sided segments report ad_a2 = NULL (1/tot_i is undefined there).
+    A prebuilt ``ecdf`` must have been built with the same ``keys``.
     """
-    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col, bins, lo, hi)
+    keys = list(keys or [])
+    ec = (
+        ecdf
+        if ecdf is not None
+        else _ecdf_counts(a, b, col, bins, lo, hi, keys=keys or None)
+    )
     l = (F.col("n_a") + F.col("n_b")).cast("double")
     n = (F.col("tot_a") + F.col("tot_b")).cast("double")
     bb = (F.col("ca") + F.col("cb")).cast("double") - l / 2
@@ -402,19 +523,25 @@ def anderson_darling(
         num = gap * gap  # not **2: Math.pow is ≤1ulp, x·x is exact both engines
         terms.append(
             F.sum(
-                F.when(denom > 0, (l / n) * num / denom / F.col(tot)).otherwise(
-                    0.0
-                )
+                F.when(
+                    (denom > 0) & (F.col(tot) > 0),
+                    (l / n) * num / denom / F.col(tot),
+                ).otherwise(0.0)
             )
         )
-    agg = ec.agg(
+    aggs = [
         (terms[0] + terms[1]).alias("inner"),
         F.max("tot_a").alias("n_a"),
         F.max("tot_b").alias("n_b"),
-    )
+    ]
+    agg = ec.groupBy(*keys).agg(*aggs) if keys else ec.agg(*aggs)
     nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    one_sided = (F.col("n_a") == 0) | (F.col("n_b") == 0)
     return agg.select(
-        ((nn - 1) / nn * F.col("inner")).alias("ad_a2"),
+        *keys,
+        F.when(one_sided, F.lit(None).cast("double"))
+        .otherwise((nn - 1) / nn * F.col("inner"))
+        .alias("ad_a2"),
         "n_a",
         "n_b",
     )
@@ -426,6 +553,7 @@ def qq_table(
     col: str,
     qs: list[float] | tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     ecdf: DataFrame | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Quantile–quantile drift report: one row per probe quantile with
     both sides' EXACT linear-interpolated quantiles and the gap —
@@ -442,8 +570,19 @@ def qq_table(
     (lo·(1−f) + hi·f, the ``percentile`` / QUANTILE_CONT form). Passing
     ``ecdf`` shares one build across the whole two-sample family; NaNs
     are assumed absent (``_ecdf_counts`` drops nulls only).
+
+    ``keys``: per-SEGMENT Q-Q tables in the same single pass — one row
+    per (key tuple, probe quantile); segments where a side is empty get
+    NULL for that side's value (and gap). The side join is null-safe on
+    the keys, so a NULL segment key is a real segment. A prebuilt
+    ``ecdf`` must have been built with the same ``keys``.
     """
-    ec = ecdf if ecdf is not None else _ecdf_counts(a, b, col)
+    keys = list(keys or [])
+    ec = (
+        ecdf
+        if ecdf is not None
+        else _ecdf_counts(a, b, col, keys=keys or None)
+    )
     q_arr = F.array(*[F.lit(float(q)) for q in qs])
 
     # factory (not default-arg lambdas: PySpark derives the lambda-variable
@@ -469,13 +608,14 @@ def qq_table(
         cnt = F.col(f"n_{side}")
         targets = _targets(n, cum, cnt)
         tagged = ec.select(
+            *keys,
             F.col("v").cast("double").alias("v"),
             (cum - cnt).alias("start"),
             cum.alias("end"),
             F.explode(targets).alias("s"),
         )
         picked = (
-            tagged.groupBy(F.col("s.q").alias("q"))
+            tagged.groupBy(*keys, F.col("s.q").alias("q"))
             .agg(
                 F.max(
                     F.when(
@@ -494,6 +634,7 @@ def qq_table(
                 F.first("s.frac").alias("frac"),
             )
             .select(
+                *keys,
                 "q",
                 F.when(
                     F.col("v_hi").isNull() | (F.col("v_hi") == F.col("v_lo")),
@@ -507,6 +648,27 @@ def qq_table(
             )
         )
         sides.append(picked)
+    if keys:
+        # FULL OUTER null-safe join: a segment present on only one side
+        # still appears (other side's value NULL); NULL segment keys are
+        # real segments (grouped-agg semantics on both engines)
+        left = sides[0]
+        right = sides[1].select(
+            *[F.col(k).alias(f"__r_{k}") for k in keys],
+            F.col("q").alias("__r_q"),
+            "val_b",
+        )
+        cond = F.col("q") == F.col("__r_q")
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+        joined = left.join(right, cond, "full_outer").select(
+            *[F.coalesce(F.col(k), F.col(f"__r_{k}")).alias(k) for k in keys],
+            F.coalesce(F.col("q"), F.col("__r_q")).alias("q"),
+            "val_a",
+            "val_b",
+            (F.col("val_b") - F.col("val_a")).alias("gap"),
+        )
+        return joined.orderBy(*keys, "q")
     return (
         sides[0]
         .join(sides[1], "q")

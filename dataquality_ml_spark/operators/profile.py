@@ -464,9 +464,14 @@ def exact_quantiles_select(
     QUANTILE_CONT (same floor/ceil order statistics, same
     lo·(1−f) + hi·f interpolation); NaNs/nulls excluded exactly like
     ``exact_quantiles_grouped``. Ties are free: a bucket whose value
-    range has collapsed resolves without collecting, and a depth cap
-    force-collects degenerate chains (past ~6 levels a chain's range
-    spans at most ~bins distinct DOUBLES, so the collect stays bounded).
+    range has collapsed resolves without collecting. A depth cap stops
+    the refinement at 8 levels: capped chains at or below
+    ``collect_limit`` collect as usual, and chains STILL above the limit
+    (possible when a range straddles 0/denormals, where a tiny relative
+    width holds vast numbers of representable doubles) resolve
+    DISTRIBUTED — grouped value counts + a per-chain exclusive prefix
+    sum pick the target order statistics, so the driver never receives
+    more than ``collect_limit`` + |targets| rows from any path.
 
     Ungrouped (``group_by=None``): returns ``[val for q in qs]`` (None
     on empty input). Grouped: returns ``{group_key_tuple: [vals]}`` —
@@ -595,16 +600,83 @@ def exact_quantiles_select(
     depth = 0
     while chains:
         force = depth >= 8
-        refine, collectable = [], []
+        refine, collectable, fallback = [], [], []
         for ch in chains:
             _g, _c, _b, cnt, lo, hi, _k = ch
             if lo == hi:
                 for k in ch[6]:
                     resolved[(ch[0], k)] = lo
-            elif force or cnt <= collect_limit:
+            elif cnt <= collect_limit:
                 collectable.append(ch)
+            elif force:
+                # depth cap with a chain still above collect_limit: the
+                # "~bins distinct doubles after ~6 levels" assumption can
+                # fail for ranges straddling 0/denormals (a tiny relative
+                # width still holds vast numbers of representable
+                # doubles), so force-collecting would risk driver OOM —
+                # resolve these chains DISTRIBUTED instead: grouped value
+                # counts + per-chain exclusive prefix sum locate the
+                # target order statistics; only the ≤|ks| hit rows ever
+                # reach the driver
+                fallback.append(ch)
             else:
                 refine.append(ch)
+
+        if fallback:
+            from dataquality_ml_spark.operators.relational import (
+                exclusive_prefix_sum,
+            )
+
+            tag = _tag(
+                (idx, ch[1] if ch[1] is not None else F.lit(True))
+                for idx, ch in enumerate(fallback)
+            )
+            per_v = (
+                vals.select(tag.alias("cid"), "v")
+                .where(F.col("cid").isNotNull())
+                .groupBy("cid", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            pre = exclusive_prefix_sum(
+                per_v, "v", "c", out="_pfx", keys=["cid"]
+            )
+            base_ex, ks_ex = None, None
+            for idx, ch in enumerate(fallback):
+                hit_idx = F.col("cid") == idx
+                b_lit = F.lit(ch[2])
+                k_lit = F.array(*[F.lit(k) for k in ch[6]])
+                base_ex = (
+                    F.when(hit_idx, b_lit)
+                    if base_ex is None
+                    else base_ex.when(hit_idx, b_lit)
+                )
+                ks_ex = (
+                    F.when(hit_idx, k_lit)
+                    if ks_ex is None
+                    else ks_ex.when(hit_idx, k_lit)
+                )
+            hits = (
+                pre.select(
+                    "cid",
+                    "v",
+                    (F.col("_pfx") + base_ex).alias("start"),
+                    "c",
+                    ks_ex.alias("ks"),
+                )
+                .where(
+                    F.exists(
+                        "ks",
+                        lambda k: (k >= F.col("start"))
+                        & (k < F.col("start") + F.col("c")),
+                    )
+                )
+                .collect()
+            )
+            for r in hits:
+                gkey = fallback[r["cid"]][0]
+                for k in fallback[r["cid"]][6]:
+                    if r["start"] <= k < r["start"] + r["c"]:
+                        resolved[(gkey, k)] = r["v"]
 
         if collectable:
             # ONE scan resolves every collectable chain: tag rows by chain

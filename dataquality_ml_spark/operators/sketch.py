@@ -417,8 +417,18 @@ def qsketch_build(
         ),
     )
     cols = list(group_cols)
+    # valid-value population matches profile._valid / exact_quantiles_*:
+    # NaN is EXCLUDED, not lo-clamped (floor(NaN) casts to 0 in Spark, so
+    # without this filter NaNs would silently pile into bin 0 and skew
+    # every sketch quantile and the streaming drift panel low)
+    valid = F.col(value_col).isNotNull()
+    try:
+        if df.schema[value_col].dataType.typeName() in ("double", "float"):
+            valid = valid & ~F.isnan(value_col)
+    except KeyError:
+        valid = valid & ~F.isnan(F.col(value_col).cast("double"))
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(valid)
         .select(*cols, b.cast("int").alias("qs_bin"))
         .groupBy(*cols, "qs_bin")
         .agg(F.count(F.lit(1)).alias("qs_cnt"))

@@ -6359,3 +6359,203 @@ def corr_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 keyed drift panel (VERDICT r8 item 4): Mann-Whitney / CvM / Q-Q
+# per SEGMENT in one pass each — the keys= generalization of the round-8
+# family over the shared keyed _ecdf_counts (prefix sums restart per key,
+# totals join per key null-safely). The anti-pattern this kills is the
+# reference's per-column job loop (reference lib/utils.py:187-195): a
+# 100-segment drift panel is ONE scan, not 100.
+# ---------------------------------------------------------------------------
+
+
+def _events_ecdf_by_type(spark: SparkSession, sf_dir: str):
+    """Memoized KEYED ECDF relation (keys=[event_type]) shared by the
+    per-segment drift queries — same memo contract as _events_ecdf."""
+    from dataquality_ml_spark.operators.drift import _ecdf_counts
+    from dataquality_ml_spark.queries import _parquet_fingerprint
+
+    key = ("ecdf_ev_k", sf_dir, _parquet_fingerprint(f"{sf_dir}/events.parquet"))
+    hit = _TOK_MEMO.get(key)
+    if hit is None:
+        ev = _t(spark, sf_dir, "events")
+        ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+        cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+        hit = _ecdf_counts(ref, cur, "value", keys=["event_type"]).localCheckpoint(
+            eager=False
+        )
+        _TOK_MEMO[key] = hit
+    return hit
+
+
+@register(
+    "mann_whitney_by_type",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY event_type, v
+    ),
+    mr AS (
+      SELECT event_type, n_a, n_a + n_b AS cnt,
+             SUM(n_a + n_b) OVER (PARTITION BY event_type ORDER BY v)
+               - (n_a + n_b) + (n_a + n_b + 1) / 2.0 AS midrank
+      FROM per_v
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(n_a * midrank) AS ra,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS ties,
+             CAST(SUM(n_a) AS DOUBLE) AS na,
+             CAST(SUM(cnt - n_a) AS DOUBLE) AS nb
+      FROM mr GROUP BY event_type
+    )
+    SELECT event_type,
+           ra - na * (na + 1) / 2 AS u_stat,
+           ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+                 / SQRT(na * nb / 12
+                        * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))),
+                 6) + 0 AS z_score,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def mann_whitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U drift between the events-month halves
+    in ONE pass (drift.rank_sum_test keys=['event_type']): keyed pooled
+    midranks off the shared keyed ECDF — u_stat stays IEEE-exact and
+    unrounded per segment."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    out = dr.rank_sum_test(
+        None, None, "value", ecdf=_events_ecdf_by_type(spark, sf_dir),
+        keys=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        "u_stat",
+        (F.round("z_score", 6) + F.lit(0.0)).alias("z_score"),
+        "n_a",
+        "n_b",
+    ).orderBy("event_type")
+
+
+@register(
+    "cvm_drift_by_type",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, n_a, n_b,
+             SUM(n_a) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+      FROM per_v
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(CAST(n_a + n_b AS HUGEINT)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)) AS s,
+             MAX(CAST(tot_a + tot_b AS HUGEINT) * (tot_a + tot_b) * tot_a * tot_b) AS denom,
+             MAX(tot_a) AS n_a, MAX(tot_b) AS n_b
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CAST(s AS DOUBLE) / CAST(denom AS DOUBLE), 6) + 0 AS cvm_t,
+           n_a, n_b
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def cvm_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Cramér–von Mises drift in ONE pass
+    (drift.cvm_statistic keys=['event_type']): the exact-integer decimal
+    numerator reduces per segment, so both engines round the SAME double
+    per event type."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    out = dr.cvm_statistic(
+        None, None, "value", ecdf=_events_ecdf_by_type(spark, sf_dir),
+        keys=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        (F.round("cvm_t", 6) + F.lit(0.0)).alias("cvm_t"),
+        "n_a",
+        "n_b",
+    ).orderBy("event_type")
+
+
+@register(
+    "qq_drift_by_type",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_type, value AS v FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, value AS v FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    qa AS (
+      SELECT event_type,
+             UNNEST([0.25, 0.5, 0.75]) AS q,
+             UNNEST(QUANTILE_CONT(v, [0.25, 0.5, 0.75])) AS va
+      FROM a GROUP BY event_type
+    ),
+    qb AS (
+      SELECT event_type,
+             UNNEST([0.25, 0.5, 0.75]) AS q,
+             UNNEST(QUANTILE_CONT(v, [0.25, 0.5, 0.75])) AS vb
+      FROM b GROUP BY event_type
+    )
+    SELECT qa.event_type AS event_type,
+           CAST(qa.q AS DOUBLE) AS q,
+           ROUND(va, 6) AS val_a,
+           ROUND(vb, 6) AS val_b,
+           ROUND(vb - va, 6) AS gap
+    FROM qa JOIN qb ON qa.q = qb.q AND qa.event_type = qb.event_type
+    ORDER BY event_type, q
+    """,
+)
+def qq_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quartile Q-Q drift table in ONE pass
+    (drift.qq_table keys=['event_type']): WHERE each segment's
+    distribution moved — order statistics picked per segment off the
+    shared keyed ECDF, bit-equal to QUANTILE_CONT."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    out = dr.qq_table(
+        None, None, "value", qs=(0.25, 0.5, 0.75),
+        ecdf=_events_ecdf_by_type(spark, sf_dir), keys=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        "q",
+        F.round("val_a", 6).alias("val_a"),
+        F.round("val_b", 6).alias("val_b"),
+        F.round("gap", 6).alias("gap"),
+    ).orderBy("event_type", "q")

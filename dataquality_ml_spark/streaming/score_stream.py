@@ -597,6 +597,13 @@ def qsketch_monitor_stream(
         out = {}
         cum = np.cumsum(hist)
         for q in qs:
+            # same (0, 1] domain as sketch.qsketch_quantiles: q <= 0 puts
+            # rank at 0 where searchsorted lands on a possibly-EMPTY first
+            # bin (ZeroDivisionError), and q > 1 runs past the histogram
+            if not 0.0 < q <= 1.0:
+                raise ValueError(
+                    f"quantile q={q} outside the sketch domain (0, 1]"
+                )
             rank = q * n
             if n == 0:
                 out[q] = None

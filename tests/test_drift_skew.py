@@ -419,3 +419,139 @@ def test_corr_drift_matches_brute_force(spark):
     assert (row["n_a"], row["n_b"]) == (na, nb)
     same = corr_drift(a, a, "x", "y").first()
     assert same["fisher_z"] == 0.0
+
+
+def test_ks_by_group_keeps_null_segment_key(spark):
+    """A NULL segment key is a real segment: grouped aggregates keep it
+    (both engines), so the keyed totals join must be null-safe or the
+    NULL group silently vanishes from the drift panel (round-9 ADVICE)."""
+    from dataquality_ml_spark.operators.drift import ks_by_group, ks_statistic
+
+    rows_a = [("t1", float(i % 10)) for i in range(200)] + [
+        (None, float(i % 7)) for i in range(150)
+    ]
+    rows_b = [("t1", float(i % 10) + 2.0) for i in range(180)] + [
+        (None, float(i % 7) + 1.0) for i in range(120)
+    ]
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+    rows = {r["g"]: r for r in ks_by_group(a, b, "v", keys=["g"]).collect()}
+    assert set(rows) == {"t1", None}, "NULL segment dropped"
+    want = ks_statistic(
+        a.where(F.col("g").isNull()), b.where(F.col("g").isNull()), "v"
+    ).first()
+    got = rows[None]
+    assert got["ks_d"] == want["ks_d"]
+    assert (got["n_a"], got["n_b"]) == (150, 120)
+
+
+def test_cvm_exact_overflow_raises_and_inexact_path_survives(spark):
+    """The exact CvM path must FAIL LOUDLY when the DECIMAL(38,0) terms
+    overflow (Spark nulls overflowing products and sum skips nulls — a
+    silent wrong answer otherwise), and exact=False must return the
+    normalized-double statistic at any magnitude (round-9 ADVICE).
+    Overflow is staged through a synthetic prebuilt ecdf relation —
+    counts at the ~2e9-row pooled ceiling, no need for 2e9 actual rows."""
+    from dataquality_ml_spark.operators.drift import cvm_statistic
+
+    big = 3_000_000_000  # tot ~3e9 → gap ~9e18, cnt·gap² > 10³⁸
+    fake = spark.createDataFrame(
+        [
+            (2, 1, big, 0, big, big),
+            (1, 2, big, big // 3, big, big),
+        ],
+        "n_a bigint, n_b bigint, ca bigint, cb bigint, tot_a bigint, tot_b bigint",
+    )
+    # under ANSI (Spark 4 default) the decimal product itself throws
+    # NUMERIC_VALUE_OUT_OF_RANGE; with ansi off, sum skips the nulled
+    # products and our raise_error guard fires — loud either way
+    with pytest.raises(
+        Exception, match="overflow|USER_RAISED|Decimal\\(38"
+    ):
+        cvm_statistic(None, None, "v", ecdf=fake).first()
+    row = cvm_statistic(None, None, "v", ecdf=fake, exact=False).first()
+    # hand-computed: T = na·nb/N² · Σ cnt·(ca/ta − cb/tb)²  (normalized)
+    want = (
+        big * big / (2.0 * big) ** 2
+        * (3 * (1.0 - 0.0) ** 2 + 3 * (1.0 - (big // 3) / big) ** 2)
+    )
+    assert abs(row["cvm_t"] - want) < 1e-9 * want
+
+    # on ordinary data the two paths agree to float precision
+    a = _vals(spark, [i % 31 for i in range(3000)])
+    b = _vals(spark, [(i * 3) % 41 for i in range(2500)])
+    ex = cvm_statistic(a, b, "x").first()["cvm_t"]
+    ap = cvm_statistic(a, b, "x", exact=False).first()["cvm_t"]
+    assert abs(ex - ap) < 1e-9 * max(ex, 1.0)
+
+
+def test_keyed_drift_family_matches_per_segment_global(spark):
+    """rank_sum_test / cvm_statistic / anderson_darling / qq_table with
+    keys= must equal running the global operator once per segment
+    (VERDICT r8 item 4 — the one-pass panel that replaces the
+    reference's per-column job loop, lib/utils.py:187-195), including a
+    NULL segment key and a one-sided segment."""
+    import random
+
+    from dataquality_ml_spark.operators.drift import (
+        anderson_darling,
+        cvm_statistic,
+        qq_table,
+        rank_sum_test,
+    )
+
+    rng = random.Random(11)
+    rows_a = (
+        [("t1", rng.gauss(0, 1)) for _ in range(400)]
+        + [("t2", float(rng.randrange(20))) for _ in range(300)]
+        + [(None, rng.random()) for _ in range(200)]
+        + [("only_a", rng.random()) for _ in range(50)]
+    )
+    rows_b = (
+        [("t1", rng.gauss(0.5, 1.2)) for _ in range(350)]
+        + [("t2", float(rng.randrange(25))) for _ in range(250)]
+        + [(None, rng.random() + 0.2) for _ in range(150)]
+    )
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+    segs = ["t1", "t2", None]
+
+    def _seg(df, g):
+        return df.where(F.col("g").isNull() if g is None else (F.col("g") == g))
+
+    mw = {r["g"]: r for r in rank_sum_test(a, b, "v", keys=["g"]).collect()}
+    cv = {r["g"]: r for r in cvm_statistic(a, b, "v", keys=["g"]).collect()}
+    ad = {r["g"]: r for r in anderson_darling(a, b, "v", keys=["g"]).collect()}
+    qq = {}
+    for r in qq_table(a, b, "v", qs=(0.25, 0.5, 0.75), keys=["g"]).collect():
+        qq.setdefault(r["g"], {})[r["q"]] = (r["val_a"], r["val_b"], r["gap"])
+    assert set(mw) == set(cv) == set(ad) == {"t1", "t2", None, "only_a"}
+
+    for g in segs:
+        wa, wb = _seg(a, g), _seg(b, g)
+        w_mw = rank_sum_test(wa, wb, "v").first()
+        assert mw[g]["u_stat"] == w_mw["u_stat"], g
+        assert abs(mw[g]["z_score"] - w_mw["z_score"]) < 1e-12, g
+        assert (mw[g]["n_a"], mw[g]["n_b"]) == (w_mw["n_a"], w_mw["n_b"])
+        w_cv = cvm_statistic(wa, wb, "v").first()
+        assert cv[g]["cvm_t"] == w_cv["cvm_t"], g
+        w_ad = anderson_darling(wa, wb, "v").first()
+        assert abs(ad[g]["ad_a2"] - w_ad["ad_a2"]) < 1e-12, g
+        w_qq = {
+            r["q"]: (r["val_a"], r["val_b"], r["gap"])
+            for r in qq_table(wa, wb, "v", qs=(0.25, 0.5, 0.75)).collect()
+        }
+        assert qq[g] == w_qq, g
+
+    # one-sided segment: MW/CvM/AD report NULL statistics with the
+    # correct side counts; QQ reports the present side's quantiles only
+    assert mw["only_a"]["z_score"] is None
+    assert (mw["only_a"]["n_a"], mw["only_a"]["n_b"]) == (50, 0)
+    assert cv["only_a"]["cvm_t"] is None
+    assert ad["only_a"]["ad_a2"] is None
+    qa = qq["only_a"]
+    assert all(v[1] is None and v[2] is None for v in qa.values())
+    only = _seg(a, "only_a").agg(
+        F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("p")
+    ).first()["p"]
+    assert [qa[q][0] for q in (0.25, 0.5, 0.75)] == list(only)

@@ -382,3 +382,45 @@ def test_feature_model_memo_invalidates_on_data_change(spark, tmp_path):
     _, m2 = _lineitem_features(spark, str(tmp_path))
     assert m2 is not m1  # regenerated data → refit
     clear_feature_model_memo()
+
+
+def test_fit_features_max_categories_cap(spark, telemetry):
+    """The max_categories guardrail (round 9 — the last unbounded driver
+    collect reachable from a core reference operator): under the cap the
+    top-k path is IDENTICAL to the uncapped fit; over it, 'error' raises
+    a loud contract error and 'keep' indexes exactly the top-k by
+    (freq desc, value asc) with overflow recorded and routed to the
+    handleInvalid='keep' bucket at transform."""
+    roles = {"numeric": [], "categorical": ["model"], "boolean": []}
+
+    full = feat.fit_features(telemetry, roles=roles, max_categories=None)
+    capped = feat.fit_features(telemetry, roles=roles, max_categories=3)
+    assert capped.categories == full.categories
+    assert capped.overflow == {}
+
+    # 60 distinct serials with a planted frequency gradient
+    rows = [(f"s{i:03d}",) for i in range(60) for _ in range(60 - i)]
+    big = spark.createDataFrame(rows, "serial string")
+    broles = {"numeric": [], "categorical": ["serial"], "boolean": []}
+
+    with pytest.raises(ValueError, match="serial=60.*max_categories|max_categories=10"):
+        feat.fit_features(big, roles=broles, label_col=None, max_categories=10)
+
+    kept = feat.fit_features(
+        big, roles=broles, label_col=None, max_categories=10, on_overflow="keep"
+    )
+    want_full = feat.fit_features(big, roles=broles, label_col=None, max_categories=None)
+    assert kept.categories["serial"] == want_full.categories["serial"][:10]
+    assert kept.overflow == {"serial": 60}
+    # overflow values take the keep bucket = len(categories)
+    out = feat.apply_features(big, kept, mode="keep")
+    idx_of = {
+        r["serial"]: r["serial_idx"]
+        for r in out.select("serial", "serial_idx").distinct().collect()
+    }
+    assert idx_of["s000"] == 0.0  # most frequent
+    assert idx_of["s059"] == 10.0  # overflowed → keep bucket
+    # JSON artifact round-trips the new field
+    again = feat.FeatureModel.from_json(kept.to_json())
+    assert again.overflow == {"serial": 60}
+    assert again.categories == kept.categories

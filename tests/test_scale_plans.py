@@ -286,3 +286,41 @@ def test_exact_quantiles_select_grouped_and_null_keys(spark):
     for r in exact_quantiles_grouped(gdf, ["v"], qs, group_by=["g"]).collect():
         gw.setdefault((r["g"],), {})[r["q"]] = r["val"]
     assert {g: [v[q] for q in qs] for g, v in gw.items()} == want
+
+
+def test_exact_quantiles_select_depth_cap_distributed_fallback(spark):
+    """At the depth cap, a chain STILL above collect_limit must resolve
+    DISTRIBUTED (grouped counts + per-chain prefix sum) rather than
+    force-collecting an unbounded value-run relation to the driver
+    (round-9 ADVICE: ranges straddling tiny widths can hold vast numbers
+    of representable doubles). collect_limit=1 guarantees every chain
+    hits the cap with cnt > limit; values must still be bit-equal to
+    percentile."""
+    import random
+
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
+
+    rng = random.Random(9)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    q_sql = ", ".join(map(str, qs))
+    df = spark.createDataFrame(
+        [(rng.random(),) for _ in range(4000)], "v double"
+    )
+    want = df.agg(F.expr(f"percentile(v, array({q_sql}))").alias("p")).first()["p"]
+    got = exact_quantiles_select(df, "v", qs, bins=2, collect_limit=1)
+    assert got == list(want)
+    # grouped face through the same fallback, including a NULL group key
+    gdf = spark.createDataFrame(
+        [("a", rng.random()) for _ in range(2000)]
+        + [(None, rng.gauss(0, 1)) for _ in range(1500)],
+        "g string, v double",
+    )
+    gwant = {
+        (r["g"],): list(r["p"])
+        for r in gdf.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({q_sql}))").alias("p"))
+        .collect()
+    }
+    assert exact_quantiles_select(
+        gdf, "v", qs, group_by=["g"], bins=2, collect_limit=1
+    ) == gwant

@@ -307,3 +307,20 @@ def test_qsketch_grouped_and_out_of_range_clamp(spark):
     # (median of 50 rows all in bin 9 -> 10*(9 + 25/50) = 95); the drift
     # SIGNAL is the terminal-bin count asserted above, not the estimate
     assert est["b"] == 95.0
+
+
+def test_qsketch_build_excludes_nan(spark):
+    """NaN must be EXCLUDED from the sketch population (floor(NaN) casts
+    to 0 in Spark, so before round 9 NaNs piled into bin 0 and skewed
+    every quantile low) — same valid-value contract as profile._valid
+    and exact_quantiles_*."""
+    import math
+
+    from dataquality_ml_spark.operators import sketch as sk
+
+    rows = [(float(i % 10),) for i in range(100)] + [(float("nan"),)] * 50 + [(None,)] * 7
+    df = spark.createDataFrame(rows, "v double")
+    hist = {r["qs_bin"]: r["qs_cnt"] for r in sk.qsketch_build(df, "v", 0.0, 10.0, bins=10).collect()}
+    assert sum(hist.values()) == 100, "NaN/null leaked into the sketch"
+    assert hist[0] == 10  # ten 0.0s, not 60 (10 + 50 NaN)
+    assert not any(math.isnan(float(b)) for b in hist)

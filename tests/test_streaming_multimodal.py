@@ -995,6 +995,14 @@ def test_qsketch_monitor_stream_matches_batch_sketch(spark, tmp_path):
     for qq in (0.5, 0.9):
         assert abs(est_stream[qq] - est_batch[qq]) < 1e-9
 
+    # (0, 1] domain guard (round-9 ADVICE): q <= 0 would searchsorted to
+    # rank 0 and divide by a possibly-empty first bin — must raise, same
+    # documented domain as sketch.qsketch_quantiles
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        quantiles([0.0])
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        quantiles([1.5])
+
 
 # ---------------------------------------------------------------------------
 # Real-when-importable image decode (round 8, VERDICT r7 item 7)
