@@ -682,6 +682,127 @@ def qq_table(
     )
 
 
+def drift_panel(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    keys: list[str] | None = None,
+    ecdf: DataFrame | None = None,
+) -> DataFrame:
+    """The full two-sample drift panel — KS D, Mann-Whitney U/z, CvM T,
+    Anderson-Darling A² — in ONE aggregation over ONE shared
+    ``_ecdf_counts`` relation: (``*keys``, ks_d, u_stat, z_score, cvm_t,
+    ad_a2, n_a, n_b), one row per segment.
+
+    Running the four operators separately re-reduces the same ECDF four
+    times (cheap but not free: four shuffled aggregations); a monitoring
+    pipeline that wants the whole panel per segment per day should pay
+    ONE scan → ONE grouped aggregation — every statistic is a sum/max
+    over the same per-distinct-value rows, so they fuse into a single
+    map-side-combined pass. Each formula is shared with its standalone
+    operator (same expression trees — the panel is differential-tested
+    EQUAL to the four operators, not approximately).
+
+    One-sided segments: ks_d = 1.0 (the ``ks_by_group`` convention),
+    z_score/cvm_t/ad_a2 = NULL (no finite one-sided value; u_stat stays
+    the raw rank sum, matching ``rank_sum_test``).
+    CvM keeps the exact-decimal reduction and its overflow contract
+    (raise at the ~2e9 pooled-row ceiling — see ``cvm_statistic``).
+    """
+    keys = list(keys or [])
+    ec = (
+        ecdf
+        if ecdf is not None
+        else _ecdf_counts(a, b, col, keys=keys or None)
+    )
+    # --- per-row expressions (identical to the standalone operators) ---
+    cdf_a = F.when(F.col("tot_a") > 0, F.col("ca") / F.col("tot_a")).otherwise(
+        F.lit(0.0)
+    )
+    cdf_b = F.when(F.col("tot_b") > 0, F.col("cb") / F.col("tot_b")).otherwise(
+        F.lit(0.0)
+    )
+    cnt = F.col("n_a") + F.col("n_b")
+    below = F.col("ca") + F.col("cb") - cnt
+    mr = below + (cnt + F.lit(1)) / F.lit(2.0)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gap = dec(F.col("ca")) * F.col("tot_b") - dec(F.col("cb")) * F.col("tot_a")
+    nn_dec = dec(F.col("tot_a") + F.col("tot_b"))
+    cvm_term = dec(cnt) * gap * gap
+    cvm_denom = nn_dec * nn_dec * F.col("tot_a") * F.col("tot_b")
+    l = cnt.cast("double")
+    nd = (F.col("tot_a") + F.col("tot_b")).cast("double")
+    bb = (F.col("ca") + F.col("cb")).cast("double") - l / 2
+    ad_denom = bb * (nd - bb) - nd * l / 4
+    ad_terms = []
+    for side, tot in (("a", "tot_a"), ("b", "tot_b")):
+        m = F.col(f"c{side}").cast("double") - F.col(f"n_{side}") / 2
+        g = nd * m - F.col(tot) * bb
+        ad_terms.append(
+            F.sum(
+                F.when(
+                    (ad_denom > 0) & (F.col(tot) > 0),
+                    (l / nd) * (g * g) / ad_denom / F.col(tot),
+                ).otherwise(0.0)
+            )
+        )
+    sel = ec.select(
+        *keys, "n_a", "n_b", "ca", "cb", "tot_a", "tot_b"
+    )
+    aggs = [
+        F.max(F.abs(cdf_a - cdf_b)).alias("ks_d"),
+        F.sum(F.col("n_a") * mr).alias("ra"),
+        F.sum(cnt * cnt * cnt - cnt).cast("double").alias("ties"),
+        F.sum(cvm_term).alias("cvm_s"),
+        F.max(cvm_denom).alias("cvm_den"),
+        ad_terms[0].alias("ad_a"),
+        ad_terms[1].alias("ad_b"),
+        F.max("tot_a").alias("n_a"),
+        F.max("tot_b").alias("n_b"),
+    ]
+    agg = sel.groupBy(*keys).agg(*aggs) if keys else sel.agg(*aggs)
+    # --- driver-free finishing math (same expressions as the operators) ---
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("ra") - na * (na + 1) / 2
+    mu = na * nb / 2
+    var = na * nb / 12 * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    cvm_ok = (
+        F.col("cvm_s").isNotNull() & F.col("cvm_den").isNotNull()
+    ) | F.col("n_a").isNull()
+    cvm_val = F.when(
+        F.col("cvm_den") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.col("cvm_s").cast("double") / F.col("cvm_den").cast("double")
+    )
+    one_sided = (F.col("n_a") == 0) | (F.col("n_b") == 0)
+    return agg.select(
+        *keys,
+        "ks_d",
+        u.alias("u_stat"),
+        F.when((na > 0) & (nb > 0) & (var > 0), (u - mu) / F.sqrt(var)).alias(
+            "z_score"
+        ),
+        F.when(cvm_ok, cvm_val)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "drift_panel: CvM DECIMAL(38,0) overflow — pooled n "
+                    "exceeds the ~2e9-row exact ceiling; compute "
+                    "cvm_statistic(exact=False) separately"
+                )
+            )
+        )
+        .alias("cvm_t"),
+        F.when(one_sided, F.lit(None).cast("double"))
+        .otherwise((n - 1) / n * (F.col("ad_a") + F.col("ad_b")))
+        .alias("ad_a2"),
+        "n_a",
+        "n_b",
+    )
+
+
 def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Mutual information (nats) between two categorical columns as a
     1-row DataFrame (mi, n) — the dependence-strength companion to
@@ -819,6 +940,7 @@ def corr_drift(
     b: DataFrame,
     x: str,
     y: str,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Correlation drift between two samples: Pearson r of (x, y) on each
     side plus Fisher's z-test of r_a == r_b — a RELATIONSHIP drift test
@@ -833,21 +955,31 @@ def corr_drift(
     nulled pairs, so both sides' moments come from a single map-side
     combined scan. atanh is spelled 0.5·ln((1+r)/(1−r)) so both engines
     run the identical expression tree.
+
+    ``keys``: per-SEGMENT relationship drift in the same single pass
+    (one row per key tuple — grouped-agg semantics, so a NULL segment
+    key is a real segment). Segments where either side has < 4 pairs
+    report fisher_z = NULL (the z denominator needs n − 3 > 0).
     """
+    keys = list(keys or [])
     tagged = a.select(
-        F.col(x).alias("x"), F.col(y).alias("y"), F.lit(1).alias("in_a")
+        *keys, F.col(x).alias("x"), F.col(y).alias("y"), F.lit(1).alias("in_a")
     ).unionAll(
-        b.select(F.col(x).alias("x"), F.col(y).alias("y"), F.lit(0).alias("in_a"))
+        b.select(
+            *keys, F.col(x).alias("x"), F.col(y).alias("y"), F.lit(0).alias("in_a")
+        )
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     side = lambda c, flag: F.when(F.col("in_a") == flag, F.col(c))  # noqa: E731
-    agg = tagged.agg(
+    aggs = [
         F.corr(side("x", 1), side("y", 1)).alias("r_a"),
         F.corr(side("x", 0), side("y", 0)).alias("r_b"),
         F.count(F.when(F.col("in_a") == 1, 1)).alias("n_a"),
         F.count(F.when(F.col("in_a") == 0, 1)).alias("n_b"),
-    )
+    ]
+    agg = tagged.groupBy(*keys).agg(*aggs) if keys else tagged.agg(*aggs)
     atanh = lambda r: 0.5 * F.log((1 + r) / (1 - r))  # noqa: E731
     z = (atanh(F.col("r_a")) - atanh(F.col("r_b"))) / F.sqrt(
         1 / (F.col("n_a") - 3) + 1 / (F.col("n_b") - 3)
     )
-    return agg.select("r_a", "r_b", z.alias("fisher_z"), "n_a", "n_b")
+    z = F.when((F.col("n_a") > 3) & (F.col("n_b") > 3), z)
+    return agg.select(*keys, "r_a", "r_b", z.alias("fisher_z"), "n_a", "n_b")

@@ -8,8 +8,11 @@ against a fake module; ``decode_stub`` is the deterministic fallback this
 container uses because it ships no image/audio libraries).  Video demux
 is likewise REAL-WHEN-IMPORTABLE (``demux_frames``: PyAV when the
 executor can import it, fake-av contract-tested; ``frame_stub`` is the
-fallback).  Header-level metadata parsing (PNG/GIF/JPEG) is always real.
-Audio remains stubbed pending a library.  The batch iterator contract
+fallback).  Header-level metadata parsing (PNG/GIF/JPEG) is always real.  Audio
+decode is REAL-WHEN-IMPORTABLE too (``decode_audio``: soundfile when the
+executor can import it, fake-soundfile contract-tested; ``audio_stub``
+is the fallback) — no media path remains stub-only.  The batch iterator
+contract
 (``mapInPandas`` over binary + metadata columns, bounded batches via
 maxRecordsPerBatch) is exactly what a real decoder needs at 100 TB —
 media bytes never leave the executor, only fixed-width features come
@@ -281,6 +284,131 @@ def sample_frames(
                 yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+#: schema of the audio-feature output (id + fixed-width descriptor)
+AUDIO_SCHEMA = (
+    "id long, sample_rate int, n_samples long, duration double, "
+    "features array<float>"
+)
+
+
+def audio_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic fake audio decoder standing in for a sound library:
+    (sample_rate, n_samples, mono float waveform in [-1, 1]) derived from
+    the bytes. Raises ``NotImplementedError`` for empty payloads — the
+    same skip contract as ``decode_stub`` / ``frame_stub``."""
+    if not payload:
+        raise NotImplementedError("empty payload: no media decoder in this environment")
+    rate = 8000 + (payload[0] % 5) * 8000  # 8/16/24/32/40 kHz
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    wave = (arr - 127.5) / 127.5
+    return rate, len(wave), wave
+
+
+def _audio_features(rate: int, wave: np.ndarray) -> np.ndarray:
+    """Fixed 8-dim audio descriptor both decode paths emit (the
+    ``_image_features`` twin): amplitude stats + RMS energy +
+    zero-crossing rate + duration — the quality/dedup signals an audio
+    curation pass filters on before any model sees a waveform."""
+    n = len(wave)
+    zc = float(np.count_nonzero(np.diff(np.signbit(wave)))) / max(n - 1, 1)
+    return np.array(
+        [
+            wave.mean(),
+            wave.std(),
+            wave.min(),
+            wave.max(),
+            float(np.sqrt(np.mean(wave * wave))),  # RMS energy
+            zc,
+            float(rate),
+            n / float(rate),  # duration (s)
+        ],
+        dtype=np.float32,
+    )
+
+
+def decode_audio(payload: bytes, sf_module=None) -> tuple[int, int, np.ndarray]:
+    """REAL audio decode when a sound library is available (round 9 —
+    the ``decode_image``/``demux_frames`` real-when-importable pattern,
+    closing the last media stub): read the payload with ``soundfile``,
+    mono-mix multi-channel data, and return (sample_rate, n_samples,
+    mono float waveform) under the exact ``audio_stub`` contract —
+    ``NotImplementedError`` on empty/undecodable payloads.
+
+    ``sf_module`` is the injectable dependency (tests pass a fake
+    soundfile; production leaves None for the real ``import soundfile``).
+    """
+    import io
+
+    if not payload:
+        raise NotImplementedError("empty payload: nothing to decode")
+    if sf_module is None:
+        import soundfile  # noqa: PLC0415 — the optional dependency gate
+
+        sf_module = soundfile
+    try:
+        data, rate = sf_module.read(io.BytesIO(payload))
+        wave = np.asarray(data, dtype=np.float64)
+        if wave.ndim > 1:
+            wave = wave.mean(axis=1)  # mono mix
+    except NotImplementedError:
+        raise
+    except Exception as e:  # undecodable bytes → the documented skip path
+        raise NotImplementedError(f"payload not decodable: {e}") from e
+    if len(wave) == 0:
+        raise NotImplementedError("no audio samples in payload")
+    return int(rate), len(wave), wave
+
+
+def audio_features(
+    df: DataFrame, bin_col: str, id_col: str, decoder: str = "auto"
+) -> DataFrame:
+    """Audio decode + fixed-width descriptor over binary payloads via
+    ``mapInPandas`` — the audio member of the decode family
+    (``decode_features`` images / ``sample_frames`` video): waveforms
+    never leave the executor, only the 8-dim descriptor + timing
+    metadata come back. Corrupt/empty payloads are skipped.
+
+    ``decoder``: ``"auto"`` uses the REAL soundfile decode when it
+    imports ON THE EXECUTOR, else the deterministic ``audio_stub``;
+    ``"soundfile"`` requires the library (fails loudly); ``"stub"``
+    forces the fake."""
+    if decoder not in ("auto", "soundfile", "stub"):
+        raise ValueError("decoder must be auto|soundfile|stub")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_sf = False
+        if decoder in ("auto", "soundfile"):
+            try:
+                import soundfile  # noqa: F401,PLC0415
+
+                use_sf = True
+            except ImportError:
+                if decoder == "soundfile":
+                    raise
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "n_samples": [],
+                "duration": [], "features": [],
+            }
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    rate, n, wave = (
+                        decode_audio(raw) if use_sf else audio_stub(raw)
+                    )
+                except NotImplementedError:
+                    continue
+                out["id"].append(rid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration"].append(n / float(rate))
+                out["features"].append(_audio_features(rate, wave).tolist())
+            if out["id"]:  # same all-skipped Arrow-typing guard as decode
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
 #: schema of the header-parse output

@@ -6805,3 +6805,147 @@ def median_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("p90", 6) + F.lit(0.0)).alias("p90"),
         "n",
     ).orderBy("event_type", "day")
+
+
+@register(
+    "drift_panel_by_type",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, n_a, n_b,
+             SUM(n_a) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+      FROM per_v
+    ),
+    s AS (
+      SELECT event_type,
+             MAX(ABS(ca / CAST(tot_a AS DOUBLE) - cb / CAST(tot_b AS DOUBLE))) AS ks_d,
+             SUM(n_a * (ca + cb - (n_a + n_b) + (n_a + n_b + 1) / 2.0)) AS ra,
+             CAST(SUM((n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)) AS DOUBLE) AS ties,
+             SUM(CAST(n_a + n_b AS HUGEINT)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)) AS cvm_s,
+             MAX(CAST(tot_a + tot_b AS HUGEINT) * (tot_a + tot_b) * tot_a * tot_b) AS cvm_den,
+             SUM(CASE WHEN (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                            * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                            - (tot_a + tot_b) * (n_a + n_b) / 4.0 > 0 THEN
+                   (CAST(n_a + n_b AS DOUBLE) / (tot_a + tot_b))
+                   * (((tot_a + tot_b) * (CAST(ca AS DOUBLE) - n_a / 2.0) - tot_a * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      * ((tot_a + tot_b) * (CAST(ca AS DOUBLE) - n_a / 2.0) - tot_a * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)))
+                   / ((CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                      * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      - (tot_a + tot_b) * (n_a + n_b) / 4.0)
+                   / tot_a
+                 ELSE 0 END)
+           + SUM(CASE WHEN (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                            * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                            - (tot_a + tot_b) * (n_a + n_b) / 4.0 > 0 THEN
+                   (CAST(n_a + n_b AS DOUBLE) / (tot_a + tot_b))
+                   * (((tot_a + tot_b) * (CAST(cb AS DOUBLE) - n_b / 2.0) - tot_b * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      * ((tot_a + tot_b) * (CAST(cb AS DOUBLE) - n_b / 2.0) - tot_b * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)))
+                   / ((CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                      * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      - (tot_a + tot_b) * (n_a + n_b) / 4.0)
+                   / tot_b
+                 ELSE 0 END) AS ad_inner,
+             CAST(MAX(tot_a) AS DOUBLE) AS na,
+             CAST(MAX(tot_b) AS DOUBLE) AS nb
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(ks_d, 6) + 0 AS ks_d,
+           ra - na * (na + 1) / 2 AS u_stat,
+           ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+                 / SQRT(na * nb / 12
+                        * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))),
+                 6) + 0 AS z_score,
+           ROUND(CAST(cvm_s AS DOUBLE) / CAST(cvm_den AS DOUBLE), 6) + 0 AS cvm_t,
+           ROUND((na + nb - 1) / (na + nb) * ad_inner, 6) + 0 AS ad_a2,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM s ORDER BY event_type
+    """,
+)
+def drift_panel_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL per-segment drift panel — KS, Mann-Whitney U/z, CvM,
+    Anderson-Darling — in ONE aggregation over the one shared keyed ECDF
+    (drift.drift_panel): what a per-segment-per-day drift monitor
+    actually runs, one scan and one shuffle for four statistics instead
+    of four passes (and instead of the reference's per-column job loop,
+    lib/utils.py:187-195)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    out = dr.drift_panel(
+        None, None, "value", keys=["event_type"],
+        ecdf=_events_ecdf_by_type(spark, sf_dir),
+    )
+    return out.select(
+        "event_type",
+        (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
+        "u_stat",
+        (F.round("z_score", 6) + F.lit(0.0)).alias("z_score"),
+        (F.round("cvm_t", 6) + F.lit(0.0)).alias("cvm_t"),
+        (F.round("ad_a2", 6) + F.lit(0.0)).alias("ad_a2"),
+        "n_a",
+        "n_b",
+    ).orderBy("event_type")
+
+
+@register(
+    "corr_drift_by_flag",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CORR(CASE WHEN l_shipdate < TIMESTAMP '{_CORR_SPLIT}' THEN l_quantity END,
+                  CASE WHEN l_shipdate < TIMESTAMP '{_CORR_SPLIT}' THEN l_extendedprice END) AS r_a,
+             CORR(CASE WHEN l_shipdate >= TIMESTAMP '{_CORR_SPLIT}' THEN l_quantity END,
+                  CASE WHEN l_shipdate >= TIMESTAMP '{_CORR_SPLIT}' THEN l_extendedprice END) AS r_b,
+             COUNT(CASE WHEN l_shipdate < TIMESTAMP '{_CORR_SPLIT}' THEN 1 END) AS n_a,
+             COUNT(CASE WHEN l_shipdate >= TIMESTAMP '{_CORR_SPLIT}' THEN 1 END) AS n_b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(r_a, 6) + 0 AS r_a,
+           ROUND(r_b, 6) + 0 AS r_b,
+           ROUND((0.5 * LN((1 + r_a) / (1 - r_a)) - 0.5 * LN((1 + r_b) / (1 - r_b)))
+                 / SQRT(1.0 / (n_a - 3) + 1.0 / (n_b - 3)), 6) + 0 AS fisher_z,
+           n_a, n_b
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def corr_drift_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag relationship drift (drift.corr_drift
+    keys=['l_returnflag']): Fisher z of r(quantity, price) before vs
+    after the shipdate split, per segment, in ONE conditional-moment
+    aggregation over the tagged union — which SEGMENT's learned
+    relationship moved, not just whether one did."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_shipdate") < F.lit(_CORR_SPLIT).cast("timestamp"))
+    b = li.where(F.col("l_shipdate") >= F.lit(_CORR_SPLIT).cast("timestamp"))
+    out = dr.corr_drift(a, b, "l_quantity", "l_extendedprice", keys=["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        (F.round("r_a", 6) + F.lit(0.0)).alias("r_a"),
+        (F.round("r_b", 6) + F.lit(0.0)).alias("r_b"),
+        (F.round("fisher_z", 6) + F.lit(0.0)).alias("fisher_z"),
+        "n_a",
+        "n_b",
+    ).orderBy("l_returnflag")

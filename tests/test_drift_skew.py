@@ -555,3 +555,62 @@ def test_keyed_drift_family_matches_per_segment_global(spark):
         F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("p")
     ).first()["p"]
     assert [qa[q][0] for q in (0.25, 0.5, 0.75)] == list(only)
+
+
+def test_drift_panel_equals_standalone_operators(spark):
+    """drift_panel fuses KS/MW/CvM/AD into ONE aggregation over one
+    shared ECDF — values must equal the standalone operators EXACTLY
+    (same expression trees), ungrouped and keyed, including a NULL
+    segment key and a one-sided segment."""
+    import random
+
+    from dataquality_ml_spark.operators.drift import (
+        anderson_darling,
+        cvm_statistic,
+        drift_panel,
+        ks_by_group,
+        ks_statistic,
+        rank_sum_test,
+    )
+
+    rng = random.Random(23)
+    rows_a = (
+        [("x", rng.gauss(0, 1)) for _ in range(300)]
+        + [(None, float(rng.randrange(9))) for _ in range(150)]
+        + [("solo", rng.random()) for _ in range(40)]
+    )
+    rows_b = [("x", rng.gauss(0.3, 1.1)) for _ in range(260)] + [
+        (None, float(rng.randrange(11))) for _ in range(120)
+    ]
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+
+    # ungrouped
+    p = drift_panel(a, b, "v").first()
+    assert p["ks_d"] == ks_statistic(a, b, "v").first()["ks_d"]
+    mw = rank_sum_test(a, b, "v").first()
+    assert (p["u_stat"], p["z_score"]) == (mw["u_stat"], mw["z_score"])
+    assert p["cvm_t"] == cvm_statistic(a, b, "v").first()["cvm_t"]
+    # AD's inner term is a DOUBLE sum — partial-aggregation order varies
+    # run to run, so equality is tolerance-tight, not bitwise
+    assert abs(p["ad_a2"] - anderson_darling(a, b, "v").first()["ad_a2"]) < 1e-9
+    assert (p["n_a"], p["n_b"]) == (490, 380)
+
+    # keyed
+    panel = {r["g"]: r for r in drift_panel(a, b, "v", keys=["g"]).collect()}
+    ks = {r["g"]: r["ks_d"] for r in ks_by_group(a, b, "v", keys=["g"]).collect()}
+    mwk = {r["g"]: r for r in rank_sum_test(a, b, "v", keys=["g"]).collect()}
+    cvk = {r["g"]: r["cvm_t"] for r in cvm_statistic(a, b, "v", keys=["g"]).collect()}
+    adk = {r["g"]: r["ad_a2"] for r in anderson_darling(a, b, "v", keys=["g"]).collect()}
+    assert set(panel) == {"x", None, "solo"}
+    for g, r in panel.items():
+        assert r["ks_d"] == ks[g], g
+        assert (r["u_stat"], r["z_score"]) == (mwk[g]["u_stat"], mwk[g]["z_score"]), g
+        assert r["cvm_t"] == cvk[g], g
+        if r["ad_a2"] is None:
+            assert adk[g] is None, g
+        else:
+            assert abs(r["ad_a2"] - adk[g]) < 1e-9, g
+    assert panel["solo"]["ks_d"] == 1.0
+    assert panel["solo"]["z_score"] is None
+    assert panel["solo"]["cvm_t"] is None and panel["solo"]["ad_a2"] is None

@@ -1344,3 +1344,97 @@ def test_sample_frames_auto_falls_back_and_av_fails_loudly(spark):
         pass
     with _pytest.raises(Exception):
         mm.sample_frames(df, "payload", "doc_id", demuxer="av").collect()
+
+
+# ---------------------------------------------------------------------------
+# Real-when-importable audio decode (round 9 — the last media stub closed)
+# ---------------------------------------------------------------------------
+def make_fake_soundfile(data, rate):
+    """A module-shaped fake soundfile: read(buf) returns (data, rate) —
+    the make_fake_pil / make_fake_av injection pattern for audio."""
+    import types
+
+    opened = {}
+
+    def _read(buf):
+        opened["bytes"] = buf.read()
+        return data, rate
+
+    return types.SimpleNamespace(read=_read), opened
+
+
+def test_decode_audio_with_fake_soundfile_matches_contract():
+    """decode_audio under a fake soundfile honors the audio_stub contract:
+    (sample_rate, n_samples, mono float waveform), multi-channel data
+    mono-mixed, payload delivered byte-for-byte, and the shared 8-dim
+    descriptor computed from the DECODED waveform."""
+    import numpy as np
+
+    stereo = np.array([[0.5, -0.5], [1.0, 0.0], [-1.0, 0.0], [0.25, 0.75]])
+    fake, opened = make_fake_soundfile(stereo, 16000)
+    payload = b"RIFF-fake-wav-payload"
+    rate, n, wave = mm.decode_audio(payload, sf_module=fake)
+    assert (rate, n) == (16000, 4)
+    assert opened["bytes"] == payload
+    want_mono = stereo.mean(axis=1)
+    assert np.allclose(wave, want_mono)
+    feats = mm._audio_features(rate, wave)
+    assert feats.dtype == np.float32 and len(feats) == 8
+    assert abs(feats[6] - 16000.0) < 1e-6  # sample rate slot
+    assert abs(feats[7] - 4 / 16000.0) < 1e-9  # duration slot
+
+
+def test_decode_audio_failure_paths():
+    """Empty payloads, library errors, and zero-sample reads all surface
+    as the documented NotImplementedError skip path."""
+    import types
+
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_audio(b"", sf_module=object())
+
+    def _boom(buf):
+        raise RuntimeError("Format not recognised")
+
+    with _pytest.raises(NotImplementedError, match="not decodable"):
+        mm.decode_audio(b"junk", sf_module=types.SimpleNamespace(read=_boom))
+
+    empty, _ = make_fake_soundfile(np.zeros((0,)), 44100)
+    with _pytest.raises(NotImplementedError, match="no audio samples"):
+        mm.decode_audio(b"hdr", sf_module=empty)
+
+
+def test_audio_features_auto_falls_back_and_soundfile_fails_loudly(spark):
+    """In this container (no soundfile) audio_features(decoder='auto')
+    must equal the stub path exactly; decoder='soundfile' must fail
+    loudly; decoder is validated; empty payloads are skipped."""
+    import pytest as _pytest
+
+    rows = [(1, bytes(range(64))), (2, b"\x10\xf0" * 30), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    with _pytest.raises(ValueError, match="auto\\|soundfile\\|stub"):
+        mm.audio_features(df, "payload", "doc_id", decoder="librosa")
+
+    auto = sorted(tuple(r) for r in mm.audio_features(df, "payload", "doc_id").collect())
+    stub = sorted(
+        tuple(r)
+        for r in mm.audio_features(df, "payload", "doc_id", decoder="stub").collect()
+    )
+    assert auto == stub and len(auto) == 2
+    ids = [r[0] for r in auto]
+    assert ids == [1, 2]  # empty payload skipped
+    for r in auto:
+        assert len(r[4]) == 8
+        assert r[3] == _pytest.approx(r[2] / r[1])  # duration == n/rate
+
+    try:
+        import soundfile  # noqa: F401
+
+        _pytest.skip("soundfile unexpectedly present; forced path not testable")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception):
+        mm.audio_features(df, "payload", "doc_id", decoder="soundfile").collect()
