@@ -1053,6 +1053,225 @@ def exact_quantiles_select(
     return {g: _vals_for(g) for g in plans}
 
 
+def weighted_quantiles_select(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    qs: list[float] | tuple[float, ...],
+    bins: int = 4096,
+    collect_limit: int = 65536,
+    checkpoint: bool = True,
+):
+    """EXACT weighted quantiles by the same histogram-refine SELECTION as
+    :func:`exact_quantiles_select` — value thresholds where every row
+    counts with a WEIGHT (token counts, byte sizes, sampling weights):
+    "the quality score below which 10% of TOKENS (not documents) sit" is
+    the cut a token-budgeted corpus pass actually needs, and it is not
+    expressible with ``percentile`` (row-weighted only).
+
+    Convention: the LOWER weighted quantile — the smallest value v whose
+    cumulative weight (ordered by value) reaches q·W, with W the total
+    weight. No interpolation (the weighted analogue of QUANTILE_DISC),
+    so a DuckDB cumulative-sum window replays it bit-for-bit: both
+    engines compare exact integer cumulative weights against the same
+    IEEE double q·W.
+
+    Scaling: identical to the unweighted selection — per level ONE
+    narrow scan computes weighted bucket sums inside active chains
+    (map-side combined; the shuffle carries ≤ chains·bins SUM rows),
+    the driver walks ≤ bins rows per chain; chains whose WEIGHT is at or
+    below ``collect_limit`` collect as grouped (value, weight) runs
+    (weight ≥ distinct count, so the driver bound holds), and
+    depth-capped chains still above it resolve distributed via per-chain
+    weight prefix sums. Weights must be non-negative integers (cast to
+    long; rows with null/NaN values or weight ≤ 0 are excluded).
+    Returns ``[val for q in qs]`` (None on empty/zero-weight input).
+    """
+    import math
+
+    vals = df.select(
+        F.col(col).cast("double").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(
+        F.col("v").isNotNull()
+        & ~F.isnan("v")
+        & F.col("w").isNotNull()
+        & (F.col("w") > 0)
+    )
+    if checkpoint:
+        vals = vals.localCheckpoint(eager=False)
+    row = vals.agg(
+        F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    W, glo, ghi = row["W"], row["lo"], row["hi"]
+    qs_f = [float(q) for q in qs]
+    if not W:
+        return [None for _ in qs_f]
+    # target ranks in WEIGHT space: smallest v with cumw >= q·W (q=0 →
+    # rank clamped to 1 so it lands on the minimum, mirroring
+    # QUANTILE_DISC's q=0); both engines compare ints against the same
+    # IEEE double product
+    ranks = [max(q * W, 1.0) for q in qs_f]
+    resolved: dict = {}  # rank -> value
+
+    def _bucket(lo: float, hi: float):
+        w = (hi - lo) / bins
+        raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int")
+        return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+    # chain: (cond, base_cumw, chain_w, lo, hi, ranks)
+    chains = [(None, 0, W, glo, ghi, sorted(set(ranks)))]
+    depth = 0
+    while chains:
+        force = depth >= 8
+        refine, collectable, fallback = [], [], []
+        for ch in chains:
+            cond, base, cw, lo, hi, rks = ch
+            if lo == hi:
+                for r in rks:
+                    resolved[r] = lo
+            elif cw <= collect_limit:
+                collectable.append(ch)
+            elif force:
+                # same adversarial-denormal hazard as the unweighted
+                # selection (weight ≥ distinct count, so cw over the
+                # limit can hide an over-limit distinct set): resolve
+                # DISTRIBUTED — per-chain weight prefix sums locate the
+                # rank-holding values; driver gets ≤ |ranks| rows
+                fallback.append(ch)
+            else:
+                refine.append(ch)
+
+        if fallback:
+            from dataquality_ml_spark.operators.relational import (
+                exclusive_prefix_sum,
+            )
+
+            tag = None
+            for idx, ch in enumerate(fallback):
+                c = ch[0] if ch[0] is not None else F.lit(True)
+                tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
+            per_v = (
+                vals.select(tag.alias("cid"), "v", "w")
+                .where(F.col("cid").isNotNull())
+                .groupBy("cid", "v")
+                .agg(F.sum("w").alias("c"))
+            )
+            pre = exclusive_prefix_sum(per_v, "v", "c", out="_pfx", keys=["cid"])
+            base_ex, rk_ex = None, None
+            for idx, ch in enumerate(fallback):
+                hit = F.col("cid") == idx
+                b_lit = F.lit(ch[1])
+                r_lit = F.array(*[F.lit(float(r)) for r in ch[5]])
+                base_ex = (
+                    F.when(hit, b_lit) if base_ex is None else base_ex.when(hit, b_lit)
+                )
+                rk_ex = (
+                    F.when(hit, r_lit) if rk_ex is None else rk_ex.when(hit, r_lit)
+                )
+            hits = (
+                pre.select(
+                    "cid",
+                    "v",
+                    (F.col("_pfx") + base_ex).alias("start"),
+                    "c",
+                    rk_ex.alias("rks"),
+                )
+                .where(
+                    F.exists(
+                        "rks",
+                        lambda r: (r > F.col("start"))
+                        & (r <= F.col("start") + F.col("c")),
+                    )
+                )
+                .collect()
+            )
+            for r in hits:
+                for rk in fallback[r["cid"]][5]:
+                    if r["start"] < rk <= r["start"] + r["c"]:
+                        resolved[rk] = r["v"]
+
+        if collectable:
+            tag = None
+            for idx, ch in enumerate(collectable):
+                c = ch[0] if ch[0] is not None else F.lit(True)
+                tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
+            got_rows = (
+                vals.select(tag.alias("cid"), "v", "w")
+                .where(F.col("cid").isNotNull())
+                .groupBy("cid", "v")
+                .agg(F.sum("w").alias("c"))
+                .collect()
+            )
+            runs: dict = {}
+            for r in got_rows:
+                runs.setdefault(r["cid"], []).append((r["v"], r["c"]))
+            for idx, (cond, base, _cw, _lo, _hi, rks) in enumerate(collectable):
+                got = sorted(runs.get(idx, []))
+                cum = base
+                it = iter(got)
+                v, c = next(it)
+                for r in rks:
+                    while cum + c < r:
+                        cum += c
+                        v, c = next(it)
+                    resolved[r] = v
+
+        chains = []
+        depth += 1
+        if not refine:
+            break
+        tag = None
+        bex = None
+        for idx, (cond, _b, _w, lo, hi, _r) in enumerate(refine):
+            c = cond if cond is not None else F.lit(True)
+            tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
+            e = _bucket(lo, hi)
+            bex = (
+                F.when(F.col("cid") == idx, e)
+                if bex is None
+                else bex.when(F.col("cid") == idx, e)
+            )
+        hist_rows = (
+            vals.select(tag.alias("cid"), "v", "w")
+            .where(F.col("cid").isNotNull())
+            .select("cid", bex.alias("b"), "w")
+            .groupBy("cid", "b")
+            .agg(F.sum("w").alias("c"))
+            .collect()
+        )
+        by_chain: dict = {}
+        for r in hist_rows:
+            by_chain.setdefault(r["cid"], {})[r["b"]] = r["c"]
+        for idx, (cond, base, _cw, lo, hi, rks) in enumerate(refine):
+            w0 = (hi - lo) / bins
+            hist = by_chain.get(idx, {})
+            cum = base
+            riter = iter(rks)
+            rk = next(riter)
+            done = False
+            for bi in range(bins):
+                c = hist.get(bi, 0)
+                child = []
+                while not done and cum + c >= rk:
+                    child.append(rk)
+                    try:
+                        rk = next(riter)
+                    except StopIteration:
+                        done = True
+                if child:
+                    bexpr = _bucket(lo, hi) == bi
+                    ccond = bexpr if cond is None else (cond & bexpr)
+                    chains.append(
+                        (ccond, cum, c, lo + bi * w0, lo + (bi + 1) * w0, child)
+                    )
+                cum += c
+                if done:
+                    break
+
+    return [resolved[max(q * W, 1.0)] for q in qs_f]
+
+
 def exact_quantiles_multi(
     df: DataFrame,
     columns: list[str],

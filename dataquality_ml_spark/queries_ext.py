@@ -6949,3 +6949,53 @@ def corr_drift_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "weighted_len_quantiles_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wv AS (
+      SELECT CAST(d.n_chars AS DOUBLE) AS v, len(t.t) AS w
+      FROM documents d JOIN toks t USING (doc_id)
+      WHERE d.n_chars IS NOT NULL AND len(t.t) > 0
+    ),
+    agg AS (SELECT v, SUM(w) AS w FROM wv GROUP BY v),
+    cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM agg
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM wv),
+    probes AS (SELECT UNNEST([0.1, 0.25, 0.5, 0.9, 0.99]) AS q)
+    SELECT CAST(p.q AS DOUBLE) AS q, MIN(c.v) AS val
+    FROM probes p
+    JOIN cum c ON c.cw >= GREATEST(p.q * (SELECT tw FROM tot), 1.0)
+    GROUP BY p.q ORDER BY q
+    """,
+)
+def weighted_len_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted document-length quantiles: the char-length cut
+    under which q of the corpus TOKENS (not documents) sit — the number
+    a token-budgeted packing/selection pass thresholds on, and one
+    ``percentile`` cannot express (row-weighted only). Lower weighted
+    quantile by histogram-refine selection
+    (profile.weighted_quantiles_select — weighted bucket SUMS move
+    through the shuffle, never rows; bit-equal to the cumulative-weight
+    replay because both engines compare exact integer cumulative weights
+    to the same IEEE double q·W)."""
+    from dataquality_ml_spark.operators import text as tx
+    from dataquality_ml_spark.operators.profile import weighted_quantiles_select
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.token_stats(docs)
+    wv = docs.join(toks, "doc_id").select(
+        F.col("n_chars").cast("double").alias("v"),
+        F.col("n_tokens").alias("w"),
+    )
+    qs = [0.1, 0.25, 0.5, 0.9, 0.99]
+    vals = weighted_quantiles_select(wv, "v", "w", qs)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(qs, vals)],
+        "q double, val double",
+    ).orderBy("q")

@@ -401,3 +401,56 @@ def test_keyed_drift_family_no_global_window(spark):
         ks_by_group(a, b, "v", keys=["g"]),
     ):
         assert _global_window_specs(plans.formatted_plan(out)) == []
+
+
+def test_weighted_quantiles_select_matches_brute_force(spark):
+    """Weighted selection == brute-force cumulative-weight scan (lower
+    weighted quantile: smallest v with cumw >= q·W) on tie-heavy,
+    skewed, and forced-refinement inputs, including the depth-cap
+    distributed fallback (collect_limit=1) and weight-dominant rows."""
+    import random
+
+    from dataquality_ml_spark.operators.profile import weighted_quantiles_select
+
+    rng = random.Random(31)
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+    def brute(pairs):
+        pairs = sorted(pairs)
+        W = sum(w for _, w in pairs)
+        out = []
+        for q in qs:
+            r = max(q * W, 1.0)
+            cum = 0
+            for v, w in pairs:
+                cum += w
+                if cum >= r:
+                    out.append(v)
+                    break
+        return out
+
+    def check(pairs, **kw):
+        df = spark.createDataFrame(pairs, "v double, w long")
+        got = weighted_quantiles_select(df, "v", "w", qs, **kw)
+        assert got == brute(pairs), (got, brute(pairs))
+
+    # continuous values, skewed integer weights (token-count shaped)
+    pairs = [(rng.gauss(0, 1), 1 + rng.randrange(50)) for _ in range(4000)]
+    check(pairs)
+    check(pairs, collect_limit=64, bins=16)  # forced refinement
+    check(pairs, collect_limit=1, bins=2)  # depth-cap distributed fallback
+    # one giant-weight row dominating half the mass
+    check(pairs + [(0.123, sum(w for _, w in pairs))])
+    # ties everywhere
+    check([(float(i % 3), 1 + i % 7) for i in range(2000)], bins=4)
+    # nulls / NaN / non-positive weights excluded
+    df = spark.createDataFrame(
+        [(1.0, 5), (2.0, 0), (None, 9), (float("nan"), 9), (3.0, 5)],
+        "v double, w long",
+    )
+    got = weighted_quantiles_select(df, "v", "w", [0.5, 1.0])
+    assert got == [1.0, 3.0]
+    # empty / zero-weight input
+    assert weighted_quantiles_select(
+        spark.createDataFrame([], "v double, w long"), "v", "w", [0.5]
+    ) == [None]
