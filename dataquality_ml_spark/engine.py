@@ -444,6 +444,40 @@ class DQEngine:
 
         return run_checks(df, rules_from_suggestions(suggestions))
 
+    def drift_panel(
+        self,
+        ref: DataFrame,
+        cur: DataFrame,
+        col: str,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """The full two-sample drift panel (KS D, Mann-Whitney U/z, CvM T,
+        Anderson-Darling A²) between a reference slice and the current
+        data, optionally per segment — ONE aggregation over one shared
+        ECDF (drift.drift_panel). The guard the reference never had: its
+        daily retrain (app/test_AE.py:87-97) refits thresholds without
+        ever testing whether today's data still looks like training."""
+        from dataquality_ml_spark.operators.drift import drift_panel
+
+        return drift_panel(ref, cur, col, keys=keys)
+
+    def drift_timeline(
+        self,
+        df: DataFrame,
+        col: str,
+        period,
+        lo: float,
+        hi: float,
+        bins: int = 10,
+    ) -> DataFrame:
+        """WHEN did it start drifting: per-period PSI of ``col`` against
+        the earliest period (drift.psi_timeline) — one bounded
+        groupBy(period, bin) scan; the retrain scheduler reads the first
+        period past the alarm line (PSI ≳ 0.2)."""
+        from dataquality_ml_spark.operators.drift import psi_timeline
+
+        return psi_timeline(df, col, period, lo, hi, bins)
+
     def curate_corpus(
         self,
         docs: DataFrame,

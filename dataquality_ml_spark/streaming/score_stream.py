@@ -698,3 +698,107 @@ def drift_monitor_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), reports
+
+
+def drift_panel_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    ref_hists: dict,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    trigger_once: bool = True,
+    max_segments: int = 1024,
+):
+    """Streaming PER-SEGMENT drift panel (round 9): every micro-batch's
+    values histogram per ``key_col`` segment under the frozen
+    (lo, hi, bins) quantizer, scored against that segment's FROZEN
+    reference histogram — PSI + binned KS + binned CvM per (batch,
+    segment), the streaming face of the keyed ``drift.drift_panel``.
+
+    ``ref_hists``: {segment_key: length-bins count array} — e.g. built
+    from ``sketch.qsketch_build(train_df, group_cols=[key_col])``; all
+    segments must share one bins length (the frozen quantizer). Per
+    batch only ≤ |segments|·bins count cells cross to the driver, and
+    the segment space is capped: the report keeps the ``max_segments``
+    highest-count unseen segments per batch (alphabetical tie-break) and
+    records how many were dropped — segment-cardinality explosions
+    degrade loudly instead of growing driver state without bound.
+    Segments in the batch but not in the reference report NULL stats
+    with ``new_segment=True`` (a new segment IS drift). The fold is
+    keyed on ``batch_id`` (at-least-once replays skipped).
+
+    Returns (query, reports): reports is the live list of {batch_id,
+    key, n, psi, ks_d, cvm_t, new_segment} dicts plus one
+    {batch_id, dropped_segments} marker per batch when the cap bit.
+    """
+    import numpy as np
+
+    from dataquality_ml_spark.operators.drift import EPS
+    from dataquality_ml_spark.operators.sketch import qsketch_build
+
+    refs = {k: np.asarray(v, dtype=np.int64) for k, v in ref_hists.items()}
+    lens = {len(v) for v in refs.values()}
+    if len(lens) != 1:
+        raise ValueError("ref_hists must share one bins length (frozen quantizer)")
+    bins = lens.pop()
+    reports: list = []
+    applied: set = set()
+
+    def _panel(ref: "np.ndarray", cur: "np.ndarray") -> dict:
+        n_a, n_b = int(ref.sum()), int(cur.sum())
+        if n_a == 0 or n_b == 0:
+            return {"n": n_b, "psi": None, "ks_d": None, "cvm_t": None}
+        pr = np.maximum(ref / n_a, EPS)
+        pc = np.maximum(cur / n_b, EPS)
+        psi = float(np.sum((pc - pr) * np.log(pc / pr)))
+        ca, cb = np.cumsum(ref), np.cumsum(cur)
+        ks = float(np.max(np.abs(ca / n_a - cb / n_b)))
+        cnt = ref + cur
+        n = n_a + n_b
+        num = np.sum(
+            cnt.astype(object)
+            * (ca.astype(object) * n_b - cb.astype(object) * n_a) ** 2
+        )  # object dtype: exact integers, mirroring the DECIMAL path
+        cvm = float(num) / (float(n) * n * n_a * n_b)
+        return {"n": n_b, "psi": psi, "ks_d": ks, "cvm_t": cvm}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        cells = qsketch_build(
+            batch_df, value_col, lo, hi, bins=bins, group_cols=[key_col]
+        ).collect()
+        by_key: dict = {}
+        for r in cells:
+            h = by_key.setdefault(r[key_col], np.zeros(bins, dtype=np.int64))
+            h[r["qs_bin"]] = r["qs_cnt"]
+        known = {k: h for k, h in by_key.items() if k in refs}
+        unseen = {k: h for k, h in by_key.items() if k not in refs}
+        kept_unseen = sorted(
+            unseen.items(), key=lambda kv: (-int(kv[1].sum()), str(kv[0]))
+        )[:max_segments]
+        for k, h in sorted(known.items(), key=lambda kv: str(kv[0])):
+            reports.append(
+                {"batch_id": batch_id, "key": k, "new_segment": False,
+                 **_panel(refs[k], h)}
+            )
+        for k, h in kept_unseen:
+            reports.append(
+                {"batch_id": batch_id, "key": k, "new_segment": True,
+                 "n": int(h.sum()), "psi": None, "ks_d": None, "cvm_t": None}
+            )
+        if len(unseen) > len(kept_unseen):
+            reports.append(
+                {"batch_id": batch_id,
+                 "dropped_segments": len(unseen) - len(kept_unseen)}
+            )
+        applied.add(batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), reports

@@ -313,3 +313,27 @@ def test_facade_unigram_tokenizer_and_host_curation(spark):
     ).collect()}
     assert rep["a.example.com"]["n_docs"] == 2 and rep["a.example.com"]["n_kept"] == 1
     assert rep["b.example.com"]["blocked"] == 1 and rep["b.example.com"]["n_kept"] == 0
+
+
+def test_engine_drift_surface(spark):
+    """DQEngine.drift_panel / drift_timeline delegate to the drift
+    operators with identical results — the facade's retrain-guard
+    surface (the check the reference's daily refit never ran)."""
+    from dataquality_ml_spark.engine import DQEngine
+    from dataquality_ml_spark.operators.drift import drift_panel, psi_timeline
+
+    eng = DQEngine(spark)
+    a = spark.range(400).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") * 1.1).alias("v")
+    )
+    b = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") * 0.9 + 30).alias("v")
+    )
+    got = {r["g"]: r for r in eng.drift_panel(a, b, "v", keys=["g"]).collect()}
+    want = {r["g"]: r for r in drift_panel(a, b, "v", keys=["g"]).collect()}
+    assert got == want and len(got) == 3
+
+    t = a.select((F.col("v") % 4).cast("int").alias("p"), "v")
+    tl = eng.drift_timeline(t, "v", F.col("p"), lo=0.0, hi=500.0, bins=8).collect()
+    wl = psi_timeline(t, "v", F.col("p"), lo=0.0, hi=500.0, bins=8).collect()
+    assert tl == wl and len(tl) == 4

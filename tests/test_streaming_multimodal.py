@@ -1438,3 +1438,86 @@ def test_audio_features_auto_falls_back_and_soundfile_fails_loudly(spark):
         pass
     with _pytest.raises(Exception):
         mm.audio_features(df, "payload", "doc_id", decoder="soundfile").collect()
+
+
+def test_drift_panel_stream_per_segment_matches_batch(spark, tmp_path):
+    """Streaming per-segment drift panel == the batch binned operators
+    per segment and per micro-batch (the streaming face of the keyed
+    drift_panel): known segments score PSI/KS/CvM vs their frozen
+    reference histograms; a segment absent from the reference reports
+    new_segment=True with NULL stats; the max_segments cap records how
+    many unseen segments were dropped."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators import drift as dr
+    from dataquality_ml_spark.operators import sketch as sk
+
+    schema = "event_id bigint, g string, value double"
+    ref_rows = [(i, "a", float(i % 40)) for i in range(200)] + [
+        (i + 1000, "b", float((i * 3) % 60) + 20.0) for i in range(150)
+    ]
+    b1 = (
+        [(i, "a", float(i % 40)) for i in range(80)]
+        + [(i + 500, "b", float(i % 20) + 70.0) for i in range(60)]  # b drifts
+        + [(i + 900, "zz_new", float(i % 10)) for i in range(30)]  # unseen
+        + [(i + 2000, "zz2", float(i % 5)) for i in range(10)]  # unseen, smaller
+    )
+    in_dir = tmp_path / "dps_in"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    refs = {}
+    for r in sk.qsketch_build(
+        ref_df, "value", 0.0, 100.0, bins=20, group_cols=["g"]
+    ).collect():
+        refs.setdefault(r["g"], np.zeros(20, dtype=np.int64))[r["qs_bin"]] = r["qs_cnt"]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, reports = ss.drift_panel_stream(
+        stream,
+        checkpoint=str(tmp_path / "dps_ckpt"),
+        ref_hists=refs,
+        value_col="value",
+        key_col="g",
+        lo=0.0,
+        hi=100.0,
+        max_segments=1,  # force the cap onto one of the two unseen segments
+    )
+    q.awaitTermination(120)
+
+    by_key = {r["key"]: r for r in reports if "key" in r}
+    assert set(by_key) == {"a", "b", "zz_new"}  # zz2 dropped by the cap
+    drop = [r for r in reports if "dropped_segments" in r]
+    assert drop and drop[0]["dropped_segments"] == 1
+    assert by_key["zz_new"]["new_segment"] and by_key["zz_new"]["n"] == 30
+    assert by_key["zz_new"]["psi"] is None
+
+    batch_df = spark.createDataFrame(b1, schema)
+    for g in ("a", "b"):
+        rs = ref_df.where(F.col("g") == g)
+        cs = batch_df.where(F.col("g") == g)
+        want_psi = (
+            dr.psi_bins(rs, cs, "value", lo=0.0, hi=100.0, bins=20)
+            .select("psi_total").first()[0]
+        )
+        want_ks = dr.ks_statistic(rs, cs, "value", bins=20, lo=0.0, hi=100.0).first()["ks_d"]
+        want_cvm = dr.cvm_statistic(rs, cs, "value", bins=20, lo=0.0, hi=100.0).first()["cvm_t"]
+        rep = by_key[g]
+        assert abs(rep["psi"] - want_psi) < 1e-12, g
+        assert abs(rep["ks_d"] - want_ks) < 1e-12, g
+        assert abs(rep["cvm_t"] - want_cvm) < 1e-12, g
+        assert not rep["new_segment"]
+    # the drifted segment alarms much harder than the stable one
+    assert by_key["b"]["psi"] > 5 * by_key["a"]["psi"]
+
+    # mismatched reference bins lengths must be rejected up front
+    import pytest as _pytest
+
+    bad = {"a": np.zeros(20, dtype=np.int64), "b": np.zeros(10, dtype=np.int64)}
+    with _pytest.raises(ValueError, match="one bins length"):
+        ss.drift_panel_stream(stream, str(tmp_path / "x"), bad)
