@@ -682,6 +682,92 @@ def qq_table(
     )
 
 
+def psi_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Per-CATEGORY PSI decomposition (round 9 — the categorical face of
+    ``psi_bins``: language mix, source mix, event-type mix drift):
+    (category, p_ref, p_cur, psi_term, psi_total) over the UNION of both
+    sides' categories, EPS-clamped like the numeric face so one-sided
+    categories contribute finite terms. NULL is a real category
+    (null-safe full-outer category join).
+
+    One scan per side → ≤ |categories| rows per side; the union join,
+    totals, and the PSI sum all run on that bounded relation.
+    """
+
+    def _props(df: DataFrame, out: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("category")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        tot = Window.partitionBy()  # ≤ |categories| rows — bounded
+        return counts.select(
+            "category", (F.col("n") / F.sum("n").over(tot)).alias(out)
+        )
+
+    r = _props(ref, "p_ref")
+    c = _props(cur, "p_cur").select(
+        F.col("category").alias("__c_cat"), "p_cur"
+    )
+    joined = r.join(
+        c, F.col("category").eqNullSafe(F.col("__c_cat")), "full_outer"
+    ).select(
+        F.coalesce(F.col("category"), F.col("__c_cat")).alias("category"),
+        F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+        F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+    )
+    pr = F.greatest(F.col("p_ref"), F.lit(EPS))
+    pc = F.greatest(F.col("p_cur"), F.lit(EPS))
+    w = Window.partitionBy()
+    return (
+        joined.withColumn("psi_term", (pc - pr) * F.log(pc / pr))
+        .withColumn("psi_total", F.sum("psi_term").over(w))
+        .orderBy("category")
+    )
+
+
+def js_divergence(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between two categorical
+    distributions as a 1-row DataFrame (jsd, n_ref, n_cur) — the
+    bounded, symmetric drift scalar (0 ≤ JSD ≤ ln 2) that, unlike PSI,
+    never explodes on one-sided categories: a category with p=0 on one
+    side contributes exactly p·ln 2 on the other, no clamp needed.
+
+        JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),   m = (p+q)/2
+
+    Same bounded shape as ``psi_categorical``: one scan per side to
+    category counts, everything after on ≤ |categories| rows. NULL is a
+    real category. Terms with p=0 (or q=0) contribute 0 to their own sum
+    (lim x·ln x = 0).
+    """
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("category")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    r = _counts(ref, "n_r")
+    c = _counts(cur, "n_c").select(F.col("category").alias("__c_cat"), "n_c")
+    joined = r.join(
+        c, F.col("category").eqNullSafe(F.col("__c_cat")), "full_outer"
+    ).select(
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        F.coalesce("n_c", F.lit(0)).alias("n_c"),
+    )
+    tot = Window.partitionBy()  # ≤ |categories| rows — bounded
+    pq = joined.select(
+        (F.col("n_r") / F.sum("n_r").over(tot)).alias("p"),
+        (F.col("n_c") / F.sum("n_c").over(tot)).alias("q"),
+        F.sum("n_r").over(tot).alias("n_ref"),
+        F.sum("n_c").over(tot).alias("n_cur"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term_p = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+    term_q = F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    return pq.agg(
+        ((F.sum(term_p) + F.sum(term_q)) / 2).alias("jsd"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+
+
 def drift_panel(
     a: DataFrame,
     b: DataFrame,

@@ -132,3 +132,49 @@ def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> 
         "np",
         "nn",
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (round 9 — the
+    evaluation the reference's confusion/ROC pair misses: whether the
+    SCORES mean what they claim, which decides if a fixed probability
+    threshold transfers across days).
+
+    One scan: clamped equi-width bin over the score → per-bin
+    (n, mean predicted score, empirical positive rate, |gap|). ECE —
+    Σ (n_b/N)·|mean_score_b − frac_pos_b| — rides every row like
+    ``psi_bins``' psi_total, so one relation carries the diagram AND the
+    scalar. Output: (bin, n, mean_score, frac_pos, gap, ece), one row
+    per OCCUPIED bin (empty bins carry no mass — they cannot contribute
+    to ECE, and both engines agree on the row set). Null scores/labels
+    excluded; rows at any corpus size collapse to ≤ ``bins`` cells
+    map-side.
+    """
+    w = (hi - lo) / bins
+    raw = F.floor((F.col(score) - F.lit(lo)) / F.lit(w)).cast("int")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    cells = (
+        df.where(F.col(score).isNotNull() & F.col(label).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(score)).alias("mean_score"),
+            F.avg(F.col(label).cast("double")).alias("frac_pos"),
+        )
+    )
+    tot = Window.partitionBy()  # ≤ bins rows — bounded by a constant knob
+    return (
+        cells.withColumn("gap", F.abs(F.col("mean_score") - F.col("frac_pos")))
+        .withColumn(
+            "ece",
+            F.sum(F.col("n") * F.col("gap")).over(tot) / F.sum("n").over(tot),
+        )
+        .orderBy("bin")
+    )

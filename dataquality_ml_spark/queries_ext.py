@@ -6999,3 +6999,139 @@ def weighted_len_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(q), float(v)) for q, v in zip(qs, vals)],
         "q double, val double",
     ).orderBy("q")
+
+
+@register(
+    "calibration_curve_events",
+    oracle="""
+    WITH scored AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value / 500.0) / 0.1) AS INT))) AS bin,
+             value / 500.0 AS s,
+             CASE WHEN (event_id * 2654435761) % 100 < value / 5.0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT bin, COUNT(*) AS n, AVG(s) AS mean_score, AVG(CAST(y AS DOUBLE)) AS frac_pos
+      FROM scored GROUP BY bin
+    )
+    SELECT bin, n,
+           ROUND(mean_score, 6) + 0 AS mean_score,
+           ROUND(frac_pos, 6) + 0 AS frac_pos,
+           ROUND(ABS(mean_score - frac_pos), 6) + 0 AS gap,
+           ROUND(SUM(n * ABS(mean_score - frac_pos)) OVER () / SUM(n) OVER (), 6) + 0 AS ece
+    FROM cells ORDER BY bin
+    """,
+)
+def calibration_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE over a deterministic score/label pair on
+    events (evaluate.calibration_curve) — whether the scores MEAN their
+    probabilities, the evaluation the reference's confusion/ROC pair
+    never runs; one scan to ≤10 cells, the scalar rides every row."""
+    from dataquality_ml_spark.operators.evaluate import calibration_curve
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value") / 500.0).alias("s"),
+        (
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100))
+            < F.col("value") / 5.0
+        ).cast("int").alias("y"),
+    )
+    out = calibration_curve(scored, "s", "y", bins=10, lo=0.0, hi=1.0)
+    return out.select(
+        "bin",
+        "n",
+        (F.round("mean_score", 6) + F.lit(0.0)).alias("mean_score"),
+        (F.round("frac_pos", 6) + F.lit(0.0)).alias("frac_pos"),
+        (F.round("gap", 6) + F.lit(0.0)).alias("gap"),
+        (F.round("ece", 6) + F.lit(0.0)).alias("ece"),
+    ).orderBy("bin")
+
+
+_DOC_HALF = "doc_id % 2 = 0"
+
+
+@register(
+    "psi_categorical_sources",
+    oracle=f"""
+    WITH r AS (
+      SELECT source AS category, COUNT(*) AS n FROM documents
+      WHERE {_DOC_HALF} GROUP BY source
+    ),
+    c AS (
+      SELECT source AS category, COUNT(*) AS n FROM documents
+      WHERE NOT ({_DOC_HALF}) GROUP BY source
+    ),
+    j AS (
+      SELECT COALESCE(r.category, c.category) AS category,
+             COALESCE(r.n / CAST((SELECT SUM(n) FROM r) AS DOUBLE), 0.0) AS p_ref,
+             COALESCE(c.n / CAST((SELECT SUM(n) FROM c) AS DOUBLE), 0.0) AS p_cur
+      FROM r FULL OUTER JOIN c ON r.category IS NOT DISTINCT FROM c.category
+    )
+    SELECT category,
+           ROUND(p_ref, 6) + 0 AS p_ref,
+           ROUND(p_cur, 6) + 0 AS p_cur,
+           ROUND((GREATEST(p_cur, 1e-06) - GREATEST(p_ref, 1e-06))
+                 * LN(GREATEST(p_cur, 1e-06) / GREATEST(p_ref, 1e-06)), 6) + 0 AS psi_term,
+           ROUND(SUM((GREATEST(p_cur, 1e-06) - GREATEST(p_ref, 1e-06))
+                 * LN(GREATEST(p_cur, 1e-06) / GREATEST(p_ref, 1e-06))) OVER (), 6) + 0 AS psi_total
+    FROM j ORDER BY category
+    """,
+)
+def psi_categorical_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix PSI between the even/odd doc_id halves
+    (drift.psi_categorical) — the categorical face of psi_bins: which
+    CATEGORY's share moved; one scan per side to ≤|sources| rows."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.where(F.col("doc_id") % 2 == 0)
+    c = docs.where(F.col("doc_id") % 2 != 0)
+    out = dr.psi_categorical(r, c, "source")
+    return out.select(
+        "category",
+        (F.round("p_ref", 6) + F.lit(0.0)).alias("p_ref"),
+        (F.round("p_cur", 6) + F.lit(0.0)).alias("p_cur"),
+        (F.round("psi_term", 6) + F.lit(0.0)).alias("psi_term"),
+        (F.round("psi_total", 6) + F.lit(0.0)).alias("psi_total"),
+    ).orderBy("category")
+
+
+@register(
+    "jsd_lang_halves",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang AS category, COUNT(*) AS n FROM documents
+      WHERE {_DOC_HALF} GROUP BY lang
+    ),
+    c AS (
+      SELECT lang AS category, COUNT(*) AS n FROM documents
+      WHERE NOT ({_DOC_HALF}) GROUP BY lang
+    ),
+    j AS (
+      SELECT COALESCE(r.n, 0) / CAST((SELECT SUM(n) FROM r) AS DOUBLE) AS p,
+             COALESCE(c.n, 0) / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS q
+      FROM r FULL OUTER JOIN c ON r.category IS NOT DISTINCT FROM c.category
+    )
+    SELECT ROUND((SUM(CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) ELSE 0 END)
+                + SUM(CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) ELSE 0 END)) / 2,
+                 6) + 0 AS jsd,
+           (SELECT SUM(n) FROM r) AS n_ref,
+           (SELECT SUM(n) FROM c) AS n_cur
+    FROM j
+    """,
+)
+def jsd_lang_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Jensen-Shannon divergence between the doc_id halves
+    (drift.js_divergence) — the bounded symmetric drift scalar
+    (0 ≤ JSD ≤ ln 2) that stays finite on one-sided categories without
+    PSI's EPS clamp."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.where(F.col("doc_id") % 2 == 0)
+    c = docs.where(F.col("doc_id") % 2 != 0)
+    out = dr.js_divergence(r, c, "lang")
+    return out.select(
+        (F.round("jsd", 6) + F.lit(0.0)).alias("jsd"), "n_ref", "n_cur"
+    )

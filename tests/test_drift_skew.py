@@ -614,3 +614,70 @@ def test_drift_panel_equals_standalone_operators(spark):
     assert panel["solo"]["ks_d"] == 1.0
     assert panel["solo"]["z_score"] is None
     assert panel["solo"]["cvm_t"] is None and panel["solo"]["ad_a2"] is None
+
+
+def test_psi_categorical_and_jsd_semantics(spark):
+    """Categorical drift pair: identical mixes score ~0; a share swap
+    alarms; NULL is a real category; disjoint supports hit JSD's ln 2
+    ceiling exactly and JSD is symmetric."""
+    import math
+
+    from dataquality_ml_spark.operators.drift import js_divergence, psi_categorical
+
+    mk = lambda xs: spark.createDataFrame([(x,) for x in xs], "c string")  # noqa: E731
+    a = mk(["en"] * 80 + ["fr"] * 15 + [None] * 5)
+    same = psi_categorical(a, a, "c").collect()
+    assert {r["category"] for r in same} == {"en", "fr", None}
+    assert all(abs(r["psi_term"]) < 1e-12 for r in same)
+    assert abs(js_divergence(a, a, "c").first()["jsd"]) < 1e-12
+
+    b = mk(["en"] * 15 + ["fr"] * 80 + [None] * 5)  # en/fr shares swapped
+    rows = {r["category"]: r for r in psi_categorical(a, b, "c").collect()}
+    assert rows["en"]["psi_total"] > 0.2
+    assert rows[None]["psi_term"] == 0.0  # unchanged share
+    assert abs(rows["en"]["p_ref"] - 0.8) < 1e-12
+    assert abs(rows["en"]["p_cur"] - 0.15) < 1e-12
+
+    # one-sided category stays finite (EPS clamp)
+    c = mk(["en"] * 50 + ["zz"] * 50)
+    one = {r["category"]: r for r in psi_categorical(a, c, "c").collect()}
+    assert math.isfinite(one["zz"]["psi_term"]) and one["zz"]["psi_term"] > 0
+
+    # disjoint supports: JSD == ln 2 exactly in the formula's limit
+    d1, d2 = mk(["x"] * 40), mk(["y"] * 60)
+    r = js_divergence(d1, d2, "c").first()
+    assert abs(r["jsd"] - math.log(2)) < 1e-12
+    assert (r["n_ref"], r["n_cur"]) == (40, 60)
+    # symmetry
+    assert js_divergence(d2, d1, "c").first()["jsd"] == r["jsd"]
+
+
+def test_calibration_curve_ece_semantics(spark):
+    """A perfectly calibrated score (frac_pos == mean score per bin)
+    gives ECE ~0; a systematically overconfident score alarms; row set =
+    occupied bins; counts and the weighted ECE match hand math."""
+    from dataquality_ml_spark.operators.evaluate import calibration_curve
+
+    # bin midpoints 0.05..0.95: make frac_pos exactly the bin's mean score
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        n = 200
+        pos = round(n * p)
+        rows += [(p, 1)] * pos + [(p, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = calibration_curve(df, "s", "y", bins=10).collect()
+    assert len(out) == 10
+    ece = out[0]["ece"]
+    assert ece < 1e-9, ece
+    for r in out:
+        assert r["n"] == 200
+        assert abs(r["frac_pos"] - r["mean_score"]) < 1e-9
+
+    # overconfident: scores near 0.9 but only 30% positives
+    bad = spark.createDataFrame(
+        [(0.9, 1)] * 30 + [(0.9, 0)] * 70, "s double, y int"
+    )
+    rep = calibration_curve(bad, "s", "y", bins=10).collect()
+    assert len(rep) == 1  # only the occupied bin
+    assert abs(rep[0]["ece"] - 0.6) < 1e-9  # |0.9 - 0.3|
