@@ -178,3 +178,134 @@ def calibration_curve(
         )
         .orderBy("bin")
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Brier score + Murphy decomposition as a 1-row DataFrame
+    (brier, reliability, resolution, uncertainty, n) — the proper
+    scoring rule behind ``calibration_curve``'s diagram: brier is the
+    EXACT mean squared error of the probability forecasts (one
+    map-side-combined aggregation over the rows); reliability/resolution
+    come from the same ≤``bins`` calibration cells (REL − RES + UNC is
+    the binned-forecast identity — exact when scores are constant within
+    a bin, the standard reading otherwise).
+
+        brier = E[(s − y)²]
+        REL   = Σ n_b/N·(s̄_b − ȳ_b)²   (calibration gap, smaller better)
+        RES   = Σ n_b/N·(ȳ_b − ȳ)²     (discrimination, larger better)
+        UNC   = ȳ·(1 − ȳ)
+    """
+    w = (hi - lo) / bins
+    raw = F.floor((F.col(score) - F.lit(lo)) / F.lit(w)).cast("int")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    rows = df.where(F.col(score).isNotNull() & F.col(label).isNotNull())
+    y = F.col(label).cast("double")
+    cells = rows.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(score)).alias("sb"),
+        F.avg(y).alias("yb"),
+        F.sum((F.col(score) - y) * (F.col(score) - y)).alias("se"),
+    )
+    tot = Window.partitionBy()  # ≤ bins rows — bounded
+    enriched = cells.select(
+        "n",
+        "sb",
+        "yb",
+        "se",
+        F.sum("n").over(tot).alias("n_tot"),
+        (F.sum(F.col("yb") * F.col("n")).over(tot) / F.sum("n").over(tot)).alias(
+            "ybar"
+        ),
+    )
+    return enriched.agg(
+        (F.sum("se") / F.max("n_tot")).alias("brier"),
+        (
+            F.sum(
+                F.col("n") * (F.col("sb") - F.col("yb")) * (F.col("sb") - F.col("yb"))
+            )
+            / F.max("n_tot")
+        ).alias("reliability"),
+        (
+            F.sum(
+                F.col("n") * (F.col("yb") - F.col("ybar")) * (F.col("yb") - F.col("ybar"))
+            )
+            / F.max("n_tot")
+        ).alias("resolution"),
+        (F.max("ybar") * (1 - F.max("ybar"))).alias("uncertainty"),
+        F.max("n_tot").alias("n"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Cumulative gains / lift table + binned average precision — the
+    ranking evaluation for a score used to PRIORITIZE (review queues,
+    selection budgets): per score bin, DESCENDING, the cumulative share
+    of rows taken (depth), share of positives captured (gain), lift
+    over random, precision and recall at that cut, with the binned
+    PR-AUC (Σ Δrecall·precision over the descending sweep) riding every
+    row.
+
+    Targeting-by-rank needs a global sort at 100 TB; targeting by SCORE
+    BIN does not — one scan collapses the corpus to ≤``bins`` cells and
+    every cumulative runs over that bounded relation (the
+    ``roc_auc_binned`` shape; cut granularity = one bin of score).
+    Output: (bin, n, n_pos, depth, gain, lift, precision, recall,
+    pr_auc), highest score bin first, occupied bins only.
+    """
+    w = (hi - lo) / bins
+    raw = F.floor((F.col(score) - F.lit(lo)) / F.lit(w)).cast("int")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    rows = df.where(F.col(score).isNotNull() & F.col(label).isNotNull())
+    cells = rows.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label).cast("long")).alias("n_pos"),
+    )
+    desc = (
+        Window.partitionBy()
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # ≤ bins rows — bounded by a constant knob
+    tot = Window.partitionBy()
+    cum = cells.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(desc).alias("cum_n"),
+        F.sum("n_pos").over(desc).alias("cum_pos"),
+        F.sum("n").over(tot).alias("n_tot"),
+        F.sum("n_pos").over(tot).alias("pos_tot"),
+    )
+    depth = F.col("cum_n") / F.col("n_tot")
+    gain = F.col("cum_pos") / F.col("pos_tot")
+    precision = F.col("cum_pos") / F.col("cum_n")
+    prev_gain = F.lag(gain, 1, 0.0).over(Window.partitionBy().orderBy(F.desc("bin")))
+    stepped = cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        depth.alias("depth"),
+        gain.alias("gain"),
+        (gain / depth).alias("lift"),
+        precision.alias("precision"),
+        gain.alias("recall"),
+        ((gain - prev_gain) * precision).alias("ap_term"),
+    )
+    return (
+        stepped.withColumn("pr_auc", F.sum("ap_term").over(tot))
+        .drop("ap_term")
+        .orderBy(F.desc("bin"))
+    )

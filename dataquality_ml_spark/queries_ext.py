@@ -7135,3 +7135,124 @@ def jsd_lang_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         (F.round("jsd", 6) + F.lit(0.0)).alias("jsd"), "n_ref", "n_cur"
     )
+
+
+@register(
+    "brier_score_events",
+    oracle="""
+    WITH scored AS (
+      SELECT value / 500.0 AS s,
+             CASE WHEN (event_id * 2654435761) % 100 < value / 5.0 THEN 1 ELSE 0 END AS y,
+             LEAST(9, GREATEST(0, CAST(FLOOR((value / 500.0) / 0.1) AS INT))) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT bin, COUNT(*) AS n, AVG(s) AS sb, AVG(CAST(y AS DOUBLE)) AS yb,
+             SUM((s - y) * (s - y)) AS se
+      FROM scored GROUP BY bin
+    ),
+    g AS (
+      SELECT SUM(n) AS n_tot, SUM(yb * n) / SUM(n) AS ybar FROM cells
+    )
+    SELECT ROUND(SUM(se) / MAX(g.n_tot), 6) + 0 AS brier,
+           ROUND(SUM(n * (sb - yb) * (sb - yb)) / MAX(g.n_tot), 6) + 0 AS reliability,
+           ROUND(SUM(n * (yb - g.ybar) * (yb - g.ybar)) / MAX(g.n_tot), 6) + 0 AS resolution,
+           ROUND(MAX(g.ybar) * (1 - MAX(g.ybar)), 6) + 0 AS uncertainty,
+           CAST(MAX(g.n_tot) AS BIGINT) AS n
+    FROM cells CROSS JOIN g
+    """,
+)
+def brier_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition over the same deterministic
+    score/label pair as calibration_curve_events
+    (evaluate.brier_score): the proper scoring rule behind the
+    reliability diagram — REL (calibration gap) vs RES (discrimination)
+    vs UNC, exact brier from one map-side-combined pass."""
+    from dataquality_ml_spark.operators.evaluate import brier_score
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value") / 500.0).alias("s"),
+        (
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100))
+            < F.col("value") / 5.0
+        ).cast("int").alias("y"),
+    )
+    out = brier_score(scored, "s", "y", bins=10)
+    return out.select(
+        (F.round("brier", 6) + F.lit(0.0)).alias("brier"),
+        (F.round("reliability", 6) + F.lit(0.0)).alias("reliability"),
+        (F.round("resolution", 6) + F.lit(0.0)).alias("resolution"),
+        (F.round("uncertainty", 6) + F.lit(0.0)).alias("uncertainty"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "lift_table_events",
+    oracle="""
+    WITH scored AS (
+      SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value / 500.0) / 0.05) AS INT))) AS bin,
+             CASE WHEN (event_id * 2654435761) % 100 < value / 5.0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos FROM scored GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, n_pos,
+             SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             SUM(n) OVER () AS n_tot,
+             SUM(n_pos) OVER () AS pos_tot
+      FROM cells
+    ),
+    stepped AS (
+      SELECT bin, n, n_pos,
+             cum_n / CAST(n_tot AS DOUBLE) AS depth,
+             cum_pos / CAST(pos_tot AS DOUBLE) AS gain,
+             (cum_pos / CAST(pos_tot AS DOUBLE)) / (cum_n / CAST(n_tot AS DOUBLE)) AS lift,
+             cum_pos / CAST(cum_n AS DOUBLE) AS precision,
+             cum_pos / CAST(pos_tot AS DOUBLE)
+               - COALESCE(LAG(cum_pos / CAST(pos_tot AS DOUBLE))
+                          OVER (ORDER BY bin DESC), 0.0) AS d_recall
+      FROM cum
+    )
+    SELECT bin, n, n_pos,
+           ROUND(depth, 6) + 0 AS depth,
+           ROUND(gain, 6) + 0 AS gain,
+           ROUND(lift, 6) + 0 AS lift,
+           ROUND(precision, 6) + 0 AS precision,
+           ROUND(gain, 6) + 0 AS recall,
+           ROUND(SUM(d_recall * precision) OVER (), 6) + 0 AS pr_auc
+    FROM stepped ORDER BY bin DESC
+    """,
+)
+def lift_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table + binned average precision over the
+    deterministic score/label pair (evaluate.lift_table): the ranking
+    eval for prioritization budgets — depth/gain/lift/precision/recall
+    per descending score bin with PR-AUC riding every row, ≤20 cells
+    from one scan (no global sort at any corpus size)."""
+    from dataquality_ml_spark.operators.evaluate import lift_table
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value") / 500.0).alias("s"),
+        (
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100))
+            < F.col("value") / 5.0
+        ).cast("int").alias("y"),
+    )
+    out = lift_table(scored, "s", "y", bins=20)
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.round("depth", 6) + F.lit(0.0)).alias("depth"),
+        (F.round("gain", 6) + F.lit(0.0)).alias("gain"),
+        (F.round("lift", 6) + F.lit(0.0)).alias("lift"),
+        (F.round("precision", 6) + F.lit(0.0)).alias("precision"),
+        (F.round("recall", 6) + F.lit(0.0)).alias("recall"),
+        (F.round("pr_auc", 6) + F.lit(0.0)).alias("pr_auc"),
+    ).orderBy(F.desc("bin"))

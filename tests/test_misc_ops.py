@@ -458,3 +458,65 @@ def test_snapshot_diff_statuses_and_null_content(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_brier_score_matches_numpy_and_decomposition(spark):
+    """Exact Brier == numpy mean squared error; Murphy decomposition
+    satisfies REL − RES + UNC == binned-forecast Brier when scores are
+    constant within bins (exact identity case)."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.evaluate import brier_score
+
+    rng = np.random.default_rng(41)
+    # scores constant within bins: multiples of 0.1 + 0.05 → identity exact
+    s = (rng.integers(0, 10, 3000) / 10 + 0.05)
+    y = (rng.random(3000) < s).astype(int)  # well-calibrated labels
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)], "s double, y int"
+    )
+    r = brier_score(df, "s", "y", bins=10).first()
+    want = float(np.mean((s - y) ** 2))
+    assert abs(r["brier"] - want) < 1e-9
+    assert r["n"] == 3000
+    # identity: scores constant within bin → brier == REL − RES + UNC
+    assert abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"])) < 1e-9
+    # calibrated forecasts: tiny reliability, resolution ≈ uncertainty share
+    assert r["reliability"] < 0.01
+    assert r["resolution"] > 0.01
+
+
+def test_lift_table_hand_computed(spark):
+    """Lift/gain table on a hand-sized example: cumulative depth/gain/
+    lift/precision/recall per descending score bin, and the binned
+    average precision equals the hand sweep."""
+    from dataquality_ml_spark.operators.evaluate import lift_table
+
+    # 3 occupied bins of 10 rows each: high bin rich in positives
+    rows = (
+        [(0.95, 1)] * 8 + [(0.95, 0)] * 2     # bin 9
+        + [(0.55, 1)] * 4 + [(0.55, 0)] * 6   # bin 5
+        + [(0.05, 1)] * 1 + [(0.05, 0)] * 9   # bin 0
+    )
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = lift_table(df, "s", "y", bins=10).collect()
+    assert [r["bin"] for r in out] == [9, 5, 0]
+    P, N = 13, 30
+    # bin 9 cut: top 10 rows, 8 positives
+    r9 = out[0]
+    assert (r9["n"], r9["n_pos"]) == (10, 8)
+    assert abs(r9["depth"] - 10 / N) < 1e-12
+    assert abs(r9["gain"] - 8 / P) < 1e-12
+    assert abs(r9["lift"] - (8 / P) / (10 / N)) < 1e-12
+    assert abs(r9["precision"] - 0.8) < 1e-12
+    # bin 5 cut: top 20 rows, 12 positives
+    r5 = out[1]
+    assert abs(r5["gain"] - 12 / P) < 1e-12
+    assert abs(r5["precision"] - 0.6) < 1e-12
+    # full depth: gain = recall = 1, lift = 1
+    r0 = out[2]
+    assert abs(r0["gain"] - 1.0) < 1e-12 and abs(r0["lift"] - 1.0) < 1e-12
+    # binned AP: Σ Δrecall·precision over the descending sweep
+    want_ap = (8 / P) * 0.8 + (12 / P - 8 / P) * 0.6 + (1 - 12 / P) * (13 / 30)
+    assert abs(r9["pr_auc"] - want_ap) < 1e-12
+    assert len({r["pr_auc"] for r in out}) == 1  # scalar rides every row
