@@ -1061,6 +1061,8 @@ def weighted_quantiles_select(
     bins: int = 4096,
     collect_limit: int = 65536,
     checkpoint: bool = True,
+    group_by: list[str] | None = None,
+    max_groups: int = 64,
 ):
     """EXACT weighted quantiles by the same histogram-refine SELECTION as
     :func:`exact_quantiles_select` — value thresholds where every row
@@ -1085,11 +1087,22 @@ def weighted_quantiles_select(
     depth-capped chains still above it resolve distributed via per-chain
     weight prefix sums. Weights must be non-negative integers (cast to
     long; rows with null/NaN values or weight ≤ 0 are excluded).
-    Returns ``[val for q in qs]`` (None on empty/zero-weight input).
+
+    Ungrouped: returns ``[val for q in qs]`` (None on empty/zero-weight
+    input). ``group_by``: per-SEGMENT weighted cuts located in the same
+    shared scans — returns ``{group_key_tuple: [vals]}``; NULL group
+    keys are real segments (eqNullSafe chain conditions). The WHEN-chain
+    membership form is the ≤``max_groups`` one; beyond the cap this
+    raises (the join-membership variant exists for the unweighted
+    selection — extend it here before raising the cap).
     """
     import math
 
+    groups = list(group_by or [])
+    gcols = [F.col(g).alias(f"_g{i}") for i, g in enumerate(groups)]
+    gnames = [f"_g{i}" for i in range(len(groups))]
     vals = df.select(
+        *gcols,
         F.col(col).cast("double").alias("v"),
         F.col(weight_col).cast("long").alias("w"),
     ).where(
@@ -1100,36 +1113,64 @@ def weighted_quantiles_select(
     )
     if checkpoint:
         vals = vals.localCheckpoint(eager=False)
-    row = vals.agg(
-        F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).first()
-    W, glo, ghi = row["W"], row["lo"], row["hi"]
+    if groups:
+        stat_rows = (
+            vals.groupBy(*gnames)
+            .agg(F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .collect()
+        )
+        if len(stat_rows) > max_groups:
+            raise ValueError(
+                f"weighted_quantiles_select: {len(stat_rows)} segments exceed "
+                f"max_groups={max_groups} — the WHEN-chain membership form "
+                "stops being cheap here; split the call or extend the "
+                "join-membership variant (_select_grouped_many) to weights"
+            )
+        stats = [
+            (tuple(r[g] for g in gnames), r["W"], r["lo"], r["hi"])
+            for r in stat_rows
+        ]
+    else:
+        row = vals.agg(
+            F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).first()
+        stats = [((), row["W"], row["lo"], row["hi"])]
     qs_f = [float(q) for q in qs]
-    if not W:
+    if not groups and not stats[0][1]:
         return [None for _ in qs_f]
     # target ranks in WEIGHT space: smallest v with cumw >= q·W (q=0 →
     # rank clamped to 1 so it lands on the minimum, mirroring
     # QUANTILE_DISC's q=0); both engines compare ints against the same
     # IEEE double product
-    ranks = [max(q * W, 1.0) for q in qs_f]
-    resolved: dict = {}  # rank -> value
+    totals = {gk: W for gk, W, _lo, _hi in stats}
+    resolved: dict = {}  # (gkey, rank) -> value
 
     def _bucket(lo: float, hi: float):
         w = (hi - lo) / bins
         raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int")
         return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
 
-    # chain: (cond, base_cumw, chain_w, lo, hi, ranks)
-    chains = [(None, 0, W, glo, ghi, sorted(set(ranks)))]
+    # chain: (gkey, cond, base_cumw, chain_w, lo, hi, ranks)
+    chains = []
+    for gk, W, glo, ghi in stats:
+        gcond = None
+        for i, gv in enumerate(gk):
+            c = F.col(gnames[i]).eqNullSafe(F.lit(gv))
+            gcond = c if gcond is None else (gcond & c)
+        if W:
+            chains.append(
+                (gk, gcond, 0, W,
+                 glo, ghi, sorted({max(q * W, 1.0) for q in qs_f}))
+            )
     depth = 0
     while chains:
         force = depth >= 8
         refine, collectable, fallback = [], [], []
         for ch in chains:
-            cond, base, cw, lo, hi, rks = ch
+            gkey, cond, base, cw, lo, hi, rks = ch
             if lo == hi:
                 for r in rks:
-                    resolved[r] = lo
+                    resolved[(gkey, r)] = lo
             elif cw <= collect_limit:
                 collectable.append(ch)
             elif force:
@@ -1149,7 +1190,7 @@ def weighted_quantiles_select(
 
             tag = None
             for idx, ch in enumerate(fallback):
-                c = ch[0] if ch[0] is not None else F.lit(True)
+                c = ch[1] if ch[1] is not None else F.lit(True)
                 tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
             per_v = (
                 vals.select(tag.alias("cid"), "v", "w")
@@ -1161,8 +1202,8 @@ def weighted_quantiles_select(
             base_ex, rk_ex = None, None
             for idx, ch in enumerate(fallback):
                 hit = F.col("cid") == idx
-                b_lit = F.lit(ch[1])
-                r_lit = F.array(*[F.lit(float(r)) for r in ch[5]])
+                b_lit = F.lit(ch[2])
+                r_lit = F.array(*[F.lit(float(r)) for r in ch[6]])
                 base_ex = (
                     F.when(hit, b_lit) if base_ex is None else base_ex.when(hit, b_lit)
                 )
@@ -1187,14 +1228,14 @@ def weighted_quantiles_select(
                 .collect()
             )
             for r in hits:
-                for rk in fallback[r["cid"]][5]:
+                for rk in fallback[r["cid"]][6]:
                     if r["start"] < rk <= r["start"] + r["c"]:
-                        resolved[rk] = r["v"]
+                        resolved[(fallback[r["cid"]][0], rk)] = r["v"]
 
         if collectable:
             tag = None
             for idx, ch in enumerate(collectable):
-                c = ch[0] if ch[0] is not None else F.lit(True)
+                c = ch[1] if ch[1] is not None else F.lit(True)
                 tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
             got_rows = (
                 vals.select(tag.alias("cid"), "v", "w")
@@ -1206,7 +1247,7 @@ def weighted_quantiles_select(
             runs: dict = {}
             for r in got_rows:
                 runs.setdefault(r["cid"], []).append((r["v"], r["c"]))
-            for idx, (cond, base, _cw, _lo, _hi, rks) in enumerate(collectable):
+            for idx, (gkey, cond, base, _cw, _lo, _hi, rks) in enumerate(collectable):
                 got = sorted(runs.get(idx, []))
                 cum = base
                 it = iter(got)
@@ -1215,7 +1256,7 @@ def weighted_quantiles_select(
                     while cum + c < r:
                         cum += c
                         v, c = next(it)
-                    resolved[r] = v
+                    resolved[(gkey, r)] = v
 
         chains = []
         depth += 1
@@ -1223,7 +1264,7 @@ def weighted_quantiles_select(
             break
         tag = None
         bex = None
-        for idx, (cond, _b, _w, lo, hi, _r) in enumerate(refine):
+        for idx, (_gk, cond, _b, _w, lo, hi, _r) in enumerate(refine):
             c = cond if cond is not None else F.lit(True)
             tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
             e = _bucket(lo, hi)
@@ -1243,7 +1284,7 @@ def weighted_quantiles_select(
         by_chain: dict = {}
         for r in hist_rows:
             by_chain.setdefault(r["cid"], {})[r["b"]] = r["c"]
-        for idx, (cond, base, _cw, lo, hi, rks) in enumerate(refine):
+        for idx, (gkey, cond, base, _cw, lo, hi, rks) in enumerate(refine):
             w0 = (hi - lo) / bins
             hist = by_chain.get(idx, {})
             cum = base
@@ -1263,13 +1304,20 @@ def weighted_quantiles_select(
                     bexpr = _bucket(lo, hi) == bi
                     ccond = bexpr if cond is None else (cond & bexpr)
                     chains.append(
-                        (ccond, cum, c, lo + bi * w0, lo + (bi + 1) * w0, child)
+                        (gkey, ccond, cum, c, lo + bi * w0, lo + (bi + 1) * w0, child)
                     )
                 cum += c
                 if done:
                     break
 
-    return [resolved[max(q * W, 1.0)] for q in qs_f]
+    if not groups:
+        W = totals[()]
+        return [resolved[((), max(q * W, 1.0))] for q in qs_f]
+    return {
+        gk: [resolved[(gk, max(q * W, 1.0))] for q in qs_f]
+        for gk, W in totals.items()
+        if W
+    }
 
 
 def exact_quantiles_multi(

@@ -7256,3 +7256,56 @@ def lift_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("recall", 6) + F.lit(0.0)).alias("recall"),
         (F.round("pr_auc", 6) + F.lit(0.0)).alias("pr_auc"),
     ).orderBy(F.desc("bin"))
+
+
+@register(
+    "weighted_len_quantiles_by_source",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wv AS (
+      SELECT d.source AS source, CAST(d.n_chars AS DOUBLE) AS v, len(t.t) AS w
+      FROM documents d JOIN toks t USING (doc_id)
+      WHERE d.n_chars IS NOT NULL AND len(t.t) > 0
+    ),
+    agg AS (SELECT source, v, SUM(w) AS w FROM wv GROUP BY source, v),
+    cum AS (
+      SELECT source, v, SUM(w) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM agg
+    ),
+    tot AS (SELECT source, SUM(w) AS tw FROM wv GROUP BY source),
+    probes AS (SELECT UNNEST([0.25, 0.5, 0.9]) AS q)
+    SELECT c.source AS source, CAST(p.q AS DOUBLE) AS q, MIN(c.v) AS val
+    FROM probes p
+    CROSS JOIN tot
+    JOIN cum c ON c.source = tot.source
+              AND c.cw >= GREATEST(p.q * tot.tw, 1.0)
+    GROUP BY c.source, p.q ORDER BY source, q
+    """,
+)
+def weighted_len_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE token-weighted document-length cuts
+    (profile.weighted_quantiles_select group_by=['source']) — each
+    source's char-length threshold under which q of ITS tokens sit, all
+    segments located in the same shared selection scans; the per-source
+    packing/budget knob the global cut can't provide."""
+    from dataquality_ml_spark.operators import text as tx
+    from dataquality_ml_spark.operators.profile import weighted_quantiles_select
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.token_stats(docs)
+    wv = docs.join(toks, "doc_id").select(
+        "source",
+        F.col("n_chars").cast("double").alias("v"),
+        F.col("n_tokens").alias("w"),
+    )
+    qs = [0.25, 0.5, 0.9]
+    got = weighted_quantiles_select(wv, "v", "w", qs, group_by=["source"])
+    return spark.createDataFrame(
+        [
+            (g[0], float(q), float(v))
+            for g, vals in got.items()
+            for q, v in zip(qs, vals)
+        ],
+        "source string, q double, val double",
+    ).orderBy("source", "q")

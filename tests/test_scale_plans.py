@@ -454,3 +454,47 @@ def test_weighted_quantiles_select_matches_brute_force(spark):
     assert weighted_quantiles_select(
         spark.createDataFrame([], "v double, w long"), "v", "w", [0.5]
     ) == [None]
+
+
+def test_weighted_quantiles_select_grouped(spark):
+    """Grouped weighted selection == per-group brute-force cumulative
+    weight scan, including a NULL group key and the forced-refinement /
+    depth-cap paths; over max_groups raises the documented contract."""
+    import random
+
+    from dataquality_ml_spark.operators.profile import weighted_quantiles_select
+
+    rng = random.Random(37)
+    qs = [0.1, 0.5, 0.9, 1.0]
+    rows = (
+        [("a", rng.gauss(0, 1), 1 + rng.randrange(30)) for _ in range(1500)]
+        + [("b", float(rng.randrange(9)), 1 + rng.randrange(5)) for _ in range(900)]
+        + [(None, rng.random(), 1 + rng.randrange(10)) for _ in range(400)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+
+    def brute(g):
+        pairs = sorted((v, w) for gg, v, w in rows if gg == g)
+        W = sum(w for _, w in pairs)
+        out = []
+        for q in qs:
+            r, cum = max(q * W, 1.0), 0
+            for v, w in pairs:
+                cum += w
+                if cum >= r:
+                    out.append(v)
+                    break
+        return out
+
+    want = {(g,): brute(g) for g in ("a", "b", None)}
+    got = weighted_quantiles_select(df, "v", "w", qs, group_by=["g"])
+    assert got == want
+    got2 = weighted_quantiles_select(
+        df, "v", "w", qs, group_by=["g"], bins=2, collect_limit=1
+    )
+    assert got2 == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_groups=1"):
+        weighted_quantiles_select(df, "v", "w", qs, group_by=["g"], max_groups=1)
