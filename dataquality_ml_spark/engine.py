@@ -461,6 +461,17 @@ class DQEngine:
 
         return drift_panel(ref, cur, col, keys=keys)
 
+    def feature_drift(
+        self, ref: DataFrame, cur: DataFrame, columns: list[str]
+    ) -> DataFrame:
+        """WHICH feature drifted: the four-statistic panel for every
+        numeric column in one melt + one keyed aggregation
+        (drift.feature_drift_report) — the whole feature-set drift
+        report as a single job, not a per-column loop."""
+        from dataquality_ml_spark.operators.drift import feature_drift_report
+
+        return feature_drift_report(ref, cur, columns)
+
     def drift_timeline(
         self,
         df: DataFrame,

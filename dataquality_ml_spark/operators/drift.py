@@ -889,6 +889,43 @@ def drift_panel(
     )
 
 
+def feature_drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """WHICH FEATURE drifted: the full two-sample panel (KS D,
+    Mann-Whitney U/z, CvM T, AD A²) for EVERY numeric column in ONE
+    pass — (column, ks_d, u_stat, z_score, cvm_t, ad_a2, n_a, n_b),
+    one row per column.
+
+    This is the feature-level kill of the reference's per-column job
+    loop (reference lib/utils.py:187-195 runs one Spark job per column
+    per statistic): both sides melt to (column, value) — a narrow
+    generate, no shuffle — and ``drift_panel(keys=['column'])`` treats
+    each column as a segment of the SAME keyed ECDF build, so a
+    40-feature drift report costs one scan per side + one grouped
+    aggregation, not 160 jobs. Columns cast to double; NaN/null
+    excluded per column (``_ecdf_counts`` population).
+    """
+    def _melt(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("v"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("p")
+        ).select("p.*").where(~F.isnan("v") | F.col("v").isNull())
+
+    return drift_panel(_melt(ref), _melt(cur), "v", keys=["column"])
+
+
 def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Mutual information (nats) between two categorical columns as a
     1-row DataFrame (mi, n) — the dependence-strength companion to

@@ -681,3 +681,43 @@ def test_calibration_curve_ece_semantics(spark):
     rep = calibration_curve(bad, "s", "y", bins=10).collect()
     assert len(rep) == 1  # only the occupied bin
     assert abs(rep[0]["ece"] - 0.6) < 1e-9  # |0.9 - 0.3|
+
+
+def test_feature_drift_report_matches_per_column_panels(spark):
+    """feature_drift_report == drift_panel run per column — every
+    feature's full panel from ONE melt + ONE keyed aggregation (the
+    feature-level kill of the per-column job loop); null/NaN handled
+    per column."""
+    import random
+
+    from dataquality_ml_spark.operators.drift import drift_panel, feature_drift_report
+
+    rng = random.Random(43)
+    mk = lambda shift: spark.createDataFrame(  # noqa: E731
+        [
+            (
+                rng.gauss(shift, 1),
+                float(rng.randrange(12)) + shift,
+                rng.random() if rng.random() > 0.05 else float("nan"),
+            )
+            for _ in range(700)
+        ],
+        "x double, y double, z double",
+    )
+    a, b = mk(0.0), mk(0.4)
+    rep = {r["column"]: r for r in feature_drift_report(a, b, ["x", "y", "z"]).collect()}
+    assert set(rep) == {"x", "y", "z"}
+    for c in ("x", "y", "z"):
+        want = drift_panel(
+            a.select(F.col(c).alias("v")).where(~F.isnan("v")),
+            b.select(F.col(c).alias("v")).where(~F.isnan("v")),
+            "v",
+        ).first()
+        got = rep[c]
+        assert got["ks_d"] == want["ks_d"], c
+        assert (got["u_stat"], got["z_score"]) == (want["u_stat"], want["z_score"]), c
+        assert got["cvm_t"] == want["cvm_t"], c
+        assert abs(got["ad_a2"] - want["ad_a2"]) < 1e-9, c
+        assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"]), c
+    # the shifted columns alarm; ks_d sane
+    assert rep["x"]["ks_d"] > 0.1 and rep["y"]["ks_d"] > 0.1
