@@ -122,6 +122,11 @@ def fit_features(
     bucket in parallel, then ranks the ≤ 32·k survivors per column —
     driver state is O(cols · max_categories) by construction.
     ``max_categories=None`` opts out (explicitly unbounded)."""
+    if on_overflow not in ("error", "keep"):
+        raise ValueError(
+            f"fit_features: on_overflow={on_overflow!r} — must be 'error' "
+            "or 'keep' (anything else would silently truncate like 'keep')"
+        )
     from dataquality_ml_spark.operators.profile import _valid
 
     roles = roles or infer_roles(df, label_col)

@@ -357,15 +357,26 @@ def cvm_statistic(
         ),
         F.sum("s_term").alias("s"),
         F.max("denom").alias("denom"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_term").alias("n_terms"),
+        F.count("denom").alias("n_denoms"),
         F.max("tot_a").alias("n_a"),
         F.max("tot_b").alias("n_b"),
     )
-    # fail LOUDLY on decimal overflow (sum/denom nulled) instead of
-    # returning a silently-wrong statistic; empty input (n_a null) is a
-    # legitimate null result, not an overflow
-    ok = (F.col("s").isNotNull() & F.col("denom").isNotNull()) | F.col(
-        "n_a"
-    ).isNull()
+    # fail LOUDLY on decimal overflow instead of returning a
+    # silently-wrong statistic. Under ansi-off an overflowing
+    # DECIMAL(38,0) term becomes NULL and F.sum SKIPS it — if only some
+    # rows overflow (typical: mid-distribution gaps overflow, edge gaps
+    # don't) the sum stays non-null but wrong, so a null-check on the
+    # sum alone is not enough: compare row count to non-null term count
+    # in the same agg. Empty input (n_a null) is a legitimate null
+    # result, not an overflow.
+    ok = (
+        F.col("s").isNotNull()
+        & F.col("denom").isNotNull()
+        & (F.col("n_terms") == F.col("n_rows"))
+        & (F.col("n_denoms") == F.col("n_rows"))
+    ) | F.col("n_a").isNull()
     # one-sided segments (keyed mode): denom == 0 — report null, not a
     # division artifact (the KS face reports 1.0 there; CvM's T has no
     # finite one-sided value)
@@ -841,6 +852,9 @@ def drift_panel(
         F.sum(cnt * cnt * cnt - cnt).cast("double").alias("ties"),
         F.sum(cvm_term).alias("cvm_s"),
         F.max(cvm_denom).alias("cvm_den"),
+        F.count(F.lit(1)).alias("cvm_rows"),
+        F.count(cvm_term).alias("cvm_terms"),
+        F.count(cvm_denom).alias("cvm_denoms"),
         ad_terms[0].alias("ad_a"),
         ad_terms[1].alias("ad_b"),
         F.max("tot_a").alias("n_a"),
@@ -854,8 +868,15 @@ def drift_panel(
     u = F.col("ra") - na * (na + 1) / 2
     mu = na * nb / 2
     var = na * nb / 12 * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    # partial-overflow detection mirrors cvm_statistic's exact path: an
+    # ansi-off DECIMAL(38,0) overflow nulls individual terms and F.sum
+    # SKIPS them, so the sum can be non-null yet wrong — require every
+    # row to have produced a non-null term, not just a non-null sum
     cvm_ok = (
-        F.col("cvm_s").isNotNull() & F.col("cvm_den").isNotNull()
+        F.col("cvm_s").isNotNull()
+        & F.col("cvm_den").isNotNull()
+        & (F.col("cvm_terms") == F.col("cvm_rows"))
+        & (F.col("cvm_denoms") == F.col("cvm_rows"))
     ) | F.col("n_a").isNull()
     cvm_val = F.when(
         F.col("cvm_den") == 0, F.lit(None).cast("double")

@@ -290,7 +290,14 @@ def lift_table(
         F.sum("n_pos").over(tot).alias("pos_tot"),
     )
     depth = F.col("cum_n") / F.col("n_tot")
-    gain = F.col("cum_pos") / F.col("pos_tot")
+    # zero-positives guard: a batch with no positive labels would throw
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode (or emit NaN with
+    # ansi off) — gain/lift/recall/pr_auc are undefined there, so report
+    # NULL for them; depth/precision stay defined (cum_n > 0 on every
+    # occupied bin)
+    gain = F.when(
+        F.col("pos_tot") > 0, F.col("cum_pos") / F.col("pos_tot")
+    ).otherwise(F.lit(None).cast("double"))
     precision = F.col("cum_pos") / F.col("cum_n")
     prev_gain = F.lag(gain, 1, 0.0).over(Window.partitionBy().orderBy(F.desc("bin")))
     stepped = cum.select(

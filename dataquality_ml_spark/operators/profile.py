@@ -1098,6 +1098,14 @@ def weighted_quantiles_select(
     """
     import math
 
+    bad_qs = [
+        q for q in qs if math.isnan(float(q)) or not (0.0 <= float(q) <= 1.0)
+    ]
+    if bad_qs:
+        raise ValueError(
+            "weighted_quantiles_select: qs must satisfy 0 <= q <= 1 "
+            f"(q=0 clamps to the minimum, QUANTILE_DISC-style); got {bad_qs}"
+        )
     groups = list(group_by or [])
     gcols = [F.col(g).alias(f"_g{i}") for i, g in enumerate(groups)]
     gnames = [f"_g{i}" for i in range(len(groups))]

@@ -485,6 +485,39 @@ def test_cvm_exact_overflow_raises_and_inexact_path_survives(spark):
     assert abs(ex - ap) < 1e-9 * max(ex, 1.0)
 
 
+def test_cvm_partial_overflow_detected_under_ansi_off(spark):
+    """Round-10 ADVICE: under ansi-off, an overflowing DECIMAL(38,0) term
+    becomes NULL and F.sum SKIPS it — when only SOME rows overflow the sum
+    stays non-null and the old null-check guard passed, returning a
+    silently-wrong cvm_t. The guard must compare row count to non-null
+    term count. Staged: tot=2e9 keeps denom = 4·t⁴ ≈ 6.4e37 under the
+    decimal ceiling (so the denom check can't save us), row 1's
+    cnt·gap² = 100·(t²)² ≈ 1.6e39 overflows, row 2's gap = 0 doesn't."""
+    from dataquality_ml_spark.operators.drift import cvm_statistic, drift_panel
+
+    t = 2_000_000_000
+    fake = spark.createDataFrame(
+        [
+            (50, 50, t, 0, t, t),  # gap = t² → term overflows
+            (1, 1, t, t, t, t),  # gap = 0 → term fine
+        ],
+        "n_a bigint, n_b bigint, ca bigint, cb bigint, tot_a bigint, tot_b bigint",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="overflow|USER_RAISED"):
+            cvm_statistic(None, None, "v", ecdf=fake).first()
+        with pytest.raises(Exception, match="overflow|USER_RAISED"):
+            drift_panel(None, None, "v", ecdf=fake).first()
+        # the normalized-double path still returns the right statistic:
+        # T = n_a·n_b/N² · Σ cnt·(F_a−F_b)² = t·t/(2t)²·(100·1² + 2·0²) = 25
+        row = cvm_statistic(None, None, "v", ecdf=fake, exact=False).first()
+        assert row["cvm_t"] == pytest.approx(25.0)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_keyed_drift_family_matches_per_segment_global(spark):
     """rank_sum_test / cvm_statistic / anderson_darling / qq_table with
     keys= must equal running the global operator once per segment

@@ -520,3 +520,21 @@ def test_lift_table_hand_computed(spark):
     want_ap = (8 / P) * 0.8 + (12 / P - 8 / P) * 0.6 + (1 - 12 / P) * (13 / 30)
     assert abs(r9["pr_auc"] - want_ap) < 1e-12
     assert len({r["pr_auc"] for r in out}) == 1  # scalar rides every row
+
+
+def test_lift_table_zero_positives_returns_null_not_error(spark):
+    """Round-10 ADVICE: a batch with no positive labels must not throw
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode — gain/lift/recall/
+    pr_auc are undefined there and come back NULL; depth/precision stay
+    defined."""
+    from dataquality_ml_spark.operators.evaluate import lift_table
+
+    df = spark.createDataFrame(
+        [(0.9, 0), (0.5, 0), (0.1, 0)], "s double, y int"
+    )
+    out = lift_table(df, "s", "y", bins=10).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["gain"] is None and r["lift"] is None
+        assert r["recall"] is None and r["pr_auc"] is None
+        assert r["depth"] is not None and r["precision"] == 0.0

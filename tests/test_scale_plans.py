@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataquality_ml_spark import plans
@@ -454,6 +455,11 @@ def test_weighted_quantiles_select_matches_brute_force(spark):
     assert weighted_quantiles_select(
         spark.createDataFrame([], "v double, w long"), "v", "w", [0.5]
     ) == [None]
+    # round-10 ADVICE: q outside [0, 1] must raise a domain error up
+    # front, not an opaque KeyError from the resolved-rank lookup
+    for bad in ([1.5], [-0.1], [0.5, 2.0], [float("nan")]):
+        with pytest.raises(ValueError, match="0 <= q <= 1"):
+            weighted_quantiles_select(df, "v", "w", bad)
 
 
 def test_weighted_quantiles_select_grouped(spark):
