@@ -5,9 +5,13 @@ The reference's SMOTE runs driver-side over a pandas frame
 its hyperparameter search is a serial sklearn GridSearchCV
 (app/IsolationForest_AE.py:209-247). Here:
 
-- ``smote_oversample``: the minority class is tiny by definition, so it is
-  collected once, synthesized with deterministic numpy SMOTE on the driver,
-  and parallelized back — the majority class never moves.
+- ``smote_oversample``: the minority feature matrix is CAPPED
+  (``max_minority_rows``, loud on-overflow contract like
+  ``fit_features``), broadcast once, and the synthetic rows are
+  generated EXECUTOR-SIDE by a ``mapInPandas`` over ``spark.range(need)``
+  — "minority is tiny" is enforced as a contract, never assumed, and
+  neither the minority collect nor the synthesis is ever unbounded
+  driver work.
 - ``grid_search``: embarrassingly parallel fit/eval over the param grid via
   ``sparkContext.parallelize`` (one task per param set).
 """
@@ -20,6 +24,43 @@ from typing import Any
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a counter-based uniform hash so
+    every synthetic row's randomness is a pure function of (seed, row id):
+    deterministic under any partitioning of the ``spark.range`` seed
+    relation, no driver-side random arrays of size ``need``."""
+    z = np.asarray(z, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _knn_table(x: np.ndarray, k: int) -> np.ndarray:
+    """Exact kNN over the (capped) minority matrix, chunked so peak memory
+    is O(chunk·n) — never the O(n²·d) broadcast-difference tensor. Ties
+    break by index (stable), matching a full argsort."""
+    n = len(x)
+    norms = (x * x).sum(axis=1)
+    nn = np.empty((n, k), dtype=np.int64)
+    # ~64 MB of float64 per chunk distance block
+    chunk = max(1, int(8_000_000 // max(1, n)))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        d2 = norms[s:e, None] + norms[None, :] - 2.0 * (x[s:e] @ x.T)
+        d2[np.arange(e - s), np.arange(s, e)] = np.inf
+        if n > k + 1:
+            cand = np.argpartition(d2, k, axis=1)[:, : k + 1]
+        else:
+            cand = np.tile(np.arange(n), (e - s, 1))
+        cd = np.take_along_axis(d2, cand, axis=1)
+        order = np.lexsort((cand, cd), axis=1)[:, :k]
+        nn[s:e] = np.take_along_axis(cand, order, axis=1)
+    return nn
 
 
 def smote_oversample(
@@ -30,6 +71,8 @@ def smote_oversample(
     feature_cols: list[str],
     k_neighbors: int = 5,
     seed: int = 42,
+    max_minority_rows: int = 65536,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """SMOTE synthesis to ``target_count`` minority rows, unioned back.
 
@@ -37,31 +80,106 @@ def smote_oversample(
     k = min(k_neighbors, n_minority - 1); each synthetic row interpolates a
     random minority point toward one of its k nearest minority neighbors by
     a uniform gap. Deterministic under the seed.
+
+    Scale contract (round 10 — this was the last unbounded driver collect
+    reachable from a §2 operator): the driver only ever materializes at
+    most ``max_minority_rows`` minority rows. Over the cap, the
+    ``on_overflow`` contract fires BEFORE anything minority-sized moves:
+
+    - ``"error"`` (default): raise ValueError with the observed count —
+      a 0.1% minority of a 100 TB table is ~100 GB and must never OOM the
+      driver silently.
+    - ``"sample"``: interpolate within a deterministic xxhash64-ranked
+      sample of ``max_minority_rows`` minority rows (the synthetic count
+      still tops the class up to ``target_count``; the interpolation BASE
+      is sampled, which is the standard practical SMOTE at scale).
+
+    Synthesis is executor-side: the capped (rows × features) matrix and
+    its kNN table are broadcast, and a ``mapInPandas`` over
+    ``spark.range(need)`` derives each row's (base point, neighbor, gap)
+    from a counter-based splitmix64 hash of (seed, id) — bit-identical
+    output under any partitioning, and ``need`` never sits on the driver.
     """
+    if on_overflow not in ("error", "sample"):
+        raise ValueError(
+            f"smote_oversample: on_overflow={on_overflow!r} — must be "
+            "'error' or 'sample'"
+        )
     minority = df.where(F.col(label_col) == F.lit(minority_value))
-    rows = minority.select(*feature_cols).collect()
-    x = np.array([[float(v) for v in r] for r in rows])
-    n = len(x)
-    need = target_count - n
-    if need <= 0 or n < 2:
+    feats = minority.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols]
+    )
+    n_full = feats.count()
+    need = target_count - n_full
+    if need <= 0 or n_full < 2:
         return df
 
-    k = min(k_neighbors, n - 1)
-    rng = np.random.default_rng(seed)
-    # exact kNN on the minority set (tiny by definition)
-    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
-    np.fill_diagonal(d2, np.inf)
-    nn = np.argsort(d2, axis=1)[:, :k]
+    if n_full > max_minority_rows:
+        if on_overflow == "error":
+            raise ValueError(
+                f"smote_oversample: minority class '{minority_value}' has "
+                f"{n_full} rows, over max_minority_rows={max_minority_rows} "
+                "— raise the cap or pass on_overflow='sample' (interpolate "
+                "within a deterministic hash-ranked sample)"
+            )
+        # deterministic threshold-sample (~1.25× slack), then the exact
+        # cap by hash rank — TakeOrdered over ≤1.25·cap surviving rows,
+        # never a global sort of the full minority
+        m = 1_048_576
+        frac = min(1.0, 1.25 * max_minority_rows / n_full)
+        hcol = F.xxhash64(*[F.col(c) for c in feature_cols], F.lit(seed))
+        pdf = (
+            feats.withColumn("_h", hcol)
+            .where(F.pmod(F.col("_h"), F.lit(m)) < int(frac * m))
+            .orderBy("_h")
+            .limit(max_minority_rows)
+            .drop("_h")
+            .toPandas()
+        )
+    else:
+        pdf = feats.toPandas()
 
-    base = rng.integers(0, n, size=need)
-    pick = nn[base, rng.integers(0, k, size=need)]
-    gap = rng.random(size=need)[:, None]
-    synth = x[base] + gap * (x[pick] - x[base])
+    x = np.ascontiguousarray(pdf[feature_cols].to_numpy(dtype=np.float64))
+    n = len(x)
+    if n < 2:
+        return df
+    k = min(k_neighbors, n - 1)
+    nn = _knn_table(x, k)
 
     spark = df.sparkSession
-    synth_df = spark.createDataFrame(
-        [tuple(map(float, row)) for row in synth], schema=feature_cols
-    ).withColumn(label_col, F.lit(minority_value))
+    bx = spark.sparkContext.broadcast((x, nn))
+    ms = int(_mix64(np.array([seed], dtype=np.uint64))[0])
+    n_b, k_b = n, k
+
+    def _gen(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        mx, mnn = bx.value
+        for b in batches:
+            idx = b["id"].to_numpy(np.uint64)
+            with np.errstate(over="ignore"):
+                base = (
+                    _mix64(idx + np.uint64(ms)) % np.uint64(n_b)
+                ).astype(np.int64)
+                slot = (
+                    _mix64(idx + np.uint64(ms) + np.uint64(0x51ED2701))
+                    % np.uint64(k_b)
+                ).astype(np.int64)
+                gap = (
+                    _mix64(idx ^ np.uint64(ms) ^ np.uint64(0xC2B2AE3D))
+                    .astype(np.float64)
+                    / 18446744073709551616.0
+                )
+            pick = mnn[base, slot]
+            synth = mx[base] + gap[:, None] * (mx[pick] - mx[base])
+            yield pd.DataFrame(synth, columns=list(feature_cols))
+
+    schema = StructType(
+        [StructField(c, DoubleType()) for c in feature_cols]
+    )
+    synth_df = spark.range(need).mapInPandas(_gen, schema).withColumn(
+        label_col, F.lit(minority_value)
+    )
     return df.select(label_col, *feature_cols).unionByName(
         synth_df.select(label_col, *feature_cols)
     )

@@ -144,6 +144,62 @@ def test_smote_counts_and_range(spark):
     assert all(0.0 <= v <= 20.0 for v in vals)
 
 
+def test_smote_scale_contract(spark):
+    """Round-10: the minority collect is capped with a loud on-overflow
+    contract (the fit_features pattern) and synthesis runs executor-side.
+    (1) under the cap, results are identical whatever the cap is;
+    (2) over the cap, the default raises instead of OOMing;
+    (3) on_overflow='sample' still tops the class up to target_count and
+        interpolates inside the minority hull;
+    (4) same seed → bit-identical synthesis (counter-based hash, not a
+        partitioning-dependent RNG)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(float(i), "maj") for i in range(50)]
+        + [(float(10 * i), "min") for i in range(20)],
+        "value double, label string",
+    )
+
+    def synth_vals(out):
+        return sorted(
+            r["value"] for r in out.where(F.col("label") == "min").collect()
+        )
+
+    a = synth_vals(
+        aug.smote_oversample(
+            df, "label", "min", 60, ["value"], seed=7, max_minority_rows=20
+        )
+    )
+    b = synth_vals(
+        aug.smote_oversample(
+            df, "label", "min", 60, ["value"], seed=7, max_minority_rows=10_000
+        )
+    )
+    assert a == b and len(a) == 60  # (1) cap-invariant under the cap
+    assert a == synth_vals(
+        aug.smote_oversample(
+            df, "label", "min", 60, ["value"], seed=7, max_minority_rows=20
+        )
+    )  # (4) deterministic replay
+    with pytest.raises(ValueError, match="max_minority_rows"):
+        aug.smote_oversample(
+            df, "label", "min", 60, ["value"], seed=7, max_minority_rows=8
+        )  # (2) loud, not OOM
+    with pytest.raises(ValueError, match="on_overflow"):
+        aug.smote_oversample(
+            df, "label", "min", 60, ["value"], on_overflow="warn"
+        )
+    sampled = synth_vals(
+        aug.smote_oversample(
+            df, "label", "min", 60, ["value"], seed=7,
+            max_minority_rows=8, on_overflow="sample",
+        )
+    )  # (3) capped base, full top-up
+    assert len(sampled) == 60
+    assert all(0.0 <= v <= 190.0 for v in sampled)
+
+
 def test_mllib_pipeline_parity(telemetry):
     from dataquality_ml_spark.ml.mllib_pipeline import build_feature_pipeline
 
@@ -424,3 +480,10 @@ def test_fit_features_max_categories_cap(spark, telemetry):
     again = feat.FeatureModel.from_json(kept.to_json())
     assert again.overflow == {"serial": 60}
     assert again.categories == kept.categories
+    # round-10 ADVICE: a typo'd on_overflow must fail loudly at entry,
+    # not silently behave like 'keep'
+    with pytest.raises(ValueError, match="on_overflow"):
+        feat.fit_features(
+            big, roles=broles, label_col=None, max_categories=10,
+            on_overflow="warn",
+        )
