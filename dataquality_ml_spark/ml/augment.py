@@ -203,6 +203,17 @@ def grid_search(
     return best[0], best[1], results
 
 
+def stability_from_stats(mean: float, std: float, rng: float) -> float:
+    """The stability formula on precomputed distribution stats —
+    ``1 / (1 + std/(mean+1e-8) + range/(mean+1e-8))`` — shared by
+    :func:`stability_score` (raw score vectors) and the SQL-checkable
+    ``stability_grid_lineitem`` query (Spark-aggregated mean/stddev_pop/
+    range per param set), so both faces run the identical scalar float
+    sequence the oracle replays."""
+    denom = mean + 1e-8
+    return 1.0 / (1.0 + std / denom + rng / denom)
+
+
 def stability_score(scores: np.ndarray) -> float:
     """The reference's enhanced-IF model-selection score
     (app/IsolationForest_AE_enhanced.py:108-121): with anomaly scores over
@@ -212,11 +223,9 @@ def stability_score(scores: np.ndarray) -> float:
     better; ties keep the earliest grid entry (the reference's strict-``>``
     update rule, which ``max`` reproduces by returning the first max)."""
     s = np.asarray(scores, dtype=np.float64)
-    mean = float(np.mean(s))
-    denom = mean + 1e-8
-    norm_std = float(np.std(s)) / denom
-    norm_range = float(np.max(s) - np.min(s)) / denom
-    return 1.0 / (1.0 + norm_std + norm_range)
+    return stability_from_stats(
+        float(np.mean(s)), float(np.std(s)), float(np.max(s) - np.min(s))
+    )
 
 
 def iforest_stability_search(

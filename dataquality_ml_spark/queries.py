@@ -4171,3 +4171,134 @@ def ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ===========================================================================
+# M11 grid search as an oracle-gated query (round 10, VERDICT r9 item 4):
+# stability-ranked hyperparameter sweep over a deterministic, fully
+# SQL-expressible scoring family.
+# ===========================================================================
+_STAB_FEAT = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_STAB_GRID = [
+    (0, 1, "var"), (1, 1, "std"), (2, 1, "none"),
+    (3, 2, "var"), (4, 2, "std"), (5, 2, "none"),
+]
+
+
+def _stability_grid_oracle() -> str:
+    def err_sql(p: int, norm: str) -> str:
+        terms = []
+        for c in _STAB_FEAT:
+            diff = f"ABS(l.{c} - s.{c}_mu)"
+            e = diff if p == 1 else f"({diff} * {diff})"
+            if norm == "var":
+                e = f"{e} / s.{c}_var"
+            elif norm == "std":
+                e = f"{e} / s.{c}_sd"
+            terms.append(e)
+        return f"({' + '.join(terms)}) / {float(len(_STAB_FEAT))}"
+
+    stat_cols = ", ".join(
+        f"AVG({c}) AS {c}_mu, GREATEST(VAR_SAMP({c}), 1e-6) AS {c}_var, "
+        f"GREATEST(STDDEV_SAMP({c}), 1e-6) AS {c}_sd"
+        for c in _STAB_FEAT
+    )
+    e_cols = ", ".join(
+        f"{err_sql(p, nm)} AS e{pid}" for pid, p, nm in _STAB_GRID
+    )
+    ss_cols = ", ".join(
+        f"AVG(e{pid}) AS m{pid}, STDDEV_POP(e{pid}) AS s{pid}, "
+        f"MAX(e{pid}) - MIN(e{pid}) AS r{pid}"
+        for pid, _p, _nm in _STAB_GRID
+    )
+    res_rows = " UNION ALL ".join(
+        f"SELECT {pid} AS pid, CAST({p} AS DOUBLE) AS p_exp, '{nm}' AS norm, "
+        f"1.0 / (1.0 + s{pid} / (m{pid} + 1e-8) + r{pid} / (m{pid} + 1e-8)) "
+        f"AS stab FROM ss"
+        for pid, p, nm in _STAB_GRID
+    )
+    return f"""
+    WITH stats AS (SELECT {stat_cols} FROM lineitem),
+    scored AS (SELECT {e_cols} FROM lineitem l, stats s),
+    ss AS (SELECT {ss_cols} FROM scored),
+    res AS ({res_rows}),
+    best AS (SELECT pid AS bpid FROM res ORDER BY stab DESC, pid ASC LIMIT 1)
+    SELECT r.pid, r.p_exp, r.norm,
+           ROUND(r.stab, 4) + 0 AS stability,
+           r.pid = b.bpid AS is_best
+    FROM res r, best b ORDER BY r.pid
+    """
+
+
+@register("stability_grid_lineitem", oracle=_stability_grid_oracle())
+def stability_grid_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 hyperparameter grid search with the reference's stability
+    selection rule (app/IsolationForest_AE_enhanced.py:49-146: score the
+    NORMAL slice under each param set, rank by
+    1/(1 + std/(mean+1e-8) + range/(mean+1e-8)), strict-> update keeps
+    the earliest max), re-expressed Spark-first so it is FULLY
+    oracle-checkable: the scoring family is the variance/std-normalized
+    MAE with exponent p in {1,2} (exact mul/div ops only — no POWER), all
+    six param sets' (mean, stddev_pop, range) fuse into ONE scan, and the
+    sweep itself runs through ml.augment.grid_search (one Spark task per
+    param set, the M11 machinery) on the bounded per-set stats. Output:
+    one row per param set with its stability and the strict-max winner
+    flagged."""
+    from dataquality_ml_spark.ml import augment as aug_m
+
+    li = _t(spark, sf_dir, "lineitem")
+    srow = li.agg(
+        *[F.avg(c).alias(f"{c}_mu") for c in _STAB_FEAT],
+        *[F.var_samp(c).alias(f"{c}_var") for c in _STAB_FEAT],
+        *[F.stddev_samp(c).alias(f"{c}_sd") for c in _STAB_FEAT],
+    ).first()
+
+    def err_expr(p: int, norm: str):
+        terms = []
+        for c in _STAB_FEAT:
+            diff = F.abs(F.col(c) - F.lit(float(srow[f"{c}_mu"])))
+            e = diff if p == 1 else diff * diff
+            if norm == "var":
+                e = e / F.lit(max(float(srow[f"{c}_var"]), 1e-6))
+            elif norm == "std":
+                e = e / F.lit(max(float(srow[f"{c}_sd"]), 1e-6))
+            terms.append(e)
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total / F.lit(float(len(_STAB_FEAT)))
+
+    aggs = []
+    for pid, p, nm in _STAB_GRID:
+        e = err_expr(p, nm)
+        aggs += [
+            F.avg(e).alias(f"m{pid}"),
+            F.stddev_pop(e).alias(f"s{pid}"),
+            (F.max(e) - F.min(e)).alias(f"r{pid}"),
+        ]
+    row = li.agg(*aggs).first()
+    statmap = {
+        pid: (float(row[f"m{pid}"]), float(row[f"s{pid}"]), float(row[f"r{pid}"]))
+        for pid, _p, _nm in _STAB_GRID
+    }
+    grid = [{"pid": pid, "p": p, "norm": nm} for pid, p, nm in _STAB_GRID]
+
+    def fit_eval(params):
+        m, s, r = statmap[params["pid"]]
+        return aug_m.stability_from_stats(m, s, r)
+
+    best, _bval, results = aug_m.grid_search(spark, grid, fit_eval, maximize=True)
+    out_rows = [
+        (
+            g["pid"],
+            float(g["p"]),
+            g["norm"],
+            round(v, 4) + 0.0,
+            g["pid"] == best["pid"],
+        )
+        for g, v in results
+    ]
+    return spark.createDataFrame(
+        sorted(out_rows),
+        "pid int, p_exp double, norm string, stability double, is_best boolean",
+    )

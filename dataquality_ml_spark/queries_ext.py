@@ -7412,3 +7412,4 @@ def feature_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     ).orderBy("column")
+
