@@ -4302,3 +4302,167 @@ def stability_grid_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(out_rows),
         "pid int, p_exp double, norm string, stability double, is_best boolean",
     )
+
+
+# ===========================================================================
+# Mixed numeric+categorical feature drift (round 10, VERDICT r9 item 5):
+# the one-pass feature panel extended with string columns.
+# ===========================================================================
+_MIX_SPLIT = "1998-01-01"  # same shipdate split as feature_drift_lineitem
+
+
+@register(
+    "feature_drift_mixed_lineitem",
+    oracle=f"""
+    WITH melted AS (
+      SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v, l_shipdate FROM lineitem
+    ),
+    tagged AS (
+      SELECT col_name, v, CASE WHEN l_shipdate < TIMESTAMP '{_MIX_SPLIT}' THEN 1 ELSE 0 END AS in_a
+      FROM melted WHERE v IS NOT NULL
+    ),
+    per_v AS (
+      SELECT col_name, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY col_name, v
+    ),
+    cum AS (
+      SELECT col_name, n_a, n_b,
+             SUM(n_a) OVER (PARTITION BY col_name ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(n_b) OVER (PARTITION BY col_name ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(n_a) OVER (PARTITION BY col_name) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY col_name) AS tot_b
+      FROM per_v
+    ),
+    s AS (
+      SELECT col_name,
+             MAX(ABS(ca / CAST(tot_a AS DOUBLE) - cb / CAST(tot_b AS DOUBLE))) AS ks_d,
+             SUM(n_a * (ca + cb - (n_a + n_b) + (n_a + n_b + 1) / 2.0)) AS ra,
+             CAST(SUM((n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)) AS DOUBLE) AS ties,
+             SUM(CAST(n_a + n_b AS HUGEINT)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)
+                 * (CAST(ca AS HUGEINT) * tot_b - CAST(cb AS HUGEINT) * tot_a)) AS cvm_s,
+             MAX(CAST(tot_a + tot_b AS HUGEINT) * (tot_a + tot_b) * tot_a * tot_b) AS cvm_den,
+             SUM(CASE WHEN (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                            * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                            - (tot_a + tot_b) * (n_a + n_b) / 4.0 > 0 THEN
+                   (CAST(n_a + n_b AS DOUBLE) / (tot_a + tot_b))
+                   * (((tot_a + tot_b) * (CAST(ca AS DOUBLE) - n_a / 2.0) - tot_a * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      * ((tot_a + tot_b) * (CAST(ca AS DOUBLE) - n_a / 2.0) - tot_a * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)))
+                   / ((CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                      * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      - (tot_a + tot_b) * (n_a + n_b) / 4.0)
+                   / tot_a
+                 ELSE 0 END)
+           + SUM(CASE WHEN (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                            * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                            - (tot_a + tot_b) * (n_a + n_b) / 4.0 > 0 THEN
+                   (CAST(n_a + n_b AS DOUBLE) / (tot_a + tot_b))
+                   * (((tot_a + tot_b) * (CAST(cb AS DOUBLE) - n_b / 2.0) - tot_b * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      * ((tot_a + tot_b) * (CAST(cb AS DOUBLE) - n_b / 2.0) - tot_b * (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)))
+                   / ((CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0)
+                      * (tot_a + tot_b - (CAST(ca + cb AS DOUBLE) - (n_a + n_b) / 2.0))
+                      - (tot_a + tot_b) * (n_a + n_b) / 4.0)
+                   / tot_b
+                 ELSE 0 END) AS ad_inner,
+             CAST(MAX(tot_a) AS DOUBLE) AS na,
+             CAST(MAX(tot_b) AS DOUBLE) AS nb
+      FROM cum GROUP BY col_name
+    ),
+    cat_melted AS (
+      SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS category, l_shipdate FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), l_shipdate FROM lineitem
+    ),
+    cat_cells AS (
+      SELECT col_name, category,
+             SUM(CASE WHEN l_shipdate < TIMESTAMP '{_MIX_SPLIT}' THEN 1 ELSE 0 END) AS n_r,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_MIX_SPLIT}' THEN 1 ELSE 0 END) AS n_c
+      FROM cat_melted GROUP BY col_name, category
+    ),
+    cat_p AS (
+      SELECT col_name,
+             n_r / CAST(SUM(n_r) OVER (PARTITION BY col_name) AS DOUBLE) AS p,
+             n_c / CAST(SUM(n_c) OVER (PARTITION BY col_name) AS DOUBLE) AS q,
+             n_r, n_c,
+             SUM(n_r) OVER (PARTITION BY col_name) AS tot_r,
+             SUM(n_c) OVER (PARTITION BY col_name) AS tot_c
+      FROM cat_cells
+    ),
+    cat_s AS (
+      SELECT col_name,
+             SUM((GREATEST(q, 1e-6) - GREATEST(p, 1e-6))
+                 * LN(GREATEST(q, 1e-6) / GREATEST(p, 1e-6))) AS psi,
+             (SUM(CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) ELSE 0 END)
+              + SUM(CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) ELSE 0 END)) / 2 AS jsd,
+             SUM(CASE WHEN CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE) > 0
+                      THEN (n_r - CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE))
+                           * (n_r - CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE))
+                           / (CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE))
+                      ELSE 0 END
+               + CASE WHEN CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE) > 0
+                      THEN (n_c - CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE))
+                           * (n_c - CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE))
+                           / (CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE))
+                      ELSE 0 END) AS chi2,
+             MAX(tot_r) AS n_a,
+             MAX(tot_c) AS n_b
+      FROM cat_p GROUP BY col_name
+    )
+    SELECT col_name AS column,
+           ROUND(ks_d, 6) + 0 AS ks_d,
+           ra - na * (na + 1) / 2 AS u_stat,
+           ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+                 / SQRT(na * nb / 12
+                        * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))),
+                 6) + 0 AS z_score,
+           ROUND(CAST(cvm_s AS DOUBLE) / CAST(cvm_den AS DOUBLE), 6) + 0 AS cvm_t,
+           ROUND((na + nb - 1) / (na + nb) * ad_inner, 6) + 0 AS ad_a2,
+           CAST(NULL AS DOUBLE) AS psi,
+           CAST(NULL AS DOUBLE) AS jsd,
+           CAST(NULL AS DOUBLE) AS chi2,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM s
+    UNION ALL
+    SELECT col_name,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND(psi, 6) + 0, ROUND(jsd, 6) + 0, ROUND(chi2, 6) + 0,
+           n_a, n_b
+    FROM cat_s
+    ORDER BY "column"
+    """,
+)
+def feature_drift_mixed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXED-type feature drift report (round 10): one numeric column
+    (full four-statistic panel) and two string columns (PSI/JSD/chi²
+    homogeneity) across the shipdate split, in the SAME widened relation —
+    numeric rows carry NULL categorical stats and vice versa. One keyed
+    ECDF pass for the numeric half, one bounded category pass for the
+    string half; no per-column job loop (reference lib/utils.py:187-195)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit(_MIX_SPLIT).cast("timestamp")
+    a = li.where(F.col("l_shipdate") < split)
+    b = li.where(F.col("l_shipdate") >= split)
+    out = dr.feature_drift_report(
+        a, b, ["l_quantity"],
+        categorical_columns=["l_returnflag", "l_linestatus"],
+    )
+    r6 = lambda c: (F.round(c, 6) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select(
+        "column",
+        r6("ks_d"),
+        "u_stat",
+        r6("z_score"),
+        r6("cvm_t"),
+        r6("ad_a2"),
+        r6("psi"),
+        r6("jsd"),
+        r6("chi2"),
+        "n_a",
+        "n_b",
+    ).orderBy("column")

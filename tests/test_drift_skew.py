@@ -754,3 +754,83 @@ def test_feature_drift_report_matches_per_column_panels(spark):
         assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"]), c
     # the shifted columns alarm; ks_d sane
     assert rep["x"]["ks_d"] > 0.1 and rep["y"]["ks_d"] > 0.1
+
+
+def test_categorical_drift_report_matches_standalone_ops(spark):
+    """categorical_drift_report's per-column PSI/JSD must equal the
+    standalone psi_categorical / js_divergence, and chi2 must equal the
+    two-sample homogeneity chi2 (chi2_independence on the stacked
+    relation when every cell is occupied); a category entirely missing
+    from one side contributes its (0-e)^2/e evidence (hand-computed)."""
+    from dataquality_ml_spark.operators.drift import (
+        categorical_drift_report,
+        chi2_independence,
+        js_divergence,
+        psi_categorical,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 40 + [("y",)] * 30 + [("z",)] * 10 + [(None,)] * 5,
+        "c1 string",
+    ).withColumn("c2", F.when(F.col("c1") == "x", "p").otherwise("q"))
+    b = spark.createDataFrame(
+        [("x",)] * 20 + [("y",)] * 45 + [("z",)] * 25 + [(None,)] * 2,
+        "c1 string",
+    ).withColumn("c2", F.when(F.col("c1") == "y", "p").otherwise("q"))
+
+    rep = {
+        r["column"]: r
+        for r in categorical_drift_report(a, b, ["c1", "c2"]).collect()
+    }
+    for col in ("c1", "c2"):
+        want_psi = psi_categorical(a, b, col).first()["psi_total"]
+        want_jsd = js_divergence(a, b, col).first()["jsd"]
+        assert abs(rep[col]["psi"] - want_psi) < 1e-12
+        assert abs(rep[col]["jsd"] - want_jsd) < 1e-12
+        # homogeneity chi2 == independence chi2 of (category, side) when
+        # all cells are occupied
+        stacked = a.select(F.col(col).alias("cat"), F.lit("a").alias("side")).unionByName(
+            b.select(F.col(col).alias("cat"), F.lit("b").alias("side"))
+        ).fillna({"cat": "__null__"})
+        want_chi2 = chi2_independence(stacked, "cat", "side").first()["chi2"]
+        assert abs(rep[col]["chi2"] - want_chi2) < 1e-9
+    assert (rep["c1"]["n_a"], rep["c1"]["n_b"]) == (85, 92)
+
+    # zero cell: category 'only_a' absent from cur — hand chi2
+    a2 = spark.createDataFrame([("u",)] * 30 + [("only_a",)] * 10, "c string")
+    b2 = spark.createDataFrame([("u",)] * 40, "c string")
+    row = categorical_drift_report(a2, b2, ["c"]).first()
+    # cells: u (30,40), only_a (10,0); N=80, tot_r=tot_c=40
+    # e_u = 70*40/80 = 35 each side; e_oa = 10*40/80 = 5 each side
+    want = (30 - 35) ** 2 / 35 + (40 - 35) ** 2 / 35 + (10 - 5) ** 2 / 5 + (0 - 5) ** 2 / 5
+    assert abs(row["chi2"] - want) < 1e-9
+
+
+def test_feature_drift_report_mixed_schema(spark):
+    """feature_drift_report(categorical_columns=) widens the schema:
+    numeric rows NULL out psi/jsd/chi2, categorical rows NULL out the
+    rank/ECDF panel; numeric values equal the legacy 8-column report."""
+    from dataquality_ml_spark.operators.drift import feature_drift_report
+
+    a = spark.range(300).select(
+        (F.col("id") * 1.7 % 13).alias("v"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    b = spark.range(260).select(
+        (F.col("id") * 0.9 % 11).alias("v"),
+        (F.col("id") % 4).cast("string").alias("g"),
+    )
+    legacy = feature_drift_report(a, b, ["v"]).first()
+    mixed = {
+        r["column"]: r
+        for r in feature_drift_report(
+            a, b, ["v"], categorical_columns=["g"]
+        ).collect()
+    }
+    assert set(mixed) == {"v", "g"}
+    for s in ("ks_d", "u_stat", "z_score", "cvm_t", "ad_a2"):
+        assert mixed["v"][s] == legacy[s]
+        assert mixed["g"][s] is None
+    for s in ("psi", "jsd", "chi2"):
+        assert mixed["v"][s] is None
+        assert mixed["g"][s] is not None
