@@ -749,7 +749,10 @@ def drift_panel_stream(
     def _panel(ref: "np.ndarray", cur: "np.ndarray") -> dict:
         n_a, n_b = int(ref.sum()), int(cur.sum())
         if n_a == 0 or n_b == 0:
-            return {"n": n_b, "psi": None, "ks_d": None, "cvm_t": None}
+            return {
+                "n": n_b, "psi": None, "ks_d": None, "cvm_t": None,
+                "ad_a2": None,
+            }
         pr = np.maximum(ref / n_a, EPS)
         pc = np.maximum(cur / n_b, EPS)
         psi = float(np.sum((pc - pr) * np.log(pc / pr)))
@@ -762,7 +765,27 @@ def drift_panel_stream(
             * (ca.astype(object) * n_b - cb.astype(object) * n_a) ** 2
         )  # object dtype: exact integers, mirroring the DECIMAL path
         cvm = float(num) / (float(n) * n * n_a * n_b)
-        return {"n": n_b, "psi": psi, "ks_d": ks, "cvm_t": cvm}
+        # binned Anderson-Darling A² — round 10 (VERDICT r9 item 6): the
+        # same tie-aware midpoint formula as the batch drift_panel, each
+        # occupied bin acting as one distinct value with `cnt` ties
+        occ = cnt > 0
+        l = cnt[occ].astype(np.float64)
+        nd = float(n)
+        bb = (ca[occ] + cb[occ]).astype(np.float64) - l / 2
+        ad_denom = bb * (nd - bb) - nd * l / 4
+        ok = ad_denom > 0
+        ad = 0.0
+        for c_side, h_side, tot in (
+            (ca[occ], ref[occ], n_a),
+            (cb[occ], cur[occ], n_b),
+        ):
+            m = c_side.astype(np.float64) - h_side.astype(np.float64) / 2
+            g = nd * m - float(tot) * bb
+            ad += float(
+                np.sum((l[ok] / nd) * g[ok] * g[ok] / ad_denom[ok] / tot)
+            )
+        ad_a2 = (nd - 1) / nd * ad
+        return {"n": n_b, "psi": psi, "ks_d": ks, "cvm_t": cvm, "ad_a2": ad_a2}
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in applied:
@@ -787,7 +810,8 @@ def drift_panel_stream(
         for k, h in kept_unseen:
             reports.append(
                 {"batch_id": batch_id, "key": k, "new_segment": True,
-                 "n": int(h.sum()), "psi": None, "ks_d": None, "cvm_t": None}
+                 "n": int(h.sum()), "psi": None, "ks_d": None,
+                 "cvm_t": None, "ad_a2": None}
             )
         if len(unseen) > len(kept_unseen):
             reports.append(

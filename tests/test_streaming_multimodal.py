@@ -1507,10 +1507,16 @@ def test_drift_panel_stream_per_segment_matches_batch(spark, tmp_path):
         )
         want_ks = dr.ks_statistic(rs, cs, "value", bins=20, lo=0.0, hi=100.0).first()["ks_d"]
         want_cvm = dr.cvm_statistic(rs, cs, "value", bins=20, lo=0.0, hi=100.0).first()["cvm_t"]
+        want_ad = dr.anderson_darling(
+            rs, cs, "value", bins=20, lo=0.0, hi=100.0
+        ).first()["ad_a2"]
         rep = by_key[g]
         assert abs(rep["psi"] - want_psi) < 1e-12, g
         assert abs(rep["ks_d"] - want_ks) < 1e-12, g
         assert abs(rep["cvm_t"] - want_cvm) < 1e-12, g
+        # round 10 (VERDICT r9 item 6): AD joins the streaming panel —
+        # binned float formula, so allow agg-order float noise
+        assert abs(rep["ad_a2"] - want_ad) < 1e-9 * max(abs(want_ad), 1.0), g
         assert not rep["new_segment"]
     # the drifted segment alarms much harder than the stable one
     assert by_key["b"]["psi"] > 5 * by_key["a"]["psi"]
