@@ -313,3 +313,38 @@ def budget_select(
     return cum.filter(
         F.col(out) + F.col(tokens_col) <= F.lit(int(token_budget))
     ).drop("_ord")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis & Spirakis
+    2006 reservoir key ("Weighted random sampling with a reservoir"):
+    keep the ``k`` rows with the largest u_i^(1/w_i), equivalently the
+    largest ln(u_i)/w_i, which draws each row with probability
+    proportional to its weight without replacement. The quality-weighted
+    or length-weighted corpus subsample a training-data pipeline takes
+    before an expensive stage.
+
+    u is the deterministic engine-portable hash of (id, seed) — the same
+    determinism-over-rand() choice as ``relational.sample_hash`` and
+    ``gumbel_key``, so the draw replays bit-for-bit across engines, runs,
+    and cluster sizes. The ranking key is rounded to 8 dp with id as the
+    tie-break (the ``dsir_resample`` pattern), making the selected SET
+    engine-identical. Executes as TakeOrdered(k) — no corpus-wide sort
+    materializes at any scale. Rows with null/non-positive weight are
+    excluded (zero-weight rows must never be drawn).
+    """
+    h = portable_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    u = (h + F.lit(0.5)) / F.lit(_U32)
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 8) + F.lit(0.0)
+    out = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("es_key", es)
+    return out.orderBy(F.desc("es_key"), F.asc(id_col)).limit(k)

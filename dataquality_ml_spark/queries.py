@@ -4466,3 +4466,29 @@ def feature_drift_mixed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     ).orderBy("column")
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           ROUND(LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT) + 0.5)
+                    / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 8) + 0 AS es_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY es_key DESC, doc_id
+    LIMIT 200
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample without replacement (Efraimidis-
+    Spirakis reservoir key over the engine-portable hash — selection
+    probability proportional to n_chars, deterministic across engines and
+    cluster sizes, TakeOrdered(k) with no global sort)."""
+    from dataquality_ml_spark.operators.selection import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, "n_chars", 200, id_col="doc_id").select(
+        "doc_id", "source", "n_chars", "es_key"
+    )

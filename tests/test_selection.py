@@ -537,3 +537,30 @@ def test_ann_drift_timeline_matches_per_batch_reports(spark):
     # the timeline tells WHEN: batch 0 ≈ 0 (self), batch 1 quiet, batch 2 loud
     assert tl[0]["psi"] < 1e-9
     assert tl[1]["psi"] < 0.2 < tl[2]["psi"]
+
+
+def test_weighted_sample_k_properties(spark):
+    """Efraimidis-Spirakis weighted sampling: (1) k distinct rows, no
+    replacement; (2) inclusion tracks weight — a 20x-weight class is
+    strongly overrepresented vs its population share; (3) zero/negative/
+    null weights are never drawn; (4) deterministic replay under the
+    seed, different seed reshuffles."""
+    from dataquality_ml_spark.operators.selection import weighted_sample_k
+
+    rows = [(i, 20.0 if i < 100 else 1.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, -3.0), (2002, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    got = weighted_sample_k(df, "w", 200, id_col="doc_id").collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 200 and len(set(ids)) == 200  # (1)
+    assert not {2000, 2001, 2002} & set(ids)  # (3)
+    heavy = sum(1 for i in ids if i < 100)
+    # heavy class: 100 rows carrying 2000/2900 of total weight; its
+    # population share is 10% — proportional-to-weight draws push it far
+    # above that (expected ~45-70 of 200 under A-Res; require > 2x pop share)
+    assert heavy > 40, f"heavy-class draws {heavy}/200"
+    again = [r["doc_id"] for r in weighted_sample_k(df, "w", 200).collect()]
+    assert again == ids  # (4) replay
+    other = [r["doc_id"] for r in weighted_sample_k(df, "w", 200, seed=7).collect()]
+    assert other != ids
