@@ -462,15 +462,23 @@ class DQEngine:
         return drift_panel(ref, cur, col, keys=keys)
 
     def feature_drift(
-        self, ref: DataFrame, cur: DataFrame, columns: list[str]
+        self,
+        ref: DataFrame,
+        cur: DataFrame,
+        columns: list[str],
+        categorical_columns: list[str] | None = None,
     ) -> DataFrame:
         """WHICH feature drifted: the four-statistic panel for every
         numeric column in one melt + one keyed aggregation
         (drift.feature_drift_report) — the whole feature-set drift
-        report as a single job, not a per-column loop."""
+        report as a single job, not a per-column loop.
+        ``categorical_columns`` (round 10) folds string columns into the
+        same report (PSI/JSD/chi² homogeneity, one extra bounded pass)."""
         from dataquality_ml_spark.operators.drift import feature_drift_report
 
-        return feature_drift_report(ref, cur, columns)
+        return feature_drift_report(
+            ref, cur, columns, categorical_columns=categorical_columns
+        )
 
     def drift_timeline(
         self,
