@@ -74,6 +74,9 @@ def roc_auc(df: DataFrame, score: str, label: str) -> DataFrame:
     auc = (F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2) / (
         F.col("np") * F.col("nn")
     )
+    # single-class guard (round 10): AUC is undefined with no positives
+    # or no negatives — report NULL, not an ANSI DIVIDE_BY_ZERO
+    auc = F.when((F.col("np") > 0) & (F.col("nn") > 0), auc)
     return agg.select(F.round(auc, 4).alias("auc"), "np", "nn")
 
 
@@ -92,7 +95,10 @@ def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> 
     is bit-identical (cross-engine float rule: identical left-to-right
     pure-float ops after exact integer aggregation)."""
     lohi = df.agg(F.min(score).alias("lo"), F.max(score).alias("hi")).first()
-    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    if lohi["lo"] is None:  # empty / all-null input: (auc NULL, 0, 0)
+        lo, hi = 0.0, 1.0
+    else:
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
     width = (hi - lo) / bins or 1.0
     bucket = F.least(
         F.lit(bins - 1), F.floor((F.col(score) - F.lit(lo)) / F.lit(width))
@@ -123,14 +129,13 @@ def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> 
         F.sum("np").alias("np"),
         F.sum("nn").alias("nn"),
     )
+    auc = F.col("won2").cast("double") / (2.0 * F.col("np") * F.col("nn"))
+    # single-class / empty guard (round 10): NULL, not DIVIDE_BY_ZERO
+    auc = F.when((F.col("np") > 0) & (F.col("nn") > 0), auc)
     return agg.select(
-        F.round(
-            F.col("won2").cast("double")
-            / (2.0 * F.col("np") * F.col("nn")),
-            4,
-        ).alias("auc"),
-        "np",
-        "nn",
+        F.round(auc, 4).alias("auc"),
+        F.coalesce("np", F.lit(0)).alias("np"),
+        F.coalesce("nn", F.lit(0)).alias("nn"),
     )
 
 

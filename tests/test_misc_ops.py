@@ -538,3 +538,28 @@ def test_lift_table_zero_positives_returns_null_not_error(spark):
         assert r["gain"] is None and r["lift"] is None
         assert r["recall"] is None and r["pr_auc"] is None
         assert r["depth"] is not None and r["precision"] == 0.0
+
+
+def test_roc_auc_single_class_returns_null_not_error(spark):
+    """Round-10 hardening (sibling of the lift_table zero-positives fix):
+    AUC is undefined with a single class — both the exact and binned
+    paths must report NULL instead of throwing DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode; empty input gives (NULL, 0, 0)."""
+    from dataquality_ml_spark.operators.evaluate import roc_auc, roc_auc_binned
+
+    pos_only = spark.createDataFrame([(0.9, 1), (0.4, 1)], "s double, y int")
+    neg_only = spark.createDataFrame([(0.9, 0), (0.4, 0)], "s double, y int")
+    for df, np_, nn_ in ((pos_only, 2, 0), (neg_only, 0, 2)):
+        r = roc_auc(df, "s", "y").first()
+        assert r["auc"] is None and (r["np"], r["nn"]) == (np_, nn_)
+        rb = roc_auc_binned(df, "s", "y", bins=16).first()
+        assert rb["auc"] is None and (rb["np"], rb["nn"]) == (np_, nn_)
+    empty = spark.createDataFrame([], "s double, y int")
+    re_ = roc_auc_binned(empty, "s", "y", bins=16).first()
+    assert re_["auc"] is None and (re_["np"], re_["nn"]) == (0, 0)
+    # two-class sanity unchanged: perfect separation → AUC 1.0
+    good = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    assert roc_auc(good, "s", "y").first()["auc"] == 1.0
+    assert roc_auc_binned(good, "s", "y", bins=16).first()["auc"] == 1.0
