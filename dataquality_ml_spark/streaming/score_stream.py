@@ -826,3 +826,120 @@ def drift_panel_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), reports
+
+
+def categorical_drift_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    ref_counts: dict,
+    columns: list[str],
+    trigger_once: bool = True,
+    max_categories: int = 4096,
+):
+    """Streaming CATEGORICAL drift (round 10): every micro-batch's
+    category counts per string column, scored against that column's
+    FROZEN reference counts — PSI (EPS-clamped), Jensen-Shannon
+    divergence, and the two-sample chi² homogeneity statistic per
+    (batch, column). The streaming face of
+    ``drift.categorical_drift_report``, sharing its formulas: the
+    category UNION of reference and batch is scored (a category absent
+    from one side counts 0 — missing mass IS drift; chi² zero cells
+    contribute their (0−e)²/e evidence).
+
+    ``ref_counts``: {column: {category_value: count}} — e.g. collected
+    once from the training corpus (NULL category keys allowed). Per
+    batch ONE melt + groupBy collapses the batch to ≤ Σ|categories|
+    cells; driver state per column is capped at ``max_categories``
+    distinct batch categories (keep highest-count, tie by value) and the
+    report records how many were dropped — cardinality explosions
+    degrade loudly, never by growing driver state without bound. The
+    fold is keyed on batch_id (at-least-once replays skipped).
+
+    Returns (query, reports): reports is the live list of {batch_id,
+    column, n, psi, jsd, chi2, dropped_categories} dicts.
+    """
+    import numpy as np
+
+    from dataquality_ml_spark.operators.drift import EPS
+
+    refs = {
+        c: {k: int(v) for k, v in cats.items()}
+        for c, cats in ref_counts.items()
+    }
+    missing = [c for c in columns if c not in refs or not refs[c]]
+    if missing:
+        raise ValueError(
+            f"categorical_drift_stream: no reference counts for {missing}"
+        )
+    reports: list = []
+    applied: set = set()
+
+    def _score(ref: dict, cur: dict) -> dict:
+        n_a = sum(ref.values())
+        n_b = sum(cur.values())
+        if n_b == 0:
+            return {"n": 0, "psi": None, "jsd": None, "chi2": None}
+        cats = set(ref) | set(cur)
+        r = np.array([ref.get(k, 0) for k in cats], dtype=np.float64)
+        c = np.array([cur.get(k, 0) for k in cats], dtype=np.float64)
+        p, q = r / n_a, c / n_b
+        pr, pc = np.maximum(p, EPS), np.maximum(q, EPS)
+        psi = float(np.sum((pc - pr) * np.log(pc / pr)))
+        m = (p + q) / 2
+        tp = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / m), 0.0)
+        tq = np.where(q > 0, q * np.log(np.where(q > 0, q, 1.0) / m), 0.0)
+        jsd = float((np.sum(tp) + np.sum(tq)) / 2)
+        n = float(n_a + n_b)
+        row_tot = r + c
+        e_r, e_c = row_tot * n_a / n, row_tot * n_b / n
+        chi2 = float(
+            np.sum(np.where(e_r > 0, (r - e_r) ** 2 / np.where(e_r > 0, e_r, 1.0), 0.0))
+            + np.sum(np.where(e_c > 0, (c - e_c) ** 2 / np.where(e_c > 0, e_c, 1.0), 0.0))
+        )
+        return {"n": int(n_b), "psi": psi, "jsd": jsd, "chi2": chi2}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        melted = batch_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("category"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("p")
+        ).select("p.*")
+        cells = (
+            melted.groupBy("column", "category")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_col: dict = {c: {} for c in columns}
+        for r in cells:
+            by_col[r["column"]][r["category"]] = int(r["n"])
+        for c in columns:
+            cur = by_col[c]
+            dropped = 0
+            if len(cur) > max_categories:
+                keep = sorted(
+                    cur.items(), key=lambda kv: (-kv[1], str(kv[0]))
+                )[:max_categories]
+                dropped = len(cur) - len(keep)
+                cur = dict(keep)
+            reports.append(
+                {"batch_id": batch_id, "column": c,
+                 "dropped_categories": dropped, **_score(refs[c], cur)}
+            )
+        applied.add(batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), reports

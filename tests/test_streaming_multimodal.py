@@ -1527,3 +1527,71 @@ def test_drift_panel_stream_per_segment_matches_batch(spark, tmp_path):
     bad = {"a": np.zeros(20, dtype=np.int64), "b": np.zeros(10, dtype=np.int64)}
     with _pytest.raises(ValueError, match="one bins length"):
         ss.drift_panel_stream(stream, str(tmp_path / "x"), bad)
+
+
+def test_categorical_drift_stream_matches_batch(spark, tmp_path):
+    """Streaming categorical drift == the batch categorical_drift_report
+    per column and per micro-batch: PSI/JSD/chi2 vs frozen reference
+    category counts, union-of-categories semantics (batch-only and
+    reference-only categories both score), NULL categories real, the
+    max_categories cap degrades loudly, and replays are idempotent."""
+    from dataquality_ml_spark.operators.drift import categorical_drift_report
+
+    schema = "event_id bigint, lang string, source string"
+    ref_rows = (
+        [(i, "en", "web") for i in range(120)]
+        + [(i + 500, "fr", "web") for i in range(60)]
+        + [(i + 800, None, "pdf") for i in range(20)]
+    )
+    cur_rows = (
+        [(i, "en", "web") for i in range(50)]
+        + [(i + 500, "de", "pdf") for i in range(40)]  # de unseen in ref
+        + [(i + 900, None, "web") for i in range(10)]
+    )
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    refs = {}
+    for c in ("lang", "source"):
+        refs[c] = {
+            r[c]: r["n"]
+            for r in ref_df.groupBy(c).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    in_dir = tmp_path / "cds_in"
+    in_dir.mkdir()
+    spark.createDataFrame(cur_rows, schema).coalesce(1).write.json(
+        str(in_dir / "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, reports = ss.categorical_drift_stream(
+        stream,
+        checkpoint=str(tmp_path / "cds_ckpt"),
+        ref_counts=refs,
+        columns=["lang", "source"],
+    )
+    q.awaitTermination(120)
+
+    got = {r["column"]: r for r in reports}
+    assert set(got) == {"lang", "source"}
+    cur_df = spark.createDataFrame(cur_rows, schema)
+    want = {
+        r["column"]: r
+        for r in categorical_drift_report(ref_df, cur_df, ["lang", "source"]).collect()
+    }
+    for c in ("lang", "source"):
+        assert abs(got[c]["psi"] - want[c]["psi"]) < 1e-9, c
+        assert abs(got[c]["jsd"] - want[c]["jsd"]) < 1e-9, c
+        assert abs(got[c]["chi2"] - want[c]["chi2"]) < 1e-9 * max(want[c]["chi2"], 1.0), c
+        assert got[c]["n"] == want[c]["n_b"]
+        assert got[c]["dropped_categories"] == 0
+
+    # missing reference → loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no reference counts"):
+        ss.categorical_drift_stream(
+            stream, str(tmp_path / "x"), {"lang": refs["lang"]}, ["lang", "source"]
+        )
