@@ -139,6 +139,10 @@ def smote_oversample(
     else:
         pdf = feats.toPandas()
 
+    # null/NaN feature rows still count toward n_full (they are minority
+    # rows) but are excluded from the interpolation BASE — a NaN base
+    # point would silently poison every synthetic row derived from it
+    pdf = pdf.dropna()
     x = np.ascontiguousarray(pdf[feature_cols].to_numpy(dtype=np.float64))
     n = len(x)
     if n < 2:
