@@ -1011,6 +1011,8 @@ def feature_drift_report(
     cur: DataFrame,
     columns: list[str],
     categorical_columns: list[str] | None = None,
+    bins: int | None = None,
+    bounds: dict | None = None,
 ) -> DataFrame:
     """WHICH FEATURE drifted: the full two-sample panel (KS D,
     Mann-Whitney U/z, CvM T, AD A²) for EVERY numeric column in ONE
@@ -1034,6 +1036,19 @@ def feature_drift_report(
     :func:`categorical_drift_report`, one extra bounded pass) carry NULL
     rank/ECDF statistics. Without it the legacy 8-column schema is
     returned unchanged.
+
+    ``bins`` (round 10): the SCALE path — quantize each column into its
+    own ``bins`` equi-width buckets before the keyed ECDF, so the panel
+    reduces over ≤ columns·bins rows instead of the full per-column
+    distinct-value relation (a continuous column at 100 TB has ~|rows|
+    distinct values; the standalone operators' ``bins=`` contract,
+    column-vectorized). Per-column (lo, hi) come from ``bounds``
+    ({column: (lo, hi)}, e.g. frozen training-time bounds) or, when
+    absent, from one extra narrow min/max aggregation per side; the
+    bucket id is ONE shared expression over broadcast-joined bounds
+    (identical IEEE sequence to the standalone ``_bucket``, so per-column
+    results equal ``ks_statistic(..., bins=, lo=, hi=)`` & co exactly).
+    Constant columns (hi == lo) collapse to bucket 0.
     """
     def _melt(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1050,11 +1065,44 @@ def feature_drift_report(
             ).alias("p")
         ).select("p.*").where(~F.isnan("v") | F.col("v").isNull())
 
-    num = (
-        drift_panel(_melt(ref), _melt(cur), "v", keys=["column"])
-        if columns
-        else None
-    )
+    def _bucketize(ma: DataFrame, mb: DataFrame):
+        if bounds is not None:
+            rows = [(c, float(lo), float(hi)) for c, (lo, hi) in bounds.items()]
+        else:
+            rows = [
+                (r["column"], float(r["lo"]), float(r["hi"]))
+                for r in ma.unionByName(mb)
+                .groupBy("column")
+                .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+                .collect()
+            ]
+        spec = ma.sparkSession.createDataFrame(
+            rows, "column string, __lo double, __hi double"
+        )
+        w = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(float(bins)),
+        ).otherwise(F.lit(1.0))
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.col("__lo")) / w).cast("int"),
+            ),
+        )
+        def bk(m):
+            return m.join(F.broadcast(spec), "column").select(
+                "column", b.alias("v")
+            )
+        return bk(ma), bk(mb)
+
+    if columns:
+        ma, mb = _melt(ref), _melt(cur)
+        if bins:
+            ma, mb = _bucketize(ma, mb)
+        num = drift_panel(ma, mb, "v", keys=["column"])
+    else:
+        num = None
     if not categorical_columns:
         if num is None:
             raise ValueError(

@@ -834,3 +834,56 @@ def test_feature_drift_report_mixed_schema(spark):
     for s in ("psi", "jsd", "chi2"):
         assert mixed["v"][s] is None
         assert mixed["g"][s] is not None
+
+
+def test_feature_drift_report_binned_scale_path(spark):
+    """feature_drift_report(bins=) — the 100 TB path — must equal the
+    standalone binned operators per column under the same per-column
+    (lo, hi): the broadcast-joined bucket expression replays _bucket's
+    exact IEEE sequence. Constant columns collapse to bucket 0 (NULL
+    stats via the one-sided/zero-variance conventions, not a crash);
+    frozen `bounds=` overrides the auto min/max pass."""
+    from dataquality_ml_spark.operators.drift import (
+        cvm_statistic,
+        drift_panel,
+        feature_drift_report,
+        ks_statistic,
+    )
+
+    a = spark.range(2500).select(
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.sin(F.col("id").cast("double")) * 40).alias("y"),
+        F.lit(5.0).alias("const"),
+    )
+    b = spark.range(2000).select(
+        ((F.col("id") * 3) % 113).cast("double").alias("x"),
+        (F.cos(F.col("id").cast("double")) * 35 + 10).alias("y"),
+        F.lit(5.0).alias("const"),
+    )
+    cols = ["x", "y", "const"]
+    got = {
+        r["column"]: r
+        for r in feature_drift_report(a, b, cols, bins=32).collect()
+    }
+    # per-column bounds the report derived (union min/max)
+    both = a.unionByName(b)
+    for c in ("x", "y"):
+        lohi = both.agg(F.min(c), F.max(c)).first()
+        lo, hi = float(lohi[0]), float(lohi[1])
+        want_ks = ks_statistic(a, b, c, bins=32, lo=lo, hi=hi).first()["ks_d"]
+        want_cvm = cvm_statistic(a, b, c, bins=32, lo=lo, hi=hi).first()["cvm_t"]
+        assert got[c]["ks_d"] == want_ks, c
+        assert got[c]["cvm_t"] == want_cvm, c
+    # constant column: every row in bucket 0 on both sides — KS 0, and the
+    # rank stats match the single-tied-value panel
+    assert got["const"]["ks_d"] == 0.0
+    assert got["const"]["n_a"] == 2500 and got["const"]["n_b"] == 2000
+    # frozen bounds override the auto pass and change the quantizer
+    got_fb = {
+        r["column"]: r
+        for r in feature_drift_report(
+            a, b, ["x"], bins=32, bounds={"x": (0.0, 200.0)}
+        ).collect()
+    }
+    want_fb = ks_statistic(a, b, "x", bins=32, lo=0.0, hi=200.0).first()["ks_d"]
+    assert got_fb["x"]["ks_d"] == want_fb
