@@ -467,17 +467,23 @@ class DQEngine:
         cur: DataFrame,
         columns: list[str],
         categorical_columns: list[str] | None = None,
+        bins: int | None = None,
+        bounds: dict | None = None,
     ) -> DataFrame:
         """WHICH feature drifted: the four-statistic panel for every
         numeric column in one melt + one keyed aggregation
         (drift.feature_drift_report) — the whole feature-set drift
         report as a single job, not a per-column loop.
         ``categorical_columns`` (round 10) folds string columns into the
-        same report (PSI/JSD/chi² homogeneity, one extra bounded pass)."""
+        same report (PSI/JSD/chi² homogeneity, one extra bounded pass);
+        ``bins``/``bounds`` select the quantized scale path (≤
+        columns·bins reduce rows — the 100 TB shape)."""
         from dataquality_ml_spark.operators.drift import feature_drift_report
 
         return feature_drift_report(
-            ref, cur, columns, categorical_columns=categorical_columns
+            ref, cur, columns,
+            categorical_columns=categorical_columns,
+            bins=bins, bounds=bounds,
         )
 
     def drift_timeline(
