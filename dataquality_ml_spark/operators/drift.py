@@ -914,6 +914,7 @@ def categorical_drift_report(
     ref: DataFrame,
     cur: DataFrame,
     columns: list[str],
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """WHICH CATEGORICAL column drifted: PSI, Jensen-Shannon divergence,
     and the two-sample chi² homogeneity statistic for EVERY string column
@@ -930,9 +931,20 @@ def categorical_drift_report(
     0-handling as :func:`js_divergence`; chi² is the textbook
     homogeneity sum (zero cells contribute (0−e)²/e, so a category
     entirely missing from one side is evidence, not a skip).
+
+    ``keys``: per-SEGMENT mix drift in the same pass (the categorical
+    twin of the numeric panel's keys= — e.g. the source mix per
+    language, per day): groupBys carry the keys, the category join is
+    null-safe on them (NULL segment keys are real segments), and the
+    windows partition per (segment, column), so parallelism GROWS with
+    segment count. Output gains the key columns, one row per
+    (segment, column).
     """
+    keys = list(keys or [])
+
     def _melt(df: DataFrame) -> DataFrame:
         return df.select(
+            *[F.col(k) for k in keys],
             F.explode(
                 F.array(
                     *[
@@ -943,37 +955,48 @@ def categorical_drift_report(
                         for c in columns
                     ]
                 )
-            ).alias("p")
-        ).select("p.*")
+            ).alias("p"),
+        ).select(*keys, "p.*")
 
-    r = _melt(ref).groupBy("column", "category").agg(
+    r = _melt(ref).groupBy(*keys, "column", "category").agg(
         F.count(F.lit(1)).alias("n_r")
     )
     c = (
         _melt(cur)
-        .groupBy("column", "category")
+        .groupBy(*keys, "column", "category")
         .agg(F.count(F.lit(1)).alias("n_c"))
         .select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
             F.col("column").alias("__cc"),
             F.col("category").alias("__ccat"),
             "n_c",
         )
     )
-    joined = r.join(
-        c,
-        (F.col("column") == F.col("__cc"))
-        & F.col("category").eqNullSafe(F.col("__ccat")),
-        "full_outer",
-    ).select(
+    cond = (F.col("column") == F.col("__cc")) & F.col("category").eqNullSafe(
+        F.col("__ccat")
+    )
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__k{i}"))
+    joined = r.join(c, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(k), F.col(f"__k{i}")).alias(k)
+            for i, k in enumerate(keys)
+        ],
         F.coalesce("column", "__cc").alias("column"),
         F.coalesce("n_r", F.lit(0)).alias("n_r"),
         F.coalesce("n_c", F.lit(0)).alias("n_c"),
     )
-    w = Window.partitionBy("column")  # ≤ Σ|categories| rows — bounded
+    # ≤ Σ|categories| rows per segment — bounded
+    w = Window.partitionBy(*keys, "column")
+    # one-sided guard: a segment/column absent from one side has a zero
+    # total there — its proportions are 0 (EPS-clamped downstream), not a
+    # DIVIDE_BY_ZERO under ANSI
+    tot_r_w, tot_c_w = F.sum("n_r").over(w), F.sum("n_c").over(w)
     cells = joined.select(
+        *keys,
         "column",
-        (F.col("n_r") / F.sum("n_r").over(w)).alias("p"),
-        (F.col("n_c") / F.sum("n_c").over(w)).alias("q"),
+        F.when(tot_r_w > 0, F.col("n_r") / tot_r_w).otherwise(0.0).alias("p"),
+        F.when(tot_c_w > 0, F.col("n_c") / tot_c_w).otherwise(0.0).alias("q"),
         "n_r",
         "n_c",
         F.sum("n_r").over(w).alias("tot_r"),
@@ -997,7 +1020,7 @@ def categorical_drift_report(
     ).otherwise(0.0) + F.when(
         e_c > 0, (F.col("n_c") - e_c) * (F.col("n_c") - e_c) / e_c
     ).otherwise(0.0)
-    return cells.groupBy("column").agg(
+    return cells.groupBy(*keys, "column").agg(
         F.sum(psi_term).alias("psi"),
         ((F.sum(term_p) + F.sum(term_q)) / 2).alias("jsd"),
         F.sum(chi_term).alias("chi2"),

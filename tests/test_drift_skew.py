@@ -887,3 +887,38 @@ def test_feature_drift_report_binned_scale_path(spark):
     }
     want_fb = ks_statistic(a, b, "x", bins=32, lo=0.0, hi=200.0).first()["ks_d"]
     assert got_fb["x"]["ks_d"] == want_fb
+
+
+def test_categorical_drift_report_keyed_matches_per_segment(spark):
+    """keys= on categorical_drift_report == running the global report once
+    per segment, including a NULL segment key; segments present on only
+    one side still score (missing mass is drift)."""
+    from dataquality_ml_spark.operators.drift import categorical_drift_report
+
+    rows_a, rows_b = [], []
+    for seg, n_x, n_y in (("s1", 40, 10), ("s2", 5, 45), (None, 12, 8)):
+        rows_a += [(seg, "x")] * n_x + [(seg, "y")] * n_y
+    for seg, n_x, n_y in (("s1", 10, 40), ("s2", 6, 44), (None, 4, 16)):
+        rows_b += [(seg, "x")] * n_x + [(seg, "y")] * n_y
+    rows_b += [("only_b", "x")] * 9
+    a = spark.createDataFrame(rows_a, "seg string, c string")
+    b = spark.createDataFrame(rows_b, "seg string, c string")
+
+    keyed = {
+        r["seg"]: r
+        for r in categorical_drift_report(a, b, ["c"], keys=["seg"]).collect()
+    }
+    assert set(keyed) == {"s1", "s2", None, "only_b"}
+    for seg in ("s1", "s2", None):
+        want = categorical_drift_report(
+            a.where(F.col("seg").eqNullSafe(F.lit(seg))),
+            b.where(F.col("seg").eqNullSafe(F.lit(seg))),
+            ["c"],
+        ).first()
+        got = keyed[seg]
+        assert abs(got["psi"] - want["psi"]) < 1e-12, seg
+        assert abs(got["jsd"] - want["jsd"]) < 1e-12, seg
+        assert abs(got["chi2"] - want["chi2"]) < 1e-9, seg
+        assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"]), seg
+    # one-sided segment: ref side empty -> tot_r = 0; n_a records 0
+    assert keyed["only_b"]["n_a"] == 0 and keyed["only_b"]["n_b"] == 9
