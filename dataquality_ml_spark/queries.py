@@ -4492,3 +4492,78 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(docs, "n_chars", 200, id_col="doc_id").select(
         "doc_id", "source", "n_chars", "es_key"
     )
+
+
+@register(
+    "source_mix_drift_by_lang",
+    oracle="""
+    WITH r AS (
+      SELECT lang, source AS category, COUNT(*) AS n_r
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang, source
+    ),
+    c AS (
+      SELECT lang, source AS category, COUNT(*) AS n_c
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY lang, source
+    ),
+    j AS (
+      SELECT COALESCE(r.lang, c.lang) AS lang,
+             COALESCE(n_r, 0) AS n_r, COALESCE(n_c, 0) AS n_c
+      FROM r FULL OUTER JOIN c
+        ON r.lang IS NOT DISTINCT FROM c.lang
+       AND r.category IS NOT DISTINCT FROM c.category
+    ),
+    cells AS (
+      SELECT lang, n_r, n_c,
+             CASE WHEN SUM(n_r) OVER (PARTITION BY lang) > 0
+                  THEN n_r / CAST(SUM(n_r) OVER (PARTITION BY lang) AS DOUBLE)
+                  ELSE 0 END AS p,
+             CASE WHEN SUM(n_c) OVER (PARTITION BY lang) > 0
+                  THEN n_c / CAST(SUM(n_c) OVER (PARTITION BY lang) AS DOUBLE)
+                  ELSE 0 END AS q,
+             SUM(n_r) OVER (PARTITION BY lang) AS tot_r,
+             SUM(n_c) OVER (PARTITION BY lang) AS tot_c
+      FROM j
+    ),
+    s AS (
+      SELECT lang,
+             SUM((GREATEST(q, 1e-6) - GREATEST(p, 1e-6))
+                 * LN(GREATEST(q, 1e-6) / GREATEST(p, 1e-6))) AS psi,
+             (SUM(CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) ELSE 0 END)
+              + SUM(CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) ELSE 0 END)) / 2 AS jsd,
+             SUM(CASE WHEN CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE) > 0
+                      THEN (n_r - CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE))
+                           * (n_r - CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE))
+                           / (CAST(n_r + n_c AS DOUBLE) * tot_r / CAST(tot_r + tot_c AS DOUBLE))
+                      ELSE 0 END
+               + CASE WHEN CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE) > 0
+                      THEN (n_c - CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE))
+                           * (n_c - CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE))
+                           / (CAST(n_r + n_c AS DOUBLE) * tot_c / CAST(tot_r + tot_c AS DOUBLE))
+                      ELSE 0 END) AS chi2,
+             MAX(tot_r) AS n_a, MAX(tot_c) AS n_b
+      FROM cells GROUP BY lang
+    )
+    SELECT lang, 'source' AS "column",
+           ROUND(psi, 6) + 0 AS psi,
+           ROUND(jsd, 6) + 0 AS jsd,
+           ROUND(chi2, 6) + 0 AS chi2,
+           n_a, n_b
+    FROM s ORDER BY lang
+    """,
+)
+def source_mix_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT categorical mix drift (round 10): the source
+    distribution per language, even-doc_id half vs odd-doc_id half —
+    categorical_drift_report's keys= face. PSI/JSD/chi2 homogeneity per
+    (lang, column) from one bounded pass; NULL languages are real
+    segments."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    out = dr.categorical_drift_report(a, b, ["source"], keys=["lang"])
+    r6 = lambda c: (F.round(c, 6) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select(
+        "lang", "column", r6("psi"), r6("jsd"), r6("chi2"), "n_a", "n_b"
+    ).orderBy("lang")
