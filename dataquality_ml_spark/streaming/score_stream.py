@@ -877,8 +877,8 @@ def categorical_drift_stream(
     def _score(ref: dict, cur: dict) -> dict:
         n_a = sum(ref.values())
         n_b = sum(cur.values())
-        if n_b == 0:
-            return {"n": 0, "psi": None, "jsd": None, "chi2": None}
+        if n_b == 0 or n_a == 0:
+            return {"n": int(n_b), "psi": None, "jsd": None, "chi2": None}
         cats = set(ref) | set(cur)
         r = np.array([ref.get(k, 0) for k in cats], dtype=np.float64)
         c = np.array([cur.get(k, 0) for k in cats], dtype=np.float64)
