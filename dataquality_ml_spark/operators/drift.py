@@ -1090,6 +1090,13 @@ def feature_drift_report(
 
     def _bucketize(ma: DataFrame, mb: DataFrame):
         if bounds is not None:
+            missing = [c for c in columns if c not in bounds]
+            if missing:
+                raise ValueError(
+                    "feature_drift_report: bounds= missing columns "
+                    f"{missing} — the bounds join would silently drop "
+                    "their rows from the panel"
+                )
             rows = [(c, float(lo), float(hi)) for c, (lo, hi) in bounds.items()]
         else:
             rows = [

@@ -922,3 +922,16 @@ def test_categorical_drift_report_keyed_matches_per_segment(spark):
         assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"]), seg
     # one-sided segment: ref side empty -> tot_r = 0; n_a records 0
     assert keyed["only_b"]["n_a"] == 0 and keyed["only_b"]["n_b"] == 9
+
+
+def test_feature_drift_report_bounds_must_cover_all_columns(spark):
+    """bounds= covering only some columns must raise (the bounds join
+    would silently drop the uncovered columns' rows otherwise)."""
+    from dataquality_ml_spark.operators.drift import feature_drift_report
+
+    a = spark.range(50).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="missing columns.*'y'"):
+        feature_drift_report(a, a, ["x", "y"], bins=8, bounds={"x": (0.0, 50.0)})
