@@ -321,6 +321,7 @@ def weighted_sample_k(
     k: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement — the Efraimidis & Spirakis
     2006 reservoir key ("Weighted random sampling with a reservoir"):
@@ -338,6 +339,13 @@ def weighted_sample_k(
     engine-identical. Executes as TakeOrdered(k) — no corpus-wide sort
     materializes at any scale. Rows with null/non-positive weight are
     excluded (zero-weight rows must never be drawn).
+
+    ``group_by``: the STRATIFIED face — k weighted draws per segment
+    (e.g. the k best-weighted docs per language) via a per-group window
+    rank, which Spark executes as WindowGroupLimit: each partition keeps
+    only its running top-k per group, so no group's full candidate set
+    ever materializes. Output gains a ``sample_rank`` column (1..k per
+    group).
     """
     h = portable_hash32(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
@@ -347,4 +355,14 @@ def weighted_sample_k(
     out = df.where(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("es_key", es)
+    if group_by:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_by).orderBy(
+            F.desc("es_key"), F.asc(id_col)
+        )
+        return (
+            out.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k)
+        )
     return out.orderBy(F.desc("es_key"), F.asc(id_col)).limit(k)

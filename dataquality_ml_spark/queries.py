@@ -4691,3 +4691,42 @@ def feature_drift_binned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         "column", r6("ks_d"), "u_stat", r6("z_score"), r6("cvm_t"),
         r6("ad_a2"), "n_a", "n_b",
     ).orderBy("column")
+
+
+@register(
+    "weighted_sample_by_lang",
+    oracle="""
+    SELECT lang, doc_id, n_chars, es_key, sample_rank
+    FROM (
+      SELECT lang, doc_id, n_chars, es_key,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY es_key DESC, doc_id) AS INT)
+               AS sample_rank
+      FROM (
+        SELECT lang, doc_id, n_chars,
+               ROUND(LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT) + 0.5)
+                        / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 8) + 0 AS es_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+      )
+    )
+    WHERE sample_rank <= 40
+    ORDER BY lang, sample_rank
+    """,
+)
+def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling (round 10): the 40 best-weighted
+    (length-proportional, Efraimidis-Spirakis) docs per language —
+    per-group window rank executed as WindowGroupLimit, so each task
+    keeps a running top-40 per segment and no language's candidate set
+    materializes."""
+    from dataquality_ml_spark.operators.selection import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(
+        docs, "n_chars", 40, id_col="doc_id", group_by=["lang"]
+    )
+    return out.select(
+        "lang", "doc_id", "n_chars", "es_key", "sample_rank"
+    ).orderBy("lang", "sample_rank")
