@@ -420,6 +420,26 @@ def ngram_jaccard_pairs(
     the self-join (stop-shingle cap) — the knob that keeps the join from
     exploding on boilerplate at 100 TB.
     """
+    inter = _shingle_intersections(df, text_col, id_col, k, max_df)
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _shingle_intersections(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
+) -> DataFrame:
+    """Shared core of :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs`: (id_a, id_b, n_inter, n_a, n_b) for
+    every doc pair sharing ≥1 surviving shingle."""
     # No cache: since the cheap-filter fix in with_shingles, recomputing the
     # shingle arrays per branch costs ~0.3s at sf0.1 while materializing the
     # string arrays into the columnar cache cost ~3s — the cache was the
@@ -447,17 +467,46 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-duplicate detection — shingle containment
+    C(A,B) = |A∩B| / |A| (Broder 1997's companion to resemblance):
+    catches a document that is a near-SUBSET of another (quoted article
+    inside a wrapper page, boilerplate-padded copy) where symmetric
+    Jaccard stays low because the superset's extra mass dilutes the
+    union. Emits both directions per pair —
+    (id_a, id_b, containment_a, containment_b, jaccard) where
+    containment_a = how much of A sits inside B — filtered on
+    max(containment) ≥ ``threshold``. Same inverted-index shape (one
+    shuffle on the shingle hash, ``max_df`` stop-shingle cap) as
+    :func:`ngram_jaccard_pairs`; only the final ratio changes."""
+    inter = _shingle_intersections(df, text_col, id_col, k, max_df)
+    ca = F.round(F.col("n_inter") / F.col("n_a"), 4) + F.lit(0.0)
+    cb = F.round(F.col("n_inter") / F.col("n_b"), 4) + F.lit(0.0)
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+    ) + F.lit(0.0)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+            jac.alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
         .orderBy("id_a", "id_b")
     )
 

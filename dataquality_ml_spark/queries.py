@@ -4730,3 +4730,38 @@ def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "doc_id", "n_chars", "es_key", "sample_rank"
     ).orderBy("lang", "sample_rank")
+
+
+@register(
+    "containment_pairs_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(n_inter / CAST(sa.n_sh AS DOUBLE), 4) + 0 AS containment_a,
+             ROUND(n_inter / CAST(sb.n_sh AS DOUBLE), 4) + 0 AS containment_b,
+             ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) + 0 AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT * FROM scored
+    WHERE GREATEST(containment_a, containment_b) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment near-dup pairs (Broder 1997):
+    near-SUBSET documents that symmetric Jaccard misses — both
+    directions emitted, filtered on max(containment) >= 0.9."""
+    return dd.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.9
+    )

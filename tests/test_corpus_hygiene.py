@@ -1797,3 +1797,32 @@ def test_triplet_manifest_semantics(spark):
     assert (r["pos_id"], r["neg_id"]) == (2, 1)
     assert r["neg_sim"] > r["pos_sim"]  # hard negative beats the positive
     assert r["margin"] == round(r["pos_sim"] - r["neg_sim"], 4) and r["margin"] < 0
+
+
+def test_ngram_containment_detects_near_subset(spark):
+    """A short doc quoted verbatim inside a much longer wrapper: Jaccard
+    stays low (union diluted by the wrapper's extra mass) but containment
+    of the short doc approaches 1 — the directional signal the symmetric
+    metric misses. Unrelated docs produce no pair."""
+    from dataquality_ml_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    wrapper = (
+        " ".join(f"pre{i}" for i in range(30))
+        + " " + quote + " "
+        + " ".join(f"post{i}" for i in range(30))
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, wrapper), (3, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(df, k=5, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    assert r["containment_a"] == 1.0  # every 5-shingle of the quote is in the wrapper
+    assert r["containment_b"] < 0.2 and r["jaccard"] < 0.2
+    # the symmetric operator misses this pair at the same bar
+    assert ngram_jaccard_pairs(df, k=5, threshold=0.9).count() == 0
