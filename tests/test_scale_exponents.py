@@ -72,13 +72,19 @@ def _alpha(spark, fn) -> float:
 
 @pytest.mark.parametrize(
     "name",
-    ["simhash_hamming", "minhash_pairs", "unigram_em", "exact_dedup"],
+    ["simhash_hamming", "minhash_pairs", "unigram_em", "exact_dedup", "containment"],
 )
 def test_headliner_scale_exponent(spark, name):
     from dataquality_ml_spark.operators import dedup, unigram as ug
 
     if name == "simhash_hamming":
         fn = lambda df: dedup.simhash_hamming_pairs(df, k=3).count()  # noqa: E731
+    elif name == "containment":
+        # stop-shingle cap engaged: the 20% boilerplate class would
+        # otherwise produce a quadratic pair OUTPUT by construction
+        fn = lambda df: dedup.ngram_containment_pairs(  # noqa: E731
+            df, k=3, threshold=0.9, max_df=32
+        ).count()
     elif name == "minhash_pairs":
         fn = lambda df: dedup.minhash_dedup_pairs(df).count()  # noqa: E731
     elif name == "exact_dedup":
