@@ -556,3 +556,25 @@ def test_weighted_quantiles_many_groups_join_membership(spark):
         df, "v", "w", qs, group_by=["g"], bins=2, collect_limit=1
     )
     assert got2 == want
+
+
+def test_weighted_sample_plans_take_ordered_and_group_limit(spark):
+    """weighted_sample_k plans as TakeOrderedAndProject (global k) and as
+    WindowGroupLimit (per-group k): no Exchange-then-full-sort shape on
+    either path — the reservoir sampling never globally sorts the corpus."""
+    from dataquality_ml_spark.operators.selection import weighted_sample_k
+
+    df = spark.range(5000).selectExpr(
+        "id as doc_id", "cast(id % 5 as string) as g",
+        "cast(1 + id % 9 as double) as w",
+    )
+    p_global = (
+        weighted_sample_k(df, "w", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p_global
+    p_grouped = (
+        weighted_sample_k(df, "w", 10, group_by=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p_grouped
