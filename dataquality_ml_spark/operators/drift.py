@@ -1113,11 +1113,18 @@ def feature_drift_report(
             F.col("__hi") > F.col("__lo"),
             (F.col("__hi") - F.col("__lo")) / F.lit(float(bins)),
         ).otherwise(F.lit(1.0))
-        b = F.least(
-            F.lit(bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("v") - F.col("__lo")) / w).cast("int"),
+        # Null-preserving: greatest() skips nulls, so the raw clamp would
+        # turn a NULL v into bucket 0 and inflate n_a/n_b before
+        # _ecdf_counts' null filter runs. Wrap in when(isNotNull) so the
+        # binned path drops nulls exactly where the exact path does.
+        b = F.when(
+            F.col("v").isNotNull(),
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - F.col("__lo")) / w).cast("int"),
+                ),
             ),
         )
         def bk(m):

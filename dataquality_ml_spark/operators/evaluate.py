@@ -77,7 +77,12 @@ def roc_auc(df: DataFrame, score: str, label: str) -> DataFrame:
     # single-class guard (round 10): AUC is undefined with no positives
     # or no negatives — report NULL, not an ANSI DIVIDE_BY_ZERO
     auc = F.when((F.col("np") > 0) & (F.col("nn") > 0), auc)
-    return agg.select(F.round(auc, 4).alias("auc"), "np", "nn")
+    # same empty-input face as roc_auc_binned: (auc NULL, 0, 0)
+    return agg.select(
+        F.round(auc, 4).alias("auc"),
+        F.coalesce("np", F.lit(0)).alias("np"),
+        F.coalesce("nn", F.lit(0)).alias("nn"),
+    )
 
 
 def roc_auc_binned(df: DataFrame, score: str, label: str, bins: int = 10000) -> DataFrame:

@@ -747,9 +747,12 @@ def test_feature_drift_report_matches_per_column_panels(spark):
             "v",
         ).first()
         got = rep[c]
-        assert got["ks_d"] == want["ks_d"], c
-        assert (got["u_stat"], got["z_score"]) == (want["u_stat"], want["z_score"]), c
-        assert got["cvm_t"] == want["cvm_t"], c
+        # approx on the float-sum stats: two separate executions, and
+        # Spark does not guarantee float-sum order across plans
+        assert got["ks_d"] == pytest.approx(want["ks_d"], rel=1e-9), c
+        assert got["u_stat"] == pytest.approx(want["u_stat"], rel=1e-9), c
+        assert got["z_score"] == pytest.approx(want["z_score"], rel=1e-9), c
+        assert got["cvm_t"] == pytest.approx(want["cvm_t"], rel=1e-9), c
         assert abs(got["ad_a2"] - want["ad_a2"]) < 1e-9, c
         assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"]), c
     # the shifted columns alarm; ks_d sane
@@ -828,8 +831,11 @@ def test_feature_drift_report_mixed_schema(spark):
         ).collect()
     }
     assert set(mixed) == {"v", "g"}
+    # approx, not ==: the two panels are separate Spark executions and
+    # float-sum order depends on partitioning/AQE state (observed last-ULP
+    # flake on ad_a2: 7.6781630550512725 vs ...276)
     for s in ("ks_d", "u_stat", "z_score", "cvm_t", "ad_a2"):
-        assert mixed["v"][s] == legacy[s]
+        assert mixed["v"][s] == pytest.approx(legacy[s], rel=1e-9)
         assert mixed["g"][s] is None
     for s in ("psi", "jsd", "chi2"):
         assert mixed["v"][s] is None
@@ -872,8 +878,10 @@ def test_feature_drift_report_binned_scale_path(spark):
         lo, hi = float(lohi[0]), float(lohi[1])
         want_ks = ks_statistic(a, b, c, bins=32, lo=lo, hi=hi).first()["ks_d"]
         want_cvm = cvm_statistic(a, b, c, bins=32, lo=lo, hi=hi).first()["cvm_t"]
-        assert got[c]["ks_d"] == want_ks, c
-        assert got[c]["cvm_t"] == want_cvm, c
+        # ks_d reduces integer counts through max (order-free) but the
+        # panels are separate executions — keep approx for the float sums
+        assert got[c]["ks_d"] == pytest.approx(want_ks, rel=1e-9), c
+        assert got[c]["cvm_t"] == pytest.approx(want_cvm, rel=1e-9), c
     # constant column: every row in bucket 0 on both sides — KS 0, and the
     # rank stats match the single-tied-value panel
     assert got["const"]["ks_d"] == 0.0
@@ -886,7 +894,26 @@ def test_feature_drift_report_binned_scale_path(spark):
         ).collect()
     }
     want_fb = ks_statistic(a, b, "x", bins=32, lo=0.0, hi=200.0).first()["ks_d"]
-    assert got_fb["x"]["ks_d"] == want_fb
+    assert got_fb["x"]["ks_d"] == pytest.approx(want_fb, rel=1e-9)
+
+
+def test_feature_drift_report_binned_drops_nulls(spark):
+    """bins= must drop NULL feature values exactly like the exact path:
+    a NULL v must not be quantized into bucket 0 (greatest() skips nulls,
+    so an unguarded clamp would do that), and n_a/n_b must count only
+    non-null rows. Regression for the binned-path null-inflation bug."""
+    from dataquality_ml_spark.operators.drift import feature_drift_report
+
+    base = spark.range(8).select((F.col("id") % 4).cast("double").alias("x"))
+    with_nulls = base.unionByName(
+        spark.range(8).select(F.lit(None).cast("double").alias("x"))
+    )
+    # identical distributions + extra nulls on one side: zero drift
+    exact = feature_drift_report(with_nulls, base, ["x"]).first()
+    binned = feature_drift_report(with_nulls, base, ["x"], bins=4).first()
+    assert (exact["n_a"], exact["n_b"]) == (8, 8)
+    assert (binned["n_a"], binned["n_b"]) == (8, 8)
+    assert binned["ks_d"] == 0.0 and exact["ks_d"] == 0.0
 
 
 def test_categorical_drift_report_keyed_matches_per_segment(spark):

@@ -555,8 +555,13 @@ def test_roc_auc_single_class_returns_null_not_error(spark):
         rb = roc_auc_binned(df, "s", "y", bins=16).first()
         assert rb["auc"] is None and (rb["np"], rb["nn"]) == (np_, nn_)
     empty = spark.createDataFrame([], "s double, y int")
-    re_ = roc_auc_binned(empty, "s", "y", bins=16).first()
-    assert re_["auc"] is None and (re_["np"], re_["nn"]) == (0, 0)
+    # both faces of the statistic share the empty-input contract
+    for face in (
+        roc_auc(empty, "s", "y"),
+        roc_auc_binned(empty, "s", "y", bins=16),
+    ):
+        re_ = face.first()
+        assert re_["auc"] is None and (re_["np"], re_["nn"]) == (0, 0)
     # two-class sanity unchanged: perfect separation → AUC 1.0
     good = spark.createDataFrame(
         [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
