@@ -512,6 +512,8 @@ class DQEngine:
         splits: dict[str, float] | None = None,
         text_col: str = "text",
         id_col: str = "doc_id",
+        max_df: int | None = None,
+        on_hot_shingle: str = "error",
     ) -> DataFrame:
         """One-call training-corpus curation — the LLM-pipeline sibling of
         the detector lifecycle: quality filter (token count + digit
@@ -530,6 +532,11 @@ class DQEngine:
         (`corpus_curation_pipeline`, `dup_clusters_docs`,
         `leakage_safe_split_docs` cover the composition pieces); the
         facade only arranges them and never collects rows.
+
+        ``max_df`` / ``on_hot_shingle`` pass through to
+        :func:`~dataquality_ml_spark.operators.dedup.ngram_jaccard_pairs`
+        — by default the pipeline fails loudly on a boilerplate-shingle
+        pair blow-up instead of silently going quadratic.
         """
         from dataquality_ml_spark.operators import dedup as dd
         from dataquality_ml_spark.operators import graph as gr
@@ -557,7 +564,8 @@ class DQEngine:
             id_col,
         )
         pairs = dd.ngram_jaccard_pairs(
-            survivors, text_col, id_col, k=5, threshold=jaccard_threshold
+            survivors, text_col, id_col, k=5, threshold=jaccard_threshold,
+            max_df=max_df, on_hot_shingle=on_hot_shingle,
         ).select("id_a", "id_b")
         clusters = gr.dedup_clusters(pairs).select(
             F.col("doc_id").alias(id_col), F.col("keep_id").alias("_near_keep")

@@ -29,6 +29,12 @@ from dataquality_ml_spark.functions.scalar import (
     tokens,
 )
 
+#: A shingle appearing in d docs emits d·(d-1)/2 candidate pairs from the
+#: inverted-index self-join; past this document frequency one boilerplate
+#: shingle alone contributes >½M pairs — the quadratic blow-up the
+#: ``on_hot_shingle`` contract guards against.
+HOT_SHINGLE_DF = 1024
+
 # MinHash universe: smallest prime > 2^32. Multipliers stay < 2^20 so
 # a*h + b < 2^52 — exact in int64 AND float64, identical in every engine.
 MINHASH_P = 4_294_967_311
@@ -412,15 +418,22 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     max_df: int | None = None,
+    on_hot_shingle: str = "error",
+    hot_df: int = HOT_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pairs via the shingle inverted index (exact, no LSH recall
     loss): explode shingles, self-join on shingle, count shared, Jaccard.
 
     ``max_df`` drops shingles occurring in more than that many docs before
     the self-join (stop-shingle cap) — the knob that keeps the join from
-    exploding on boilerplate at 100 TB.
+    exploding on boilerplate at 100 TB.  With ``max_df=None`` the
+    ``on_hot_shingle`` contract applies: ``'error'`` (default) raises if
+    any shingle's document frequency exceeds ``hot_df``;
+    ``'exact'`` opts into the uncapped quadratic join explicitly.
     """
-    inter = _shingle_intersections(df, text_col, id_col, k, max_df)
+    inter = _shingle_intersections(
+        df, text_col, id_col, k, max_df, on_hot_shingle, hot_df
+    )
     return (
         inter.select(
             "id_a",
@@ -435,11 +448,29 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_intersections(
-    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_df: int | None,
+    on_hot_shingle: str = "error",
+    hot_df: int = HOT_SHINGLE_DF,
 ) -> DataFrame:
     """Shared core of :func:`ngram_jaccard_pairs` and
     :func:`ngram_containment_pairs`: (id_a, id_b, n_inter, n_a, n_b) for
-    every doc pair sharing ≥1 surviving shingle."""
+    every doc pair sharing ≥1 surviving shingle.
+
+    ``on_hot_shingle`` (round 11, fit_features/smote loud-contract
+    convention): with ``max_df=None`` the self-join is exact but goes
+    quadratic on boilerplate shingles.  ``'error'`` (default) spends one
+    bounded aggregation checking the hottest document frequency and
+    raises past ``hot_df``; ``'exact'`` skips the check — the explicit
+    100 TB opt-in acknowledging the pair-count risk."""
+    if on_hot_shingle not in ("error", "exact"):
+        raise ValueError(
+            "on_hot_shingle must be 'error' or 'exact', got "
+            f"{on_hot_shingle!r}"
+        )
     # No cache: since the cheap-filter fix in with_shingles, recomputing the
     # shingle arrays per branch costs ~0.3s at sf0.1 while materializing the
     # string arrays into the columnar cache cost ~3s — the cache was the
@@ -457,6 +488,22 @@ def _shingle_intersections(
     if max_df is not None:
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         ex = ex.join(freq.where(F.col("df") <= max_df).select("s"), "s")
+    elif on_hot_shingle == "error":
+        hottest = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("m"))
+            .first()["m"]
+        )
+        if hottest is not None and hottest > hot_df:
+            raise ValueError(
+                f"hottest shingle appears in {hottest} docs (> {hot_df}): "
+                "the uncapped self-join would emit "
+                f"~{hottest * (hottest - 1) // 2} pairs from that shingle "
+                "alone. Pass max_df= to cap stop-shingles (subquadratic, "
+                "approximate) or on_hot_shingle='exact' to accept the "
+                "exact quadratic cost."
+            )
     # Shared-shingle counting via bucket expansion (one shuffle on the
     # shingle hash); pair multiplicity = |A ∩ B|.
     inter = (
@@ -477,6 +524,8 @@ def ngram_containment_pairs(
     k: int = 5,
     threshold: float = 0.9,
     max_df: int | None = None,
+    on_hot_shingle: str = "error",
+    hot_df: int = HOT_SHINGLE_DF,
 ) -> DataFrame:
     """DIRECTIONAL near-duplicate detection — shingle containment
     C(A,B) = |A∩B| / |A| (Broder 1997's companion to resemblance):
@@ -487,9 +536,12 @@ def ngram_containment_pairs(
     (id_a, id_b, containment_a, containment_b, jaccard) where
     containment_a = how much of A sits inside B — filtered on
     max(containment) ≥ ``threshold``. Same inverted-index shape (one
-    shuffle on the shingle hash, ``max_df`` stop-shingle cap) as
+    shuffle on the shingle hash, ``max_df`` stop-shingle cap, same
+    ``on_hot_shingle`` loud contract when uncapped) as
     :func:`ngram_jaccard_pairs`; only the final ratio changes."""
-    inter = _shingle_intersections(df, text_col, id_col, k, max_df)
+    inter = _shingle_intersections(
+        df, text_col, id_col, k, max_df, on_hot_shingle, hot_df
+    )
     ca = F.round(F.col("n_inter") / F.col("n_a"), 4) + F.lit(0.0)
     cb = F.round(F.col("n_inter") / F.col("n_b"), 4) + F.lit(0.0)
     jac = F.round(

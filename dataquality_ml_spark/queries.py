@@ -746,7 +746,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=5, threshold=0.8
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.8,
+        on_hot_shingle="exact",  # oracle exactness; bench SF is cool
     )
 
 
@@ -1068,7 +1069,8 @@ def _dup_clusters_shared(spark: SparkSession, sf_dir: str):
     if key not in _QUANT_MEMO:
         with pre_normalized():
             pairs = dd.ngram_jaccard_pairs(
-                _docs_nfc(spark, sf_dir), k=5, threshold=0.8
+                _docs_nfc(spark, sf_dir), k=5, threshold=0.8,
+                on_hot_shingle="exact",
             ).select("id_a", "id_b")
             _QUANT_MEMO[key] = gr_ops.dedup_clusters(pairs).localCheckpoint(
                 eager=True
@@ -2552,7 +2554,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd_ops.dedup_exact(kept_q).select(F.col("keep_id").alias("doc_id")).cache()
         )
         deduped = kept_q.join(exact_keep, "doc_id")
-        near = dd_ops.ngram_jaccard_pairs(deduped, k=5, threshold=0.8).select(
+        near = dd_ops.ngram_jaccard_pairs(
+            deduped, k=5, threshold=0.8, on_hot_shingle="exact"
+        ).select(
             F.col("id_b").alias("doc_id")
         ).distinct()
         return exact_keep.join(near, "doc_id", "left_anti").orderBy("doc_id")
@@ -4763,5 +4767,6 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-SUBSET documents that symmetric Jaccard misses — both
     directions emitted, filtered on max(containment) >= 0.9."""
     return dd.ngram_containment_pairs(
-        _t(spark, sf_dir, "documents"), k=5, threshold=0.9
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.9,
+        on_hot_shingle="exact",  # oracle exactness; bench SF is cool
     )

@@ -2342,9 +2342,9 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with pre_normalized():
         docs = _docs_nfc(spark, sf_dir)
-        pairs = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
-            "id_a", "id_b"
-        )
+        pairs = dd.ngram_jaccard_pairs(
+            docs, k=5, threshold=0.8, on_hot_shingle="exact"
+        ).select("id_a", "id_b")
         clusters = gr.dedup_clusters(pairs).select("doc_id", "keep_id")
         grouped = (
             docs.select("doc_id")
@@ -3444,9 +3444,9 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         mh = dd.minhash_dedup_pairs(
             docs, k=5, num_perms=16, bands=4, rows=4, threshold=0.8
         ).select("id_a", "id_b").withColumn("in_mh", F.lit(1))
-        ex = dd.ngram_jaccard_pairs(docs, k=5, threshold=0.8).select(
-            "id_a", "id_b"
-        ).withColumn("in_ex", F.lit(1))
+        ex = dd.ngram_jaccard_pairs(
+            docs, k=5, threshold=0.8, on_hot_shingle="exact"
+        ).select("id_a", "id_b").withColumn("in_ex", F.lit(1))
     j = ex.join(mh, ["id_a", "id_b"], "full").na.fill({"in_ex": 0, "in_mh": 0})
     return j.agg(
         F.sum("in_ex").alias("n_exact"),

@@ -1826,3 +1826,45 @@ def test_ngram_containment_detects_near_subset(spark):
     assert r["containment_b"] < 0.2 and r["jaccard"] < 0.2
     # the symmetric operator misses this pair at the same bar
     assert ngram_jaccard_pairs(df, k=5, threshold=0.9).count() == 0
+
+
+def test_ngram_pairs_hot_shingle_contract(spark):
+    """Round 11 (VERDICT r10 item 2): with max_df=None the uncapped
+    shingle self-join goes quadratic on boilerplate — the default must
+    FAIL LOUDLY past hot_df, 'exact' must opt in, max_df= must cap, and
+    a bad knob value must raise at plan time (fit_features convention)."""
+    import pytest
+
+    from dataquality_ml_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(6))  # shared 5-shingles
+    df = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} x{i} y{i} {boiler}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # every doc shares the boilerplate shingles → df=40 > hot_df=8
+    with pytest.raises(ValueError, match="hottest shingle appears in 40"):
+        ngram_jaccard_pairs(df, k=5, threshold=0.1, hot_df=8).collect()
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_containment_pairs(df, k=5, threshold=0.9, hot_df=8).collect()
+    # explicit opt-in accepts the quadratic cost and stays exact
+    n_exact = ngram_jaccard_pairs(
+        df, k=5, threshold=0.1, hot_df=8, on_hot_shingle="exact"
+    ).count()
+    assert n_exact == 40 * 39 // 2  # all pairs share the boilerplate
+    # stop-shingle cap removes the hot shingles (loudness not needed)
+    assert (
+        ngram_jaccard_pairs(df, k=5, threshold=0.1, max_df=8, hot_df=8).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="on_hot_shingle"):
+        ngram_jaccard_pairs(df, on_hot_shingle="warn")
+    # default threshold untripped: a cool corpus runs unchanged
+    cool = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(cool, k=5, threshold=0.9).count() == 0
