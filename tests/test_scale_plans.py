@@ -375,6 +375,49 @@ def test_exact_quantiles_select_many_groups_join_path(spark, monkeypatch):
     assert got2 == want
 
 
+def test_all_quantile_faces_share_the_chain_engine(spark, monkeypatch):
+    """Round 11 (VERDICT r10 item 3): ONE selection loop. Every exact
+    quantile face — scalar select, grouped select, exact_quantiles_multi,
+    thresholds' percentile/IQR helpers — must resolve through the shared
+    _select_chains engine, so a future quantile bug is one fix, not
+    three. Values stay bit-equal to percentile()."""
+    from dataquality_ml_spark.operators import profile as prof
+    from dataquality_ml_spark.operators import thresholds as th
+
+    calls = []
+    real = prof._select_chains
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(prof, "_select_chains", spy)
+
+    df = spark.range(1, 1002).select((F.col("id") % 97).cast("double").alias("v"))
+    want = df.agg(
+        F.expr("percentile(v, array(0.25, 0.5, 0.95))").alias("p")
+    ).first()["p"]
+
+    assert prof.exact_quantiles_select(df, "v", [0.25, 0.5, 0.95]) == list(want)
+    assert len(calls) == 1
+    got_m = prof.exact_quantiles_multi(df, ["v"], [0.5])
+    assert got_m["v"][0.5] == want[1]
+    assert len(calls) == 2
+    assert th.percentile_threshold(df, "v", 0.95) == want[2]
+    assert len(calls) == 3
+    q1, q3 = want[0], df.agg(F.expr("percentile(v, 0.75)")).first()[0]
+    assert th.iqr_threshold(df, "v", k=1.5) == q3 + 1.5 * (q3 - q1)
+    assert len(calls) == 4
+    # grouped face through the same engine
+    gdf = df.withColumn("g", (F.col("v") < 50).cast("string"))
+    gw = {
+        (r["g"],): [r["p"]]
+        for r in gdf.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("p")).collect()
+    }
+    assert prof.exact_quantiles_select(gdf, "v", [0.5], group_by=["g"]) == gw
+    assert len(calls) == 5
+
+
 def test_keyed_drift_family_no_global_window(spark):
     """The keys= faces of the two-sample family (round 9) must keep the
     no-unpartitioned-window property: keyed prefix sums restart per key
