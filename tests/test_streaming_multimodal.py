@@ -1173,6 +1173,59 @@ def test_drift_monitor_stream_matches_batch_statistics(spark, tmp_path):
     assert by_n[150]["psi"] > 5 * by_n[120]["psi"]
 
 
+def test_drift_monitor_replay_equals_live_stream(spark, tmp_path):
+    """drift_monitor_replay (the registered face, round 11) must emit the
+    EXACT reports a live drift_monitor_stream produces when the same
+    slices arrive as real micro-batches — the fold is shared verbatim, so
+    any divergence means the replay driver sliced or ordered wrong."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators import sketch as sk
+
+    schema = "event_id bigint, value double"
+    ref_df = spark.createDataFrame(
+        [(i, float((i * 7) % 50)) for i in range(300)], schema
+    )
+    ref_hist = np.zeros(25, dtype=np.int64)
+    for r in sk.qsketch_build(ref_df, "value", 0.0, 100.0, bins=25).collect():
+        ref_hist[r["qs_bin"]] = r["qs_cnt"]
+
+    b1 = [(i, float(i % 50)) for i in range(120)]
+    b2 = [(i + 200, float(i % 30) + 40.0) for i in range(150)]
+    in_dir = tmp_path / "rp_in"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, live = ss.drift_monitor_stream(
+        stream, checkpoint=str(tmp_path / "rp_ckpt"), ref_hist=ref_hist,
+        value_col="value", lo=0.0, hi=100.0,
+    )
+    q.awaitTermination(120)
+    assert len(live) == 2
+
+    static = spark.createDataFrame(
+        [(i, v, 0) for i, v in b1] + [(i, v, 1) for i, v in b2],
+        "event_id bigint, value double, batch int",
+    )
+    got = {
+        r["n"]: r
+        for r in ss.drift_monitor_replay(
+            static, "batch", ref_hist, "value", 0.0, 100.0
+        ).collect()
+    }
+    assert set(got) == {120, 150}
+    for rep in live:  # live batch order is nondeterministic: match on n
+        g = got[rep["n"]]
+        for s in ("psi", "ks_d", "cvm_t"):
+            # same fold, same numpy ops on identical integer histograms
+            assert g[s] == rep[s], s
+
+
 def test_drift_monitor_stream_checkpoint_restart(spark, tmp_path):
     """Kill-and-restart differential (round 9, VERDICT r8 item 5): a
     drift monitor restarted from its checkpoint must NOT re-report (or
