@@ -326,3 +326,61 @@ def lift_table(
         .drop("ap_term")
         .orderBy(F.desc("bin"))
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature: str,
+    label,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Weight of Evidence / Information Value feature screen — per
+    equi-width bin of ``feature``: event/non-event counts, their class
+    fractions, WoE = ln(frac_pos/frac_neg) (EPS-clamped like the PSI
+    family so empty cells stay finite), the bin's IV term, and the
+    repeated iv_total = Σ (frac_pos − frac_neg)·WoE. The credit-scoring
+    screen (IV < 0.02 useless, > 0.3 strong) that ranks features against
+    a binary label BEFORE any model is fit — cheaper and more robust
+    than fitting per-feature models.
+
+    ``label`` is a boolean Column (or column name). One aggregation to
+    ≤``bins`` rows under the frozen (lo, hi) quantizer (out-of-range
+    clamps to edge bins, same as the sketch family); all fractions are
+    fixed float expressions over exact integer counts.
+    """
+    eps = 1e-6
+    y = F.col(label) if isinstance(label, str) else label
+    width = (float(hi) - float(lo)) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(feature) - F.lit(float(lo))) / F.lit(width)).cast("int"),
+        ),
+    )
+    cells = (
+        df.where(F.col(feature).isNotNull())
+        .select(b.alias("bin"), y.cast("boolean").alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("__y"), 1)).alias("n_pos"),
+            F.count(F.when(~F.col("__y"), 1)).alias("n_neg"),
+        )
+    )
+    w = Window.partitionBy()
+    fp = F.greatest(F.col("n_pos") / F.sum("n_pos").over(w), F.lit(eps))
+    fn = F.greatest(F.col("n_neg") / F.sum("n_neg").over(w), F.lit(eps))
+    woe = F.log(fp / fn)
+    iv_term = (fp - fn) * woe
+    return cells.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        fp.alias("frac_pos"),
+        fn.alias("frac_neg"),
+        woe.alias("woe"),
+        iv_term.alias("iv_term"),
+        F.sum(iv_term).over(w).alias("iv_total"),
+    )

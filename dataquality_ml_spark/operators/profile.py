@@ -1194,3 +1194,43 @@ def exact_quantiles_multi(
             else {q: None for q in qs_f}
         )
     return out
+
+
+def benford_check(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    (digit, n, p, p_benford, chi2_total): the classic fabricated-data /
+    unit-mixing screen for financial-style measures (naturally grown
+    magnitudes follow P(d) = log10(1 + 1/d); keyed-in or truncated data
+    does not). chi2_total = Σ_d (n_d − n·p_d)²/(n·p_d) is repeated on
+    every row for one-relation consumption.
+
+    Values below 1 are excluded so the first digit comes from the exact
+    integer part via a string head — no pow(10, floor(log10 x)) float
+    round-trip, so the digit assignment is engine-portable by
+    construction. ONE aggregation to ≤9 rows; every ratio is computed
+    over that bounded relation.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.where(F.col(col).isNotNull() & (F.col(col) >= 1))
+        .select(
+            F.substring(
+                F.floor(F.col(col)).cast("long").cast("string"), 1, 1
+            ).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w)
+    p_benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    e = tot * p_benford
+    chi2_term = (F.col("n") - e) * (F.col("n") - e) / e
+    return d.select(
+        "digit",
+        "n",
+        (F.col("n") / tot).alias("p"),
+        p_benford.alias("p_benford"),
+        F.sum(chi2_term).over(w).alias("chi2_total"),
+    )

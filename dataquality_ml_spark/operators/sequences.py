@@ -141,3 +141,161 @@ def session_stats(
         F.round(F.max(e) - F.min(e), 4).alias("duration_s"),
         F.round(F.sum(value), 4).alias("sum_value"),
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    min_events: int = 5,
+) -> DataFrame:
+    """Per-key inter-arrival burstiness — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over the gaps between consecutive events (B→−1
+    periodic, 0 Poisson, →1 bursty), plus the coefficient of variation.
+    The per-entity timing-anomaly screen the global ``gap_check`` can't
+    give (a bot that fires every 60 s exactly and a bursty scraper can
+    share the same mean rate).
+
+    Scale shape: ONE keyed window (lag per key — partitioned, no global
+    sort) and one grouped aggregation. Gaps are kept as exact
+    MICROSECOND integers; Σgap rides int64 and Σgap² DECIMAL(38,0), so
+    μ/σ come out of exact integer sums with a fixed final float
+    sequence — cross-engine reproducible, no float-sum order hazard.
+    """
+    w = Window.partitionBy(key_col).orderBy("__us")
+    gaps = (
+        df.select(key_col, F.unix_micros(F.col(ts_col)).alias("__us"))
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__gap").alias("s1"),
+        F.sum(F.col("__gap").cast("decimal(38,0)") * F.col("__gap")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    # population variance from exact sums: (Σg² − (Σg)²/n)/n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps")
+    ) / F.col("n_gaps")
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        agg.where(F.col("n_gaps") >= min_events - 1)
+        .select(
+            key_col,
+            (F.col("n_gaps") + 1).alias("n_events"),
+            (mu / 1e6).alias("mean_gap_s"),
+            F.when(mu > 0, sigma / mu).alias("cv"),
+            F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)).alias(
+                "burstiness"
+            ),
+        )
+    )
+
+
+def pair_cooccurrence(
+    df: DataFrame,
+    item_col: str,
+    basket_cols: list[str],
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket pair statistics: for every unordered item pair
+    (a < b), the number of baskets containing both, each item's basket
+    count, and lift = N·n_ab/(n_a·n_b) — the co-occurrence screen for
+    event-type affinity / tag bundles / co-edited entities.
+
+    One distinct pass builds the (basket, item) relation; the pair join
+    is a self-join ON THE BASKET KEY, so a basket with k distinct items
+    expands to k·(k−1)/2 pair rows — bounded by the per-basket distinct
+    item count (event types, tags: dozens), never by corpus size. Counts
+    are exact integers; lift is one fixed float expression over them.
+    """
+    b = df.select(*basket_cols, F.col(item_col).alias("__it")).where(
+        F.col("__it").isNotNull()
+    ).distinct()
+    # lazy scalar: total basket count rides a broadcast-1-row join, so the
+    # operator builds a plan without running a job at call time
+    tot = (
+        b.select(*basket_cols)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n_baskets"))
+    )
+    singles = b.groupBy("__it").agg(F.count(F.lit(1)).alias("n_single"))
+    rhs = b.select(
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(basket_cols)],
+        F.col("__it").alias("__it2"),
+    )
+    cond = F.col("__it") < F.col("__it2")
+    for i, c in enumerate(basket_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__b{i}"))
+    pairs = (
+        b.join(rhs, cond)
+        .groupBy(F.col("__it").alias("item_a"), F.col("__it2").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    sa = singles.select(F.col("__it").alias("item_a"), F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("__it").alias("item_b"), F.col("n_single").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("__n_baskets").cast("double") * F.col("n_both")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+def dow_hour_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Hour-of-week seasonality profile: per (day-of-week, hour) cell the
+    event count, count share, and (with ``value_col``) the cell mean and
+    its ratio to the overall mean — the seasonal baseline a rate-anomaly
+    monitor subtracts before alarming (a Monday-9am spike is weather, a
+    Sunday-3am spike is an incident).
+
+    ONE aggregation to ≤168 cells; the share/ratio columns are windows
+    over that bounded relation. At any corpus size the reduce side holds
+    168 rows."""
+    cells = df.groupBy(
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *(
+            [F.sum(F.col(value_col)).alias("__sv")]
+            if value_col
+            else []
+        ),
+    )
+    w = Window.partitionBy()
+    out = cells.select(
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("n_share"),
+        *(
+            [
+                (F.col("__sv") / F.col("n")).alias("mean_value"),
+                (
+                    (F.col("__sv") / F.col("n"))
+                    / (F.sum("__sv").over(w) / F.sum("n").over(w))
+                ).alias("mean_ratio"),
+            ]
+            if value_col
+            else []
+        ),
+    )
+    return out

@@ -9,7 +9,7 @@ and every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataquality_ml_spark.functions.scalar import (
@@ -644,4 +644,103 @@ def jaccard_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def vocab_growth(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: per document (in ``id_col``
+    order) the number of NEVER-SEEN-BEFORE tokens it contributes, the
+    cumulative vocabulary size, and the cumulative token count — the
+    curve V(N) ~ K·N^β whose flattening says when more same-source data
+    stops buying new vocabulary (the data-acquisition signal for a
+    training corpus).
+
+    No sequential scan: a token's first appearance is just
+    min(``id_col``) over its postings — one grouped aggregation — and
+    both cumulative columns are DISTRIBUTED prefix sums
+    (:func:`~dataquality_ml_spark.operators.relational.exclusive_prefix_sum`
+    — per-partition subtotals + a broadcast offset join, no global
+    window), so the curve of a billion-doc corpus never funnels through
+    one task.
+    """
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).where(F.col("__t") != "")
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    news = (
+        toks.groupBy("__t")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    base = per_doc.join(news, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+    )
+    pre = exclusive_prefix_sum(
+        base, id_col, ["new_tokens", "n_tokens"], out=["__vb", "__tb"]
+    )
+    return pre.select(
+        id_col,
+        "new_tokens",
+        "n_tokens",
+        (F.col("__vb") + F.col("new_tokens")).alias("vocab_size"),
+        (F.col("__tb") + F.col("n_tokens")).alias("cum_tokens"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: the OLS slope
+    and intercept of ln(count) on ln(rank) across the ``top_k`` most
+    frequent tokens (deterministic count-desc, token-asc ranking). A
+    natural-language corpus sits near slope −1; a slope far off flags
+    boilerplate floods, template spam, or tokenizer damage — the
+    one-number corpus-health companion to the per-doc quality scores.
+
+    Scale shape: ONE token-count aggregation, then orderBy+limit —
+    planned as TakeOrderedAndProject, each task keeps a running top-k —
+    so the vocabulary-sized relation is never globally sorted; the rank
+    window and regression sums run over exactly ``top_k`` rows.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .where(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("__t"))
+        .limit(top_k)
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("__t")))
+        .alias("rank"),
+        "c",
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("k").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    return agg.select(
+        F.col("k").alias("n_tokens_fit"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
     )

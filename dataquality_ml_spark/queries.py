@@ -4898,3 +4898,290 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "benford_lineitem",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT digit, n,
+             n / CAST(SUM(n) OVER () AS DOUBLE) AS p,
+             LOG10(1.0 + 1.0 / digit) AS pb,
+             SUM(n) OVER () AS tot
+      FROM d
+    )
+    SELECT digit, n,
+           ROUND(p, 6) + 0 AS p,
+           ROUND(pb, 6) + 0 AS p_benford,
+           ROUND(SUM((n - tot * pb) * (n - tot * pb) / (tot * pb)) OVER (), 6) + 0 AS chi2_total
+    FROM scored
+    ORDER BY digit
+    """,
+)
+def benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of l_extendedprice (round 11): the
+    fabricated-data / unit-mixing screen — first-digit shares vs
+    log10(1+1/d) with the chi-square misfit riding every row. One
+    aggregation to <=9 rows; the digit comes from an exact integer
+    string head, so the assignment is engine-portable by construction."""
+    out = prof.benford_check(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return out.select(
+        "digit",
+        "n",
+        (F.round("p", 6) + F.lit(0.0)).alias("p"),
+        (F.round("p_benford", 6) + F.lit(0.0)).alias("p_benford"),
+        (F.round("chi2_total", 6) + F.lit(0.0)).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+@register(
+    "woe_iv_lineitem",
+    oracle="""
+    WITH cells AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR((l_extendedprice - 900.0) / 10410.0) AS INT))) AS bin,
+             COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_pos,
+             COUNT(*) FILTER (WHERE l_returnflag <> 'R') AS n_neg
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT bin, n_pos, n_neg,
+             GREATEST(n_pos / CAST(SUM(n_pos) OVER () AS DOUBLE), 1e-6) AS fp,
+             GREATEST(n_neg / CAST(SUM(n_neg) OVER () AS DOUBLE), 1e-6) AS fn
+      FROM cells
+    )
+    SELECT bin, n_pos, n_neg,
+           ROUND(fp, 6) + 0 AS frac_pos,
+           ROUND(fn, 6) + 0 AS frac_neg,
+           ROUND(LN(fp / fn), 6) + 0 AS woe,
+           ROUND((fp - fn) * LN(fp / fn), 6) + 0 AS iv_term,
+           ROUND(SUM((fp - fn) * LN(fp / fn)) OVER (), 6) + 0 AS iv_total
+    FROM f
+    ORDER BY bin
+    """,
+)
+def woe_iv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value screen of l_extendedprice
+    against the 'returned' label (round 11) — the pre-model feature
+    ranking: per price decile-bin the class mix, WoE, and the IV total on
+    every row. One aggregation to <=10 cells under the frozen
+    (900, 105000) quantizer."""
+    out = ev.woe_iv(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+        lo=900.0,
+        hi=105000.0,
+        bins=10,
+    )
+    return out.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["frac_pos", "frac_neg", "woe", "iv_term", "iv_total"]
+        ],
+    ).orderBy("bin")
+
+
+@register(
+    "interarrival_burstiness_users",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS g
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+             SUM(g) AS s1,
+             SUM(CAST(g AS HUGEINT) * g) AS s2
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT user_id, n_gaps,
+             CAST(s1 AS DOUBLE) / n_gaps AS mu,
+             SQRT(GREATEST((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps) / n_gaps, 0.0)) AS sigma
+      FROM agg WHERE n_gaps >= 4
+    )
+    SELECT user_id,
+           n_gaps + 1 AS n_events,
+           ROUND(mu / 1e6, 6) + 0 AS mean_gap_s,
+           ROUND(CASE WHEN mu > 0 THEN sigma / mu END, 6) + 0 AS cv,
+           ROUND(CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu) END, 6) + 0 AS burstiness
+    FROM stats
+    ORDER BY user_id
+    """,
+)
+def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness B = (sigma-mu)/(sigma+mu) + CV
+    (round 11): the bot/scraper timing screen. Gaps stay exact
+    microsecond integers (sum int64, sum-of-squares DECIMAL), so mu/sigma
+    are fixed float expressions over exact sums — engine-portable. One
+    keyed lag window + one grouped agg; parallelism grows with users."""
+    out = seq.interarrival_burstiness(
+        _t(spark, sf_dir, "events"), "ts", "user_id", min_events=5
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["mean_gap_s", "cv", "burstiness"]
+        ],
+    ).orderBy("user_id")
+
+
+@register(
+    "event_pair_lift_users",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS nb FROM (SELECT DISTINCT user_id, day FROM b)),
+    singles AS (SELECT event_type, COUNT(*) AS ns FROM b GROUP BY 1),
+    pairs AS (
+      SELECT x.event_type AS item_a, y.event_type AS item_b, COUNT(*) AS n_both
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.day = y.day AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_both, sa.ns AS n_a, sb.ns AS n_b,
+           ROUND(CAST(tot.nb AS DOUBLE) * n_both / (CAST(sa.ns AS DOUBLE) * sb.ns), 6) + 0 AS lift
+    FROM pairs, tot
+    JOIN singles sa ON sa.event_type = item_a
+    JOIN singles sb ON sb.event_type = item_b
+    ORDER BY item_a, item_b
+    """,
+)
+def event_pair_lift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over (user, day) baskets of event types
+    (round 11): which behaviors co-occur beyond chance — the affinity
+    screen behind funnel hypotheses. Pair expansion is bounded by the
+    per-basket distinct type count (5 types -> <=10 pairs per basket);
+    counts exact, lift one fixed float expression."""
+    ev_df = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = seq.pair_cooccurrence(ev_df, "event_type", ["user_id", "day"])
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        (F.round("lift", 6) + F.lit(0.0)).alias("lift"),
+    ).orderBy("item_a", "item_b")
+
+
+@register(
+    "vocab_growth_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM flat WHERE tok <> '' GROUP BY 1),
+    news AS (
+      SELECT fd AS doc_id, COUNT(*) AS new_tokens
+      FROM (SELECT tok, MIN(doc_id) AS fd FROM flat WHERE tok <> '' GROUP BY 1)
+      GROUP BY 1
+    )
+    SELECT p.doc_id,
+           COALESCE(n.new_tokens, 0) AS new_tokens,
+           p.n_tokens,
+           SUM(COALESCE(n.new_tokens, 0)) OVER (ORDER BY p.doc_id) AS vocab_size,
+           SUM(p.n_tokens) OVER (ORDER BY p.doc_id) AS cum_tokens
+    FROM per_doc p LEFT JOIN news n USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve over the corpus (round 11):
+    per doc the never-seen-before token count, cumulative vocabulary and
+    cumulative tokens — when the curve flattens, more same-source data
+    stops buying vocabulary. First appearances are min(doc_id) per token
+    (one grouped agg); both cumulatives are DISTRIBUTED prefix sums, so
+    no global window anywhere."""
+    out = tx.vocab_growth(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "new_tokens", "n_tokens", "vocab_size", "cum_tokens"
+    ).orderBy("doc_id")
+
+
+@register(
+    "zipf_fit_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    flat AS (SELECT unnest(t) AS tok FROM toks),
+    counts AS (SELECT tok, COUNT(*) AS c FROM flat WHERE tok <> '' GROUP BY 1),
+    top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 200),
+    ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank, c FROM top),
+    s AS (
+      SELECT COUNT(*) AS k,
+             SUM(LN(CAST(rank AS DOUBLE))) AS sx,
+             SUM(LN(CAST(c AS DOUBLE))) AS sy,
+             SUM(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE))) AS sxx,
+             SUM(LN(CAST(rank AS DOUBLE)) * LN(CAST(c AS DOUBLE))) AS sxy
+      FROM ranked
+    )
+    SELECT k AS n_tokens_fit,
+           ROUND((sxy - sx * sy / CAST(k AS DOUBLE)) / (sxx - sx * sx / CAST(k AS DOUBLE)), 6) + 0 AS slope,
+           ROUND((sy - ((sxy - sx * sy / CAST(k AS DOUBLE)) / (sxx - sx * sx / CAST(k AS DOUBLE))) * sx) / CAST(k AS DOUBLE), 6) + 0 AS intercept
+    FROM s
+    """,
+)
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution (round 11): OLS
+    slope/intercept of ln(count) on ln(rank) over the 200 most frequent
+    tokens. Natural language sits near slope -1; large deviations flag
+    boilerplate floods or tokenizer damage. The vocabulary relation is
+    never globally sorted — orderBy+limit plans as TakeOrderedAndProject;
+    the regression runs over exactly 200 rows."""
+    out = tx.zipf_fit(_t(spark, sf_dir, "documents"), top_k=200)
+    return out.select(
+        "n_tokens_fit",
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+@register(
+    "dow_hour_profile_events",
+    oracle="""
+    WITH cells AS (
+      SELECT dayofweek(ts) + 1 AS dow, EXTRACT(hour FROM ts) AS hour,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, n,
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) + 0 AS n_share,
+           ROUND(sv / n, 6) + 0 AS mean_value,
+           ROUND((sv / n) / (SUM(sv) OVER () / CAST(SUM(n) OVER () AS DOUBLE)), 6) + 0 AS mean_ratio
+    FROM cells
+    ORDER BY dow, hour
+    """,
+)
+def dow_hour_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile of the event stream (round 11):
+    per (day-of-week, hour) cell the volume share and the value mean's
+    ratio to the overall mean — the seasonal baseline a rate-anomaly
+    monitor subtracts before alarming. ONE aggregation to <=168 cells;
+    shares/ratios are windows over that bounded relation."""
+    out = seq.dow_hour_profile(_t(spark, sf_dir, "events"), "ts", "value")
+    return out.select(
+        "dow",
+        "hour",
+        "n",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["n_share", "mean_value", "mean_ratio"]
+        ],
+    ).orderBy("dow", "hour")

@@ -1,0 +1,194 @@
+"""Round-11 operator semantics: burstiness, pair co-occurrence, Benford,
+WoE/IV, vocabulary growth, Zipf fit, hour-of-week profile.
+
+The oracle suite pins these against DuckDB on the test tables; here we pin
+the STATISTICAL semantics on hand-built inputs (periodic vs bursty timing,
+known lift, planted power law) plus the scale-plan gate for the Zipf top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_interarrival_burstiness_semantics(spark):
+    """Perfectly periodic gaps give B = -1 and CV = 0; a heavy-tailed gap
+    pattern gives B > 0; users below min_events are dropped; exact-int
+    formula equals a hand computation."""
+    from dataquality_ml_spark.operators.sequences import interarrival_burstiness
+
+    base = 1_700_000_000_000_000  # µs epoch
+    rows = []
+    # user 1: periodic, 60 s exactly × 10 events
+    rows += [(1, base + i * 60_000_000) for i in range(10)]
+    # user 2: bursty — 9 gaps of 1 s, then one 10-hour silence
+    rows += [(2, base + i * 1_000_000) for i in range(10)]
+    rows += [(2, base + 36_000_000_000)]
+    # user 3: too few events
+    rows += [(3, base), (3, base + 5_000_000)]
+    df = spark.createDataFrame(rows, "user_id int, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = {
+        r["user_id"]: r
+        for r in interarrival_burstiness(df, "ts", "user_id", min_events=5).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["burstiness"] == -1.0 and got[1]["cv"] == 0.0
+    assert got[1]["mean_gap_s"] == 60.0 and got[1]["n_events"] == 10
+    # one huge gap dominates σ; with n=10 gaps B is capped at
+    # (sqrt(9)-1)/(sqrt(9)+1) = 0.5, approached from below
+    assert got[2]["burstiness"] > 0.45
+    # hand check user 2: gaps = 9×1e6 µs + (36e9 − 9e6) µs
+    gaps = [1_000_000] * 9 + [36_000_000_000 - 9_000_000]
+    n = len(gaps)
+    mu = sum(gaps) / n
+    var = (sum(g * g for g in gaps) - sum(gaps) ** 2 / n) / n
+    b = (math.sqrt(var) - mu) / (math.sqrt(var) + mu)
+    assert got[2]["burstiness"] == pytest.approx(b, rel=1e-12)
+
+
+def test_pair_cooccurrence_lift(spark):
+    """Hand-built baskets: a pair present in every basket has lift 1/...,
+    independence gives lift ~1, perfect co-occurrence of rare items gives
+    lift N/n; item order is canonical (a < b) and self-pairs absent."""
+    from dataquality_ml_spark.operators.sequences import pair_cooccurrence
+
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {b}
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+        (4, "b"),  # duplicate item in basket must not double-count
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in pair_cooccurrence(df, "item", ["basket"]).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c")}
+    ab = got[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["lift"] == pytest.approx(4 * 2 / (3 * 3), rel=1e-12)
+    ac = got[("a", "c")]
+    assert (ac["n_both"], ac["n_a"], ac["n_b"]) == (1, 3, 1)
+    assert ac["lift"] == pytest.approx(4 * 1 / (3 * 1), rel=1e-12)
+
+
+def test_benford_check_semantics(spark):
+    """A Benford-distributed sample scores a small chi2; a uniform-digit
+    sample alarms; digits come from the integer part (sub-1 and null
+    values excluded)."""
+    from dataquality_ml_spark.operators.profile import benford_check
+
+    # build counts proportional to Benford probabilities exactly
+    rows = []
+    for d in range(1, 10):
+        n_d = round(10000 * math.log10(1 + 1 / d))
+        rows += [(float(d) * 10 + 3.7,)] * n_d  # first digit d
+    rows += [(0.5,), (None,)]  # excluded
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_check(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["chi2_total"] < 1.0  # near-perfect fit
+    assert sum(r["n"] for r in out.values()) == sum(
+        round(10000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+    )
+    # uniform digits: chi2 blows past any plausible threshold
+    uni = spark.createDataFrame(
+        [(float(d) * 100 + 1,) for d in range(1, 10) for _ in range(100)],
+        "v double",
+    )
+    assert benford_check(uni, "v").first()["chi2_total"] > 100.0
+
+
+def test_woe_iv_semantics(spark):
+    """A feature independent of the label gives IV ~ 0; a perfectly
+    separating feature gives a large IV with opposite-signed WoE in the
+    two occupied bins; counts are exact."""
+    from dataquality_ml_spark.operators.evaluate import woe_iv
+
+    # independent: the label depends on id//10, the bin on id%10
+    ind = spark.range(1000).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        ((F.col("id") / 10).cast("long") % 2 == 0).alias("y"),
+    )
+    rep = woe_iv(ind, "x", "y", lo=0.0, hi=10.0, bins=10).collect()
+    assert len(rep) == 10
+    assert all(abs(r["iv_total"]) < 1e-9 for r in rep)
+    # separating: positives in [0,5), negatives in [5,10)
+    sep = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, 2.0).otherwise(7.0).alias("x"),
+        (F.col("id") % 2 == 0).alias("y"),
+    )
+    rep2 = {r["bin"]: r for r in woe_iv(sep, "x", "y", lo=0.0, hi=10.0, bins=2).collect()}
+    assert rep2[0]["n_pos"] == 500 and rep2[0]["n_neg"] == 0
+    assert rep2[0]["woe"] > 10 and rep2[1]["woe"] < -10  # EPS-clamped, finite
+    assert rep2[0]["iv_total"] > 20
+
+
+def test_vocab_growth_semantics(spark):
+    """Hand corpus: per-doc new-token counts, cumulative vocabulary and
+    token totals; a doc of only repeats contributes zero new tokens."""
+    from dataquality_ml_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d"),
+            (3, "a a a"),
+            (4, "e"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in vocab_growth(df).collect()}
+    assert [got[d]["new_tokens"] for d in (1, 2, 3, 4)] == [3, 1, 0, 1]
+    assert [got[d]["vocab_size"] for d in (1, 2, 3, 4)] == [3, 4, 4, 5]
+    assert [got[d]["cum_tokens"] for d in (1, 2, 3, 4)] == [3, 6, 9, 10]
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus whose token counts follow c(r) = round(4000·r^(-0.8))
+    fits slope ~ -0.8; the plan keeps the vocabulary out of a global sort
+    (TakeOrderedAndProject from orderBy+limit)."""
+    from dataquality_ml_spark.operators.text import zipf_fit
+
+    rows = []
+    for r in range(1, 101):
+        c = max(1, round(4000 * r ** -0.8))
+        rows += [(i, f"tok{r:03d}") for i in (0,)] * 0 or []
+        rows += [(0, f"tok{r:03d}")] * c
+    # one doc per token occurrence keeps the text trivial
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    fit = zipf_fit(df, top_k=100).first()
+    assert fit["n_tokens_fit"] == 100
+    assert fit["slope"] == pytest.approx(-0.8, abs=0.05)
+    plan = zipf_fit(df, top_k=100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dow_hour_profile_semantics(spark):
+    """Two cells with known volumes/values: shares sum to 1, mean_ratio
+    is the cell mean over the global mean."""
+    from dataquality_ml_spark.operators.sequences import dow_hour_profile
+
+    rows = (
+        [("2024-01-01 09:10:00", 10.0)] * 3  # Monday 9h
+        + [("2024-01-07 22:00:00", 30.0)] * 1  # Sunday 22h
+    )
+    df = spark.createDataFrame(rows, "s string, value double").select(
+        F.to_timestamp("s").alias("ts"), "value"
+    )
+    got = {(r["dow"], r["hour"]): r for r in dow_hour_profile(df, "ts", "value").collect()}
+    assert set(got) == {(2, 9), (1, 22)}  # Spark dow: 1=Sunday
+    mon = got[(2, 9)]
+    assert mon["n"] == 3 and mon["n_share"] == 0.75
+    assert mon["mean_value"] == 10.0
+    assert mon["mean_ratio"] == pytest.approx(10.0 / 15.0, rel=1e-12)
+    assert got[(1, 22)]["mean_ratio"] == pytest.approx(2.0, rel=1e-12)
