@@ -332,3 +332,44 @@ def save_model(model: FeatureModel, path: str) -> None:
 def load_model(path: str) -> FeatureModel:
     with open(path) as f:
         return FeatureModel.from_json(f.read())
+
+
+def robust_scale(
+    df: DataFrame, cols: list[str], exact: bool = True
+) -> DataFrame:
+    """RobustScaler: (v − median) / IQR per column — the outlier-immune
+    sibling of StandardScaler (μ/σ are dragged by the very anomalies a
+    detector is trying to find; median/IQR have 25% breakdown). Constant
+    columns (IQR 0) pass through centered only, mirroring
+    StandardScaler's σ=0 convention.
+
+    ``exact=True`` locates every column's Q1/median/Q3 in the SHARED
+    histogram-refine selection scans (profile.exact_quantiles_multi —
+    one engine, round 11); the transform itself is an embarrassingly
+    parallel projection of broadcast scalars. ``exact=False`` is the
+    one-pass percentile_approx sketch."""
+    if exact:
+        from dataquality_ml_spark.operators.profile import exact_quantiles_multi
+
+        qs = exact_quantiles_multi(df, cols, [0.25, 0.5, 0.75])
+        stats = {c: (qs[c][0.5], qs[c][0.25], qs[c][0.75]) for c in cols}
+    else:
+        [row] = df.agg(
+            *[
+                F.expr(f"percentile_approx({c}, array(0.25, 0.5, 0.75))").alias(c)
+                for c in cols
+            ]
+        ).collect()
+        stats = {
+            c: (row[c][1], row[c][0], row[c][2]) if row[c] is not None else (None,) * 3
+            for c in cols
+        }
+    out = {}
+    for c in cols:
+        med, q1, q3 = stats[c]
+        if med is None:
+            continue  # all-null column: leave untouched
+        iqr = q3 - q1
+        centered = F.col(c) - F.lit(float(med))
+        out[c] = centered / F.lit(float(iqr)) if iqr > 0 else centered
+    return df.withColumns(out)

@@ -152,3 +152,59 @@ def dedup_clusters(
         .join(best, "component")
         .select(F.col("node").alias("doc_id"), "keep_id", "cluster_size")
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Triangle census of an undirected edge list (edges canonical
+    ``src < dst``): one row — (n_edges, n_wedges, n_triangles,
+    clustering_coefficient = 3·triangles/wedges) — the cluster-quality
+    audit for a near-dup pair graph: a high coefficient says candidate
+    pairs close into genuine duplicate cliques; a low one says the pair
+    generator is chaining unrelated docs through hubs (the
+    boilerplate-shingle signature).
+
+    Compact-forward counting: every triangle a<b<c is counted exactly
+    once by joining (a,b)+(b,c)+(a,c) — two shuffle joins on the edge
+    relation, never an explosion beyond the wedge count. Wedges come
+    from the degree relation (Σ d·(d−1)/2, exact integers).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") < F.col("b")
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.sum(F.lit(1)).alias("__nv"),
+    ).select("n_wedges")
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_e.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)).alias("clustering_coefficient"),
+        )
+    )

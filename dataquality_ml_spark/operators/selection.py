@@ -366,3 +366,44 @@ def weighted_sample_k(
             .where(F.col("sample_rank") <= k)
         )
     return out.orderBy(F.desc("es_key"), F.asc(id_col)).limit(k)
+
+
+def neyman_allocation(
+    df: DataFrame, value_col: str, stratum_col: str, budget: int
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: per stratum h the
+    size N_h, population σ_h, and the variance-minimizing sample share
+    alloc_h = budget · N_h·σ_h / Σ_j N_j·σ_j — the principled answer to
+    "how many rows of each source/segment should the eval sample take"
+    (uniform and proportional allocation both over-sample low-variance
+    strata).
+
+    ONE aggregation: σ from exact per-stratum (n, Σv, Σv²) sums; the
+    normalizing Σ N_j σ_j rides a broadcast-1-row join. Strata with zero
+    variance get zero allocation (one row tells you everything), nulls
+    are excluded like the profiler's valid population.
+    """
+    agg = (
+        df.where(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("s1"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias("s2"),
+        )
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    scored = agg.select(stratum_col, "n", sigma.alias("sigma"))
+    tot = scored.agg(
+        F.sum(F.col("n") * F.col("sigma")).alias("__tot")
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "n",
+        "sigma",
+        F.when(
+            F.col("__tot") > 0,
+            F.lit(float(budget)) * (F.col("n") * F.col("sigma")) / F.col("__tot"),
+        ).otherwise(F.lit(0.0)).alias("alloc"),
+    )

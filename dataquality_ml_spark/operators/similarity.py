@@ -1736,3 +1736,84 @@ def rrf_fuse(
         )
         .orderBy(query_col, "fused_rank")
     )
+
+
+def silhouette_centroid(
+    emb_df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the k-means
+    quality score that says whether the coarse quantizer's clusters are
+    real structure or arbitrary cuts: per point a = distance to its own
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a)/max(a, b) ∈ [−1, 1]; report (cluster, n,
+    mean_silhouette). The O(n·k) centroid form of the O(n²) classic —
+    the only silhouette that survives 100 TB.
+
+    Same narrow literal-centroid scan as ``kmeans_assign`` (argmin over
+    squared distances — sqrt is monotone, so the assignment is
+    identical), zero shuffle before the final ≤k-row aggregation. A
+    point sitting exactly on two centroids scores 0.
+    """
+    emb_df = emb_df.where(F.col(vec_col).isNotNull())
+    d2 = [_sq_dist(F.col(vec_col), c) for c in cents]
+    best2 = F.least(*d2) if len(d2) > 1 else d2[0]
+    cluster = F.lit(len(cents) - 1)
+    for j in range(len(cents) - 2, -1, -1):
+        cluster = F.when(d2[j] == best2, F.lit(j)).otherwise(cluster)
+    a = F.sqrt(best2)
+    # least() skips the NULL own-cluster slot; k >= 2 guarantees a value
+    b = F.least(*[F.when(F.lit(j) != cluster, F.sqrt(d2[j])) for j in range(len(d2))])
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return (
+        emb_df.select(cluster.alias("cluster"), s.alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s").alias("mean_silhouette"),
+        )
+    )
+
+
+def truncated_recall(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@k of
+    exact cosine top-k computed on the FIRST ``dims`` coordinates against
+    the full-vector top-k, per query — the measured answer to "can we
+    ship the 16-dim prefix and cut the ANN index 4×?". Both sides use
+    :func:`knn_bruteforce`'s rounded-sim deterministic ranking.
+
+    Eval-scale operator (broadcast queries × corpus scans, like
+    ``ivf_recall_at_k``): run it on a query SAMPLE to decide the
+    truncation, not on the full corpus as a production searcher.
+    """
+    full = knn_bruteforce(emb_df, query_df, k=k, id_col=id_col, vec_col=vec_col)
+    cut = emb_df.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    qcut = query_df.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    trunc = knn_bruteforce(cut, qcut, k=k, id_col=id_col, vec_col=vec_col)
+    hits = full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_full"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_full")
+            ).alias("recall"),
+        )
+    )

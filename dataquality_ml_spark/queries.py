@@ -5185,3 +5185,202 @@ def dow_hour_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ["n_share", "mean_value", "mean_ratio"]
         ],
     ).orderBy("dow", "hour")
+
+
+@register(
+    "silhouette_kmeans_embeddings",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_coarse_kmeans_ctes(4)},
+    d AS (
+      SELECT v.vec_id, a.cluster, c.cid, list_distance(v.emb, c.emb) AS dist
+      FROM vecs v JOIN ka3 a USING (vec_id) CROSS JOIN kc2 c
+    ),
+    s AS (
+      SELECT vec_id, cluster,
+             MIN(CASE WHEN cid = cluster THEN dist END) AS a,
+             MIN(CASE WHEN cid <> cluster THEN dist END) AS b
+      FROM d GROUP BY 1, 2
+    )
+    SELECT cluster, COUNT(*) AS n,
+           ROUND(AVG(CASE WHEN GREATEST(a, b) > 0
+                          THEN (b - a) / GREATEST(a, b) ELSE 0.0 END), 6) + 0
+             AS mean_silhouette
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def silhouette_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette of the shared k=4 coarse quantizer
+    (round 11): per cluster the mean (b-a)/max(a,b) — are the IVF cells
+    real structure or arbitrary cuts? O(n*k) narrow scan, one <=k-row
+    aggregation; the O(n^2) classic silhouette cannot run at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _memo_kmeans(spark, sf_dir, k=4, iters=2, round_dp=6)
+    out = sim.silhouette_centroid(emb, cents)
+    return out.select(
+        "cluster",
+        "n",
+        (F.round("mean_silhouette", 6) + F.lit(0.0)).alias("mean_silhouette"),
+    ).orderBy("cluster")
+
+
+@register(
+    "matryoshka_recall_embeddings",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY ROUND({_COS_SQL}, 4) + 0 DESC, neighbor_id) AS rn
+        FROM q, c WHERE neighbor_id != query_id
+      ) WHERE rn <= 5
+    ),
+    cut_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY ROUND(
+            list_dot_product(qv[1:16], cv[1:16]) /
+            (sqrt(list_dot_product(qv[1:16], qv[1:16])) *
+             sqrt(list_dot_product(cv[1:16], cv[1:16]))), 4) + 0 DESC,
+            neighbor_id) AS rn
+        FROM q, c WHERE neighbor_id != query_id
+      ) WHERE rn <= 5
+    )
+    SELECT f.query_id,
+           COUNT(t.neighbor_id) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM full_top f
+    LEFT JOIN cut_top t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def matryoshka_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall (round 11): exact top-5 on the first
+    16 of 64 embedding dims vs the full-vector top-5, per query — the
+    measured basis for shipping a prefix-truncated index. Both sides use
+    the deterministic rounded-cosine ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.truncated_recall(emb, _queries_vecs(spark, sf_dir), dims=16, k=5)
+    return out.select("query_id", "recall").orderBy("query_id")
+
+
+@register(
+    "dup_triangle_stats",
+    oracle=f"""
+    WITH pairs AS ({_ORACLES["ngram_jaccard_pairs"]}),
+    e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs WHERE id_a < id_b),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    ),
+    w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e)
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END
+             AS clustering_coefficient
+    FROM ne, w, tri
+    """,
+)
+def dup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph (round 11): a high
+    clustering coefficient says candidate pairs close into genuine
+    duplicate cliques; a low one says the generator chains unrelated
+    docs through hub shingles. Compact-forward counting — two joins on
+    the edge list, wedges from exact degree sums."""
+    from dataquality_ml_spark.operators import graph as gr_ops
+
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.8,
+        on_hot_shingle="exact",
+    )
+    return gr_ops.triangle_stats(pairs)
+
+
+@register(
+    "neyman_allocation_events",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS n, SUM(value) AS s1,
+             SUM(value * value) AS s2
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT event_type, n,
+             SQRT(GREATEST((s2 - s1 * s1 / n) / n, 0.0)) AS sigma
+      FROM agg
+    )
+    SELECT event_type, n,
+           ROUND(sigma, 6) + 0 AS sigma,
+           ROUND(CASE WHEN SUM(n * sigma) OVER () > 0
+                 THEN 1000.0 * (n * sigma) / SUM(n * sigma) OVER ()
+                 ELSE 0.0 END, 4) + 0 AS alloc
+    FROM scored
+    ORDER BY event_type
+    """,
+)
+def neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation of a 1000-row budget
+    across event types by value variance (round 11): the principled
+    eval-sample design (uniform and proportional allocation over-sample
+    low-variance strata). One aggregation; sigma from exact sums."""
+    from dataquality_ml_spark.operators.selection import neyman_allocation
+
+    out = neyman_allocation(_t(spark, sf_dir, "events"), "value", "event_type", 1000)
+    return out.select(
+        "event_type",
+        "n",
+        (F.round("sigma", 6) + F.lit(0.0)).alias("sigma"),
+        (F.round("alloc", 4) + F.lit(0.0)).alias("alloc"),
+    ).orderBy("event_type")
+
+
+@register(
+    "robust_scale_lineitem",
+    oracle="""
+    WITH st AS (
+      SELECT quantile_cont(l_quantity, 0.5) AS m_q,
+             quantile_cont(l_quantity, 0.25) AS q1_q,
+             quantile_cont(l_quantity, 0.75) AS q3_q,
+             quantile_cont(l_extendedprice, 0.5) AS m_p,
+             quantile_cont(l_extendedprice, 0.25) AS q1_p,
+             quantile_cont(l_extendedprice, 0.75) AS q3_p
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - m_q) / (q3_q - q1_q), 6) + 0 AS l_quantity,
+           ROUND((l_extendedprice - m_p) / (q3_p - q1_p), 6) + 0 AS l_extendedprice
+    FROM lineitem, st
+    WHERE l_orderkey % 97 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def robust_scale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler — (v - median)/IQR — on two lineitem measures
+    (round 11): the outlier-immune StandardScaler sibling. Q1/median/Q3
+    for BOTH columns come out of the shared histogram-refine selection
+    scans (one engine, exact, no single-buffer percentile); the transform
+    is a broadcast-scalar projection. Output restricted to a deterministic
+    order-key subset to keep the compare narrow."""
+    li = _t(spark, sf_dir, "lineitem")
+    scaled = feat.robust_scale(li, ["l_quantity", "l_extendedprice"])
+    return scaled.where(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.round("l_quantity", 6) + F.lit(0.0)).alias("l_quantity"),
+        (F.round("l_extendedprice", 6) + F.lit(0.0)).alias("l_extendedprice"),
+    ).orderBy("l_orderkey", "l_linenumber")

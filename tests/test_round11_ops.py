@@ -192,3 +192,95 @@ def test_dow_hour_profile_semantics(spark):
     assert mon["mean_value"] == 10.0
     assert mon["mean_ratio"] == pytest.approx(10.0 / 15.0, rel=1e-12)
     assert got[(1, 22)]["mean_ratio"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_silhouette_centroid_separated_vs_mixed(spark):
+    """Tightly separated clusters score near 1; points halfway between
+    centroids score near 0; assignment ties follow kmeans_assign."""
+    from dataquality_ml_spark.operators.similarity import silhouette_centroid
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [(i, [0.0 + (i % 3) * 0.01, 0.0]) for i in range(6)]
+    rows += [(i + 10, [10.0 - (i % 3) * 0.01, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["cluster"]: r for r in silhouette_centroid(df, cents).collect()}
+    assert set(got) == {0, 1} and got[0]["n"] == 6 and got[1]["n"] == 6
+    assert got[0]["mean_silhouette"] > 0.99 and got[1]["mean_silhouette"] > 0.99
+    # midpoint: a == b -> s == 0
+    mid = spark.createDataFrame(
+        [(1, [5.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert silhouette_centroid(mid, cents).first()["mean_silhouette"] == 0.0
+
+
+def test_truncated_recall_full_prefix_is_perfect(spark):
+    """dims == full dimensionality must give recall 1.0 for every query;
+    a 1-dim prefix on vectors whose order-defining signal lives in later
+    dims must lose recall."""
+    import numpy as np
+
+    from dataquality_ml_spark.operators.similarity import truncated_recall
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    vecs[:, 0] = 1.0  # first dim carries no signal
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where("vec_id < 4")
+    full = truncated_recall(df, q, dims=8, k=3).collect()
+    assert all(r["recall"] == 1.0 for r in full) and len(full) == 4
+    cut = truncated_recall(df, q, dims=1, k=3).collect()
+    assert min(r["recall"] for r in cut) < 1.0
+
+
+def test_triangle_stats_hand_graph(spark):
+    """Triangle + pendant: edges {1-2, 2-3, 1-3, 3-4} -> degrees
+    (2,2,3,1), wedges 1+1+3 = 5, one triangle, coefficient 3/5;
+    duplicate and reversed edges are canonicalized away."""
+    from dataquality_ml_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 2), (3, 1)],
+        "id_a long, id_b long",
+    )
+    r = triangle_stats(edges).first()
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 5, 1)
+    assert r["clustering_coefficient"] == pytest.approx(0.6, rel=1e-12)
+    # triangle-free graph: coefficient 0, no divide-by-zero on empty
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r2 = triangle_stats(chain).first()
+    assert (r2["n_triangles"], r2["clustering_coefficient"]) == (0, 0.0)
+
+
+def test_neyman_allocation_semantics(spark):
+    """A zero-variance stratum gets zero allocation; allocation is
+    proportional to N_h*sigma_h and sums to the budget."""
+    from dataquality_ml_spark.operators.selection import neyman_allocation
+
+    rows = [("a", 5.0)] * 100  # constant: sigma 0
+    rows += [("b", float(v)) for v in range(100)]  # wide
+    rows += [("c", float(v % 10)) for v in range(200)]  # narrower, bigger N
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in neyman_allocation(df, "v", "g", 1000).collect()}
+    assert got["a"]["alloc"] == 0.0 and got["a"]["sigma"] == 0.0
+    assert abs(sum(r["alloc"] for r in got.values()) - 1000.0) < 1e-6
+    # b: N*sigma = 100*28.86..; c: 200*2.87.. -> b gets the larger share
+    assert got["b"]["alloc"] > got["c"]["alloc"] > 0
+
+
+def test_robust_scale_hand_quantiles(spark):
+    """(v - median)/IQR with exact quantiles; constant column passes
+    through centered only (IQR 0 convention)."""
+    from dataquality_ml_spark.ml.features import robust_scale
+
+    df = spark.createDataFrame(
+        [(float(v), 3.0) for v in range(1, 12)], "x double, c double"
+    )
+    # x in 1..11: median 6, q1 3.5, q3 8.5, iqr 5
+    out = robust_scale(df, ["x", "c"]).collect()
+    xs = sorted(r["x"] for r in out)
+    assert xs[0] == pytest.approx((1 - 6) / 5.0, rel=1e-12)
+    assert xs[-1] == pytest.approx((11 - 6) / 5.0, rel=1e-12)
+    assert all(r["c"] == 0.0 for r in out)  # centered, not divided
