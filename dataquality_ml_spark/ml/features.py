@@ -373,3 +373,55 @@ def robust_scale(
         centered = F.col(c) - F.lit(float(med))
         out[c] = centered / F.lit(float(iqr)) if iqr > 0 else centered
     return df.withColumns(out)
+
+
+def quantile_map(
+    df: DataFrame,
+    col: str,
+    ref_df: DataFrame,
+    knots: int = 16,
+) -> DataFrame:
+    """Quantile normalization: map ``df[col]``'s distribution onto
+    ``ref_df[col]``'s by piecewise-linear interpolation through ``knots``
+    equally spaced reference quantiles — the batch-effect / drift-repair
+    transform (a shifted or stretched feature is remapped so its
+    quantiles coincide with the training distribution's, preserving rank
+    order). Returns one row per DISTINCT value: (value, n, mapped).
+
+    Scale shape: the reference collapses to ``knots + 1`` scalars through
+    the shared exact-quantile selection engine (one more caller of
+    ``_select_chains``); the current side reduces to distinct-value
+    counts whose percent rank comes from the DISTRIBUTED prefix sum —
+    no global window anywhere. The interpolation is one fixed float
+    expression over broadcast knot literals.
+    """
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    qs = [j / knots for j in range(knots + 1)]
+    kvals = exact_quantiles_select(
+        ref_df.select(F.col(col).alias("v")), "v", qs
+    )
+    if kvals[0] is None:
+        raise ValueError("quantile_map: empty/all-null reference")
+    karr = F.array(*[F.lit(float(v)) for v in kvals])
+    cur = (
+        df.where(F.col(col).isNotNull() & ~F.isnan(col))
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pre = exclusive_prefix_sum(cur, "value", "n", out="__cum")
+    tot = cur.agg(F.sum("n").alias("__N"))
+    pr = F.when(
+        F.col("__N") > 1,
+        F.col("__cum").cast("double") / (F.col("__N") - 1),
+    ).otherwise(F.lit(0.0))
+    t = pr * knots
+    i = F.least(F.lit(knots - 1), F.floor(t).cast("int"))
+    frac = t - i
+    mapped = F.element_at(karr, i + 1) * (1 - frac) + F.element_at(
+        karr, i + 2
+    ) * frac
+    return pre.crossJoin(F.broadcast(tot)).select(
+        "value", "n", mapped.alias("mapped")
+    )

@@ -744,3 +744,53 @@ def zipf_fit(
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus diversity by type-token ratio at the unigram and bigram
+    level — per group (or one row): total/distinct unigrams, TTR,
+    total/distinct bigrams, bigram TTR. A template-spam or synthetic-loop
+    source shows a collapsed bigram TTR long before its unigram mix looks
+    odd (the Self-BLEU signal without the O(n²) pairwise BLEU).
+
+    One explode per n-gram order, each collapsing map-side into
+    count-distinct aggregations keyed by the group — the reduce side
+    carries |groups| rows. Bigrams are built as array expressions (no
+    per-doc distinct, occurrences count)."""
+    keys = [group_col] if group_col else []
+    # token array in its OWN projection first: normalize_text's pandas UDF
+    # may not appear inside a higher-order lambda (the with_shingles rule)
+    tok = df.select(*keys, tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = tok.select(*keys, F.explode(t).alias("g")).where(F.col("g") != "")
+    big = tok.select(*keys, F.explode(bi).alias("g"))
+    u = uni.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_unigrams"),
+        F.countDistinct("g").alias("d_unigrams"),
+    )
+    b = big.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("d_bigrams"),
+    )
+    joined = u.join(b, keys) if keys else u.crossJoin(F.broadcast(b))
+    return joined.select(
+        *keys,
+        "n_unigrams",
+        "d_unigrams",
+        (F.col("d_unigrams") / F.col("n_unigrams")).alias("ttr_unigram"),
+        "n_bigrams",
+        "d_bigrams",
+        (F.col("d_bigrams") / F.col("n_bigrams")).alias("ttr_bigram"),
+    )

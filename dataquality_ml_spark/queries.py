@@ -5384,3 +5384,115 @@ def robust_scale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("l_quantity", 6) + F.lit(0.0)).alias("l_quantity"),
         (F.round("l_extendedprice", 6) + F.lit(0.0)).alias("l_extendedprice"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "ngram_diversity_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             string_split_regex(trim(lower(nfc_normalize(text))), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT source, g FROM (SELECT source, unnest(t) AS g FROM toks)
+      WHERE g <> ''
+    ),
+    big AS (
+      SELECT source, g FROM (
+        SELECT source,
+               unnest([array_to_string(t[i:i+1], ' ')
+                       for i in generate_series(1, len(t) - 1)]) AS g
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    u AS (SELECT source, COUNT(*) AS n_unigrams,
+                 COUNT(DISTINCT g) AS d_unigrams FROM uni GROUP BY 1),
+    b AS (SELECT source, COUNT(*) AS n_bigrams,
+                 COUNT(DISTINCT g) AS d_bigrams FROM big GROUP BY 1)
+    SELECT u.source, n_unigrams, d_unigrams,
+           ROUND(d_unigrams / CAST(n_unigrams AS DOUBLE), 6) + 0 AS ttr_unigram,
+           n_bigrams, d_bigrams,
+           ROUND(d_bigrams / CAST(n_bigrams AS DOUBLE), 6) + 0 AS ttr_bigram
+    FROM u JOIN b ON u.source = b.source
+    ORDER BY u.source
+    """,
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token diversity per source at unigram and bigram order
+    (round 11): template spam collapses the bigram TTR long before the
+    unigram mix looks odd — the Self-BLEU signal without O(n^2) pairwise
+    scoring. Two explode+count-distinct aggregations keyed by source."""
+    out = tx.ngram_diversity(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )
+    return out.select(
+        "source",
+        "n_unigrams",
+        "d_unigrams",
+        (F.round("ttr_unigram", 6) + F.lit(0.0)).alias("ttr_unigram"),
+        "n_bigrams",
+        "d_bigrams",
+        (F.round("ttr_bigram", 6) + F.lit(0.0)).alias("ttr_bigram"),
+    ).orderBy("source")
+
+
+@register(
+    "quantile_map_events",
+    oracle="""
+    WITH ref AS (
+      SELECT value AS v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    kn AS (
+      SELECT quantile_cont(v, [0.0, 0.0625, 0.125, 0.1875, 0.25, 0.3125,
+        0.375, 0.4375, 0.5, 0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875,
+        0.9375, 1.0]) AS ks
+      FROM ref
+    ),
+    cur AS (
+      SELECT value AS v, COUNT(*) AS n FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS n_tot FROM cur),
+    pre AS (
+      SELECT v, n,
+             COALESCE(SUM(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM cur
+    ),
+    t AS (
+      SELECT v, n,
+             (CASE WHEN n_tot > 1 THEN CAST(cum AS DOUBLE) / (n_tot - 1)
+                   ELSE 0.0 END) * 16 AS tt, ks
+      FROM pre, tot, kn
+    )
+    SELECT v AS value, n,
+           ROUND(ks[LEAST(15, CAST(FLOOR(tt) AS INT)) + 1]
+                   * (1 - (tt - LEAST(15, CAST(FLOOR(tt) AS INT))))
+                 + ks[LEAST(15, CAST(FLOOR(tt) AS INT)) + 2]
+                   * (tt - LEAST(15, CAST(FLOOR(tt) AS INT))), 6) + 0 AS mapped
+    FROM t
+    ORDER BY value
+    """,
+)
+def quantile_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the second half of the events month onto
+    the first half's distribution (round 11): drift REPAIR, not just
+    detection — values are remapped through 17 exact reference-quantile
+    knots (shared selection engine) with rank-preserving piecewise-linear
+    interpolation; percent ranks come from the distributed prefix sum."""
+    ev_df = _t(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    out = feat.quantile_map(
+        ev_df.where(F.col("ts") >= split),
+        "value",
+        ev_df.where(F.col("ts") < split).select("value"),
+        knots=16,
+    )
+    return out.select(
+        "value",
+        "n",
+        (F.round("mapped", 6) + F.lit(0.0)).alias("mapped"),
+    ).orderBy("value")

@@ -284,3 +284,43 @@ def test_robust_scale_hand_quantiles(spark):
     assert xs[0] == pytest.approx((1 - 6) / 5.0, rel=1e-12)
     assert xs[-1] == pytest.approx((11 - 6) / 5.0, rel=1e-12)
     assert all(r["c"] == 0.0 for r in out)  # centered, not divided
+
+
+def test_quantile_map_identity_and_shift(spark):
+    """Mapping a distribution onto ITSELF is (near-)identity at the
+    knots; mapping a shifted distribution onto the reference removes the
+    shift (the drift-repair semantics). Rank order is preserved."""
+    from dataquality_ml_spark.ml.features import quantile_map
+
+    ref = spark.range(1001).select((F.col("id") / 10.0).alias("v"))  # 0..100
+    cur_same = spark.range(1001).select((F.col("id") / 10.0).alias("v"))
+    same = {r["value"]: r["mapped"] for r in quantile_map(cur_same, "v", ref).collect()}
+    # uniform onto itself: the piecewise-linear map is the identity
+    for v in (0.0, 25.0, 50.0, 75.0, 100.0):
+        assert same[v] == pytest.approx(v, abs=0.2)
+    shifted = spark.range(1001).select((F.col("id") / 10.0 + 500.0).alias("v"))
+    rep = quantile_map(shifted, "v", ref).collect()
+    mapped = [r["mapped"] for r in sorted(rep, key=lambda r: r["value"])]
+    assert mapped[0] == pytest.approx(0.0, abs=0.2)
+    assert mapped[-1] == pytest.approx(100.0, abs=0.2)
+    assert mapped == sorted(mapped)  # monotone
+    # empty reference fails loudly
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="reference"):
+        quantile_map(cur_same, "v", empty)
+
+
+def test_ngram_diversity_semantics(spark):
+    """A looping template corpus collapses bigram TTR; a diverse corpus
+    keeps it near 1; counts are exact."""
+    from dataquality_ml_spark.operators.text import ngram_diversity
+
+    rows = [(i, "spam ham " * 20, "loop") for i in range(5)]
+    rows += [(100 + i, " ".join(f"w{i}_{j}" for j in range(40)), "rich") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in ngram_diversity(df, group_col="source").collect()}
+    # loop: 40 tokens/doc, 2 distinct unigrams, 2 distinct bigrams
+    assert got["loop"]["n_unigrams"] == 200 and got["loop"]["d_unigrams"] == 2
+    assert got["loop"]["d_bigrams"] == 2
+    assert got["loop"]["ttr_bigram"] < 0.02
+    assert got["rich"]["ttr_bigram"] == 1.0 and got["rich"]["ttr_unigram"] == 1.0
