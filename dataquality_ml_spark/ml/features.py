@@ -351,7 +351,11 @@ def robust_scale(
     if exact:
         from dataquality_ml_spark.operators.profile import exact_quantiles_multi
 
-        qs = exact_quantiles_multi(df, cols, [0.25, 0.5, 0.75])
+        # checkpoint=False: the melt sits on a raw scan — re-reading the
+        # parquet per selection level beats materializing the melt first
+        qs = exact_quantiles_multi(
+            df, cols, [0.25, 0.5, 0.75], checkpoint=False
+        )
         stats = {c: (qs[c][0.5], qs[c][0.25], qs[c][0.75]) for c in cols}
     else:
         [row] = df.agg(

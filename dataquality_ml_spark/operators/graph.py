@@ -170,9 +170,15 @@ def triangle_stats(
     relation, never an explosion beyond the wedge count. Wedges come
     from the degree relation (Σ d·(d−1)/2, exact integers).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-        F.col("a") < F.col("b")
-    ).distinct()
+    # the edge relation feeds five consumers (degree, wedges, both join
+    # sides, the edge count) — materialize the upstream pair generator
+    # (often an expensive shingle self-join) exactly once
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
