@@ -5496,3 +5496,115 @@ def quantile_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round("mapped", 6) + F.lit(0.0)).alias("mapped"),
     ).orderBy("value")
+
+
+@register(
+    "keyed_drift_stream_replay",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type,
+             LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 25.0) AS INT))) AS b,
+             COUNT(*) AS c
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2
+    ),
+    cur AS (
+      SELECT event_id % 3 AS batch, event_type,
+             LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 25.0) AS INT))) AS b,
+             COUNT(*) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2, 3
+    ),
+    segs AS (SELECT DISTINCT batch, event_type FROM cur),
+    grid AS (
+      SELECT s.batch, s.event_type, g.b
+      FROM segs s CROSS JOIN (SELECT range AS b FROM range(20)) g
+    ),
+    f AS (
+      SELECT g.batch, g.event_type, g.b,
+             COALESCE(r.c, 0) AS rc, COALESCE(c.c, 0) AS cc
+      FROM grid g
+      LEFT JOIN ref r ON r.event_type = g.event_type AND r.b = g.b
+      LEFT JOIN cur c ON c.batch = g.batch AND c.event_type = g.event_type AND c.b = g.b
+    ),
+    cumul AS (
+      SELECT *,
+             SUM(rc) OVER (PARTITION BY batch, event_type ORDER BY b) AS ca,
+             SUM(cc) OVER (PARTITION BY batch, event_type ORDER BY b) AS cb
+      FROM f
+    ),
+    tot AS (SELECT batch, event_type, SUM(rc) AS n_a, SUM(cc) AS n_b FROM f GROUP BY 1, 2),
+    j AS (
+      SELECT c.*, t.n_a, t.n_b,
+             CAST(t.n_a + t.n_b AS DOUBLE) AS nd,
+             CAST(c.rc + c.cc AS DOUBLE) AS l,
+             CAST(c.ca + c.cb AS DOUBLE) - CAST(c.rc + c.cc AS DOUBLE) / 2 AS bb
+      FROM cumul c JOIN tot t USING (batch, event_type)
+    ),
+    j2 AS (SELECT *, bb * (nd - bb) - (nd * l) / 4 AS den FROM j)
+    SELECT batch AS batch_id, event_type AS key, FALSE AS new_segment,
+           CAST(MAX(n_b) AS BIGINT) AS n,
+           ROUND(SUM(
+             (GREATEST(cc / CAST(n_b AS DOUBLE), 1e-6)
+                - GREATEST(rc / CAST(n_a AS DOUBLE), 1e-6))
+             * LN(GREATEST(cc / CAST(n_b AS DOUBLE), 1e-6)
+                  / GREATEST(rc / CAST(n_a AS DOUBLE), 1e-6))), 6) + 0 AS psi,
+           ROUND(MAX(ABS(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE))), 6) + 0 AS ks_d,
+           ROUND(
+             CAST(SUM(CAST(rc + cc AS HUGEINT)
+                  * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+                  * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)) AS DOUBLE)
+             / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b) * n_a * n_b), 6) + 0 AS cvm_t,
+           ROUND(
+             (CAST(n_a + n_b AS DOUBLE) - 1) / (n_a + n_b) * (
+               SUM(CASE WHEN l > 0 AND den > 0 THEN
+                 (((l / nd) * (nd * (ca - rc / 2.0) - CAST(n_a AS DOUBLE) * bb))
+                  * (nd * (ca - rc / 2.0) - CAST(n_a AS DOUBLE) * bb) / den) / n_a
+                 ELSE 0 END)
+             + SUM(CASE WHEN l > 0 AND den > 0 THEN
+                 (((l / nd) * (nd * (cb - cc / 2.0) - CAST(n_b AS DOUBLE) * bb))
+                  * (nd * (cb - cc / 2.0) - CAST(n_b AS DOUBLE) * bb) / den) / n_b
+                 ELSE 0 END)), 6) + 0 AS ad_a2
+    FROM j2
+    GROUP BY batch, event_type, n_a, n_b
+    ORDER BY batch_id, key
+    """,
+)
+def keyed_drift_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEYED streaming drift panel's registered face (round 11,
+    completing the drift_panel_stream_replay pair): the second half of
+    the events month replayed through the PRODUCTION per-segment
+    foreachBatch fold (streaming.score_stream._drift_panel_fold, shared
+    verbatim with drift_panel_stream) as 3 micro-batches scored per
+    event_type against frozen per-segment first-half histograms — PSI +
+    binned KS + binned CvM + binned AD A^2 per (batch, segment). Only
+    <= segments*bins count cells cross to the driver per batch."""
+    from dataquality_ml_spark.operators.sketch import qsketch_build
+    from dataquality_ml_spark.streaming.score_stream import drift_panel_replay
+
+    ev_df = _t(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    ref = ev_df.where(F.col("ts") < split)
+    hists: dict = {}
+    for r in qsketch_build(
+        ref, "value", 0.0, 500.0, bins=20, group_cols=["event_type"]
+    ).collect():
+        hists.setdefault(r["event_type"], [0] * 20)[r["qs_bin"]] = r["qs_cnt"]
+    cur = ev_df.where(F.col("ts") >= split).withColumn(
+        "batch", F.col("event_id") % 3
+    )
+    out = drift_panel_replay(
+        cur, "batch", hists, "value", "event_type", 0.0, 500.0
+    )
+    return out.select(
+        "batch_id",
+        "key",
+        "new_segment",
+        "n",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["psi", "ks_d", "cvm_t", "ad_a2"]
+        ],
+    ).orderBy("batch_id", "key")

@@ -796,6 +796,30 @@ def drift_panel_stream(
     key, n, psi, ks_d, cvm_t, new_segment} dicts plus one
     {batch_id, dropped_segments} marker per batch when the cap bit.
     """
+    _batch, reports = _drift_panel_fold(
+        ref_hists, value_col, key_col, lo, hi, max_segments
+    )
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), reports
+
+
+def _drift_panel_fold(
+    ref_hists: dict,
+    value_col: str,
+    key_col: str,
+    lo: float,
+    hi: float,
+    max_segments: int,
+):
+    """The foreachBatch fold behind :func:`drift_panel_stream`, exposed so
+    :func:`drift_panel_replay` can drive the IDENTICAL per-segment code
+    over a static frame (round 11 — same contract as
+    :func:`_drift_monitor_fold`). Returns (fn(batch_df, batch_id),
+    reports)."""
     import numpy as np
 
     from dataquality_ml_spark.operators.drift import EPS
@@ -883,12 +907,71 @@ def drift_panel_stream(
             )
         applied.add(batch_id)
 
-    writer = stream_df.writeStream.foreachBatch(_batch).option(
-        "checkpointLocation", checkpoint
+    return _batch, reports
+
+
+def drift_panel_replay(
+    df: DataFrame,
+    batch_col: str,
+    ref_hists: dict,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    max_segments: int = 1024,
+) -> DataFrame:
+    """Deterministic replay face of :func:`drift_panel_stream` (the KEYED
+    streaming panel): slice a static frame into micro-batches by
+    ``batch_col`` and drive the exact production fold over each slice —
+    one row per (batch, segment): (batch_id, key, new_segment, n, psi,
+    ks_d, cvm_t, ad_a2). Dropped-segment cap markers are omitted from
+    the relation (they carry no segment key); the live list still
+    records them when the fold runs under a real stream."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start(), reports
+
+    fn, reports = _drift_panel_fold(
+        ref_hists, value_col, key_col, lo, hi, max_segments
+    )
+    batches = [
+        r["b"]
+        for r in df.select(F.col(batch_col).alias("b")).distinct().orderBy("b").collect()
+    ]
+    for i, b in enumerate(batches):
+        fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("key", StringType()),
+            StructField("new_segment", BooleanType()),
+            StructField("n", LongType()),
+            StructField("psi", DoubleType()),
+            StructField("ks_d", DoubleType()),
+            StructField("cvm_t", DoubleType()),
+            StructField("ad_a2", DoubleType()),
+        ]
+    )
+    rows = [
+        (
+            int(r["batch_id"]),
+            None if r["key"] is None else str(r["key"]),
+            bool(r["new_segment"]),
+            int(r["n"]),
+            r.get("psi"),
+            r.get("ks_d"),
+            r.get("cvm_t"),
+            r.get("ad_a2"),
+        )
+        for r in reports
+        if "key" in r
+    ]
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def categorical_drift_stream(
