@@ -299,3 +299,76 @@ def dow_hour_profile(
         ),
     )
     return out
+
+
+def survival_km(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    bins: int | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over (duration, observed) pairs with
+    right censoring — S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ): the time-to-event
+    answer behind "how long until the next purchase / failure / churn"
+    that a plain mean-of-gaps gets WRONG whenever observation windows cut
+    off the long gaps (censored rows leave the risk set without counting
+    as events). Returns one row per time point: (t, n_at_risk, d_events,
+    c_censored, survival).
+
+    ``bins=None`` is exact: the product runs over DISTINCT durations —
+    an ordered cumulative sum of ln terms, which Spark plans as a
+    single-partition window over the distinct-duration relation (fine
+    for per-entity gap tables; the same hazard class as exact
+    ``roc_auc``). ``bins=`` is the 100 TB path: durations quantize into
+    a frozen (lo, hi) grid first, so every window runs over ≤ ``bins``
+    rows — the estimator becomes KM on grouped times, error bounded by
+    bin width. The ln/exp form makes the ordered float accumulation
+    identical across engines (one fixed sequence, no re-ordering).
+    """
+    d = df.where(F.col(duration_col).isNotNull()).select(
+        F.col(duration_col).cast("double").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    if bins:
+        width = (float(hi) - float(lo)) / bins
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("__t") - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            ),
+        )
+        d = d.select((F.lit(float(lo)) + (b + 1) * F.lit(width)).alias("__t"), "__e")
+    cells = d.groupBy("__t").agg(
+        F.count(F.when(F.col("__e") == 1, 1)).alias("d_events"),
+        F.count(F.when(F.col("__e") == 0, 1)).alias("c_censored"),
+    )
+    w = Window.orderBy("__t")
+    before = F.coalesce(
+        F.sum(F.col("d_events") + F.col("c_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    tot = Window.partitionBy()
+    n_at_risk = F.sum(F.col("d_events") + F.col("c_censored")).over(tot) - before
+    # absorbing zero: a time point where EVERYONE at risk dies sends S to
+    # exactly 0 from then on — handled explicitly (ln(0) raises in ANSI
+    # engines; the flag survives the cumulative window instead)
+    dead = (F.col("d_events") > 0) & (F.col("d_events") >= n_at_risk)
+    term = F.when(
+        (F.col("d_events") > 0) & (n_at_risk > 0) & ~dead,
+        F.log(F.lit(1.0) - F.col("d_events") / n_at_risk.cast("double")),
+    ).otherwise(F.lit(0.0))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return cells.select(
+        F.col("__t").alias("t"),
+        n_at_risk.cast("bigint").alias("n_at_risk"),
+        "d_events",
+        "c_censored",
+        F.when(F.max(dead.cast("int")).over(cum) == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(term).over(cum)))
+        .alias("survival"),
+    )

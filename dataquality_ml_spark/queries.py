@@ -5608,3 +5608,82 @@ def keyed_drift_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ["psi", "ks_d", "cvm_t", "ad_a2"]
         ],
     ).orderBy("batch_id", "key")
+
+
+@register(
+    "survival_purchase_gap",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+    ),
+    durs AS (
+      SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - us) / 3.6e9
+                  ELSE (epoch_us(TIMESTAMP '2024-02-01') - us) / 3.6e9 END AS t_raw,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM (
+        SELECT user_id, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS nxt
+        FROM p
+      )
+    ),
+    cells AS (
+      SELECT CAST(0.0 AS DOUBLE) + (LEAST(47, GREATEST(0, CAST(FLOOR((t_raw - CAST(0.0 AS DOUBLE)) / CAST(15.0 AS DOUBLE)) AS INT))) + 1) * CAST(15.0 AS DOUBLE) AS t,
+             COUNT(*) FILTER (WHERE e = 1) AS d_events,
+             COUNT(*) FILTER (WHERE e = 0) AS c_censored
+      FROM durs WHERE t_raw IS NOT NULL
+      GROUP BY 1
+    ),
+    km AS (
+      SELECT t, d_events, c_censored,
+             SUM(d_events + c_censored) OVER ()
+               - COALESCE(SUM(d_events + c_censored) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM cells
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events, c_censored,
+           ROUND(CASE WHEN MAX(CASE WHEN d_events > 0 AND d_events >= n_at_risk
+                                    THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                 THEN 0.0
+                 ELSE EXP(SUM(
+                   CASE WHEN d_events > 0 AND n_at_risk > 0
+                             AND d_events < n_at_risk
+                        THEN LN(1.0 - d_events / CAST(n_at_risk AS DOUBLE))
+                        ELSE 0.0 END
+                 ) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 END, 6) + 0 AS survival
+    FROM km
+    ORDER BY t
+    """,
+)
+def survival_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-next-purchase curve (round 11): per-user gaps
+    between consecutive purchases (observed) plus the right-censored gap
+    from each user's last purchase to the end of the observation month —
+    the churn/repeat-rate estimate a mean-of-gaps gets wrong under
+    censoring. Binned 15-hour grid (the 100 TB face: every window runs
+    over <=48 rows); the ln/exp cumulative form makes the ordered float
+    accumulation engine-identical."""
+    from pyspark.sql import Window
+
+    ev_df = _t(spark, sf_dir, "events")
+    end_us = F.unix_micros(F.to_timestamp(F.lit("2024-02-01")))
+    w = Window.partitionBy("user_id").orderBy("us")
+    p = ev_df.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    durs = p.withColumn("nxt", F.lead("us").over(w)).select(
+        F.when(
+            F.col("nxt").isNotNull(), (F.col("nxt") - F.col("us")) / 3.6e9
+        ).otherwise((end_us - F.col("us")) / 3.6e9).alias("dur_h"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    out = seq.survival_km(durs, "dur_h", "observed", bins=48, lo=0.0, hi=720.0)
+    return out.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        (F.round("survival", 6) + F.lit(0.0)).alias("survival"),
+    ).orderBy("t")

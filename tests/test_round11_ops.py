@@ -324,3 +324,34 @@ def test_ngram_diversity_semantics(spark):
     assert got["loop"]["d_bigrams"] == 2
     assert got["loop"]["ttr_bigram"] < 0.02
     assert got["rich"]["ttr_bigram"] == 1.0 and got["rich"]["ttr_unigram"] == 1.0
+
+
+def test_survival_km_textbook_example(spark):
+    """Classic KM hand case: durations 1,2+,3,4+,5 (events at 1,3,5,
+    censored at 2,4): S = 4/5 after t=1, 4/5*(2/3) after t=3,
+    4/5*2/3*0 after t=5; censored rows shrink the risk set without
+    dropping S. Binned face groups times onto the grid; an all-death
+    time point sends S to exactly 0 (absorbing, no ln(0) blowup)."""
+    from dataquality_ml_spark.operators.sequences import survival_km
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)],
+        "d double, e int",
+    )
+    got = {r["t"]: r for r in survival_km(df, "d", "e").collect()}
+    assert got[1.0]["n_at_risk"] == 5 and got[1.0]["survival"] == pytest.approx(0.8)
+    assert got[3.0]["n_at_risk"] == 3
+    assert got[3.0]["survival"] == pytest.approx(0.8 * 2 / 3)
+    assert got[5.0]["n_at_risk"] == 1 and got[5.0]["survival"] == 0.0
+    assert got[2.0]["survival"] == pytest.approx(0.8)  # censoring: S flat
+    # binned face: same estimator on the quantized grid
+    b = {r["t"]: r for r in survival_km(df, "d", "e", bins=3, lo=0.0, hi=6.0).collect()}
+    assert set(b) == {2.0, 4.0, 6.0}
+    assert b[2.0]["n_at_risk"] == 5 and b[2.0]["survival"] == pytest.approx(0.8)
+    # grid cells: t=4 has (d=1, c=1, at_risk=4) -> 3/4; t=6 (d=1, c=1,
+    # at_risk=2) -> 1/2: S = 0.8 * 0.75 * 0.5
+    assert b[6.0]["survival"] == pytest.approx(0.3)
+    # absorbing zero without censoring: everyone dies at the last point
+    dd = spark.createDataFrame([(1.0, 1), (2.0, 1)], "d double, e int")
+    g2 = {r["t"]: r["survival"] for r in survival_km(dd, "d", "e").collect()}
+    assert g2[2.0] == 0.0
