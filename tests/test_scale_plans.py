@@ -621,3 +621,23 @@ def test_weighted_sample_plans_take_ordered_and_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in p_grouped
+
+
+def test_round11_prefix_sum_ops_no_global_window(spark):
+    """vocab_growth and quantile_map (round 11) accumulate over the whole
+    corpus but must do it through exclusive_prefix_sum (per-partition
+    subtotals + broadcast offsets), never an unpartitioned window — the
+    property that keeps a billion-doc growth curve out of one task."""
+    from dataquality_ml_spark.ml.features import quantile_map
+    from dataquality_ml_spark.operators.text import vocab_growth
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 37).cast("string")).alias("text"),
+    )
+    assert _global_window_specs(plans.formatted_plan(vocab_growth(docs))) == []
+
+    cur = spark.range(500).select((F.col("id") % 97).cast("double").alias("v"))
+    ref = spark.range(400).select((F.col("id") % 83).cast("double").alias("v"))
+    out = quantile_map(cur, "v", ref)
+    assert _global_window_specs(plans.formatted_plan(out)) == []
