@@ -604,3 +604,60 @@ class DQEngine:
             disposition.join(assigned, id_col, "left")
             .select(id_col, "status", "keep_id", "split")
         )
+
+    def audit_benford(self, df: DataFrame, col: str) -> DataFrame:
+        """First-digit Benford audit of a positive measure — (digit, n,
+        p, p_benford, chi2_total); chi2 far above ~20 on large n says the
+        column's magnitudes were keyed in, truncated, or unit-mixed.
+        One aggregation to <=9 rows."""
+        from dataquality_ml_spark.operators.profile import benford_check
+
+        return benford_check(df, col)
+
+    def feature_iv(
+        self,
+        df: DataFrame,
+        feature: str,
+        label,
+        lo: float,
+        hi: float,
+        bins: int = 10,
+    ) -> DataFrame:
+        """Weight-of-Evidence / Information-Value screen of one feature
+        against a binary label — the pre-model ranking (IV < 0.02
+        useless, > 0.3 strong). One aggregation to <=bins cells."""
+        from dataquality_ml_spark.operators.evaluate import woe_iv
+
+        return woe_iv(df, feature, label, lo, hi, bins)
+
+    def repair_drift(
+        self,
+        cur: DataFrame,
+        col: str,
+        ref: DataFrame,
+        knots: int = 16,
+    ) -> DataFrame:
+        """Quantile-normalize a drifted column onto the reference
+        distribution (rank-preserving piecewise-linear map through exact
+        reference-quantile knots) — the REPAIR step after
+        :meth:`feature_drift` finds the alarm. Returns (value, n,
+        mapped) per distinct value; join back on value to apply."""
+        from dataquality_ml_spark.ml.features import quantile_map
+
+        return quantile_map(cur, col, ref, knots)
+
+    def survival_curve(
+        self,
+        df: DataFrame,
+        duration_col: str,
+        event_col: str,
+        bins: int | None = None,
+        lo: float = 0.0,
+        hi: float = 1.0,
+    ) -> DataFrame:
+        """Kaplan-Meier time-to-event curve with right censoring —
+        (t, n_at_risk, d_events, c_censored, survival). Pass ``bins=``
+        at scale (every window then runs over <=bins rows)."""
+        from dataquality_ml_spark.operators.sequences import survival_km
+
+        return survival_km(df, duration_col, event_col, bins, lo, hi)

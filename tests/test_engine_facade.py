@@ -337,3 +337,38 @@ def test_engine_drift_surface(spark):
     tl = eng.drift_timeline(t, "v", F.col("p"), lo=0.0, hi=500.0, bins=8).collect()
     wl = psi_timeline(t, "v", F.col("p"), lo=0.0, hi=500.0, bins=8).collect()
     assert tl == wl and len(tl) == 4
+
+
+def test_facade_audit_and_repair_methods(spark):
+    """Round-11 facade additions delegate to the audited operators:
+    benford digits, feature IV, drift repair via quantile mapping, and
+    the KM survival curve."""
+    import pyspark.sql.functions as F
+
+    from dataquality_ml_spark.engine import DQEngine
+
+    eng = DQEngine(spark)
+    money = spark.range(1, 400).select((F.col("id") * 13.7).alias("v"))
+    ben = eng.audit_benford(money, "v").collect()
+    assert {r["digit"] for r in ben} <= set(range(1, 10))
+    assert all(r["chi2_total"] is not None for r in ben)
+
+    labeled = spark.range(400).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") % 2 == 0).alias("y"),
+    )
+    iv = eng.feature_iv(labeled, "x", "y", lo=0.0, hi=10.0, bins=5).collect()
+    assert len(iv) == 5 and all(r["iv_total"] is not None for r in iv)
+
+    ref = spark.range(500).select((F.col("id") / 5.0).alias("v"))
+    cur = spark.range(300).select((F.col("id") / 5.0 + 1000.0).alias("v"))
+    rep = eng.repair_drift(cur, "v", ref)
+    ms = [r["mapped"] for r in rep.orderBy("value").collect()]
+    assert ms == sorted(ms) and 0 <= ms[0] <= ms[-1] <= 100.0
+
+    surv = eng.survival_curve(
+        spark.createDataFrame([(1.0, 1), (2.0, 0), (3.0, 1)], "d double, e int"),
+        "d", "e",
+    ).orderBy("t").collect()
+    assert [r["n_at_risk"] for r in surv] == [3, 2, 1]
+    assert surv[-1]["survival"] == 0.0
