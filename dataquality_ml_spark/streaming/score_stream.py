@@ -710,6 +710,32 @@ def _drift_monitor_fold(ref_hist, value_col: str, lo: float, hi: float):
     return _batch, reports
 
 
+#: Replay drivers run one fold invocation (a handful of Spark jobs) per
+#: distinct batch value — micro-batch replays are inherently few; a
+#: high-cardinality batch column would silently turn the replay into
+#: thousands of driver-sequenced jobs, so the guard is loud.
+MAX_REPLAY_BATCHES = 4096
+
+
+def _replay_batches(df: DataFrame, batch_col: str) -> list:
+    """Ordered distinct batch values for a replay driver, with the
+    bounded-cardinality contract enforced loudly."""
+    rows = (
+        df.select(F.col(batch_col).alias("b"))
+        .distinct()
+        .orderBy("b")
+        .limit(MAX_REPLAY_BATCHES + 1)
+        .collect()
+    )
+    if len(rows) > MAX_REPLAY_BATCHES:
+        raise ValueError(
+            f"replay: batch_col {batch_col!r} has more than "
+            f"{MAX_REPLAY_BATCHES} distinct values — a replay runs the "
+            "fold once per batch on the driver; slice on a coarser key."
+        )
+    return [r["b"] for r in rows]
+
+
 def drift_monitor_replay(
     df: DataFrame,
     batch_col: str,
@@ -739,10 +765,7 @@ def drift_monitor_replay(
     )
 
     fn, reports = _drift_monitor_fold(ref_hist, value_col, lo, hi)
-    batches = [
-        r["b"]
-        for r in df.select(F.col(batch_col).alias("b")).distinct().orderBy("b").collect()
-    ]
+    batches = _replay_batches(df, batch_col)
     for i, b in enumerate(batches):
         fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
     schema = StructType(
@@ -939,10 +962,7 @@ def drift_panel_replay(
     fn, reports = _drift_panel_fold(
         ref_hists, value_col, key_col, lo, hi, max_segments
     )
-    batches = [
-        r["b"]
-        for r in df.select(F.col(batch_col).alias("b")).distinct().orderBy("b").collect()
-    ]
+    batches = _replay_batches(df, batch_col)
     for i, b in enumerate(batches):
         fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
     schema = StructType(

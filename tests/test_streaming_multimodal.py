@@ -1710,3 +1710,24 @@ def test_categorical_drift_stream_matches_batch(spark, tmp_path):
         ss.categorical_drift_stream(
             stream, str(tmp_path / "x"), {"lang": refs["lang"]}, ["lang", "source"]
         )
+
+
+def test_replay_batch_cardinality_guard(spark):
+    """A high-cardinality batch column must FAIL LOUDLY: the replay
+    drivers run the fold once per batch driver-side, so unbounded batch
+    counts are a contract violation, not a slow surprise."""
+    import numpy as np
+
+    ss.MAX_REPLAY_BATCHES  # the knob exists and is documented
+    df = spark.range(50).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1.0).alias("value"),
+        F.col("id").alias("batch"),  # one batch per row
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(ss, "MAX_REPLAY_BATCHES", 10):
+        with pytest.raises(ValueError, match="distinct values"):
+            ss.drift_monitor_replay(
+                df, "batch", np.ones(8, dtype=np.int64), "value", 0.0, 50.0
+            )
