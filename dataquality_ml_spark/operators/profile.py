@@ -68,6 +68,8 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact_quantiles: bo
                 F.stddev_samp(vc).alias(f"{c}__stddev"),
                 F.min(vc).alias(f"{c}__min"),
                 F.max(vc).alias(f"{c}__max"),
+                # feeds the selection's low-cardinality collect fast path
+                F.approx_count_distinct(vc).alias(f"{c}__nd"),
             ]
         )
         if not exact_quantiles:
@@ -92,6 +94,7 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact_quantiles: bo
                 wrow[f"{c}__n_valid"],
                 None if wrow[f"{c}__min"] is None else float(wrow[f"{c}__min"]),
                 None if wrow[f"{c}__max"] is None else float(wrow[f"{c}__max"]),
+                wrow[f"{c}__nd"],
             )
             for c in cols
         }
@@ -437,6 +440,7 @@ def _qplan(stats, qs_f):
     chains: list = []
     for r in stats:
         gkey, n, glo, ghi = r["gkey"], r["n"], r["lo"], r["hi"]
+        nd = r.get("nd")
         plan, needs = [], set()
         for q in qs_f:
             i = q * (n - 1)
@@ -455,6 +459,7 @@ def _qplan(stats, qs_f):
                     "anc": [],
                     "base": 0,
                     "cnt": n,
+                    "nd": nd,
                     "lo": glo,
                     "hi": ghi,
                     "ks": sorted(needs),
@@ -663,10 +668,17 @@ def _select_chains(
         force = depth >= 8
         refine, collectable, fallback = [], [], []
         for ch in chains:
+            # nd: level-0 (approximate) distinct count — the grouped
+            # collect returns (value, count) RUNS, so a chain whose
+            # distinct count fits the budget collects directly however
+            # many rows it holds; 0.8 margin absorbs the sketch error
+            nd = ch.get("nd")
             if ch["lo"] == ch["hi"]:
                 for k in ch["ks"]:
                     resolved[(ch["gkey"], k)] = ch["lo"]
-            elif ch["cnt"] <= collect_limit:
+            elif ch["cnt"] <= collect_limit or (
+                nd is not None and nd <= collect_limit * 0.8
+            ):
                 collectable.append(ch)
             elif force:
                 fallback.append(ch)
@@ -873,21 +885,31 @@ def exact_quantiles_select(
     if checkpoint:
         vals = vals.localCheckpoint(eager=False)
     if stats is not None:
+        # optional 4th element: (approximate) distinct count — lets the
+        # loop collect low-cardinality chains directly (see below)
         stats = [
-            {"gkey": gk, "n": v[0], "lo": v[1], "hi": v[2]}
+            {"gkey": gk, "n": v[0], "lo": v[1], "hi": v[2],
+             "nd": v[3] if len(v) > 3 else None}
             for gk, v in stats.items()
         ]
     else:
+        # approx_count_distinct rides the same stats agg for ~free and
+        # unlocks the low-cardinality fast path: a chain whose DISTINCT
+        # count fits the collect budget resolves in one grouped collect
+        # even when its ROW count is billions (quantity/discount-style
+        # columns — the common DQ threshold shape)
         stats = [
             {"gkey": tuple(r[g] for g in gnames) if groups else (), "n": r["n"],
-             "lo": r["lo"], "hi": r["hi"]}
+             "lo": r["lo"], "hi": r["hi"], "nd": r["nd"]}
             for r in (
                 vals.groupBy(*gnames).agg(
-                    F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+                    F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"),
+                    F.approx_count_distinct("v").alias("nd"),
                 )
                 if groups
                 else vals.agg(
-                    F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+                    F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"),
+                    F.approx_count_distinct("v").alias("nd"),
                 )
             ).collect()
         ]

@@ -641,3 +641,23 @@ def test_round11_prefix_sum_ops_no_global_window(spark):
     ref = spark.range(400).select((F.col("id") % 83).cast("double").alias("v"))
     out = quantile_map(cur, "v", ref)
     assert _global_window_specs(plans.formatted_plan(out)) == []
+
+
+def test_low_cardinality_selection_skips_refinement(spark, monkeypatch):
+    """Round 11: a column whose DISTINCT count fits the collect budget
+    must resolve in ONE grouped collect even when its ROW count is far
+    above collect_limit (quantity/discount-style columns) — no histogram
+    refinement level at all. Values stay bit-equal to percentile()."""
+    from dataquality_ml_spark.operators import profile as prof
+
+    def _boom(*a, **kw):
+        raise AssertionError("low-cardinality chain must not refine")
+
+    monkeypatch.setattr(prof, "_walk_hist", _boom)
+
+    df = spark.range(200_000).select(((F.col("id") % 37) / 3.0).alias("v"))
+    qs = [0.1, 0.5, 0.9, 0.999]
+    q_sql = ", ".join(map(str, qs))
+    want = df.agg(F.expr(f"percentile(v, array({q_sql}))").alias("p")).first()["p"]
+    got = prof.exact_quantiles_select(df, "v", qs, collect_limit=1024)
+    assert got == list(want)
