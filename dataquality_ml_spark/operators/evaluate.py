@@ -384,3 +384,95 @@ def woe_iv(
         iv_term.alias("iv_term"),
         F.sum(iv_term).over(w).alias("iv_total"),
     )
+
+
+def conversion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    control,
+) -> DataFrame:
+    """Two-proportion z-test of every variant against a control group —
+    the A/B-test readout: per variant (variant, n_control, conv_control,
+    n_variant, conv_variant, lift, z). z = (p_v − p_c) /
+    sqrt(p̂(1−p̂)(1/n_c + 1/n_v)) with the pooled proportion p̂; |z| > 1.96
+    is the usual 5% two-sided call. All inputs are exact integer counts,
+    so the statistic is one fixed float expression — engine-portable.
+
+    One grouped aggregation to |groups| rows; the control row broadcasts
+    back across variants. Null groups are dropped; a zero-variance pool
+    (p̂ ∈ {0, 1}) reports NULL z instead of dividing by zero.
+    """
+    y = F.col(success_col) if isinstance(success_col, str) else success_col
+    agg = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(y.cast("boolean"), 1)).alias("k"),
+        )
+    )
+    ctl = agg.where(F.col("variant") == F.lit(control)).select(
+        F.col("n").alias("n_control"), F.col("k").alias("k_control")
+    )
+    v = agg.where(F.col("variant") != F.lit(control))
+    j = v.crossJoin(F.broadcast(ctl))
+    p_c = F.col("k_control") / F.col("n_control").cast("double")
+    p_v = F.col("k") / F.col("n").cast("double")
+    pool = (F.col("k") + F.col("k_control")) / (
+        F.col("n") + F.col("n_control")
+    ).cast("double")
+    se = F.sqrt(
+        pool * (1 - pool)
+        * (1.0 / F.col("n_control") + 1.0 / F.col("n"))
+    )
+    return j.select(
+        "variant",
+        "n_control",
+        p_c.alias("conv_control"),
+        F.col("n").alias("n_variant"),
+        p_v.alias("conv_variant"),
+        (p_v - p_c).alias("lift"),
+        F.when(se > 0, (p_v - p_c) / se).alias("z"),
+    )
+
+
+def conformal_interval(
+    cal_df: DataFrame,
+    test_df: DataFrame,
+    residual_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval: q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest |residual| on a held-out calibration set,
+    giving intervals prediction ± q̂ with finite-sample ≥(1−α) coverage
+    guarantee (Vovk et al.; distribution-free). Returns one row:
+    (n_cal, qhat, n_test, coverage) — coverage is the measured fraction
+    of test |residuals| within q̂, the empirical check of the guarantee.
+
+    q̂ is an exact order statistic located through the shared
+    histogram-refine selection engine (k-th smallest ⇔ the q = (k−1)/(n−1)
+    interpolation point, frac 0); the coverage pass is one aggregation.
+    """
+    import math
+
+    ar = F.abs(F.col(residual_col))
+    cal = cal_df.where(
+        F.col(residual_col).isNotNull() & ~F.isnan(residual_col)
+    ).select(ar.alias("r"))
+    n = cal.count()
+    if n == 0:
+        raise ValueError("conformal_interval: empty calibration set")
+    k = min(n, int(math.ceil((n + 1) * (1.0 - alpha))))
+    from dataquality_ml_spark.operators.profile import exact_quantiles_select
+
+    q = 0.0 if n == 1 else (k - 1) / (n - 1)
+    [qhat] = exact_quantiles_select(cal, "r", [q])
+    return test_df.where(
+        F.col(residual_col).isNotNull() & ~F.isnan(residual_col)
+    ).agg(
+        F.lit(n).alias("n_cal"),
+        F.lit(float(qhat)).alias("qhat"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg((ar <= F.lit(float(qhat))).cast("double")).alias("coverage"),
+    )

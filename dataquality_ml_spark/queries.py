@@ -5687,3 +5687,136 @@ def survival_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_censored",
         (F.round("survival", 6) + F.lit(0.0)).alias("survival"),
     ).orderBy("t")
+
+
+@register(
+    "ab_test_purchase_rate",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'v0' ELSE 'v1' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT variant, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE converted = 1) AS k
+      FROM peruser GROUP BY 1
+    ),
+    ctl AS (SELECT n AS n_control, k AS k_control FROM agg WHERE variant = 'v0'),
+    v AS (SELECT * FROM agg WHERE variant <> 'v0')
+    SELECT variant,
+           n_control,
+           ROUND(k_control / CAST(n_control AS DOUBLE), 6) + 0 AS conv_control,
+           n AS n_variant,
+           ROUND(k / CAST(n AS DOUBLE), 6) + 0 AS conv_variant,
+           ROUND(k / CAST(n AS DOUBLE) - k_control / CAST(n_control AS DOUBLE), 6) + 0 AS lift,
+           ROUND(
+             (k / CAST(n AS DOUBLE) - k_control / CAST(n_control AS DOUBLE))
+             / SQRT(((k + k_control) / CAST(n + n_control AS DOUBLE))
+                    * (1 - (k + k_control) / CAST(n + n_control AS DOUBLE))
+                    * (1.0 / n_control + 1.0 / n)), 6) + 0 AS z
+    FROM v, ctl
+    ORDER BY variant
+    """,
+)
+def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of per-user purchase conversion between the
+    even/odd user cohorts (round 11) — the A/B readout: variant
+    conversion vs control, lift, and the pooled-proportion z statistic.
+    Exact counts in, one fixed float expression out."""
+    ev_df = _t(spark, sf_dir, "events")
+    peruser = ev_df.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "v0").otherwise("v1").alias("variant"),
+        F.col("converted") == 1,
+    ).toDF("variant", "converted")
+    out = ev.conversion_ztest(peruser, "variant", "converted", control="v0")
+    return out.select(
+        "variant",
+        "n_control",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["conv_control"]
+        ],
+        "n_variant",
+        *[
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["conv_variant", "lift", "z"]
+        ],
+    ).orderBy("variant")
+
+
+@register(
+    "conformal_price_interval",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n, SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+             SUM(l_quantity * l_extendedprice) AS sxy,
+             SUM(l_quantity * l_quantity) AS sxx
+      FROM lineitem
+    ),
+    co AS (
+      SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS b,
+             ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS a
+      FROM s
+    ),
+    resid AS (
+      SELECT l_orderkey,
+             ABS(l_extendedprice - (a + b * l_quantity)) AS r
+      FROM lineitem, co
+    ),
+    cal AS (SELECT r FROM resid WHERE l_orderkey % 2 = 0),
+    nq AS (
+      SELECT COUNT(*) AS n_cal,
+             LEAST(COUNT(*), CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT)) AS k
+      FROM cal
+    ),
+    qh AS (
+      SELECT n_cal, r AS qhat FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal
+      ), nq WHERE rn = k
+    )
+    SELECT n_cal,
+           ROUND(qhat, 6) + 0 AS qhat,
+           (SELECT COUNT(*) FROM resid WHERE l_orderkey % 2 = 1) AS n_test,
+           ROUND((SELECT AVG(CASE WHEN r <= qhat THEN 1.0 ELSE 0.0 END)
+                  FROM resid WHERE l_orderkey % 2 = 1), 6) + 0 AS coverage
+    FROM qh
+    """,
+)
+def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price~quantity linear
+    model (round 11): q-hat = the ceil((n+1)(1-alpha))-th smallest
+    calibration |residual| (alpha=0.1), located through the shared
+    exact-selection engine, with the empirical test-half coverage of the
+    distribution-free >=90% guarantee. Coefficients are frozen at 6 dp so
+    the residual relation is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    ).first()
+    raw_b = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / (
+        s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    )
+    b = round(raw_b, 6)
+    a = round((s["sy"] - raw_b * s["sx"]) / s["n"], 6)
+    resid = li.select(
+        "l_orderkey",
+        F.abs(y - (F.lit(a) + F.lit(b) * x)).alias("resid"),
+    )
+    cal = resid.where(F.col("l_orderkey") % 2 == 0)
+    test = resid.where(F.col("l_orderkey") % 2 == 1)
+    out = ev.conformal_interval(cal, test, "resid", alpha=0.1)
+    return out.select(
+        "n_cal",
+        (F.round("qhat", 6) + F.lit(0.0)).alias("qhat"),
+        "n_test",
+        (F.round("coverage", 6) + F.lit(0.0)).alias("coverage"),
+    )

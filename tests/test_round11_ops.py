@@ -355,3 +355,43 @@ def test_survival_km_textbook_example(spark):
     dd = spark.createDataFrame([(1.0, 1), (2.0, 1)], "d double, e int")
     g2 = {r["t"]: r["survival"] for r in survival_km(dd, "d", "e").collect()}
     assert g2[2.0] == 0.0
+
+
+def test_conversion_ztest_semantics(spark):
+    """Hand case: equal conversion gives z ~ 0 and lift 0; a strong
+    variant gives a large positive z; zero-variance pool (all convert)
+    reports NULL z, not a divide-by-zero."""
+    from dataquality_ml_spark.operators.evaluate import conversion_ztest
+
+    rows = [("c", i < 50) for i in range(100)]          # 50% control
+    rows += [("same", i < 50) for i in range(100)]      # 50% variant
+    rows += [("better", i < 90) for i in range(100)]    # 90% variant
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    got = {r["variant"]: r for r in conversion_ztest(df, "g", "y", "c").collect()}
+    assert set(got) == {"same", "better"}
+    assert got["same"]["lift"] == 0.0 and abs(got["same"]["z"]) < 1e-12
+    assert got["better"]["lift"] == pytest.approx(0.4)
+    assert got["better"]["z"] > 5
+    # degenerate pool: everyone converts everywhere -> NULL z
+    allc = spark.createDataFrame(
+        [("c", True)] * 10 + [("v", True)] * 10, "g string, y boolean"
+    )
+    assert conversion_ztest(allc, "g", "y", "c").first()["z"] is None
+
+
+def test_conformal_interval_guarantee(spark):
+    """Known residuals: with alpha=0.1 and n=19 calibration points the
+    interval uses the ceil(20*0.9)=18th smallest; coverage on an
+    identically distributed test half respects the >=1-alpha guarantee;
+    empty calibration fails loudly."""
+    from dataquality_ml_spark.operators.evaluate import conformal_interval
+
+    cal = spark.createDataFrame([(float(i),) for i in range(1, 20)], "r double")
+    test = spark.createDataFrame([(float(i),) for i in range(1, 20)], "r double")
+    row = conformal_interval(cal, test, "r", alpha=0.1).first()
+    assert row["n_cal"] == 19 and row["qhat"] == 18.0
+    assert row["coverage"] == pytest.approx(18 / 19)
+    assert row["coverage"] >= 0.9
+    empty = spark.createDataFrame([], "r double")
+    with pytest.raises(ValueError, match="calibration"):
+        conformal_interval(empty, test, "r")
