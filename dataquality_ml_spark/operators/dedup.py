@@ -1040,3 +1040,55 @@ def incremental_minhash_dedup(
         .where(F.col("est_jaccard") >= F.lit(threshold))
         .orderBy(id_col, "corpus_id")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order the
+    corpus by a normalized ``sort_key`` expression and emit every id pair
+    within ``window`` positions — the classic record-linkage candidate
+    generator that catches near-duplicates whose shingle sets diverge
+    (typos concentrated early in the text, truncated copies) as long as
+    the sort key brings them near each other. Returns (id_a, id_b,
+    rank_distance), id_a < id_b by rank; feed the pairs to
+    ``jaccard_verify``-style scorers.
+
+    Scale shape: the global rank comes from the DISTRIBUTED prefix sum
+    (range partition + per-partition subtotals — no single-task window);
+    the neighborhood join buckets ranks by ``window`` and joins each
+    bucket with itself and its successor, so every row meets at most
+    2·window candidates regardless of corpus size. Ties in ``sort_key``
+    order deterministically by ``id_col``.
+    """
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    key = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+    # unique, order-preserving composite: (key, id) — epfs needs one
+    # sortable column, and the id tie-break keeps ranks deterministic
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.struct(key.alias("k"), F.col(id_col).alias("i")).alias("__ord"),
+    )
+    ranked = exclusive_prefix_sum(
+        base.withColumn("__one", F.lit(1)), "__ord", "__one", out="__rank"
+    ).select("__id", F.col("__rank").cast("bigint").alias("r"))
+    b = ranked.withColumn("__b", F.floor(F.col("r") / window))
+    rhs = b.select(
+        F.col("__id").alias("__id2"),
+        F.col("r").alias("r2"),
+        F.col("__b").alias("__b2"),
+    )
+    cond = (
+        ((F.col("__b2") == F.col("__b")) | (F.col("__b2") == F.col("__b") + 1))
+        & (F.col("r2") > F.col("r"))
+        & (F.col("r2") - F.col("r") <= window)
+    )
+    return b.join(rhs, cond).select(
+        F.col("__id").alias("id_a"),
+        F.col("__id2").alias("id_b"),
+        (F.col("r2") - F.col("r")).alias("rank_distance"),
+    )

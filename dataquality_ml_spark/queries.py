@@ -5820,3 +5820,38 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         (F.round("coverage", 6) + F.lit(0.0)).alias("coverage"),
     )
+
+
+@register(
+    "sorted_neighborhood_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, substr(trim(lower(nfc_normalize(text))), 1, 24) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS r
+      FROM keyed
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.r - a.r AS rank_distance
+    FROM ranked a JOIN ranked b
+      ON b.r > a.r AND b.r - a.r <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def sorted_neighborhood_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking over the corpus (round 11): candidate
+    pairs within 3 positions of the normalized-prefix sort order — the
+    record-linkage blocking method that catches near-duplicates whose
+    shingle sets diverge, complementary to MinHash/SimHash banding. The
+    global rank is a distributed prefix sum (no single-task window); each
+    row meets at most 2*window candidates."""
+    from dataquality_ml_spark.functions.scalar import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.sorted_neighborhood_pairs(
+        docs.withColumn("__k", F.substring(normalize_text("text"), 1, 24)),
+        "__k",
+        window=3,
+    )
+    return out.orderBy("id_a", "id_b")

@@ -395,3 +395,31 @@ def test_conformal_interval_guarantee(spark):
     empty = spark.createDataFrame([], "r double")
     with pytest.raises(ValueError, match="calibration"):
         conformal_interval(empty, test, "r")
+
+
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """Hand corpus: pairs are exactly the rank-window neighbors of the
+    sort order (ties broken by id), each row meets <= 2*window
+    candidates, and typo-near keys that shingle methods may miss land in
+    the same neighborhood. Plan: no unpartitioned window (rank via the
+    distributed prefix sum)."""
+    from dataquality_ml_spark import plans as plan_mod
+    from dataquality_ml_spark.operators.dedup import sorted_neighborhood_pairs
+    from tests.test_scale_plans import _global_window_specs
+
+    rows = [
+        (1, "aaron smith"),
+        (2, "aaron smyth"),   # typo neighbor of 1
+        (3, "zzz corp"),
+        (4, "aarno smith"),   # transposition: sorts next to 1/2
+        (5, "middle value"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = sorted_neighborhood_pairs(df, "k", window=1)
+    # sort order: aarno(4) < aaron smith(1) < aaron smyth(2) < middle(5) < zzz(3)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(4, 1), (1, 2), (2, 5), (5, 3)}
+    assert _global_window_specs(plan_mod.formatted_plan(out)) == []
+    # window=2 adds the distance-2 pairs
+    got2 = {(r["id_a"], r["id_b"]) for r in sorted_neighborhood_pairs(df, "k", window=2).collect()}
+    assert got == {p for p in got2 if p in got} and len(got2) == 7
