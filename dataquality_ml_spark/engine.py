@@ -652,12 +652,14 @@ class DQEngine:
         duration_col: str,
         event_col: str,
         bins: int | None = None,
-        lo: float = 0.0,
-        hi: float = 1.0,
+        lo: float | None = None,
+        hi: float | None = None,
     ) -> DataFrame:
         """Kaplan-Meier time-to-event curve with right censoring —
         (t, n_at_risk, d_events, c_censored, survival). Pass ``bins=``
-        at scale (every window then runs over <=bins rows)."""
+        WITH explicit lo/hi at scale (every window then runs over
+        <=bins rows); the exact path raises above ~65k distinct
+        durations."""
         from dataquality_ml_spark.operators.sequences import survival_km
 
         return survival_km(df, duration_col, event_col, bins, lo, hi)

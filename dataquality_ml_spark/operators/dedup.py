@@ -1059,10 +1059,14 @@ def sorted_neighborhood_pairs(
 
     Scale shape: the global rank comes from the DISTRIBUTED prefix sum
     (range partition + per-partition subtotals — no single-task window);
-    the neighborhood join buckets ranks by ``window`` and joins each
-    bucket with itself and its successor, so every row meets at most
-    2·window candidates regardless of corpus size. Ties in ``sort_key``
-    order deterministically by ``id_col``.
+    the neighborhood join buckets ranks by ``window`` and the left side
+    is EXPLODED into its own bucket and the successor bucket so the join
+    is a single equality on the bucket key (SortMergeJoin — Catalyst
+    cannot extract an equi-key from an OR of two equalities, which would
+    physically plan a CartesianProduct). The 2× row duplication is the
+    whole cost; every row still meets at most 2·window candidates
+    regardless of corpus size. Ties in ``sort_key`` order
+    deterministically by ``id_col``.
     """
     from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
 
@@ -1077,18 +1081,75 @@ def sorted_neighborhood_pairs(
         base.withColumn("__one", F.lit(1)), "__ord", "__one", out="__rank"
     ).select("__id", F.col("__rank").cast("bigint").alias("r"))
     b = ranked.withColumn("__b", F.floor(F.col("r") / window))
+    # a pair with 0 < r2-r <= window spans at most one bucket boundary,
+    # so bucket(r2) ∈ {bucket(r), bucket(r)+1}: explode the left row into
+    # both target buckets and join on a single equality
+    lhs = b.select(
+        "__id",
+        "r",
+        F.explode(F.array(F.col("__b"), F.col("__b") + F.lit(1))).alias("__jb"),
+    )
     rhs = b.select(
         F.col("__id").alias("__id2"),
         F.col("r").alias("r2"),
         F.col("__b").alias("__b2"),
     )
-    cond = (
-        ((F.col("__b2") == F.col("__b")) | (F.col("__b2") == F.col("__b") + 1))
-        & (F.col("r2") > F.col("r"))
-        & (F.col("r2") - F.col("r") <= window)
+    return (
+        lhs.join(rhs, F.col("__jb") == F.col("__b2"))
+        .where(
+            (F.col("r2") > F.col("r"))
+            & (F.col("r2") - F.col("r") <= F.lit(int(window)))
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            (F.col("r2") - F.col("r")).alias("rank_distance"),
+        )
     )
-    return b.join(rhs, cond).select(
-        F.col("__id").alias("id_a"),
-        F.col("__id2").alias("id_b"),
-        (F.col("r2") - F.col("r")).alias("rank_distance"),
+
+
+def sorted_neighborhood_multipass(
+    df: DataFrame,
+    sort_keys,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood (Hernández & Stolfo 1995 §3.3):
+    run the single-key neighborhood generator once per sort key (prefix,
+    reversed prefix, token-sorted key, ...) and union the candidate
+    pairs — the standard recipe, because any ONE key misses duplicates
+    whose discrepancy lands early in that key (a typo in the first
+    character defeats a prefix sort but not a reversed or token-sorted
+    one). Returns (id_a, id_b, n_passes, min_rank_distance) with
+    id_a < id_b by ID VALUE (each pass orders pairs by its own rank, so
+    the union canonicalizes with least/greatest before grouping);
+    n_passes counts the passes that proposed the pair — a cheap
+    confidence signal for downstream verifiers.
+
+    Scale shape: each pass is the exploded adjacent-bucket equi-join of
+    :func:`sorted_neighborhood_pairs` (≤2·window candidates per row, no
+    cartesian), and the final dedup is one groupBy on the pair key —
+    |passes|·|rows|·window shuffle rows total.
+    """
+    from functools import reduce
+
+    if not sort_keys:
+        raise ValueError("sorted_neighborhood_multipass: need >=1 sort key")
+    passes = []
+    for i, key in enumerate(sort_keys):
+        p = sorted_neighborhood_pairs(df, key, id_col=id_col, window=window)
+        passes.append(
+            p.select(
+                F.lit(i).alias("__pass"),
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "rank_distance",
+            )
+        )
+    allp = reduce(DataFrame.unionAll, passes)
+    # within one pass ranks are unique, so a pair appears at most once
+    # per pass — plain count == distinct pass count
+    return allp.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n_passes"),
+        F.min("rank_distance").alias("min_rank_distance"),
     )

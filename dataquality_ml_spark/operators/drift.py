@@ -1405,3 +1405,104 @@ def corr_drift(
     )
     z = F.when((F.col("n_a") > 3) & (F.col("n_b") > 3), z)
     return agg.select(*keys, "r_a", "r_b", z.alias("fisher_z"), "n_a", "n_b")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """CUSUM mean-shift changepoint screen over a time-bucketed series —
+    per bucket the mean, the cumulative sum of deviations from the grand
+    mean of bucket means (Page 1954's tracking statistic, two-sided),
+    and a flag on the |CUSUM| peak: the bucket where the running series
+    most decisively changed level. The drift-panel family answers "did
+    the distribution move"; this answers WHEN. Returns (bucket_ts, n,
+    mean_value, cusum, is_changepoint).
+
+    Scale shape: ONE grouped aggregation collapses the corpus to the
+    calendar-bounded bucket relation (≤ a few thousand rows for years of
+    daily buckets); the grand mean broadcasts back as a 1-row join and
+    the cumulative window runs over that bounded relation only — the
+    same bounded-window class as exact ``roc_auc``. Window order is the
+    bucket timestamp, so the float accumulation sequence is identical
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(value_col)).alias("mean_value"),
+        )
+    )
+    grand = cells.agg(F.avg("mean_value").alias("__gm"))
+    w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    scored = cells.join(F.broadcast(grand), F.lit(True)).withColumn(
+        "cusum", F.sum(F.col("mean_value") - F.col("__gm")).over(w)
+    )
+    return scored.select(
+        "bucket_ts",
+        "n",
+        "mean_value",
+        "cusum",
+        (F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(tot))
+        .cast("int")
+        .alias("is_changepoint"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Theil–Sen robust trend over an AGGREGATED series — slope = median
+    of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept = median of
+    (y − slope·x): ~29% breakdown point, so a few corrupted buckets
+    (backfills, outages) cannot swing the trend the way they swing OLS.
+    Returns one row: (n_points, n_pairs, slope, intercept).
+
+    Contract: the input must already be a BOUNDED series (monthly
+    revenue, daily counts — the x values distinct); the pair self-join
+    is quadratic in it, so the operator counts the series first and
+    RAISES past ``max_points`` (loud-contract convention) — n=2000 is
+    already 2M pair rows, trivially distributed but pointless beyond a
+    calendar-bounded series. Medians interpolate (percentile semantics)
+    for cross-engine determinism.
+    """
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    n = base.count()
+    if n > max_points:
+        raise ValueError(
+            f"theil_sen_trend: {n} points exceed max_points={max_points} — "
+            "aggregate the series to calendar buckets first (the pair join "
+            "is quadratic), or raise max_points deliberately"
+        )
+    if n < 2:
+        raise ValueError(f"theil_sen_trend: need >=2 points, got {n}")
+    # non-equi pair join over a contract-bounded series: broadcast the
+    # right side explicitly so the plan is a bounded BNLJ, never a
+    # CartesianProduct (registry-wide plan gate)
+    rhs = F.broadcast(base.select(F.col("x").alias("x2"), F.col("y").alias("y2")))
+    slopes = base.join(rhs, F.col("x2") > F.col("x")).select(
+        ((F.col("y2") - F.col("y")) / (F.col("x2") - F.col("x"))).alias("s")
+    )
+    slope = slopes.agg(F.expr("percentile(s, 0.5)").alias("m")).first()["m"]
+    out = base.agg(
+        F.lit(n).cast("bigint").alias("n_points"),
+        F.lit(n * (n - 1) // 2).cast("bigint").alias("n_pairs"),
+        F.lit(float(slope)).alias("slope"),
+        F.expr(f"percentile(y - {float(slope)!r} * x, 0.5)").alias("intercept"),
+    )
+    return out

@@ -348,8 +348,13 @@ def woe_iv(
     ``label`` is a boolean Column (or column name). One aggregation to
     ≤``bins`` rows under the frozen (lo, hi) quantizer (out-of-range
     clamps to edge bins, same as the sketch family); all fractions are
-    fixed float expressions over exact integer counts.
+    fixed float expressions over exact integer counts. The valid
+    population is non-null AND non-NaN (round-12 ADVICE: a NaN feature
+    value would otherwise clamp into bin 0 via floor(NaN/w) — the same
+    NULL/NaN-to-bucket-0 defect fixed in the binned drift path).
     """
+    from dataquality_ml_spark.operators.profile import _valid
+
     eps = 1e-6
     y = F.col(label) if isinstance(label, str) else label
     width = (float(hi) - float(lo)) / bins
@@ -361,7 +366,7 @@ def woe_iv(
         ),
     )
     cells = (
-        df.where(F.col(feature).isNotNull())
+        df.where(_valid(df, feature))
         .select(b.alias("bin"), y.cast("boolean").alias("__y"))
         .groupBy("bin")
         .agg(
@@ -401,7 +406,10 @@ def conversion_ztest(
 
     One grouped aggregation to |groups| rows; the control row broadcasts
     back across variants. Null groups are dropped; a zero-variance pool
-    (p̂ ∈ {0, 1}) reports NULL z instead of dividing by zero.
+    (p̂ ∈ {0, 1}) reports NULL z instead of dividing by zero. A ``control``
+    value absent from ``group_col`` RAISES at execution (left join +
+    raise_error) instead of silently returning zero rows — loud-contract
+    convention for misconfiguration (round-12 ADVICE).
     """
     y = F.col(success_col) if isinstance(success_col, str) else success_col
     agg = (
@@ -416,7 +424,18 @@ def conversion_ztest(
         F.col("n").alias("n_control"), F.col("k").alias("k_control")
     )
     v = agg.where(F.col("variant") != F.lit(control))
-    j = v.crossJoin(F.broadcast(ctl))
+    j = v.join(F.broadcast(ctl), F.lit(True), "left").withColumn(
+        "n_control",
+        F.when(
+            F.col("n_control").isNull(),
+            F.raise_error(
+                F.lit(
+                    "conversion_ztest: control group "
+                    f"{control!r} has no rows in {group_col!r}"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n_control")),
+    )
     p_c = F.col("k_control") / F.col("n_control").cast("double")
     p_v = F.col("k") / F.col("n").cast("double")
     pool = (F.col("k") + F.col("k_control")) / (

@@ -686,12 +686,39 @@ def _select_chains(
                 refine.append(ch)
 
         if collectable:
+            # defensive driver bound (round-12 ADVICE): chains admitted
+            # via the approximate distinct count ride an HLL estimate
+            # whose error tail is unbounded — cap the collect at the
+            # budget the admission rule promised, and on overflow kick
+            # every nd-admitted chain back to refinement (nd cleared so
+            # it cannot re-enter the fast path). cnt-admitted chains are
+            # exact row counts, bounded by construction.
+            n_fast = sum(1 for ch in collectable if ch["cnt"] > collect_limit)
+            budget = collect_limit * (len(collectable) + n_fast) + 1
             got_rows = (
                 _tagged(collectable)
                 .groupBy("__cid", "v")
                 .agg(_cexpr())
+                .limit(budget)
                 .collect()
             )
+            if len(got_rows) >= budget:
+                retry = []
+                for ch in collectable:
+                    if ch["cnt"] <= collect_limit:
+                        retry.append(ch)
+                    else:
+                        ch["nd"] = None
+                        (fallback if force else refine).append(ch)
+                collectable = retry
+                got_rows = (
+                    _tagged(collectable)
+                    .groupBy("__cid", "v")
+                    .agg(_cexpr())
+                    .collect()
+                    if collectable
+                    else []
+                )
             runs: dict = {}
             for r in got_rows:
                 runs.setdefault(r["__cid"], []).append((r["v"], r["c"]))
@@ -1124,11 +1151,17 @@ def benford_check(df: DataFrame, col: str) -> DataFrame:
     integer part via a string head — no pow(10, floor(log10 x)) float
     round-trip, so the digit assignment is engine-portable by
     construction. ONE aggregation to ≤9 rows; every ratio is computed
-    over that bounded relation.
+    over that bounded relation. The observed counts are left-joined onto
+    the full 1..9 digit grid (n=0 fill) BEFORE the chi-square: a missing
+    digit contributes its full expected mass (0 − n·p_d)²/(n·p_d) = n·p_d
+    to the statistic — dropping absent digits would understate the misfit
+    exactly when the fabrication signal is strongest (round-12 ADVICE).
     """
     from pyspark.sql import Window
 
-    d = (
+    spark = df.sparkSession
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    observed = (
         df.where(F.col(col).isNotNull() & (F.col(col) >= 1))
         .select(
             F.substring(
@@ -1137,6 +1170,9 @@ def benford_check(df: DataFrame, col: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = grid.join(observed, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     w = Window.partitionBy()
     tot = F.sum("n").over(w)
@@ -1149,4 +1185,109 @@ def benford_check(df: DataFrame, col: str) -> DataFrame:
         (F.col("n") / tot).alias("p"),
         p_benford.alias("p_benford"),
         F.sum(chi2_term).over(w).alias("chi2_total"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    col: str,
+    k: int = 500,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Hill estimator of the Pareto tail exponent over the k largest
+    values — α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) (Hill 1975): the
+    heavy-tail screen for doc lengths / order values / cluster sizes
+    (α ≤ 2 ⇒ infinite variance — means and z-scores stop being
+    meaningful summaries; a sampler or packer keyed on that column needs
+    quantile logic instead). Returns one row: (k_used, threshold,
+    hill_alpha, tail_mean_log).
+
+    Scale shape: ONE TakeOrderedAndProject of k+1 rows (no global sort
+    of the corpus); the rank window and final aggregate run over that
+    bounded relation. Ties at the threshold break deterministically by
+    ``id_col`` so both engines pick the identical k rows. A corpus with
+    fewer than k+1 positive values RAISES at execution (raise_error,
+    loud-contract convention) instead of returning a silently-empty
+    frame.
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc("v")] + ([F.col("i")] if id_col else [])
+    base = df.where(F.col(col).isNotNull() & (F.col(col) > 0)).select(
+        F.col(col).cast("double").alias("v"),
+        *([F.col(id_col).alias("i")] if id_col else []),
+    )
+    top = base.orderBy(*order).limit(k + 1)
+    ranked = top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+    thr = ranked.where(F.col("rk") == k + 1).select(F.col("v").alias("thr"))
+    guarded = (
+        ranked.where(F.col("rk") <= k)
+        .join(F.broadcast(thr), F.lit(True), "left")
+        .withColumn(
+            "thr",
+            F.when(
+                F.col("thr").isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"hill_tail_index: fewer than k+1={k + 1} positive "
+                        f"values in {col!r} — lower k or widen the filter"
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("thr")),
+        )
+    )
+    h = F.avg(F.log(F.col("v") / F.col("thr")))
+    return guarded.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.min("thr").alias("threshold"),
+        F.when(h > 0, F.lit(1.0) / h).alias("hill_alpha"),
+        h.alias("tail_mean_log"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of a non-negative measure —
+    G = 2·Σᵢ rᵢxᵢ / (n·Σx) − (n+1)/n with x ascending and ranks 1..n:
+    the inequality summary behind "how concentrated is revenue across
+    customers / tokens across sources" that a mean-vs-median glance
+    understates. Returns one row: (n, total, gini).
+
+    Scale shape: the global rank is the DISTRIBUTED prefix sum (range
+    partition + per-partition subtotals — no single-task window); the
+    rest is one aggregation. Tied values take consecutive ranks whose
+    within-tie order cannot change Σ rᵢxᵢ (equal x multiplies the same
+    rank sum), so the statistic is deterministic without an id
+    tie-break; pass ``id_col`` anyway when the ordering must be
+    reproducible row-for-row.
+    """
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v"),
+        *([F.col(id_col).alias("i")] if id_col else []),
+    )
+    ordk = (
+        F.struct(F.col("v"), F.col("i")).alias("__ord")
+        if id_col
+        else F.col("v").alias("__ord")
+    )
+    ranked = exclusive_prefix_sum(
+        base.select("v", ordk).withColumn("__one", F.lit(1)),
+        "__ord",
+        "__one",
+        out="__r0",
+    )
+    r = F.col("__r0") + 1  # 1-based ascending rank
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("total"),
+        (
+            F.lit(2.0) * F.sum(r * F.col("v"))
+            / (F.count(F.lit(1)) * F.sum("v"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+        ).alias("gini"),
     )

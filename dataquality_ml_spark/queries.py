@@ -4903,12 +4903,16 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "benford_lineitem",
     oracle="""
-    WITH d AS (
+    WITH obs AS (
       SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
              COUNT(*) AS n
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1
       GROUP BY 1
+    ),
+    d AS (
+      SELECT CAST(g.range AS INT) AS digit, COALESCE(obs.n, 0) AS n
+      FROM range(1, 10) g LEFT JOIN obs ON CAST(g.range AS INT) = obs.digit
     ),
     scored AS (
       SELECT digit, n,
@@ -4928,9 +4932,11 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of l_extendedprice (round 11): the
     fabricated-data / unit-mixing screen — first-digit shares vs
-    log10(1+1/d) with the chi-square misfit riding every row. One
-    aggregation to <=9 rows; the digit comes from an exact integer
-    string head, so the assignment is engine-portable by construction."""
+    log10(1+1/d) with the chi-square misfit riding every row, computed
+    over the FULL 1..9 grid so absent digits contribute their expected
+    mass (round-12 ADVICE fix). One aggregation to 9 rows; the digit
+    comes from an exact integer string head, so the assignment is
+    engine-portable by construction."""
     out = prof.benford_check(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
     return out.select(
         "digit",

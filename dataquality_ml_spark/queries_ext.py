@@ -3765,10 +3765,14 @@ def _ug_base_ctes(ml: int = _UG_ML, mp: int = _UG_MP) -> str:
 def _ug_alpha_beta_ctes(n: int = _UG_L) -> str:
     """Unrolled forward/backward DP over the segmentation lattice — one
     bounded join per character position, the relational twin of
-    em_expected_counts' loop."""
+    em_expected_counts' loop.  Every afx/btx accumulator is MATERIALIZED:
+    each is referenced TWICE at the next level (the DP join and the
+    union), so an inlining planner would otherwise double the work per
+    level — a 2^n blowup that turned this oracle into the parity suite's
+    wall-time hot spot (round-12 VERDICT item 5)."""
     parts = [
         "af0 AS (SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS a FROM words)",
-        "afx0 AS (SELECT * FROM af0)",
+        "afx0 AS MATERIALIZED (SELECT * FROM af0)",
     ]
     for i in range(1, n + 1):
         parts.append(
@@ -3777,12 +3781,13 @@ def _ug_alpha_beta_ctes(n: int = _UG_L) -> str:
             f"WHERE o.e = {i} GROUP BY o.word)"
         )
         parts.append(
-            f"afx{i} AS (SELECT * FROM afx{i - 1} UNION ALL SELECT * FROM af{i})"
+            f"afx{i} AS MATERIALIZED "
+            f"(SELECT * FROM afx{i - 1} UNION ALL SELECT * FROM af{i})"
         )
     parts.append(
         "bt0 AS (SELECT word, length(word) AS pos, CAST(1.0 AS DOUBLE) AS b FROM words)"
     )
-    parts.append("btx0 AS (SELECT * FROM bt0)")
+    parts.append("btx0 AS MATERIALIZED (SELECT * FROM bt0)")
     for k in range(1, n + 1):
         parts.append(
             f"bt{k} AS (SELECT o.word, o.s AS pos, SUM(o.prob * nx.b) AS b "
@@ -3790,7 +3795,8 @@ def _ug_alpha_beta_ctes(n: int = _UG_L) -> str:
             f"WHERE o.s = o.wl - {k} GROUP BY o.word, o.s)"
         )
         parts.append(
-            f"btx{k} AS (SELECT * FROM btx{k - 1} UNION ALL SELECT * FROM bt{k})"
+            f"btx{k} AS MATERIALIZED "
+            f"(SELECT * FROM btx{k - 1} UNION ALL SELECT * FROM bt{k})"
         )
     parts.append(
         f"zz AS (SELECT a.word, a.a AS z FROM afx{n} a "
@@ -3830,7 +3836,7 @@ def _ug_viterbi_ctes(n: int = _UG_L) -> str:
     parts = [
         "v0 AS (SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS vp, 0 AS np, "
         "CAST([] AS VARCHAR[]) AS path FROM words)",
-        "vx0 AS (SELECT * FROM v0)",
+        "vx0 AS MATERIALIZED (SELECT * FROM v0)",
     ]
     for i in range(1, n + 1):
         parts.append(
@@ -3845,7 +3851,8 @@ def _ug_viterbi_ctes(n: int = _UG_L) -> str:
             f"ORDER BY vp DESC, np, s) AS rk FROM c{i}) WHERE rk = 1)"
         )
         parts.append(
-            f"vx{i} AS (SELECT * FROM vx{i - 1} UNION ALL SELECT * FROM v{i})"
+            f"vx{i} AS MATERIALIZED "
+            f"(SELECT * FROM vx{i - 1} UNION ALL SELECT * FROM v{i})"
         )
     parts.append(
         f"segw AS (SELECT v.word, v.np AS n_pieces, v.path FROM vx{n} v "
@@ -7413,3 +7420,71 @@ def feature_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
     ).orderBy("column")
 
+
+
+# ---------------------------------------------------------------------------
+# Round 12: multi-pass sorted-neighborhood (VERDICT r11 item 6) — the
+# standard Hernández-Stolfo recipe: several sort keys, one neighborhood
+# pass each, pair union. Any single key misses duplicates whose
+# discrepancy lands early in that key; the prefix / mid-prefix /
+# token-sorted trio covers leading typos, shared boilerplate heads, and
+# word reorderings respectively. Every pass is the exploded
+# adjacent-bucket equi-join (no cartesian); the union dedup is one
+# groupBy on the pair key.
+# ---------------------------------------------------------------------------
+@register(
+    "sorted_neighborhood_multikey_docs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(lower(nfc_normalize(text))) AS nt FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, 1 AS pass, substr(nt, 1, 24) AS k FROM norm
+      UNION ALL
+      SELECT doc_id, 2, substr(nt, 25, 24) FROM norm
+      UNION ALL
+      SELECT doc_id, 3,
+             array_to_string(list_sort(string_split(nt, ' ')[1:5]), ' ')
+      FROM norm
+    ),
+    ranked AS (
+      SELECT doc_id, pass,
+             ROW_NUMBER() OVER (PARTITION BY pass ORDER BY k, doc_id) - 1 AS r
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.pass,
+             LEAST(a.doc_id, b.doc_id) AS id_a,
+             GREATEST(a.doc_id, b.doc_id) AS id_b,
+             b.r - a.r AS rank_distance
+      FROM ranked a JOIN ranked b
+        ON a.pass = b.pass AND b.r > a.r AND b.r - a.r <= 3
+    )
+    SELECT id_a, id_b,
+           CAST(COUNT(*) AS INT) AS n_passes,
+           MIN(rank_distance) AS min_rank_distance
+    FROM pairs GROUP BY id_a, id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def sorted_neighborhood_multikey_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking over the corpus (round
+    12): candidate pairs within 3 positions under ANY of three sort keys
+    — normalized 24-char prefix, the next 24 chars, and the
+    alphabetically-sorted first-5-token key — unioned and deduped, with
+    n_passes as the agreement signal. Each pass's rank is a distributed
+    prefix sum and its neighborhood join a bucket equi-join, so the
+    whole face is |passes|x the single-key cost, never quadratic."""
+    from dataquality_ml_spark.functions.scalar import normalize_text
+    from dataquality_ml_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__nt", normalize_text("text")
+    )
+    keys = [
+        F.substring("__nt", 1, 24),
+        F.substring("__nt", 25, 24),
+        F.array_join(F.array_sort(F.slice(F.split("__nt", " "), 1, 5)), " "),
+    ]
+    out = dd.sorted_neighborhood_multipass(docs, keys, window=3)
+    return out.orderBy("id_a", "id_b")

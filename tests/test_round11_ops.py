@@ -104,6 +104,18 @@ def test_benford_check_semantics(spark):
         "v double",
     )
     assert benford_check(uni, "v").first()["chi2_total"] > 100.0
+    # round-12 ADVICE: absent digits contribute their full expected mass
+    # n*p_d to chi2 (textbook chi-square over the complete 1..9 grid) —
+    # the strongest fabrication signal must not be silently dropped
+    only1 = spark.createDataFrame([(1.0,)] * 100, "v double")
+    rows1 = {r["digit"]: r for r in benford_check(only1, "v").collect()}
+    assert set(rows1) == set(range(1, 10))  # full grid, n=0 fill
+    assert all(rows1[d]["n"] == 0 and rows1[d]["p"] == 0.0 for d in range(2, 10))
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    want = (100 - 100 * p[0]) ** 2 / (100 * p[0]) + sum(
+        100 * p[d - 1] for d in range(2, 10)
+    )
+    assert rows1[1]["chi2_total"] == pytest.approx(want, rel=1e-12)
 
 
 def test_woe_iv_semantics(spark):
@@ -420,6 +432,11 @@ def test_sorted_neighborhood_pairs_semantics(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(4, 1), (1, 2), (2, 5), (5, 3)}
     assert _global_window_specs(plan_mod.formatted_plan(out)) == []
+    # the neighborhood join must be a real equi-join (exploded adjacent
+    # buckets), never a CartesianProduct over all rank pairs
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
     # window=2 adds the distance-2 pairs
     got2 = {(r["id_a"], r["id_b"]) for r in sorted_neighborhood_pairs(df, "k", window=2).collect()}
     assert got == {p for p in got2 if p in got} and len(got2) == 7

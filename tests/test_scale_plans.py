@@ -643,6 +643,38 @@ def test_round11_prefix_sum_ops_no_global_window(spark):
     assert _global_window_specs(plans.formatted_plan(out)) == []
 
 
+def test_registry_wide_no_cartesian_product(spark, sf_dir):
+    """Plan-hygiene sweep over EVERY registered query (VERDICT r11 item 2):
+    build each ``queries()[name]`` DataFrame at sf0.001 and scan its
+    executedPlan for a bare ``CartesianProduct`` — the shape that let the
+    r11 sorted-neighborhood OR-of-equalities join ship despite per-query
+    semantic tests. No query executes here (plan build only, modulo the
+    bounded driver-side scalars some builders compute); an explicit
+    ``F.broadcast`` of a bounded relation may plan BroadcastNestedLoopJoin,
+    which is why only CartesianProduct is gated."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry_mod
+
+    offenders = []
+    errors = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # surface build failures loudly too
+            errors.append((name, repr(exc)[:200]))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert errors == [], errors
+    assert offenders == [], (
+        f"{len(offenders)} registered queries plan a CartesianProduct: "
+        f"{offenders}"
+    )
+
+
 def test_low_cardinality_selection_skips_refinement(spark, monkeypatch):
     """Round 11: a column whose DISTINCT count fits the collect budget
     must resolve in ONE grouped collect even when its ROW count is far
