@@ -663,3 +663,133 @@ class DQEngine:
         from dataquality_ml_spark.operators.sequences import survival_km
 
         return survival_km(df, duration_col, event_col, bins, lo, hi)
+
+    def tail_index(
+        self, df: DataFrame, col: str, k: int = 500, id_col: str | None = None
+    ) -> DataFrame:
+        """Hill estimator of the Pareto tail exponent over the k largest
+        values — (k_used, threshold, hill_alpha, tail_mean_log). One
+        top-(k+1) selection, no global sort."""
+        from dataquality_ml_spark.operators.profile import hill_tail_index
+
+        return hill_tail_index(df, col, k, id_col)
+
+    def concentration(
+        self, df: DataFrame, value_col: str, id_col: str | None = None
+    ) -> DataFrame:
+        """Exact Gini coefficient of a non-negative measure —
+        (n, total, gini); rank via distributed prefix sum."""
+        from dataquality_ml_spark.operators.profile import gini_coefficient
+
+        return gini_coefficient(df, value_col, id_col)
+
+    def changepoint(
+        self, df: DataFrame, ts_col: str, value_col: str, bucket: str = "day"
+    ) -> DataFrame:
+        """CUSUM mean-shift screen over a time-bucketed series —
+        (bucket_ts, n, mean_value, cusum, is_changepoint)."""
+        from dataquality_ml_spark.operators.drift import cusum_changepoint
+
+        return cusum_changepoint(df, ts_col, value_col, bucket)
+
+    def robust_trend(
+        self, df: DataFrame, x_col: str, y_col: str, max_points: int = 2000
+    ) -> DataFrame:
+        """Theil-Sen robust trend over a BOUNDED series —
+        (n_points, n_pairs, slope, intercept); raises past max_points."""
+        from dataquality_ml_spark.operators.drift import theil_sen_trend
+
+        return theil_sen_trend(df, x_col, y_col, max_points)
+
+    def dedup_richness(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Chao1 capture-recapture estimate of true distinct-content
+        count from the exact-dedup cluster histogram — (n_docs, s_obs,
+        f1, f2, chao1_estimate, coverage, dup_rate)."""
+        from dataquality_ml_spark.operators.dedup import chao1_duplicate_richness
+
+        return chao1_duplicate_richness(df, text_col, id_col)
+
+    def weight_ess(self, df: DataFrame, weight_col: str) -> DataFrame:
+        """Kish effective sample size of importance weights —
+        (n, sum_w, ess, ess_frac, max_w_share)."""
+        from dataquality_ml_spark.operators.selection import importance_weight_ess
+
+        return importance_weight_ess(df, weight_col)
+
+    def trend_test(
+        self, df: DataFrame, x_col: str, y_col: str, max_points: int = 2000
+    ) -> DataFrame:
+        """Mann-Kendall monotonic-trend test over a BOUNDED series —
+        (n_points, s_stat, var_s, z); raises past max_points."""
+        from dataquality_ml_spark.operators.drift import mann_kendall_trend
+
+        return mann_kendall_trend(df, x_col, y_col, max_points)
+
+    def seasonal_outliers(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        k: float = 3.0,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """Hour-of-week seasonality-adjusted outliers — rows with
+        |residual| > k residual-sigmas vs the 168-cell baseline."""
+        from dataquality_ml_spark.operators.sequences import (
+            seasonal_residual_outliers,
+        )
+
+        return seasonal_residual_outliers(df, ts_col, value_col, k, id_col)
+
+    def readability(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """LIX readability per document — (id, n_words, n_sentences,
+        n_long, lix); syllable-free, engine-exact."""
+        from dataquality_ml_spark.operators.text import lix_readability
+
+        return lix_readability(df, text_col, id_col)
+
+    def ratio_ci(
+        self, df: DataFrame, group_col: str, num_col: str, den_col: str
+    ) -> DataFrame:
+        """Delta-method CI for a per-group ratio metric —
+        (variant, n, ratio, se, ci_lo, ci_hi)."""
+        from dataquality_ml_spark.operators.evaluate import ratio_metric_ci
+
+        return ratio_metric_ci(df, group_col, num_col, den_col)
+
+    def fd_check(
+        self, df: DataFrame, determinant: list[str], dependent: str
+    ) -> DataFrame:
+        """Approximate functional-dependency audit X -> Y — (n_rows,
+        n_groups, n_violating_groups, g3_rows, g3_error)."""
+        from dataquality_ml_spark.operators.rules import fd_violations
+
+        return fd_violations(df, determinant, dependent)
+
+    def tail_fit(
+        self, df: DataFrame, col: str, q: float = 0.95,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Peaks-over-threshold GPD fit (method of moments) —
+        (threshold, n, n_exceed, mean_excess, xi, beta)."""
+        from dataquality_ml_spark.operators.profile import gpd_tail_fit
+
+        return gpd_tail_fit(df, col, q, threshold)
+
+    def link_records(
+        self,
+        df: DataFrame,
+        pairs: DataFrame,
+        compare_col: str,
+        id_col: str = "doc_id",
+        threshold: float = 0.85,
+    ) -> DataFrame:
+        """Score blocking candidates with Jaro-Winkler and keep matches
+        >= threshold — (id_a, id_b, jw)."""
+        from dataquality_ml_spark.operators.dedup import linkage_score_pairs
+
+        return linkage_score_pairs(df, pairs, compare_col, id_col, threshold)

@@ -1153,3 +1153,79 @@ def sorted_neighborhood_multipass(
         F.count(F.lit(1)).cast("int").alias("n_passes"),
         F.min("rank_distance").alias("min_rank_distance"),
     )
+
+
+def chao1_duplicate_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Capture-recapture estimate of the corpus's TRUE distinct-content
+    count from the duplicate-cluster size histogram — Chao1 (Chao 1984,
+    bias-corrected): Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)), where f₁/f₂ are the
+    singleton/doubleton cluster counts. The dedup-QA question it answers:
+    how many distinct documents would we see with MORE data — i.e. how
+    much near-singleton content the crawl hasn't re-captured yet. Also
+    reports Good-Turing sample coverage C = 1 − f₁/n (the probability
+    mass of already-seen content) and the duplication rate. One row:
+    (n_docs, s_obs, f1, f2, chao1_estimate, coverage, dup_rate).
+
+    Scale shape: the cluster histogram is ``dedup_exact``'s one hash
+    aggregation; everything after runs over the ≤|max cluster size|
+    histogram relation. All inputs are exact integer counts; the
+    estimate is one fixed float expression over them.
+    """
+    sizes = dedup_exact(df, text_col, id_col).groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    one = F.sum(F.when(F.col("n_copies") == 1, F.col("n_clusters")).otherwise(0))
+    two = F.sum(F.when(F.col("n_copies") == 2, F.col("n_clusters")).otherwise(0))
+    s_obs = F.sum("n_clusters")
+    n_docs = F.sum(F.col("n_copies") * F.col("n_clusters"))
+    return sizes.agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        s_obs.cast("bigint").alias("s_obs"),
+        one.cast("bigint").alias("f1"),
+        two.cast("bigint").alias("f2"),
+        (
+            s_obs
+            + one.cast("double") * (one - 1) / (2.0 * (two + 1))
+        ).alias("chao1_estimate"),
+        (F.lit(1.0) - one / n_docs.cast("double")).alias("coverage"),
+        (F.lit(1.0) - s_obs / n_docs.cast("double")).alias("dup_rate"),
+    )
+
+
+def linkage_score_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    compare_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Record-linkage verification: score blocking candidates (id_a,
+    id_b) — from :func:`sorted_neighborhood_pairs` / LSH banding — with
+    Jaro-Winkler similarity over each record's ``compare_col`` and keep
+    pairs ≥ ``threshold``. The classic two-stage linkage pipeline:
+    blocking bounds the candidates, the string scorer decides. Returns
+    (id_a, id_b, jw).
+
+    Scale shape: two equi-joins attach the comparison keys (candidate
+    relation is blocking-bounded, ≤ 2·window·n); the scorer is an
+    Arrow-batched pandas UDF of the textbook Jaro-Winkler (bit-identical
+    to DuckDB's — functions.scalar._jaro_winkler_py), never
+    row-at-a-time. Keep ``compare_col`` short (a normalized prefix):
+    the per-pair DP is O(|a|·|b|).
+    """
+    from dataquality_ml_spark.functions.scalar import jaro_winkler_udf
+
+    jw = jaro_winkler_udf()
+    lhs = df.select(F.col(id_col).alias("id_a"), F.col(compare_col).alias("__ka"))
+    rhs = df.select(F.col(id_col).alias("id_b"), F.col(compare_col).alias("__kb"))
+    return (
+        pairs.join(lhs, "id_a")
+        .join(rhs, "id_b")
+        .withColumn("jw", jw(F.col("__ka"), F.col("__kb")))
+        .where(F.col("jw") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jw")
+    )

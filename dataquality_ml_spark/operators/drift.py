@@ -1506,3 +1506,70 @@ def theil_sen_trend(
         F.expr(f"percentile(y - {float(slope)!r} * x, 0.5)").alias("intercept"),
     )
     return out
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test over an AGGREGATED series —
+    S = Σ_{i<j} sign(y_j − y_i) ordered by x, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected z (Mann 1945, Kendall 1975): the
+    distribution-free "is this drifting AT ALL" answer that pairs with
+    :func:`theil_sen_trend`'s "by how much" — no linearity or normality
+    assumed, a single spike cannot fake a trend. Returns one row:
+    (n_points, s_stat, var_s, z).
+
+    Same loud contract as Theil–Sen: the input must already be a bounded
+    series (the pair join is quadratic), counted first and raising past
+    ``max_points``; the join is an explicit-broadcast BNLJ over that
+    bounded relation. S and the tie terms are exact integers; z is one
+    fixed float expression.
+    """
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    n = base.count()
+    if n > max_points:
+        raise ValueError(
+            f"mann_kendall_trend: {n} points exceed max_points={max_points} — "
+            "aggregate the series to calendar buckets first, or raise "
+            "max_points deliberately"
+        )
+    if n < 2:
+        raise ValueError(f"mann_kendall_trend: need >=2 points, got {n}")
+    rhs = F.broadcast(base.select(F.col("x").alias("x2"), F.col("y").alias("y2")))
+    s_row = (
+        base.join(rhs, F.col("x2") > F.col("x"))
+        .agg(F.sum(F.signum(F.col("y2") - F.col("y")).cast("bigint")).alias("s"))
+        .first()
+    )
+    s = int(s_row["s"] or 0)
+    ties = (
+        base.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tt")
+        )
+        .first()["tt"]
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - int(ties)) / 18.0
+    if var_s > 0:
+        z = (s - 1) / var_s**0.5 if s > 0 else ((s + 1) / var_s**0.5 if s < 0 else 0.0)
+    else:
+        z = 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, s, float(var_s), float(z))],
+        "n_points bigint, s_stat bigint, var_s double, z double",
+    )

@@ -495,3 +495,65 @@ def conformal_interval(
         F.count(F.lit(1)).alias("n_test"),
         F.avg((ar <= F.lit(float(qhat))).cast("double")).alias("coverage"),
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric per group —
+    R = Σx/Σy (revenue per session, clicks per view …) with
+    Var(x̄/ȳ) ≈ (σ_x² + R²σ_y² − 2Rσ_xy)/(n·ȳ²): the A/B readout for
+    metrics whose denominator varies per unit, where the naive
+    per-row-mean CI is simply wrong (ratio of means ≠ mean of ratios).
+    Returns per group: (variant, n, ratio, se, ci_lo, ci_hi).
+
+    ONE grouped aggregation to |groups| rows — Σx, Σy, Σx², Σy², Σxy —
+    then fixed float expressions; population covariance, NULL se/ci on
+    degenerate groups (n < 2 or Σy = 0).
+    """
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    agg = (
+        df.where(
+            F.col(group_col).isNotNull()
+            & x.isNotNull()
+            & y.isNotNull()
+            & ~F.isnan(x)
+            & ~F.isnan(y)
+        )
+        .groupBy(F.col(group_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    xb = F.col("sx") / n
+    yb = F.col("sy") / n
+    r = F.col("sx") / F.col("sy")
+    vx = F.col("sxx") / n - xb * xb
+    vy = F.col("syy") / n - yb * yb
+    cxy = F.col("sxy") / n - xb * yb
+    se = F.when(
+        (F.col("n") >= 2) & (F.col("sy") != 0),
+        F.sqrt(
+            F.greatest(vx + r * r * vy - 2 * r * cxy, F.lit(0.0))
+            / (n * yb * yb)
+        ),
+    )
+    return agg.select(
+        "variant",
+        "n",
+        F.when(F.col("sy") != 0, r).alias("ratio"),
+        se.alias("se"),
+        (F.when(F.col("sy") != 0, r) - F.lit(float(z)) * se).alias("ci_lo"),
+        (F.when(F.col("sy") != 0, r) + F.lit(float(z)) * se).alias("ci_hi"),
+    )

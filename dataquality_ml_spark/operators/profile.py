@@ -1291,3 +1291,54 @@ def gini_coefficient(
             - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
         ).alias("gini"),
     )
+
+
+def gpd_tail_fit(
+    df: DataFrame,
+    col: str,
+    q: float = 0.95,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit: method-of-moments
+    Generalized Pareto parameters over the exceedances y = x − u of a
+    high threshold u (Pickands 1975; Hosking & Wallis 1987 MoM:
+    ξ = (1 − m²/s²)/2, β = m(m²/s² + 1)/2) — WHAT the tail looks like
+    beyond the data you've seen, where :func:`hill_tail_index` only says
+    how heavy it is. ξ > 0 heavy tail, ξ ≈ 0 exponential, ξ < 0 bounded.
+    Returns one row: (threshold, n, n_exceed, mean_excess, xi, beta).
+
+    Scale shape: u comes from the shared exact-quantile selection engine
+    (no single-buffer percentile, no global sort); the exceedance
+    moments are ONE filtered aggregation of exact float sums with fixed
+    final expressions.
+    """
+    from dataquality_ml_spark.operators.thresholds import percentile_threshold
+
+    u = (
+        float(threshold)
+        if threshold is not None
+        else percentile_threshold(df, col, q, exact=True)
+    )
+    if u is None:
+        raise ValueError(f"gpd_tail_fit: no valid values in {col!r}")
+    x = F.col(col).cast("double")
+    base = df.where(_valid(df, col))
+    y = x - F.lit(u)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(y > 0, 1)).alias("n_exceed"),
+        F.sum(F.when(y > 0, y)).alias("s1"),
+        F.sum(F.when(y > 0, y * y)).alias("s2"),
+    )
+    m = F.col("s1") / F.col("n_exceed")
+    v = F.col("s2") / F.col("n_exceed") - m * m
+    ratio = m * m / v
+    ok = (F.col("n_exceed") >= 2) & (v > 0)
+    return agg.select(
+        F.lit(u).alias("threshold"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_exceed").cast("bigint").alias("n_exceed"),
+        F.when(F.col("n_exceed") > 0, m).alias("mean_excess"),
+        F.when(ok, (F.lit(1.0) - ratio) / 2).alias("xi"),
+        F.when(ok, m * (ratio + 1) / 2).alias("beta"),
+    )

@@ -256,3 +256,45 @@ def rules_from_suggestions(sug_df: DataFrame) -> list[Rule]:
         elif r["rule"] == "in_range":
             out.append(in_range(r["column"], r["lo"], r["hi"]))
     return out
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: str,
+) -> DataFrame:
+    """Approximate functional-dependency audit X → Y: how badly does
+    ``determinant`` fail to determine ``dependent``? Reports the number
+    of X-groups, the groups holding >1 distinct Y, and the g₃ error
+    (Kivinen & Mannila 1995) — the minimum fraction of rows to delete
+    for the FD to hold exactly, i.e. Σ_g (n_g − max_y n_{g,y}) / n. The
+    schema-discovery / data-entry-drift screen: a decaying FD (g₃
+    creeping up release over release) is how "one order, one customer"
+    silently stops being true. Returns one row: (n_rows, n_groups,
+    n_violating_groups, g3_rows, g3_error).
+
+    Scale shape: one groupBy (X, Y) to the distinct-pair counts, one
+    groupBy X over those (both map-side combinable), one 1-row reduce.
+    NULL Y counts as a value (an FD to NULL-or-value is still a
+    violation); NULL Xs form their own group, null-safe.
+    """
+    pairs = df.groupBy(
+        *[F.col(c) for c in determinant], F.col(dependent).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_x = pairs.groupBy(*[F.col(c) for c in determinant]).agg(
+        F.sum("c").alias("n_g"),
+        F.max("c").alias("max_y"),
+        F.count(F.lit(1)).alias("n_y"),
+    )
+    return per_x.agg(
+        F.sum("n_g").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("n_y") > 1, 1)).cast("bigint").alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.col("n_g") - F.col("max_y")).cast("bigint").alias("g3_rows"),
+        (
+            F.sum(F.col("n_g") - F.col("max_y"))
+            / F.sum("n_g").cast("double")
+        ).alias("g3_error"),
+    )

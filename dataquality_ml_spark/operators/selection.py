@@ -407,3 +407,32 @@ def neyman_allocation(
             F.lit(float(budget)) * (F.col("n") * F.col("sigma")) / F.col("__tot"),
         ).otherwise(F.lit(0.0)).alias("alloc"),
     )
+
+
+def importance_weight_ess(df: DataFrame, weight_col: str) -> DataFrame:
+    """Effective sample size of an importance-weighted corpus — Kish's
+    ESS = (Σw)²/Σw² and its fraction of n: the one-number diagnostic for
+    any weighted sampler (DSIR, temperature, quality-score resampling).
+    ESS/n near 1 means the weights barely matter; near 0 means a handful
+    of documents dominate the expected sample and the downstream
+    estimate's variance explodes. Returns one row:
+    (n, sum_w, ess, ess_frac, max_w_share).
+
+    One aggregation; Σw/Σw² are plain float sums over the valid
+    (non-null, non-NaN, positive) weight population, max_w_share is the
+    largest single weight's fraction of the total — the quick skew
+    alarm. All outputs are fixed float expressions over one reduce.
+    """
+    w = F.col(weight_col).cast("double")
+    base = df.where(
+        F.col(weight_col).isNotNull() & ~F.isnan(w) & (w > 0)
+    ).select(w.alias("w"))
+    sw = F.sum("w")
+    sw2 = F.sum(F.col("w") * F.col("w"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        sw.alias("sum_w"),
+        (sw * sw / sw2).alias("ess"),
+        (sw * sw / sw2 / F.count(F.lit(1))).alias("ess_frac"),
+        (F.max("w") / sw).alias("max_w_share"),
+    )

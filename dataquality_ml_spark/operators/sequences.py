@@ -425,3 +425,59 @@ def survival_km(
         .otherwise(F.exp(F.sum(term).over(cum)))
         .alias("survival"),
     )
+
+
+def seasonal_residual_outliers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 3.0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Seasonality-adjusted outliers: subtract the hour-of-week baseline
+    (the ≤168-cell (dow, hour) mean profile) from every event's value
+    and flag residuals beyond ``k`` residual-standard-deviations — the
+    screen that stops a Monday-9am traffic spike from alarming while a
+    Sunday-3am one still does. Returns the flagged rows:
+    (ts, value, expected, residual, z), z signed.
+
+    Scale shape: pass 1 is ONE aggregation to the bounded 168-cell
+    profile (broadcast back); pass 2 computes the residual variance as a
+    1-row aggregate (lazy broadcast join, no driver action) and the
+    final filter streams — two scans total, nothing row-sized leaves the
+    executors. Residual mean is identically 0 by construction (cell
+    means), so σ² is just Σr²/n.
+    """
+    dow = F.dayofweek(F.col(ts_col))
+    hod = F.hour(F.col(ts_col))
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *([F.col(id_col)] if id_col else []),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+        dow.alias("__dow"),
+        hod.alias("__hod"),
+    )
+    prof = base.groupBy("__dow", "__hod").agg(F.avg("v").alias("expected"))
+    joined = base.join(F.broadcast(prof), ["__dow", "__hod"])
+    resid = joined.withColumn("residual", F.col("v") - F.col("expected"))
+    sig = resid.agg(
+        F.sqrt(F.avg(F.col("residual") * F.col("residual"))).alias("__sigma")
+    )
+    return (
+        resid.join(F.broadcast(sig), F.lit(True))
+        .withColumn(
+            "z",
+            F.when(F.col("__sigma") > 0, F.col("residual") / F.col("__sigma")),
+        )
+        .where(F.abs(F.col("z")) > F.lit(float(k)))
+        .select(
+            *([F.col(id_col)] if id_col else []),
+            "ts",
+            F.col("v").alias("value"),
+            "expected",
+            "residual",
+            "z",
+        )
+    )

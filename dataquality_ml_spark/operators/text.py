@@ -794,3 +794,39 @@ def ngram_diversity(
         "d_bigrams",
         (F.col("d_bigrams") / F.col("n_bigrams")).alias("ttr_bigram"),
     )
+
+
+def lix_readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LIX readability index per document (Björnsson 1968) —
+    words/sentences + 100·longwords/words with longword = more than 6
+    characters: the language-agnostic readability screen (no syllable
+    counting, so it is exactly replicable in any engine), used as a
+    text-quality feature alongside the stopword/punctuation ratios
+    (LIX < 30 very easy, > 60 very hard). Returns (id, n_words,
+    n_sentences, n_long, lix).
+
+    Pure narrow expressions — split on whitespace for words, on [.!?]
+    for sentence ends (floored at 1 so fragments don't divide by zero);
+    no shuffle, no UDF.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    n_long = F.size(F.filter(toks, lambda t: F.length(t) > 6))
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.split(F.col(text_col), r"[.!?]")) - 1
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_long.cast("bigint").alias("n_long"),
+        F.when(
+            n_words > 0,
+            n_words / n_sent.cast("double")
+            + F.lit(100.0) * n_long / n_words.cast("double"),
+        ).alias("lix"),
+    )

@@ -7488,3 +7488,597 @@ def sorted_neighborhood_multikey_docs(spark: SparkSession, sf_dir: str) -> DataF
     ]
     out = dd.sorted_neighborhood_multipass(docs, keys, window=3)
     return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: tail/concentration/trend/coverage statistics — the corpus-
+# health questions the drift panel doesn't answer: HOW heavy is the tail
+# (Hill), HOW concentrated is the mass (Gini, ESS), WHEN did the level
+# shift (CUSUM), what's the robust trend (Theil-Sen), and how much
+# distinct content does the corpus REALLY have (Chao1).
+# ---------------------------------------------------------------------------
+@register(
+    "hill_tail_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v, o_orderkey AS i FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      ORDER BY v DESC, i LIMIT 501
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, i) AS rk FROM t),
+    thr AS (SELECT v AS thr FROM r WHERE rk = 501)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           MIN(thr) AS threshold,
+           ROUND(1.0 / AVG(LN(v / thr)), 6) + 0 AS hill_alpha,
+           ROUND(AVG(LN(v / thr)), 6) + 0 AS tail_mean_log
+    FROM r, thr WHERE rk <= 500
+    """,
+)
+def hill_tail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of order values (round 12): α̂ over the 500
+    largest o_totalprice — α ≤ 2 would mean infinite-variance spend and
+    invalidate every z-score face downstream. ONE TakeOrderedAndProject
+    of 501 rows; no global sort. Ties at the threshold break by
+    o_orderkey so both engines pick identical rows."""
+    out = prof.hill_tail_index(
+        _t(spark, sf_dir, "orders"), "o_totalprice", k=500, id_col="o_orderkey"
+    )
+    return out.select(
+        "k_used",
+        "threshold",
+        (F.round("hill_alpha", 6) + F.lit(0.0)).alias("hill_alpha"),
+        (F.round("tail_mean_log", 6) + F.lit(0.0)).alias("tail_mean_log"),
+    )
+
+
+@register(
+    "gini_revenue_customers",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(o_totalprice) AS v FROM orders GROUP BY 1
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS rk FROM rev)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(v), 2) + 0 AS total,
+           ROUND(2.0 * SUM(rk * v) / (COUNT(*) * SUM(v))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) + 0 AS gini
+    FROM r
+    """,
+)
+def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue across customers (round 12): the
+    inequality summary behind "do 1% of customers carry the book". The
+    global rank is a DISTRIBUTED prefix sum over the per-customer
+    aggregate — no single-task window anywhere."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    out = prof.gini_coefficient(rev, "rev", id_col="o_custkey")
+    return out.select(
+        "n",
+        (F.round("total", 2) + F.lit(0.0)).alias("total"),
+        (F.round("gini", 6) + F.lit(0.0)).alias("gini"),
+    )
+
+
+@register(
+    "cusum_daily_value_events",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n, AVG(value) AS mean_value
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT d, n, mean_value,
+             SUM(mean_value - (SELECT AVG(mean_value) FROM cells))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM cells
+    )
+    SELECT d, n,
+           ROUND(mean_value, 6) + 0 AS mean_value,
+           ROUND(cusum, 6) + 0 AS cusum,
+           CAST(ABS(cusum) = MAX(ABS(cusum)) OVER () AS INT) AS is_changepoint
+    FROM s ORDER BY d
+    """,
+)
+def cusum_daily_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift screen over the daily event-value series (round
+    12): per day the running sum of deviations from the grand mean of
+    daily means, peak flagged — WHEN the level changed, complementing
+    the drift panel's DID it change. One aggregation to the
+    calendar-bounded day relation; the cumulative window runs over that
+    bounded relation only (same class as exact roc_auc)."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    out = dr.cusum_changepoint(_t(spark, sf_dir, "events"), "ts", "value")
+    return out.select(
+        F.to_date("bucket_ts").alias("d"),
+        "n",
+        (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
+        (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
+        "is_changepoint",
+    ).orderBy("d")
+
+
+@register(
+    "theil_sen_monthly_revenue",
+    oracle="""
+    WITH pts AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1992) * 12
+             + EXTRACT(month FROM o_orderdate) AS x,
+             SUM(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    sl AS (
+      SELECT median((b.y - a.y) / (b.x - a.x)) AS slope,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pts a JOIN pts b ON b.x > a.x
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+           n_pairs,
+           ROUND(slope, 6) + 0 AS slope,
+           ROUND((SELECT median(y - sl.slope * x) FROM pts), 6) + 0 AS intercept
+    FROM sl
+    """,
+)
+def theil_sen_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue (round 12): the median
+    pairwise slope — a backfilled or truncated month cannot swing it the
+    way it swings OLS. The corpus collapses to the calendar-bounded
+    month relation FIRST; the quadratic pair join runs over that bounded
+    series under the operator's loud max_points contract."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+            ).alias("x")
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    out = dr.theil_sen_trend(pts, "x", "y")
+    return out.select(
+        "n_points",
+        "n_pairs",
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+from dataquality_ml_spark.queries import _TOKS_CTE as _TOKS_CTE_R12
+
+
+@register(
+    "chao1_dup_richness_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE_R12},
+    clusters AS (
+      SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+             COUNT(*) AS n_copies
+      FROM toks GROUP BY 1
+    ),
+    hist AS (SELECT n_copies, COUNT(*) AS n_clusters FROM clusters GROUP BY 1)
+    SELECT CAST(SUM(n_copies * n_clusters) AS BIGINT) AS n_docs,
+           CAST(SUM(n_clusters) AS BIGINT) AS s_obs,
+           CAST(SUM(CASE WHEN n_copies = 1 THEN n_clusters ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN n_copies = 2 THEN n_clusters ELSE 0 END) AS BIGINT) AS f2,
+           ROUND(SUM(n_clusters)
+                 + CAST(SUM(CASE WHEN n_copies = 1 THEN n_clusters ELSE 0 END) AS DOUBLE)
+                   * (SUM(CASE WHEN n_copies = 1 THEN n_clusters ELSE 0 END) - 1)
+                   / (2.0 * (SUM(CASE WHEN n_copies = 2 THEN n_clusters ELSE 0 END) + 1)),
+                 6) + 0 AS chao1_estimate,
+           ROUND(1.0 - SUM(CASE WHEN n_copies = 1 THEN n_clusters ELSE 0 END)
+                 / CAST(SUM(n_copies * n_clusters) AS DOUBLE), 6) + 0 AS coverage,
+           ROUND(1.0 - SUM(n_clusters)
+                 / CAST(SUM(n_copies * n_clusters) AS DOUBLE), 6) + 0 AS dup_rate
+    FROM hist
+    """,
+)
+def chao1_dup_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 capture-recapture estimate of the corpus's true distinct-
+    content count (round 12), from the exact-dedup cluster-size
+    histogram: how much near-singleton content a bigger crawl would
+    still surface, plus Good-Turing coverage and the duplication rate.
+    One hash aggregation to the cluster relation, one to its ≤|max
+    size| histogram; all integer counts."""
+    from dataquality_ml_spark.operators import dedup as dd12
+
+    out = dd12.chao1_duplicate_richness(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "n_docs",
+        "s_obs",
+        "f1",
+        "f2",
+        (F.round("chao1_estimate", 6) + F.lit(0.0)).alias("chao1_estimate"),
+        (F.round("coverage", 6) + F.lit(0.0)).alias("coverage"),
+        (F.round("dup_rate", 6) + F.lit(0.0)).alias("dup_rate"),
+    )
+
+
+@register(
+    "ess_length_weights_docs",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(length(text) AS DOUBLE) AS w FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(w), 2) + 0 AS sum_w,
+           ROUND(SUM(w) * SUM(w) / SUM(w * w), 6) + 0 AS ess,
+           ROUND(SUM(w) * SUM(w) / SUM(w * w) / COUNT(*), 6) + 0 AS ess_frac,
+           ROUND(MAX(w) / SUM(w), 6) + 0 AS max_w_share
+    FROM w
+    """,
+)
+def ess_length_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of length-proportional document
+    weights (round 12) — the diagnostic every weighted sampler (DSIR,
+    temperature, token-budget) should report: ESS/n near 0 means a few
+    long documents dominate the expected sample. ONE aggregation."""
+    from dataquality_ml_spark.operators import selection as sel12
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.length("text").cast("double").alias("w")
+    )
+    out = sel12.importance_weight_ess(docs, "w")
+    return out.select(
+        "n",
+        (F.round("sum_w", 2) + F.lit(0.0)).alias("sum_w"),
+        (F.round("ess", 6) + F.lit(0.0)).alias("ess"),
+        (F.round("ess_frac", 6) + F.lit(0.0)).alias("ess_frac"),
+        (F.round("max_w_share", 6) + F.lit(0.0)).alias("max_w_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12, batch 3: monotonic-trend testing, seasonality-adjusted
+# monitoring, ratio-metric inference, readability scoring.
+# ---------------------------------------------------------------------------
+@register(
+    "mann_kendall_monthly_revenue",
+    oracle="""
+    WITH pts AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1992) * 12
+             + EXTRACT(month FROM o_orderdate) AS x,
+             SUM(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s_stat
+      FROM pts a JOIN pts b ON b.x > a.x
+    ),
+    t AS (
+      SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
+      FROM (SELECT COUNT(*) AS t FROM pts GROUP BY y HAVING COUNT(*) > 1)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+    SELECT n.n AS n_points,
+           s.s_stat,
+           ROUND((n.n * (n.n - 1) * (2 * n.n + 5) - t.tt) / 18.0, 6) + 0 AS var_s,
+           ROUND(CASE
+             WHEN (n.n * (n.n - 1) * (2 * n.n + 5) - t.tt) <= 0 THEN 0.0
+             WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+               / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - t.tt) / 18.0)
+             WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+               / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - t.tt) / 18.0)
+             ELSE 0.0 END, 6) + 0 AS z
+    FROM n, s, t
+    """,
+)
+def mann_kendall_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on monthly revenue (round 12):
+    the distribution-free IS-it-trending answer that pairs with
+    theil_sen_monthly_revenue's slope. Calendar-bounded series first;
+    exact integer S and tie terms under the operator's loud max_points
+    contract."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+            ).alias("x")
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    out = dr.mann_kendall_trend(pts, "x", "y")
+    return out.select(
+        "n_points",
+        "s_stat",
+        (F.round("var_s", 6) + F.lit(0.0)).alias("var_s"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+@register(
+    "seasonal_outliers_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, ts, CAST(value AS DOUBLE) AS v,
+             dayofweek(ts) + 1 AS dw, EXTRACT(hour FROM ts) AS hh
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    prof AS (SELECT dw, hh, AVG(v) AS expected FROM base GROUP BY 1, 2),
+    resid AS (
+      SELECT b.event_id, b.ts, b.v, p.expected, b.v - p.expected AS residual
+      FROM base b JOIN prof p ON p.dw = b.dw AND p.hh = b.hh
+    ),
+    sig AS (SELECT SQRT(AVG(residual * residual)) AS sigma FROM resid)
+    SELECT event_id, ts, ROUND(v, 6) + 0 AS value,
+           ROUND(expected, 6) + 0 AS expected,
+           ROUND(residual, 6) + 0 AS residual,
+           ROUND(residual / sigma, 6) + 0 AS z
+    FROM resid, sig
+    WHERE ABS(residual / sigma) > 3.0
+    ORDER BY event_id
+    """,
+)
+def seasonal_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted value outliers (round 12): events whose
+    value deviates >3 residual-sigmas from their hour-of-week baseline —
+    the screen that ignores the Monday-9am spike a raw z-score alarms
+    on. One agg to the 168-cell profile (broadcast back), one 1-row
+    sigma join; nothing row-sized leaves the executors."""
+    from dataquality_ml_spark.operators import sequences as seq
+
+    out = seq.seasonal_residual_outliers(
+        _t(spark, sf_dir, "events"), "ts", "value", k=3.0, id_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "ts",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        (F.round("expected", 6) + F.lit(0.0)).alias("expected"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    ).orderBy("event_id")
+
+
+@register(
+    "lix_readability_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words,
+             GREATEST(1, len(string_split_regex(text, '[.!?]')) - 1) AS n_sentences,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 6)) AS n_long
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_long AS BIGINT) AS n_long,
+           CASE WHEN n_words > 0 THEN
+             ROUND(n_words / CAST(n_sentences AS DOUBLE)
+                   + 100.0 * n_long / CAST(n_words AS DOUBLE), 4) + 0
+           END AS lix
+    FROM w ORDER BY doc_id
+    """,
+)
+def lix_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability per document (round 12): words/sentences +
+    100*longwords/words — the syllable-free (hence engine-exact)
+    readability screen joining the text-quality feature family. Pure
+    narrow expressions, no shuffle."""
+    out = tx.lix_readability(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_long",
+        (F.round("lix", 4) + F.lit(0.0)).alias("lix"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ratio_metric_ci_events",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS variant,
+             SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    agg AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM per_user GROUP BY 1
+    )
+    SELECT variant, n,
+           ROUND(sx / sy, 6) + 0 AS ratio,
+           ROUND(SQRT(GREATEST(
+                   sxx / n - (sx / n) * (sx / n)
+                   + (sx / sy) * (sx / sy) * (syy / n - (sy / n) * (sy / n))
+                   - 2 * (sx / sy) * (sxy / n - (sx / n) * (sy / n)), 0.0))
+                 / SQRT(n * (sy / n) * (sy / n)), 6) + 0 AS se,
+           ROUND(sx / sy - 1.959963984540054 * SQRT(GREATEST(
+                   sxx / n - (sx / n) * (sx / n)
+                   + (sx / sy) * (sx / sy) * (syy / n - (sy / n) * (sy / n))
+                   - 2 * (sx / sy) * (sxy / n - (sx / n) * (sy / n)), 0.0))
+                 / SQRT(n * (sy / n) * (sy / n)), 6) + 0 AS ci_lo,
+           ROUND(sx / sy + 1.959963984540054 * SQRT(GREATEST(
+                   sxx / n - (sx / n) * (sx / n)
+                   + (sx / sy) * (sx / sy) * (syy / n - (sy / n) * (sy / n))
+                   - 2 * (sx / sy) * (sxy / n - (sx / n) * (sy / n)), 0.0))
+                 / SQRT(n * (sy / n) * (sy / n)), 6) + 0 AS ci_hi
+    FROM agg ORDER BY variant
+    """,
+)
+def ratio_metric_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the purchase-value-per-event ratio metric
+    (round 12), per synthetic arm (user_id parity): the A/B readout
+    where denominators vary per user and the naive mean-of-ratios CI is
+    wrong. Unit = user (one pre-aggregation), then ONE |arms|-row
+    aggregation of exact sums."""
+    from dataquality_ml_spark.operators import evaluate as ev12
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("x"),
+            F.count(F.lit(1)).cast("double").alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    out = ev12.ratio_metric_ci(per_user, "variant", "x", "y")
+    return out.select(
+        "variant",
+        "n",
+        (F.round("ratio", 6) + F.lit(0.0)).alias("ratio"),
+        (F.round("se", 6) + F.lit(0.0)).alias("se"),
+        (F.round("ci_lo", 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round("ci_hi", 6) + F.lit(0.0)).alias("ci_hi"),
+    ).orderBy("variant")
+
+
+@register(
+    "linkage_matches_docs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(lower(nfc_normalize(text))) AS nt FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, substr(nt, 1, 24) AS k, substr(nt, 1, 48) AS vk FROM norm
+    ),
+    ranked AS (
+      SELECT doc_id, vk, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS r
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.vk AS va, b.vk AS vb
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 3
+    )
+    SELECT id_a, id_b,
+           ROUND(jaro_winkler_similarity(va, vb), 6) + 0 AS jw
+    FROM pairs
+    WHERE jaro_winkler_similarity(va, vb) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def linkage_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage record linkage end-to-end (round 12): sorted-
+    neighborhood blocking (window 3 on the normalized 24-char prefix)
+    generates candidates, Jaro-Winkler >= 0.9 over the normalized
+    48-char prefix verifies them. The scorer is the textbook JW as an
+    Arrow-batched pandas UDF, differentially bit-identical to DuckDB's
+    jaro_winkler_similarity — so this face hash-checks a PYTHON UDF
+    against a native engine implementation."""
+    from dataquality_ml_spark.functions.scalar import normalize_text
+    from dataquality_ml_spark.operators import dedup as ddl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(normalize_text("text"), 1, 24).alias("__k"),
+        F.substring(normalize_text("text"), 1, 48).alias("__vk"),
+    )
+    pairs = ddl.sorted_neighborhood_pairs(docs, "__k", window=3).select(
+        "id_a", "id_b"
+    )
+    out = ddl.linkage_score_pairs(
+        docs.select("doc_id", "__vk"), pairs, "__vk", threshold=0.9
+    )
+    return out.select(
+        "id_a", "id_b", (F.round("jw", 6) + F.lit(0.0)).alias("jw")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "fd_check_lineitem",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_orderkey, l_returnflag AS y, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_x AS (
+      SELECT l_orderkey, SUM(c) AS n_g, MAX(c) AS max_y, COUNT(*) AS n_y
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE n_y > 1) AS BIGINT) AS n_violating_groups,
+           CAST(SUM(n_g - max_y) AS BIGINT) AS g3_rows,
+           ROUND(SUM(n_g - max_y) / CAST(SUM(n_g) AS DOUBLE), 6) + 0 AS g3_error
+    FROM per_x
+    """,
+)
+def fd_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit l_orderkey -> l_returnflag (round 12):
+    the g3 error — the minimum row fraction to delete for "one order,
+    one return flag" to hold. Two map-side-combinable groupBys + a 1-row
+    reduce; the decay of a believed FD is a classic silent data-entry
+    drift."""
+    from dataquality_ml_spark.operators import rules as ru
+
+    out = ru.fd_violations(_t(spark, sf_dir, "lineitem"), ["l_orderkey"], "l_returnflag")
+    return out.select(
+        "n_rows",
+        "n_groups",
+        "n_violating_groups",
+        "g3_rows",
+        (F.round("g3_error", 6) + F.lit(0.0)).alias("g3_error"),
+    )
+
+
+@register(
+    "gpd_tail_lineitem",
+    oracle="""
+    WITH u AS (
+      SELECT quantile_cont(l_extendedprice, 0.95) AS u FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    exc AS (
+      SELECT l_extendedprice - u.u AS y, u.u AS u
+      FROM lineitem, u
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT MAX(u) AS u, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE y > 0) AS BIGINT) AS n_exceed,
+             SUM(CASE WHEN y > 0 THEN y END) AS s1,
+             SUM(CASE WHEN y > 0 THEN y * y END) AS s2
+      FROM exc
+    )
+    SELECT ROUND(u, 6) + 0 AS threshold, n, n_exceed,
+           ROUND(s1 / n_exceed, 6) + 0 AS mean_excess,
+           ROUND((1.0 - (s1 / n_exceed) * (s1 / n_exceed)
+                  / (s2 / n_exceed - (s1 / n_exceed) * (s1 / n_exceed))) / 2,
+                 6) + 0 AS xi,
+           ROUND((s1 / n_exceed)
+                 * ((s1 / n_exceed) * (s1 / n_exceed)
+                    / (s2 / n_exceed - (s1 / n_exceed) * (s1 / n_exceed)) + 1) / 2,
+                 6) + 0 AS beta
+    FROM agg
+    """,
+)
+def gpd_tail_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD fit of l_extendedprice beyond its exact
+    p95 (round 12): method-of-moments xi/beta — the extreme-value
+    complement to hill_tail_orders (what the unseen tail looks like, not
+    just how heavy). Threshold through the shared selection engine; one
+    filtered aggregation."""
+    out = prof.gpd_tail_fit(_t(spark, sf_dir, "lineitem"), "l_extendedprice", q=0.95)
+    return out.select(
+        (F.round("threshold", 6) + F.lit(0.0)).alias("threshold"),
+        "n",
+        "n_exceed",
+        (F.round("mean_excess", 6) + F.lit(0.0)).alias("mean_excess"),
+        (F.round("xi", 6) + F.lit(0.0)).alias("xi"),
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+    )

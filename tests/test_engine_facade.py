@@ -372,3 +372,47 @@ def test_facade_audit_and_repair_methods(spark):
     ).orderBy("t").collect()
     assert [r["n_at_risk"] for r in surv] == [3, 2, 1]
     assert surv[-1]["survival"] == 0.0
+
+
+def test_engine_round12_stat_facades(spark):
+    """Round-12 facade surface: tail_index / concentration / changepoint /
+    robust_trend / dedup_richness / weight_ess delegate to the operators
+    and return the documented one-row / per-bucket shapes."""
+    import datetime
+
+    import pytest
+
+    from dataquality_ml_spark.engine import DQEngine
+
+    eng = DQEngine(spark)
+    vals = spark.range(1, 1001).select(
+        F.col("id").alias("i"), F.pow(F.col("id") / 1001.0, -0.5).alias("v")
+    )
+    t = eng.tail_index(vals, "v", k=50, id_col="i").first()
+    assert t["k_used"] == 50 and t["hill_alpha"] > 0
+    g = eng.concentration(vals, "v", id_col="i").first()
+    assert 0.0 < g["gini"] < 1.0 and g["n"] == 1000
+    ev = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), float(d >= 5))
+         for d in range(10)],
+        "ts timestamp, v double",
+    )
+    cp = eng.changepoint(ev, "ts", "v").where("is_changepoint = 1").collect()
+    assert len(cp) == 1
+    tr = eng.robust_trend(
+        spark.createDataFrame(
+            [(float(i), 2.0 * i) for i in range(10)], "x double, y double"
+        ),
+        "x",
+        "y",
+    ).first()
+    assert tr["slope"] == pytest.approx(2.0)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    r = eng.dedup_richness(docs).first()
+    assert (r["n_docs"], r["s_obs"], r["f1"], r["f2"]) == (3, 2, 1, 1)
+    w = eng.weight_ess(
+        spark.range(10).select(F.lit(1.0).alias("w")), "w"
+    ).first()
+    assert w["ess"] == pytest.approx(10.0)
