@@ -793,3 +793,18 @@ class DQEngine:
         from dataquality_ml_spark.operators.dedup import linkage_score_pairs
 
         return linkage_score_pairs(df, pairs, compare_col, id_col, threshold)
+
+    def bootstrap_ci(
+        self,
+        df: DataFrame,
+        value_col: str,
+        id_col: str,
+        n_boot: int = 64,
+        alpha: float = 0.05,
+    ) -> DataFrame:
+        """Deterministic Poissonized bootstrap CI of the mean — all
+        replicates in one scan; (n, mean, boot_lo, boot_median,
+        boot_hi, n_boot)."""
+        from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
+
+        return poisson_bootstrap_ci(df, value_col, id_col, n_boot, alpha)

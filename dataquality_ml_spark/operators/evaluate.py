@@ -557,3 +557,90 @@ def ratio_metric_ci(
         (F.when(F.col("sy") != 0, r) - F.lit(float(z)) * se).alias("ci_lo"),
         (F.when(F.col("sy") != 0, r) + F.lit(float(z)) * se).alias("ci_hi"),
     )
+
+
+#: Poisson(1) CDF, cumulative — frozen decimal literals shared verbatim
+#: with the DuckDB oracle so the inverse-CDF bucket of u is identical in
+#: both engines (u itself is rational: hash/2^32).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+    0.9999998885745216,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 64,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Distributed bootstrap CI for the mean via Poissonization (Chamandy
+    et al. 2012 — the estimator behind "bootstrapping the big data way"):
+    replicate b reweights row i by an independent Poisson(1) count, so
+    all ``n_boot`` resamples ride ONE scan instead of n_boot shuffles of
+    the corpus. The draw is DETERMINISTIC — u = portable md5 hash of
+    (id, b) / 2³², pushed through the frozen Poisson(1) inverse CDF — so
+    the whole bootstrap is reproducible and engine-replayable (no RNG
+    state, no partition-order dependence). Returns one row:
+    (n, mean, boot_lo, boot_median, boot_hi, n_boot).
+
+    Scale shape: the explode multiplies rows ×n_boot but stays NARROW
+    (no shuffle until the n_boot-row groupBy); the CI quantiles run over
+    the bounded replicate relation. At 100 TB pick n_boot ≈ 32–128 — the
+    classic accuracy/flops dial.
+    """
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"poisson_bootstrap_ci: need 0 < alpha < 1, got {alpha}")
+    x = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(x)
+        & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).cast("string").alias("__i"), x.alias("__x"))
+    ex = base.select(
+        "__i",
+        "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b"),
+    )
+    u = portable_hash32(
+        F.concat_ws("|", F.col("__i"), F.col("__b").cast("string"))
+    ) / F.lit(4294967296.0)
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        ex.select("__b", (w * F.col("__x")).alias("__wx"), w.alias("__w"))
+        .groupBy("__b")
+        .agg(
+            (F.sum("__wx") / F.sum("__w")).alias("mean_b"),
+        )
+        .where(F.col("mean_b").isNotNull())
+    )
+    lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = reps.agg(
+        F.expr(f"percentile(mean_b, {lo_q!r})").alias("boot_lo"),
+        F.expr("percentile(mean_b, 0.5)").alias("boot_median"),
+        F.expr(f"percentile(mean_b, {hi_q!r})").alias("boot_hi"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__x").alias("mean")
+    )
+    return overall.join(F.broadcast(ci), F.lit(True)).select(
+        "n",
+        "mean",
+        "boot_lo",
+        "boot_median",
+        "boot_hi",
+        F.lit(int(n_boot)).alias("n_boot"),
+    )

@@ -8082,3 +8082,76 @@ def gpd_tail_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("xi", 6) + F.lit(0.0)).alias("xi"),
         (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
     )
+
+
+@register(
+    "bootstrap_mean_ci_events",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS i, CAST(value AS DOUBLE) AS x
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value) AND event_id IS NOT NULL
+    ),
+    ex AS (
+      SELECT i, x, CAST(g.range AS INT) AS b FROM base, range(64) g
+    ),
+    uw AS (
+      SELECT b, x,
+             CAST(('0x' || substr(md5(i || '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM ex
+    ),
+    w AS (
+      SELECT b, x, CASE
+        WHEN u < 0.36787944117144233 THEN 0
+        WHEN u < 0.7357588823428847 THEN 1
+        WHEN u < 0.9196986029286058 THEN 2
+        WHEN u < 0.9810118431238463 THEN 3
+        WHEN u < 0.9963401531726563 THEN 4
+        WHEN u < 0.9994058151824183 THEN 5
+        WHEN u < 0.999916758850712 THEN 6
+        WHEN u < 0.9999897508033253 THEN 7
+        WHEN u < 0.999998874797402 THEN 8
+        WHEN u < 0.9999998885745216 THEN 9
+        ELSE 10 END AS w
+      FROM uw
+    ),
+    reps AS (
+      SELECT b, SUM(w * x) / SUM(w) AS mean_b FROM w GROUP BY b
+      HAVING SUM(w) > 0
+    ),
+    ci AS (
+      SELECT quantile_cont(mean_b, 0.025) AS boot_lo,
+             quantile_cont(mean_b, 0.5) AS boot_median,
+             quantile_cont(mean_b, 0.975) AS boot_hi
+      FROM reps
+    )
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n,
+           ROUND((SELECT AVG(x) FROM base), 6) + 0 AS mean,
+           ROUND(boot_lo, 6) + 0 AS boot_lo,
+           ROUND(boot_median, 6) + 0 AS boot_median,
+           ROUND(boot_hi, 6) + 0 AS boot_hi,
+           CAST(64 AS INT) AS n_boot
+    FROM ci
+    """,
+)
+def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poissonized bootstrap CI of the mean event value (round 12): 64
+    deterministic Poisson(1)-reweighted replicates in ONE scan (hash of
+    (event_id, b) through the frozen inverse CDF — no RNG state, no
+    shuffle-order dependence), empirical 95% interval over the bounded
+    replicate relation. The distributed bootstrap a 100 TB pipeline can
+    actually afford."""
+    from dataquality_ml_spark.operators import evaluate as ev12b
+
+    out = ev12b.poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id", n_boot=64, alpha=0.05
+    )
+    return out.select(
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("boot_lo", 6) + F.lit(0.0)).alias("boot_lo"),
+        (F.round("boot_median", 6) + F.lit(0.0)).alias("boot_median"),
+        (F.round("boot_hi", 6) + F.lit(0.0)).alias("boot_hi"),
+        "n_boot",
+    )

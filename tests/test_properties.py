@@ -142,3 +142,105 @@ def test_unigram_train_returns_normalized_distribution(words):
     assert chars <= {p for p, _ in pieces}  # single chars never pruned
     probs = [p for _, p in pieces]
     assert probs == sorted(probs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: pure-python twins of the new statistics operators
+# ---------------------------------------------------------------------------
+
+from dataquality_ml_spark.functions.scalar import _jaro_py, _jaro_winkler_py
+
+
+@given(
+    st.text(alphabet="ab cd", max_size=16),
+    st.text(alphabet="ab cd", max_size=16),
+)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_properties(a, b):
+    """JW ∈ [0,1], symmetric-jaro, identity=1, and the Winkler boost
+    never decreases jaro."""
+    j = _jaro_py(a, b)
+    jw = _jaro_winkler_py(a, b)
+    assert 0.0 <= j <= 1.0 and 0.0 <= jw <= 1.0
+    assert _jaro_py(b, a) == j  # jaro is symmetric
+    assert jw >= j - 1e-15  # boost only ever adds
+    if a == b and a:
+        assert jw == 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab cd", max_size=12),
+            st.text(alphabet="ab cd", max_size=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_jaro_winkler_matches_duckdb_property(pairs):
+    """The linkage scorer's hash-parity foundation: the python JW equals
+    DuckDB's native jaro_winkler_similarity on arbitrary short strings
+    (shrinkable counterexamples if an edge ever diverges)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == want, (a, b)
+    con.close()
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0, max_value=1e6, allow_nan=False, allow_subnormal=False
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_gini_rank_formula_properties(xs):
+    """The rank formulation the distributed Gini implements: bounded in
+    [-(1/n), 1), zero for constants, scale-invariant, and equal to the
+    mean-absolute-difference definition."""
+    n = len(xs)
+    s = sum(xs)
+    xs_sorted = sorted(xs)
+    if s == 0:
+        return  # all-zero: statistic undefined (0/0)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs_sorted)) / (n * s) - (n + 1) / n
+    # definitional Gini: mean absolute difference / (2 * mean)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+    g_def = mad / (2 * (s / n))
+    assert abs(g - g_def) < 1e-9 * max(1.0, abs(g_def))
+    assert -1.0 / n - 1e-12 <= g < 1.0
+    if len(set(xs)) == 1:
+        assert abs(g) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_fd_g3_properties(rows):
+    """g3 bounds: 0 ≤ g3_rows ≤ n − |groups|; zero iff the FD holds;
+    deleting the counted rows makes the FD hold exactly."""
+    from collections import Counter, defaultdict
+
+    per_x = defaultdict(Counter)
+    for k, y in rows:
+        per_x[k][y] += 1
+    n = len(rows)
+    g3 = sum(sum(c.values()) - max(c.values()) for c in per_x.values())
+    assert 0 <= g3 <= n - len(per_x)
+    holds = all(len(c) == 1 for c in per_x.values())
+    assert (g3 == 0) == holds

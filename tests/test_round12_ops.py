@@ -526,3 +526,26 @@ def test_linkage_score_pairs(spark):
     out = linkage_score_pairs(df, pairs, "k", threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
     assert out[0]["jw"] > 0.95
+
+
+def test_poisson_bootstrap_ci(spark):
+    """Deterministic Poissonization: the replicate CI brackets the true
+    mean with roughly the delta-method width, two runs are bit-identical
+    (no RNG state), and bad alpha raises."""
+    from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
+
+    df = spark.range(4000).select(
+        F.col("id"), ((F.col("id") % 100) / 10.0).alias("v")
+    )
+    r1 = poisson_bootstrap_ci(df, "v", "id", n_boot=64, alpha=0.05).first()
+    r2 = poisson_bootstrap_ci(df, "v", "id", n_boot=64, alpha=0.05).first()
+    assert r1 == r2  # deterministic replay
+    assert r1["n"] == 4000 and r1["mean"] == pytest.approx(4.95)
+    assert r1["boot_lo"] < r1["mean"] < r1["boot_hi"]
+    # population sd ~ 2.887 over 4000 rows -> se ~ 0.0456; the empirical
+    # 95% width should be the same order (loose 3x bracket)
+    width = r1["boot_hi"] - r1["boot_lo"]
+    se = 2.887 / 4000**0.5
+    assert 2 * 1.96 * se / 3 < width < 2 * 1.96 * se * 3
+    with pytest.raises(ValueError, match="0 < alpha < 1"):
+        poisson_bootstrap_ci(df, "v", "id", alpha=1.5)

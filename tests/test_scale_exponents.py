@@ -72,12 +72,28 @@ def _alpha(spark, fn) -> float:
 
 @pytest.mark.parametrize(
     "name",
-    ["simhash_hamming", "minhash_pairs", "unigram_em", "exact_dedup", "containment"],
+    [
+        "simhash_hamming",
+        "minhash_pairs",
+        "unigram_em",
+        "exact_dedup",
+        "containment",
+        "sorted_neighborhood",
+    ],
 )
 def test_headliner_scale_exponent(spark, name):
     from dataquality_ml_spark.operators import dedup, unigram as ug
 
-    if name == "simhash_hamming":
+    if name == "sorted_neighborhood":
+        # round 12: the exploded adjacent-bucket equi-join must stay
+        # linear — the pre-fix OR-of-equalities CartesianProduct measures
+        # α≈2 here, so this is the measurement that catches a revert
+        fn = lambda df: dedup.sorted_neighborhood_multipass(  # noqa: E731
+            df,
+            [F.substring("text", 1, 16), F.substring("text", 17, 16)],
+            window=4,
+        ).count()
+    elif name == "simhash_hamming":
         fn = lambda df: dedup.simhash_hamming_pairs(df, k=3).count()  # noqa: E731
     elif name == "containment":
         # stop-shingle cap engaged: the 20% boilerplate class would
