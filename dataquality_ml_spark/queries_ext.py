@@ -8088,18 +8088,23 @@ def gpd_tail_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bootstrap_mean_ci_events",
     oracle="""
     WITH base AS (
-      SELECT CAST(event_id AS VARCHAR) AS i, CAST(value AS DOUBLE) AS x
+      SELECT CAST(event_id AS BIGINT) AS i, CAST(value AS DOUBLE) AS x
       FROM events
       WHERE value IS NOT NULL AND NOT isnan(value) AND event_id IS NOT NULL
     ),
     ex AS (
-      SELECT i, x, CAST(g.range AS INT) AS b FROM base, range(64) g
+      SELECT i, x, CAST(g.range AS BIGINT) AS b FROM base, range(64) g
     ),
-    uw AS (
+    mix AS (
       SELECT b, x,
-             CAST(('0x' || substr(md5(i || '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
-               / 4294967296.0 AS u
+             ((i * 64 + b + 1) % 4294967296) AS s
       FROM ex
+    ),
+    m1 AS (SELECT b, x, (s * 1103515245 + 12345) % 4294967296 AS h FROM mix),
+    m2 AS (SELECT b, x, xor(h, h >> 16) AS h FROM m1),
+    m3 AS (SELECT b, x, (h * 1597334677) % 4294967296 AS h FROM m2),
+    uw AS (
+      SELECT b, x, xor(h, h >> 16) / 4294967296.0 AS u FROM m3
     ),
     w AS (
       SELECT b, x, CASE
@@ -8155,3 +8160,68 @@ def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("boot_hi", 6) + F.lit(0.0)).alias("boot_hi"),
         "n_boot",
     )
+
+
+@register(
+    "cusum_stream_replay_events",
+    oracle="""
+    WITH mu AS (
+      SELECT ROUND(AVG(value), 6) AS mu0 FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT d, n, m,
+             ROW_NUMBER() OVER (ORDER BY d) - 1 AS batch_id,
+             SUM(m - mu.mu0 - 1.0) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS plo,
+             SUM(m - mu.mu0 + 1.0) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS phi
+      FROM cells, mu
+    ),
+    s AS (
+      SELECT batch_id, n, m,
+             plo - LEAST(0, MIN(plo) OVER (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)) AS splus,
+             GREATEST(0, MAX(phi) OVER (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)) - phi AS sminus
+      FROM p
+    )
+    SELECT batch_id, n,
+           ROUND(m, 6) + 0 AS mean,
+           ROUND(splus, 6) + 0 AS splus,
+           ROUND(sminus, 6) + 0 AS sminus,
+           CAST(splus > 5.0 OR sminus > 5.0 AS INT) AS alarm
+    FROM s ORDER BY batch_id
+    """,
+)
+def cusum_stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM level monitor, replayed (round 12): the
+    PRODUCTION foreachBatch fold (streaming.score_stream._cusum_monitor_fold
+    — Page's two-sided CUSUM vs the frozen training mean, slack 1.0,
+    alarm at 5.0) driven over WEEKLY micro-batch slices of events (a
+    replay runs one driver-sequenced fold per batch, so the face keeps
+    the batch count calendar-small; the fold itself is slice-size-free). The
+    prefix-sum identity S+ = P - min(0, min P) makes the stateful
+    recursion exactly SQL-replayable, so the streaming operator is
+    hash-gated end-to-end; per batch exactly two scalars cross to the
+    driver."""
+    from dataquality_ml_spark.streaming import score_stream as ss
+
+    ev = _t(spark, sf_dir, "events")
+    mu0 = round(
+        ev.where(F.col("value").isNotNull()).agg(F.avg("value")).first()[0], 6
+    )
+    sliced = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("__day", F.to_date(F.date_trunc("week", F.col("ts"))))
+    out = ss.cusum_monitor_replay(
+        sliced, "__day", mu0, "value", slack=1.0, h=5.0
+    )
+    return out.select(
+        "batch_id",
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("splus", 6) + F.lit(0.0)).alias("splus"),
+        (F.round("sminus", 6) + F.lit(0.0)).alias("sminus"),
+        "alarm",
+    ).orderBy("batch_id")

@@ -1109,3 +1109,129 @@ def categorical_drift_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start(), reports
+
+
+def _cusum_monitor_fold(mu0: float, value_col: str, slack: float, h: float):
+    """The foreachBatch fold behind :func:`cusum_monitor_stream`,
+    exposed so :func:`cusum_monitor_replay` drives the IDENTICAL code
+    over a static frame (same contract as ``_drift_monitor_fold``).
+
+    Page's CUSUM (Page 1954) against a FROZEN in-control mean ``mu0``:
+    per batch b with mean x̄_b,
+      S⁺_b = max(0, S⁺_{b−1} + (x̄_b − μ0 − slack))
+      S⁻_b = max(0, S⁻_{b−1} − (x̄_b − μ0 + slack))
+    alarm when either exceeds ``h``. State is carried as the prefix-sum
+    identity S⁺ = P − min(0, min_j P_j) (and the mirrored max form), so
+    the recursion is exactly replayable as two window functions in any
+    SQL engine — the property the oracle uses. State = four floats;
+    per batch exactly TWO scalars (count, mean) cross to the driver.
+    """
+    reports: list = []
+    applied: set = set()
+    st = {"plo": 0.0, "min_plo": 0.0, "phi": 0.0, "max_phi": 0.0}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        row = batch_df.agg(
+            F.count(F.when(F.col(value_col).isNotNull(), 1)).alias("n"),
+            F.avg(value_col).alias("m"),
+        ).first()
+        n, m = int(row["n"]), row["m"]
+        if n == 0:
+            reports.append(
+                {"batch_id": batch_id, "n": 0, "mean": None,
+                 "splus": None, "sminus": None, "alarm": None}
+            )
+            applied.add(batch_id)
+            return
+        st["plo"] += m - mu0 - slack
+        st["min_plo"] = min(st["min_plo"], st["plo"])
+        st["phi"] += m - mu0 + slack
+        st["max_phi"] = max(st["max_phi"], st["phi"])
+        splus = st["plo"] - st["min_plo"]
+        sminus = st["max_phi"] - st["phi"]
+        reports.append(
+            {
+                "batch_id": batch_id,
+                "n": n,
+                "mean": m,
+                "splus": splus,
+                "sminus": sminus,
+                "alarm": int(splus > h or sminus > h),
+            }
+        )
+        applied.add(batch_id)
+
+    return _batch, reports
+
+
+def cusum_monitor_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    mu0: float,
+    value_col: str = "value",
+    slack: float = 0.0,
+    h: float = 1.0,
+    trigger_once: bool = True,
+):
+    """Streaming CUSUM level monitor: every micro-batch's mean value
+    folds into Page's two-sided CUSUM against the frozen in-control mean
+    ``mu0`` (the artifact a deployment persists at train time), alarming
+    when either one-sided statistic exceeds ``h``. The sequential
+    complement to :func:`drift_monitor_stream`: the drift panel asks
+    "does this batch look like training", CUSUM asks "has the LEVEL
+    drifted, accumulated over batches" — it catches small persistent
+    shifts no single-batch test can see. Returns (query, reports)."""
+    _batch, reports = _cusum_monitor_fold(mu0, value_col, slack, h)
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), reports
+
+
+def cusum_monitor_replay(
+    df: DataFrame,
+    batch_col: str,
+    mu0: float,
+    value_col: str = "value",
+    slack: float = 0.0,
+    h: float = 1.0,
+) -> DataFrame:
+    """Deterministic replay face of :func:`cusum_monitor_stream`: slice
+    a static frame into micro-batches by ``batch_col`` and drive the
+    exact production fold over each slice — one row per batch:
+    (batch_id, n, mean, splus, sminus, alarm). The prefix-sum identity
+    makes the whole recursion SQL-replayable, so this face is
+    hash-gated like any deterministic query."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    fn, reports = _cusum_monitor_fold(mu0, value_col, slack, h)
+    for i, b in enumerate(_replay_batches(df, batch_col)):
+        fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("splus", DoubleType()),
+            StructField("sminus", DoubleType()),
+            StructField("alarm", IntegerType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [
+            (int(r["batch_id"]), int(r["n"]), r["mean"], r["splus"],
+             r["sminus"], r["alarm"])
+            for r in reports
+        ],
+        schema,
+    )

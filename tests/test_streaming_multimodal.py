@@ -1731,3 +1731,72 @@ def test_replay_batch_cardinality_guard(spark):
             ss.drift_monitor_replay(
                 df, "batch", np.ones(8, dtype=np.int64), "value", 0.0, 50.0
             )
+
+
+def test_cusum_monitor_replay_equals_live_stream(spark, tmp_path):
+    """cusum_monitor_replay (the registered face, round 12) must emit
+    the EXACT reports a live cusum_monitor_stream produces over the same
+    slices IN THE SAME ORDER — CUSUM is stateful across batches, so the
+    static frame's batch ids are aligned to the live arrival order
+    (identified by batch size) before comparing."""
+    schema = "event_id bigint, value double"
+    b1 = [(i, 10.0 + (i % 5)) for i in range(120)]          # mean 12
+    b2 = [(i + 200, 16.0 + (i % 5)) for i in range(150)]    # mean 18: shift up
+    in_dir = tmp_path / "cs_in"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, live = ss.cusum_monitor_stream(
+        stream, checkpoint=str(tmp_path / "cs_ckpt"),
+        mu0=12.0, value_col="value", slack=0.5, h=3.0,
+    )
+    q.awaitTermination(120)
+    assert len(live) == 2
+
+    # align replay batch order to the live arrival order via batch size
+    order = {rep["n"]: i for i, rep in enumerate(live)}
+    static = spark.createDataFrame(
+        [(i, v, order[120]) for i, v in b1]
+        + [(i, v, order[150]) for i, v in b2],
+        "event_id bigint, value double, batch int",
+    )
+    got = ss.cusum_monitor_replay(
+        static, "batch", 12.0, "value", slack=0.5, h=3.0
+    ).collect()
+    assert len(got) == 2
+    for rep, g in zip(live, sorted(got, key=lambda r: r["batch_id"])):
+        for s in ("n", "mean", "splus", "sminus", "alarm"):
+            assert g[s] == rep[s], s
+    # Page semantics sanity: if the shifted batch arrived second, the
+    # upper CUSUM accumulates (x̄−μ0−k) = 5.5 there and alarms at h=3
+    by_mean = {round(r["mean"]): r for r in live}
+    assert by_mean[18]["alarm"] == 1
+    assert by_mean[12]["splus"] == pytest.approx(
+        max(0.0, 12.0 - 12.0 - 0.5), abs=1e-12
+    ) or by_mean[12]["splus"] >= 0.0
+
+
+def test_cusum_fold_textbook_recursion(spark):
+    """The fold's prefix-sum identity == the direct Page recursion on a
+    hand series, including the reset-at-zero behavior and both sides."""
+    mu0, k, h = 10.0, 0.5, 2.0
+    means = [10.0, 12.0, 9.0, 9.0, 6.0, 11.0]
+    fn, reports = ss._cusum_monitor_fold(mu0, "v", k, h)
+    for i, m in enumerate(means):
+        fn(spark.createDataFrame([(m,)] * 4, "v double"), i)
+    sp = sm = 0.0
+    for i, m in enumerate(means):
+        sp = max(0.0, sp + (m - mu0 - k))
+        sm = max(0.0, sm - (m - mu0 + k))
+        assert reports[i]["splus"] == pytest.approx(sp, abs=1e-12), i
+        assert reports[i]["sminus"] == pytest.approx(sm, abs=1e-12), i
+        assert reports[i]["alarm"] == int(sp > h or sm > h)
+    # batch_id idempotence: a replayed batch id is a no-op
+    n_before = len(reports)
+    fn(spark.createDataFrame([(99.0,)], "v double"), 0)
+    assert len(reports) == n_before
