@@ -808,3 +808,27 @@ class DQEngine:
         from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
 
         return poisson_bootstrap_ci(df, value_col, id_col, n_boot, alpha)
+
+    def calibrate_scores(
+        self,
+        df: DataFrame,
+        score: str,
+        label: str,
+        bins: int = 32,
+        lo: float = 0.0,
+        hi: float = 1.0,
+    ) -> DataFrame:
+        """Isotonic (PAV) calibration over a frozen score grid —
+        (bin, n, mean_score, frac_pos, calibrated)."""
+        from dataquality_ml_spark.operators.evaluate import isotonic_calibration
+
+        return isotonic_calibration(df, score, label, bins, lo, hi)
+
+    def pagerank(
+        self, edges: DataFrame, iterations: int = 5, damping: float = 0.85
+    ) -> DataFrame:
+        """Bounded-iteration PageRank over an undirected edge relation —
+        (node, rank); ranks sum to ~1."""
+        from dataquality_ml_spark.operators.graph import pagerank
+
+        return pagerank(edges, iterations, damping)

@@ -666,3 +666,81 @@ def poisson_bootstrap_ci(
         "boot_hi",
         F.lit(int(n_boot)).alias("n_boot"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bins: int = 32,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against a binary label over
+    a frozen equi-width score grid — the non-parametric recalibration
+    that fixes what :func:`calibration_curve` diagnoses: per occupied
+    bin, the empirical positive rate and the pooled-adjacent-violators
+    fit (the unique nondecreasing weighted-L2 projection, Ayer et al.
+    1955). Returns (bin, n, mean_score, frac_pos, calibrated);
+    ``calibrated`` is the monotone score→probability map a deployment
+    applies at serving time.
+
+    Scale shape: ONE aggregation to ≤``bins`` cells; PAV runs
+    driver-side over that bounded relation with EXACT integer sums
+    (pooling decisions by cross-multiplication, pooled rates as one
+    int/int division), so the result is bit-identical to the
+    max-min formula iso_i = max_{j≤i} min_{k≥i} A(j,k) any SQL engine
+    computes over the same cells.
+    """
+    w = (float(hi) - float(lo)) / bins
+    raw = F.floor((F.col(score) - F.lit(float(lo))) / F.lit(w)).cast("int")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    y = F.col(label).cast("boolean")
+    cells = (
+        df.where(F.col(score).isNotNull() & F.col(label).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(y, 1)).alias("np"),
+            F.sum(F.col(score).cast("double")).alias("ss"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    spark = df.sparkSession
+    schema = (
+        "bin int, n bigint, mean_score double, frac_pos double, "
+        "calibrated double"
+    )
+    if not cells:
+        return spark.createDataFrame([], schema)
+    # PAV with exact integer block sums: pool while the previous block's
+    # rate exceeds the current's (cross-multiplied — no float compare)
+    blocks: list[list[int]] = []  # [n, np, first_cell_idx]
+    for idx, r in enumerate(cells):
+        blocks.append([int(r["n"]), int(r["np"]), idx])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, p2, i2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+    fit = [0.0] * len(cells)
+    for bi, (bn, bp, first) in enumerate(blocks):
+        end = blocks[bi + 1][2] if bi + 1 < len(blocks) else len(cells)
+        val = bp / bn
+        for i in range(first, end):
+            fit[i] = val
+    return spark.createDataFrame(
+        [
+            (
+                int(r["bin"]),
+                int(r["n"]),
+                float(r["ss"]) / int(r["n"]),
+                int(r["np"]) / int(r["n"]),
+                fit[i],
+            )
+            for i, r in enumerate(cells)
+        ],
+        schema,
+    )

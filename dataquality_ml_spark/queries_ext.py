@@ -8225,3 +8225,149 @@ def cusum_stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("sminus", 6) + F.lit(0.0)).alias("sminus"),
         "alarm",
     ).orderBy("batch_id")
+
+
+@register(
+    "isotonic_calibration_events",
+    oracle="""
+    WITH scored AS (
+      SELECT value / 500.0 AS s,
+             CAST(((event_id * 2654435761) % 100) < value / 5.0 AS INT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT LEAST(31, GREATEST(0, CAST(FLOOR(s / 0.03125) AS INT))) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS np,
+             SUM(s) AS ss
+      FROM scored WHERE s IS NOT NULL GROUP BY 1
+    ),
+    ord AS (
+      SELECT bin, n, np, ss, ROW_NUMBER() OVER (ORDER BY bin) AS i,
+             SUM(n) OVER (ORDER BY bin) AS cw,
+             SUM(np) OVER (ORDER BY bin) AS cwy
+      FROM cells
+    ),
+    -- isotonic solution via the max-min identity:
+    -- iso_i = max_{j<=i} min_{k>=i} (cwy_k - (cwy_j - np_j)) / (cw_k - (cw_j - n_j))
+    a AS (
+      SELECT m.i AS i, j.i AS j,
+             MIN((k.cwy - (j.cwy - j.np)) / CAST(k.cw - (j.cw - j.n) AS DOUBLE)) AS mn
+      FROM ord m
+      JOIN ord j ON j.i <= m.i
+      JOIN ord k ON k.i >= m.i
+      GROUP BY m.i, j.i
+    ),
+    iso AS (SELECT i, MAX(mn) AS calibrated FROM a GROUP BY i)
+    SELECT o.bin,
+           o.n,
+           ROUND(o.ss / o.n, 6) + 0 AS mean_score,
+           ROUND(CAST(o.np AS DOUBLE) / o.n, 6) + 0 AS frac_pos,
+           ROUND(iso.calibrated, 6) + 0 AS calibrated
+    FROM ord o JOIN iso ON iso.i = o.i
+    ORDER BY o.bin
+    """,
+)
+def isotonic_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) score calibration over the deterministic
+    score/label pair of calibration_curve_events (round 12): the
+    monotone score-to-probability map that FIXES the miscalibration the
+    reliability diagram diagnoses. One aggregation to <=32 cells; PAV
+    runs driver-side with exact integer sums, and the oracle computes
+    the same fit through the max-min identity — PAV == max-min is the
+    Ayer et al. theorem, and both sides reduce to identical int/int
+    divisions, so the check is bitwise."""
+    from dataquality_ml_spark.operators.evaluate import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value") / 500.0).alias("s"),
+        (
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100))
+            < F.col("value") / 5.0
+        ).cast("int").alias("y"),
+    )
+    out = isotonic_calibration(scored, "s", "y", bins=32, lo=0.0, hi=1.0)
+    return out.select(
+        "bin",
+        "n",
+        (F.round("mean_score", 6) + F.lit(0.0)).alias("mean_score"),
+        (F.round("frac_pos", 6) + F.lit(0.0)).alias("frac_pos"),
+        (F.round("calibrated", 6) + F.lit(0.0)).alias("calibrated"),
+    ).orderBy("bin")
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled relational PageRank over the sorted-neighborhood
+    candidate graph — one MATERIALIZED CTE per iteration (same
+    anti-inlining discipline as the unigram DP oracles)."""
+    parts = [
+        """norm AS (
+      SELECT doc_id, trim(lower(nfc_normalize(text))) AS nt FROM documents
+    ),
+    keyed AS (SELECT doc_id, substr(nt, 1, 24) AS k FROM norm),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS r
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 3
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS MATERIALIZED (SELECT src, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+      SELECT d.src,
+             (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.insum, 0.0) AS rank
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS src, SUM(r.rank / dg.deg) AS insum
+        FROM r{t - 1} r
+        JOIN deg dg ON dg.src = r.src
+        JOIN sym e ON e.src = r.src
+        GROUP BY e.dst
+      ) c ON c.src = d.src
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT src AS node, ROUND(rank, 6) + 0 AS rank
+    FROM r{iters} ORDER BY node
+    """
+    )
+
+
+@register("pagerank_dup_candidates_docs", oracle=_pagerank_oracle())
+def pagerank_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality in the sorted-neighborhood candidate graph
+    (round 12, 5 iterations, d=0.85): a boilerplate/template hub blocks
+    against many documents even when no single pair-score stands out —
+    rank concentration is the hub alarm the pairwise dedup operators
+    cannot raise. Relational PageRank: one equi-join + groupBy per
+    iteration, each iterate localCheckpoint-ed; the oracle unrolls the
+    same five iterations as MATERIALIZED CTEs."""
+    from dataquality_ml_spark.functions.scalar import normalize_text
+    from dataquality_ml_spark.operators import dedup as ddp
+    from dataquality_ml_spark.operators import graph as gr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(normalize_text("text"), 1, 24).alias("__k")
+    )
+    pairs = ddp.sorted_neighborhood_pairs(docs, "__k", window=3).select(
+        "id_a", "id_b"
+    )
+    out = gr.pagerank(pairs, iterations=5, damping=0.85)
+    return out.select(
+        "node", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
+    ).orderBy("node")

@@ -549,3 +549,56 @@ def test_poisson_bootstrap_ci(spark):
     assert 2 * 1.96 * se / 3 < width < 2 * 1.96 * se * 3
     with pytest.raises(ValueError, match="0 < alpha < 1"):
         poisson_bootstrap_ci(df, "v", "id", alpha=1.5)
+
+
+def test_isotonic_calibration_pav(spark):
+    """Textbook PAV: a monotone-violating middle bin pools with its
+    neighbor (weighted), output is nondecreasing, already-monotone
+    input is returned unchanged."""
+    from dataquality_ml_spark.operators.evaluate import isotonic_calibration
+
+    # bins 0..3 rates: 0.2, 0.6, 0.4, 0.8 -> bins 1,2 pool to (6+4)/(10+10)=0.5
+    rows = []
+    for b, (n, npos) in enumerate([(10, 2), (10, 6), (10, 4), (10, 8)]):
+        s = b / 4.0 + 0.05
+        rows += [(s, 1)] * npos + [(s, 0)] * (n - npos)
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r["bin"]: r for r in isotonic_calibration(df, "s", "y", bins=4, lo=0.0, hi=1.0).collect()}
+    assert [got[b]["frac_pos"] for b in range(4)] == [0.2, 0.6, 0.4, 0.8]
+    assert [got[b]["calibrated"] for b in range(4)] == [0.2, 0.5, 0.5, 0.8]
+    cal = [got[b]["calibrated"] for b in range(4)]
+    assert cal == sorted(cal)  # nondecreasing
+    # empty input -> empty frame with the documented schema
+    empty = isotonic_calibration(
+        spark.createDataFrame([], "s double, y int"), "s", "y"
+    )
+    assert empty.count() == 0 and empty.columns == [
+        "bin", "n", "mean_score", "frac_pos", "calibrated"
+    ]
+
+
+def test_pagerank_star_graph(spark):
+    """PageRank on a 1-center/4-leaf star == the hand-unrolled recursion;
+    ranks sum to ~1; the center dominates; empty edges -> empty;
+    iterations < 1 raises."""
+    from dataquality_ml_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    # hand recursion: deg(center)=4, deg(leaf)=1, n=5
+    d, n = 0.85, 5
+    rc = rl = 1 / n
+    for _ in range(5):
+        rc, rl = (1 - d) / n + d * 4 * rl / 1, (1 - d) / n + d * rc / 4
+    assert got[0] == pytest.approx(rc, rel=1e-12)
+    for leaf in range(1, 5):
+        assert got[leaf] == pytest.approx(rl, rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got[0] > got[1]
+    assert pagerank(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).count() == 0
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
