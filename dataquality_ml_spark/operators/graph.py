@@ -255,19 +255,24 @@ def pagerank(
             [], "node long, rank double"
         )
     base = F.lit((1.0 - damping) / n_nodes)
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     sym = sym.localCheckpoint(eager=False)
     deg_c = deg.localCheckpoint(eager=False)
+    # ranks carries deg so each iteration is ONE edge join + ONE groupBy
+    # + the left join-back — not a second deg join per round
+    ranks = deg_c.select("src", "deg", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(int(iterations)):
         contrib = (
-            ranks.join(deg_c, "src")
-            .join(sym, "src")
-            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
+            ranks.join(sym, "src")
+            .select(
+                F.col("dst").alias("src"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
             .groupBy("src")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = deg_c.select("src").join(contrib, "src", "left").select(
+        ranks = deg_c.join(contrib, "src", "left").select(
             "src",
+            "deg",
             (base + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
                 "rank"
             ),
