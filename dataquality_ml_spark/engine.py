@@ -832,3 +832,16 @@ class DQEngine:
         from dataquality_ml_spark.operators.graph import pagerank
 
         return pagerank(edges, iterations, damping)
+
+    def embedding_anisotropy(self, df: DataFrame, vec_col: str = "embedding"):
+        """(covariance_df, effective_rank_df) — the cross-dimension
+        health pair: upper-triangle covariance + exp-entropy effective
+        rank of the embedding space."""
+        from dataquality_ml_spark.operators.similarity import (
+            embedding_covariance,
+            embedding_effective_rank,
+        )
+
+        return embedding_covariance(df, vec_col), embedding_effective_rank(
+            df, vec_col
+        )

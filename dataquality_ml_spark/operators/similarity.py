@@ -1817,3 +1817,86 @@ def truncated_recall(
             ).alias("recall"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact population covariance of the embedding components — the
+    upper triangle (i ≤ j, 1-based) as (i, j, cov): the anisotropy
+    audit behind "do my embeddings actually use the space" that the
+    per-dimension profile can't see (a strong common direction inflates
+    every cosine similarity and silently compresses ANN score ranges —
+    Ethayarajh 2019). Feeds :func:`embedding_effective_rank`.
+
+    Scale shape: ONE wide aggregation of d + d(d+1)/2 plain sums (no
+    explode — the component cross-products stay inside whole-stage
+    codegen; at d=16 that is 152 aggregate expressions), then the
+    d(d+1)/2-row output is built from the single result row.
+    cov = Σxy/n − (Σx/n)(Σy/n), population form, exact float sums.
+    """
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "i int, j int, cov double")
+    d = int(first["d"])
+    v = F.col(vec_col)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(v[i]).alias(f"s{i}") for i in range(d)]
+    aggs += [
+        F.sum(v[i] * v[j]).alias(f"p{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = df.where(F.size(v) == d).agg(*aggs).first()
+    n = int(row["n"])
+    out = []
+    for i in range(d):
+        for j in range(i, d):
+            cov = row[f"p{i}_{j}"] / n - (row[f"s{i}"] / n) * (row[f"s{j}"] / n)
+            out.append((i + 1, j + 1, float(cov)))
+    return df.sparkSession.createDataFrame(out, "i int, j int, cov double")
+
+
+def embedding_effective_rank(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Effective rank of the embedding covariance — erank = exp(H(λ̂))
+    over the normalized eigenvalue distribution (Roy & Vetterli 2007):
+    ONE number for "how many directions the embeddings really occupy".
+    erank ≈ d is healthy; erank ≪ d means the space collapsed (bad
+    contrastive training, over-quantization) and every downstream
+    similarity search is operating in a much smaller space than paid
+    for. Returns one row: (d, total_var, effective_rank,
+    top_eig_share).
+
+    The covariance comes from :func:`embedding_covariance`'s single
+    wide aggregation; the d×d eigendecomposition is driver-side numpy
+    over the bounded matrix (not SQL-expressible — this operator is
+    rows-only gated, with the covariance input itself hash-gated).
+    """
+    import numpy as np
+
+    cells = embedding_covariance(df, vec_col).collect()
+    if not cells:
+        raise ValueError("embedding_effective_rank: empty embedding column")
+    d = max(r["j"] for r in cells)
+    cov = np.zeros((d, d))
+    for r in cells:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    eig = np.linalg.eigvalsh(cov)
+    eig = np.clip(eig, 0.0, None)
+    tot = float(eig.sum())
+    if tot <= 0:
+        erank, top_share = 0.0, None
+    else:
+        p = eig / tot
+        nz = p[p > 0]
+        erank = float(np.exp(-(nz * np.log(nz)).sum()))
+        top_share = float(eig.max() / tot)
+    return df.sparkSession.createDataFrame(
+        [(d, tot, erank, top_share)],
+        "d int, total_var double, effective_rank double, top_eig_share double",
+    )

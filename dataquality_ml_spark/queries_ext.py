@@ -8371,3 +8371,56 @@ def pagerank_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
     ).orderBy("node")
+
+
+@register(
+    "embedding_covariance_docs",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, u.i AS i, u.v AS v
+      FROM embeddings,
+      UNNEST([{'i': i, 'v': embedding[i]}
+              for i in generate_series(1, len(embedding))]) AS t(u)
+    )
+    SELECT a.i, CAST(b.i AS INT) AS j,
+           ROUND(SUM(a.v * b.v) / COUNT(*)
+                 - (SUM(a.v) / COUNT(*)) * (SUM(b.v) / COUNT(*)), 6) + 0 AS cov
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    ORDER BY a.i, j
+    """,
+)
+def embedding_covariance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding components (round 12):
+    the anisotropy audit the per-dimension profile can't see — a strong
+    common direction inflates every cosine and compresses ANN score
+    ranges. ONE wide aggregation (d + d(d+1)/2 plain sums inside
+    codegen, no explode); the oracle replays the same algebra through a
+    component self-join."""
+    from dataquality_ml_spark.operators import similarity as sim12
+
+    out = sim12.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    ).orderBy("i", "j")
+
+
+@register("embedding_effective_rank_docs")  # eigendecomposition of the
+# covariance is not SQL-expressible -> rows-only driver gate; the
+# covariance INPUT is hash-gated by embedding_covariance_docs and the
+# erank math is pinned by planted-rank unit tests
+def embedding_effective_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank of the embedding space (round 12): exp(entropy of
+    the covariance eigenvalue distribution) — how many directions the
+    embeddings REALLY occupy; erank << d means the space collapsed and
+    ANN is searching a far smaller space than paid for. Covariance via
+    one wide agg; the bounded d x d eigenproblem runs driver-side."""
+    from dataquality_ml_spark.operators import similarity as sim12
+
+    out = sim12.embedding_effective_rank(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "d",
+        (F.round("total_var", 6) + F.lit(0.0)).alias("total_var"),
+        (F.round("effective_rank", 6) + F.lit(0.0)).alias("effective_rank"),
+        (F.round("top_eig_share", 6) + F.lit(0.0)).alias("top_eig_share"),
+    )

@@ -602,3 +602,53 @@ def test_pagerank_star_graph(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="iterations"):
         pagerank(edges, iterations=0)
+
+
+def test_embedding_covariance_and_effective_rank(spark):
+    """Hand 2-d covariance; planted rank-2 subspace in d=8 gives
+    erank ~ 2; an isotropic cube gives erank ~ d; empty input raises."""
+    from dataquality_ml_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_effective_rank,
+    )
+
+    # hand case: components [(1,2),(3,6),(5,4)] -> means (3,4)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 6.0]), (2, [5.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df).collect()}
+    import statistics
+
+    xs, ys = [1.0, 3.0, 5.0], [2.0, 6.0, 4.0]
+    assert got[(1, 1)] == pytest.approx(statistics.pvariance(xs))
+    assert got[(2, 2)] == pytest.approx(statistics.pvariance(ys))
+    cxy = sum(x * y for x, y in zip(xs, ys)) / 3 - 3.0 * 4.0
+    assert got[(1, 2)] == pytest.approx(cxy)
+    assert set(got) == {(1, 1), (1, 2), (2, 2)}  # upper triangle only
+
+    # rank-2 subspace inside d=8: two orthogonal directions, equal power
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(800):
+        a, b = rng.gauss(0, 1), rng.gauss(0, 1)
+        vec = [a if k == 0 else (b if k == 1 else 0.0) for k in range(8)]
+        rows.append((i, vec))
+    low = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_effective_rank(low).first()
+    assert r["d"] == 8 and 1.8 < r["effective_rank"] < 2.2
+    assert r["top_eig_share"] > 0.4
+
+    iso = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(1500)],
+        "vec_id long, embedding array<double>",
+    )
+    ri = embedding_effective_rank(iso).first()
+    assert 5.5 < ri["effective_rank"] <= 6.0
+
+    with pytest.raises(ValueError, match="empty embedding"):
+        embedding_effective_rank(
+            spark.createDataFrame([], "vec_id long, embedding array<double>")
+        )
