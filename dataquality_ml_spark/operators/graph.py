@@ -243,6 +243,12 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
+    # symmetrize via union: it evaluates the upstream edge relation in
+    # TWO branches, but the branches run in parallel and keep the narrow
+    # per-branch projection — measured 4x faster than the single-pass
+    # explode(array(struct…)) form at sf0.1 (5.4 s vs 21.1 s; the
+    # Generate serializes what the union parallelizes). Callers with an
+    # expensive edge build should checkpoint it before passing it in.
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionAll(

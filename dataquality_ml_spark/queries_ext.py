@@ -7478,15 +7478,21 @@ def sorted_neighborhood_multikey_docs(spark: SparkSession, sf_dir: str) -> DataF
     from dataquality_ml_spark.functions.scalar import normalize_text
     from dataquality_ml_spark.operators import dedup as dd
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "__nt", normalize_text("text")
+    # materialize the three keys ONCE: each pass otherwise re-evaluates
+    # the normalization (an Arrow UDF on non-ASCII corpora) through its
+    # own prefix-sum jobs — 1 normalization scan instead of ~6
+    nt = normalize_text("text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(nt, 1, 24).alias("__k1"),
+        F.substring(nt, 25, 24).alias("__k2"),
+        F.array_join(F.array_sort(F.slice(F.split(nt, " "), 1, 5)), " ").alias(
+            "__k3"
+        ),
+    ).localCheckpoint(eager=False)
+    out = dd.sorted_neighborhood_multipass(
+        docs, ["__k1", "__k2", "__k3"], window=3
     )
-    keys = [
-        F.substring("__nt", 1, 24),
-        F.substring("__nt", 25, 24),
-        F.array_join(F.array_sort(F.slice(F.split("__nt", " "), 1, 5)), " "),
-    ]
-    out = dd.sorted_neighborhood_multipass(docs, keys, window=3)
     return out.orderBy("id_a", "id_b")
 
 
@@ -7983,11 +7989,13 @@ def linkage_matches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.functions.scalar import normalize_text
     from dataquality_ml_spark.operators import dedup as ddl
 
+    # one normalization scan: the keyed relation feeds the blocking
+    # pass AND both sides of the verify join
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring(normalize_text("text"), 1, 24).alias("__k"),
         F.substring(normalize_text("text"), 1, 48).alias("__vk"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = ddl.sorted_neighborhood_pairs(docs, "__k", window=3).select(
         "id_a", "id_b"
     )
@@ -8364,6 +8372,9 @@ def pagerank_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring(normalize_text("text"), 1, 24).alias("__k")
     )
+    # NOT checkpointed: measured at sf0.1, re-evaluating the bounded
+    # neighborhood join in the union's two parallel branches (5.0 s) beats
+    # materializing it through an RDD checkpoint first (9.8 s)
     pairs = ddp.sorted_neighborhood_pairs(docs, "__k", window=3).select(
         "id_a", "id_b"
     )
