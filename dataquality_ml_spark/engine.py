@@ -845,3 +845,17 @@ class DQEngine:
         return embedding_covariance(df, vec_col), embedding_effective_rank(
             df, vec_col
         )
+
+    def kfold(
+        self,
+        df: DataFrame,
+        k: int = 5,
+        group_col: str | None = None,
+        id_col: str = "doc_id",
+        seed: str = "kfold",
+    ) -> DataFrame:
+        """Deterministic leakage-safe k-fold assignment (adds ``fold``);
+        grouped units never straddle folds."""
+        from dataquality_ml_spark.operators.selection import kfold_assign
+
+        return kfold_assign(df, k, group_col, id_col, seed)

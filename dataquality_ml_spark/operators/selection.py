@@ -436,3 +436,30 @@ def importance_weight_ess(df: DataFrame, weight_col: str) -> DataFrame:
         (sw * sw / sw2 / F.count(F.lit(1))).alias("ess_frac"),
         (F.max("w") / sw).alias("max_w_share"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "kfold",
+) -> DataFrame:
+    """Deterministic, leakage-safe k-fold assignment: fold =
+    portable_hash(seed | group) mod k, where the hash unit is
+    ``group_col`` when given (ALL rows of a group land in one fold —
+    the grouped-CV discipline that keeps a user's / document-cluster's
+    rows out of both train and validation at once) and ``id_col``
+    otherwise. Adds a ``fold`` column; engine-portable (md5-based), so
+    the split is reproducible across engines, reruns, and cluster
+    sizes — no randomSplit partition-order hazard.
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    from dataquality_ml_spark.functions.scalar import portable_hash32
+
+    unit = F.col(group_col if group_col else id_col).cast("string")
+    fold = F.pmod(
+        portable_hash32(F.concat_ws("|", F.lit(seed), unit)), F.lit(int(k))
+    ).cast("int")
+    return df.withColumn("fold", fold)

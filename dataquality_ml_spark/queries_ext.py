@@ -8435,3 +8435,38 @@ def embedding_effective_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round("effective_rank", 6) + F.lit(0.0)).alias("effective_rank"),
         (F.round("top_eig_share", 6) + F.lit(0.0)).alias("top_eig_share"),
     )
+
+
+@register(
+    "kfold_split_events",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CAST(CAST(('0x' || substr(md5('cv1|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 5 AS INT) AS fold
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups
+    FROM assigned GROUP BY fold ORDER BY fold
+    """,
+)
+def kfold_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 5-fold split of events grouped by user (round 12):
+    every user's rows land in ONE fold (hash of the user id, not the
+    row), so grouped cross-validation never sees a user on both sides —
+    and the assignment is engine-portable and rerun-stable, unlike
+    randomSplit. Face reports the per-fold row/group balance."""
+    from dataquality_ml_spark.operators import selection as sel
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    out = sel.kfold_assign(ev, k=5, group_col="user_id", seed="cv1")
+    return (
+        out.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_groups"),
+        )
+        .orderBy("fold")
+    )

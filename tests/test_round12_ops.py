@@ -652,3 +652,23 @@ def test_embedding_covariance_and_effective_rank(spark):
         embedding_effective_rank(
             spark.createDataFrame([], "vec_id long, embedding array<double>")
         )
+
+
+def test_kfold_assign_leakage_safe(spark):
+    """Grouped folds: every group's rows share ONE fold; folds are
+    deterministic across calls and balanced-ish; k < 2 raises."""
+    from dataquality_ml_spark.operators.selection import kfold_assign
+
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 300).alias("g")
+    )
+    a = kfold_assign(df, k=5, group_col="g", id_col="id")
+    per_group = a.groupBy("g").agg(F.countDistinct("fold").alias("nf")).collect()
+    assert all(r["nf"] == 1 for r in per_group)  # no group straddles folds
+    b = {r["id"]: r["fold"] for r in kfold_assign(df, 5, "g", "id").collect()}
+    for r in a.collect():
+        assert b[r["id"]] == r["fold"]  # deterministic replay
+    sizes = [r["n"] for r in a.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 5 and min(sizes) > 0.5 * max(sizes)  # rough balance
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kfold_assign(df, k=1)
