@@ -684,13 +684,19 @@ class DQEngine:
         return gini_coefficient(df, value_col, id_col)
 
     def changepoint(
-        self, df: DataFrame, ts_col: str, value_col: str, bucket: str = "day"
+        self,
+        df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        bucket: str = "day",
+        keys: list[str] | None = None,
     ) -> DataFrame:
         """CUSUM mean-shift screen over a time-bucketed series —
-        (bucket_ts, n, mean_value, cusum, is_changepoint)."""
+        (bucket_ts, n, mean_value, cusum, is_changepoint); ``keys=``
+        runs one independent CUSUM per segment."""
         from dataquality_ml_spark.operators.drift import cusum_changepoint
 
-        return cusum_changepoint(df, ts_col, value_col, bucket)
+        return cusum_changepoint(df, ts_col, value_col, bucket, keys)
 
     def robust_trend(
         self, df: DataFrame, x_col: str, y_col: str, max_points: int = 2000

@@ -1412,6 +1412,7 @@ def cusum_changepoint(
     ts_col: str,
     value_col: str,
     bucket: str = "day",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """CUSUM mean-shift changepoint screen over a time-bucketed series —
     per bucket the mean, the cumulative sum of deviations from the grand
@@ -1427,25 +1428,40 @@ def cusum_changepoint(
     the cumulative window runs over that bounded relation only — the
     same bounded-window class as exact ``roc_auc``. Window order is the
     bucket timestamp, so the float accumulation sequence is identical
-    across engines.
+    across engines. ``keys=`` runs one independent CUSUM PER SEGMENT
+    (grand mean, cumulative, and peak all computed within the key) —
+    every window is then key-partitioned, so the keyed face has NO
+    unpartitioned window at all and a thousand-segment panel spreads
+    across tasks.
     """
     from pyspark.sql import Window
 
+    ks = list(keys or [])
     cells = (
         df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
-        .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .groupBy(*ks, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.col(value_col)).alias("mean_value"),
         )
     )
-    grand = cells.agg(F.avg("mean_value").alias("__gm"))
-    w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    scored = cells.join(F.broadcast(grand), F.lit(True)).withColumn(
+    if ks:
+        grand = cells.groupBy(*ks).agg(F.avg("mean_value").alias("__gm"))
+        scored = cells.join(grand, ks)
+        w = Window.partitionBy(*ks).orderBy("bucket_ts").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tot = Window.partitionBy(*ks)
+    else:
+        grand = cells.agg(F.avg("mean_value").alias("__gm"))
+        scored = cells.join(F.broadcast(grand), F.lit(True))
+        w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+    scored = scored.withColumn(
         "cusum", F.sum(F.col("mean_value") - F.col("__gm")).over(w)
     )
     return scored.select(
+        *ks,
         "bucket_ts",
         "n",
         "mean_value",

@@ -8470,3 +8470,48 @@ def kfold_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "cusum_by_type_events",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT event_type, AVG(m) AS gm FROM cells GROUP BY 1),
+    s AS (
+      SELECT c.event_type, c.d, c.n, c.m,
+             SUM(c.m - g.gm) OVER (PARTITION BY c.event_type ORDER BY c.d
+                                   ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM cells c JOIN g ON g.event_type = c.event_type
+    )
+    SELECT event_type, d, n,
+           ROUND(m, 6) + 0 AS mean_value,
+           ROUND(cusum, 6) + 0 AS cusum,
+           CAST(ABS(cusum) = MAX(ABS(cusum)) OVER (PARTITION BY event_type)
+                AS INT) AS is_changepoint
+    FROM s ORDER BY event_type, d
+    """,
+)
+def cusum_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment CUSUM changepoint panel (round 12): one independent
+    daily CUSUM per event type — WHEN each segment's level shifted. The
+    keyed face has NO unpartitioned window anywhere (grand mean,
+    cumulative, and peak all key-partitioned), so a thousand-segment
+    panel spreads across tasks."""
+    from dataquality_ml_spark.operators import drift as dr
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    out = dr.cusum_changepoint(ev, "ts", "value", keys=["event_type"])
+    return out.select(
+        "event_type",
+        F.to_date("bucket_ts").alias("d"),
+        "n",
+        (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
+        (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
+        "is_changepoint",
+    ).orderBy("event_type", "d")

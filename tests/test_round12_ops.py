@@ -672,3 +672,35 @@ def test_kfold_assign_leakage_safe(spark):
     assert len(sizes) == 5 and min(sizes) > 0.5 * max(sizes)  # rough balance
     with pytest.raises(ValueError, match="k must be >= 2"):
         kfold_assign(df, k=1)
+
+
+def test_cusum_changepoint_keyed(spark):
+    """keys= runs one independent CUSUM per segment — each segment flags
+    its own planted shift day, and the keyed plan has NO unpartitioned
+    window (grand mean / cumulative / peak all key-partitioned)."""
+    import datetime
+
+    from dataquality_ml_spark import plans as plan_mod
+    from dataquality_ml_spark.operators.drift import cusum_changepoint
+    from tests.test_scale_plans import _global_window_specs
+
+    rows = []
+    for seg, shift_day in (("a", 10), ("b", 25)):
+        for d in range(40):
+            for h in (1, 13):
+                rows.append(
+                    (
+                        seg,
+                        datetime.datetime(2024, 1, 1)
+                        + datetime.timedelta(days=d, hours=h),
+                        5.0 + (3.0 if d >= shift_day else 0.0),
+                    )
+                )
+    df = spark.createDataFrame(rows, "seg string, ts timestamp, v double")
+    out = cusum_changepoint(df, "ts", "v", keys=["seg"])
+    peaks = {
+        r["seg"]: str(r["bucket_ts"])[:10]
+        for r in out.where("is_changepoint = 1").collect()
+    }
+    assert peaks == {"a": "2024-01-10", "b": "2024-01-25"}
+    assert _global_window_specs(plan_mod.formatted_plan(out)) == []
