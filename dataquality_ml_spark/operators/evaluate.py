@@ -596,13 +596,19 @@ def poisson_bootstrap_ci(
     Scale shape: the explode multiplies rows ×n_boot but stays NARROW
     (no shuffle until the n_boot-row groupBy); the CI quantiles run over
     the bounded replicate relation. At 100 TB pick n_boot ≈ 32–128 — the
-    classic accuracy/flops dial. ``id_col`` must be INTEGRAL: the
-    uniform is a pure-arithmetic two-round multiplicative/xorshift mixer
-    of (id·n_boot + b) — ~3× cheaper than an md5-based hash at n_boot
-    expansions per row (measured: the md5+conv form spent more time in
-    the radix conversion than in the whole rest of the query), and
-    exactly replayable in any engine with 64-bit integer ops. Hash
-    string ids to integers first if needed.
+    classic accuracy/flops dial. ``id_col`` must be INTEGRAL and
+    NON-NEGATIVE: the 64-bit id is first PREMIXED (splitmix-style — the
+    two 32-bit halves folded through two multiply/xorshift rounds mod
+    2³²) and only then combined with the replicate index b, so distinct
+    ids share a weight stream only on a true 32-bit hash collision
+    (~B²/2³³ expected colliding pairs among B ids — unstructured and a
+    2⁻³² fraction of all pairs, vs. the former id·n_boot+b seed whose
+    whole congruence classes mod 2³²/n_boot were perfectly correlated).
+    Pure integer arithmetic with every intermediate < 2⁶³ — ~3× cheaper
+    than an md5-based hash at n_boot expansions per row (measured: the
+    md5+conv form spent more time in the radix conversion than in the
+    whole rest of the query), and exactly replayable in any engine with
+    64-bit integer ops. Hash string ids to integers first if needed.
     """
     from pyspark.sql.types import IntegralType
 
@@ -625,14 +631,22 @@ def poisson_bootstrap_ci(
         "__x",
         F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b"),
     )
-    # two-round multiplicative + xorshift mixer mod 2^32. The seed is
-    # reduced mod 2^32 FIRST and both multipliers are < 2^31, so every
-    # product stays under 2^63 for ANY 64-bit id — no overflow in ANSI
-    # engines at any corpus scale. Ids are assumed non-negative (pmod
-    # keeps Spark safe either way; the oracle replays plain % on the
-    # non-negative domain).
+    # Premix the 64-bit id, THEN fold in b, THEN diffuse. Both halves of
+    # the id enter the state (lo = id mod 2^32, hi = id >> 32), each
+    # multiplier is < 2^31 and each multiplicand < 2^32, so every
+    # product stays under 2^63 — no int64 overflow in ANSI engines for
+    # ANY non-negative 64-bit id. Without the premix, ids congruent mod
+    # 2^32/n_boot got identical u for EVERY replicate (perfectly
+    # correlated weight streams); after it, correlated pairs are plain
+    # 32-bit hash collisions (a 2^-32 fraction, unstructured).
     m32 = F.lit(4294967296)
-    seed = F.pmod(F.col("__i") * F.lit(int(n_boot)) + F.col("__b") + F.lit(1), m32)
+    lo = F.pmod(F.col("__i"), m32)
+    hi = F.shiftright(F.col("__i"), 32)
+    p1 = F.pmod(lo * F.lit(1103515245) + hi * F.lit(1597334677) + F.lit(12345), m32)
+    p2 = p1.bitwiseXOR(F.shiftright(p1, 16))
+    p3 = F.pmod(p2 * F.lit(1597334677) + hi, m32)
+    p4 = p3.bitwiseXOR(F.shiftright(p3, 13))
+    seed = F.pmod(p4 + (F.col("__b") + F.lit(1)) * F.lit(1046527), m32)
     h1 = (seed * F.lit(1103515245) + F.lit(12345)) % m32
     h2 = h1.bitwiseXOR(F.shiftright(h1, 16))
     h3 = (h2 * F.lit(1597334677)) % m32
@@ -692,12 +706,18 @@ def isotonic_calibration(
     max-min formula iso_i = max_{j≤i} min_{k≥i} A(j,k) any SQL engine
     computes over the same cells.
     """
+    from dataquality_ml_spark.operators.profile import _valid
+
     w = (float(hi) - float(lo)) / bins
     raw = F.floor((F.col(score) - F.lit(float(lo))) / F.lit(w)).cast("int")
     b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
     y = F.col(label).cast("boolean")
+    # _valid (non-null AND non-NaN) on BOTH columns: a NaN score would
+    # pass a bare isNotNull, floor(NaN) clamps into bin 0 and its NaN
+    # value poisons that bin's ss sum — the same NULL/NaN-to-bucket-0
+    # defect fixed in woe_iv (round-12 ADVICE).
     cells = (
-        df.where(F.col(score).isNotNull() & F.col(label).isNotNull())
+        df.where(_valid(df, score) & _valid(df, label))
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -8103,10 +8103,19 @@ def gpd_tail_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (
       SELECT i, x, CAST(g.range AS BIGINT) AS b FROM base, range(64) g
     ),
+    halves AS (
+      SELECT b, x, (i % 4294967296) AS lo, (i >> 32) AS hi FROM ex
+    ),
+    pm1 AS (
+      SELECT b, x, hi,
+             (lo * 1103515245 + hi * 1597334677 + 12345) % 4294967296 AS p
+      FROM halves
+    ),
+    pm2 AS (SELECT b, x, hi, xor(p, p >> 16) AS p FROM pm1),
+    pm3 AS (SELECT b, x, (p * 1597334677 + hi) % 4294967296 AS p FROM pm2),
+    pm4 AS (SELECT b, x, xor(p, p >> 13) AS p FROM pm3),
     mix AS (
-      SELECT b, x,
-             ((i * 64 + b + 1) % 4294967296) AS s
-      FROM ex
+      SELECT b, x, (p + (b + 1) * 1046527) % 4294967296 AS s FROM pm4
     ),
     m1 AS (SELECT b, x, (s * 1103515245 + 12345) % 4294967296 AS h FROM mix),
     m2 AS (SELECT b, x, xor(h, h >> 16) AS h FROM m1),
@@ -8248,7 +8257,8 @@ def cusum_stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(y) AS BIGINT) AS np,
              SUM(s) AS ss
-      FROM scored WHERE s IS NOT NULL GROUP BY 1
+      FROM scored WHERE s IS NOT NULL AND NOT isnan(s) AND y IS NOT NULL
+      GROUP BY 1
     ),
     ord AS (
       SELECT bin, n, np, ss, ROW_NUMBER() OVER (ORDER BY bin) AS i,
