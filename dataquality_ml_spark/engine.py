@@ -793,12 +793,19 @@ class DQEngine:
         compare_col: str,
         id_col: str = "doc_id",
         threshold: float = 0.85,
+        max_key_len: int = 64,
+        on_long: str = "error",
     ) -> DataFrame:
         """Score blocking candidates with Jaro-Winkler and keep matches
-        >= threshold — (id_a, id_b, jw)."""
+        >= threshold — (id_a, id_b, jw). Keys longer than max_key_len
+        raise (or truncate with on_long='truncate'): the per-pair DP is
+        quadratic in key length."""
         from dataquality_ml_spark.operators.dedup import linkage_score_pairs
 
-        return linkage_score_pairs(df, pairs, compare_col, id_col, threshold)
+        return linkage_score_pairs(
+            df, pairs, compare_col, id_col, threshold,
+            max_key_len=max_key_len, on_long=on_long,
+        )
 
     def bootstrap_ci(
         self,

@@ -1202,6 +1202,8 @@ def linkage_score_pairs(
     compare_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.0,
+    max_key_len: int = 64,
+    on_long: str = "error",
 ) -> DataFrame:
     """Record-linkage verification: score blocking candidates (id_a,
     id_b) — from :func:`sorted_neighborhood_pairs` / LSH banding — with
@@ -1214,14 +1216,40 @@ def linkage_score_pairs(
     relation is blocking-bounded, ≤ 2·window·n); the scorer is an
     Arrow-batched pandas UDF of the textbook Jaro-Winkler (bit-identical
     to DuckDB's — functions.scalar._jaro_winkler_py), never
-    row-at-a-time. Keep ``compare_col`` short (a normalized prefix):
-    the per-pair DP is O(|a|·|b|).
+    row-at-a-time. ``compare_col`` must be short (a normalized prefix):
+    the per-pair DP is O(|a|·|b|), so an accidental full-text key turns
+    every candidate into an O(|text|²) Python comparison — ONE bounded
+    ``max(length())`` pre-check enforces ``max_key_len`` and either
+    RAISES (``on_long='error'``, the hot_df / max_items_per_basket
+    loud-contract convention) or truncates both sides
+    (``on_long='truncate'`` — changes scores for the over-long rows,
+    so opting in is explicit).
     """
     from dataquality_ml_spark.functions.scalar import jaro_winkler_udf
 
+    if on_long not in ("error", "truncate"):
+        raise ValueError(
+            f"linkage_score_pairs: on_long must be 'error' or 'truncate', "
+            f"got {on_long!r}"
+        )
+    if max_key_len < 1:
+        raise ValueError(
+            f"linkage_score_pairs: max_key_len must be >= 1, got {max_key_len}"
+        )
+    key = F.col(compare_col)
+    longest = df.agg(F.max(F.length(key)).alias("m")).first()["m"]
+    if longest is not None and int(longest) > max_key_len:
+        if on_long == "error":
+            raise ValueError(
+                f"linkage_score_pairs: longest {compare_col!r} is {longest} "
+                f"chars > max_key_len={max_key_len} — the per-pair DP is "
+                "O(|a|*|b|); pass a normalized prefix, raise max_key_len "
+                "deliberately, or set on_long='truncate'"
+            )
+        key = F.substring(key, 1, max_key_len)
+    lhs = df.select(F.col(id_col).alias("id_a"), key.alias("__ka"))
+    rhs = df.select(F.col(id_col).alias("id_b"), key.alias("__kb"))
     jw = jaro_winkler_udf()
-    lhs = df.select(F.col(id_col).alias("id_a"), F.col(compare_col).alias("__ka"))
-    rhs = df.select(F.col(id_col).alias("id_b"), F.col(compare_col).alias("__kb"))
     return (
         pairs.join(lhs, "id_a")
         .join(rhs, "id_b")

@@ -1482,15 +1482,19 @@ def theil_sen_trend(
     of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept = median of
     (y − slope·x): ~29% breakdown point, so a few corrupted buckets
     (backfills, outages) cannot swing the trend the way they swing OLS.
-    Returns one row: (n_points, n_pairs, slope, intercept).
+    Returns one row: (n_points, n_pairs, slope, intercept) — ``n_pairs``
+    is the ACTUAL pair count the median ran over (tied-x pairs have no
+    slope and are excluded, the standard Theil–Sen convention), not the
+    nominal n(n−1)/2.
 
     Contract: the input must already be a BOUNDED series (monthly
-    revenue, daily counts — the x values distinct); the pair self-join
-    is quadratic in it, so the operator counts the series first and
-    RAISES past ``max_points`` (loud-contract convention) — n=2000 is
-    already 2M pair rows, trivially distributed but pointless beyond a
-    calendar-bounded series. Medians interpolate (percentile semantics)
-    for cross-engine determinism.
+    revenue, daily counts); the pair self-join is quadratic in it, so
+    the operator counts the series first and RAISES past ``max_points``
+    (loud-contract convention) — n=2000 is already 2M pair rows,
+    trivially distributed but pointless beyond a calendar-bounded
+    series. Fewer than 2 DISTINCT x values also raises (every pairwise
+    slope would be undefined). Medians interpolate (percentile
+    semantics) for cross-engine determinism.
     """
     base = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
@@ -1498,7 +1502,10 @@ def theil_sen_trend(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    n = base.count()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col("x")).alias("nx")
+    ).first()
+    n, nx = int(stats["n"]), int(stats["nx"])
     if n > max_points:
         raise ValueError(
             f"theil_sen_trend: {n} points exceed max_points={max_points} — "
@@ -1507,6 +1514,12 @@ def theil_sen_trend(
         )
     if n < 2:
         raise ValueError(f"theil_sen_trend: need >=2 points, got {n}")
+    if nx < 2:
+        raise ValueError(
+            f"theil_sen_trend: need >=2 DISTINCT x values, got {nx} over "
+            f"{n} points — all pairwise slopes are undefined on a "
+            "vertically stacked series; aggregate to distinct buckets first"
+        )
     # non-equi pair join over a contract-bounded series: broadcast the
     # right side explicitly so the plan is a bounded BNLJ, never a
     # CartesianProduct (registry-wide plan gate)
@@ -1514,10 +1527,14 @@ def theil_sen_trend(
     slopes = base.join(rhs, F.col("x2") > F.col("x")).select(
         ((F.col("y2") - F.col("y")) / (F.col("x2") - F.col("x"))).alias("s")
     )
-    slope = slopes.agg(F.expr("percentile(s, 0.5)").alias("m")).first()["m"]
+    med = slopes.agg(
+        F.expr("percentile(s, 0.5)").alias("m"),
+        F.count(F.lit(1)).alias("np"),
+    ).first()
+    slope, n_pairs = med["m"], int(med["np"])
     out = base.agg(
         F.lit(n).cast("bigint").alias("n_points"),
-        F.lit(n * (n - 1) // 2).cast("bigint").alias("n_pairs"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
         F.lit(float(slope)).alias("slope"),
         F.expr(f"percentile(y - {float(slope)!r} * x, 0.5)").alias("intercept"),
     )
@@ -1543,7 +1560,10 @@ def mann_kendall_trend(
     series (the pair join is quadratic), counted first and raising past
     ``max_points``; the join is an explicit-broadcast BNLJ over that
     bounded relation. S and the tie terms are exact integers; z is one
-    fixed float expression.
+    fixed float expression. The x values must be DISTINCT (the
+    time-index assumption of the test): a tied x silently drops its
+    pairs from S while Var(S) still counts all n(n−1)/2, biasing z —
+    so duplicated x RAISES; aggregate to unique buckets first.
     """
     base = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
@@ -1551,7 +1571,10 @@ def mann_kendall_trend(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    n = base.count()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col("x")).alias("nx")
+    ).first()
+    n, nx = int(stats["n"]), int(stats["nx"])
     if n > max_points:
         raise ValueError(
             f"mann_kendall_trend: {n} points exceed max_points={max_points} — "
@@ -1560,6 +1583,13 @@ def mann_kendall_trend(
         )
     if n < 2:
         raise ValueError(f"mann_kendall_trend: need >=2 points, got {n}")
+    if nx != n:
+        raise ValueError(
+            f"mann_kendall_trend: x values must be distinct ({n - nx} "
+            "duplicated) — tied x drops pairs from S while the "
+            "tie-corrected variance assumes all n(n-1)/2; aggregate to "
+            "unique buckets first"
+        )
     rhs = F.broadcast(base.select(F.col("x").alias("x2"), F.col("y").alias("y2")))
     s_row = (
         base.join(rhs, F.col("x2") > F.col("x"))

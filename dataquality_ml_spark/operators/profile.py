@@ -1204,11 +1204,16 @@ def hill_tail_index(
 
     Scale shape: ONE TakeOrderedAndProject of k+1 rows (no global sort
     of the corpus); the rank window and final aggregate run over that
-    bounded relation. Ties at the threshold break deterministically by
-    ``id_col`` so both engines pick the identical k rows. A corpus with
-    fewer than k+1 positive values RAISES at execution (raise_error,
-    loud-contract convention) instead of returning a silently-empty
-    frame.
+    bounded relation. Tie determinism: with ``id_col`` both engines pick
+    the identical k ROWS; without it, ties at the k/k+1 boundary make
+    the row selection engine/rerun-dependent, but the STATISTIC is still
+    deterministic — only ``v`` flows into threshold and the log-mean,
+    and any tie-respecting selection yields the same sorted value
+    multiset. Pass ``id_col`` whenever row identity must be reproducible
+    (e.g. a face that also reports which rows sit in the tail). A corpus
+    with fewer than k+1 positive values RAISES at execution
+    (raise_error, loud-contract convention) instead of returning a
+    silently-empty frame.
     """
     from pyspark.sql import Window
 

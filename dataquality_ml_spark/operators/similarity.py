@@ -1841,7 +1841,13 @@ def embedding_covariance(
     """
     import numpy as np
 
-    first = df.select(F.size(vec_col).alias("d")).first()
+    # d from the FIRST NON-NULL row (a null first row made F.size return
+    # null and int() raise); rows whose length differs from d then RAISE
+    # inside the Gram kernel instead of silently dropping — a ragged
+    # embedding column is corruption, and dropping it would diverge from
+    # any engine that unnests each row's actual length.
+    base = df.where(F.col(vec_col).isNotNull())
+    first = base.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "i int, j int, cov double")
     d = int(first["d"])
@@ -1853,12 +1859,14 @@ def embedding_covariance(
         s = np.zeros(d)
         n = 0
         for pdf in batches:
-            vecs = [
-                np.asarray(v, dtype=np.float64)
-                for v in pdf[vec_col]
-                if v is not None and len(v) == d
-            ]
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             if vecs:
+                lens = {v.shape[0] for v in vecs}
+                if lens != {d}:
+                    raise ValueError(
+                        "embedding_covariance: mixed-length vectors — "
+                        f"expected d={d}, saw lengths {sorted(lens - {d})}"
+                    )
                 M = np.vstack(vecs)
                 G += M.T @ M
                 s += M.sum(axis=0)
@@ -1875,7 +1883,7 @@ def embedding_covariance(
             }
         )
 
-    parts = df.select(vec_col).mapInPandas(
+    parts = base.select(vec_col).mapInPandas(
         _gram, "i int, j int, pxy double, sx double, sy double, n long"
     )
     agg = parts.groupBy("i", "j").agg(
@@ -1907,8 +1915,9 @@ def embedding_effective_rank(
     for. Returns one row: (d, total_var, effective_rank,
     top_eig_share).
 
-    The covariance comes from :func:`embedding_covariance`'s single
-    wide aggregation; the d×d eigendecomposition is driver-side numpy
+    The covariance comes from :func:`embedding_covariance`'s
+    per-partition partial Grams (mapInPandas → one (i, j) groupBy);
+    the d×d eigendecomposition is driver-side numpy
     over the bounded matrix (not SQL-expressible — this operator is
     rows-only gated, with the covariance input itself hash-gated).
     """
