@@ -698,6 +698,23 @@ class DQEngine:
 
         return cusum_changepoint(df, ts_col, value_col, bucket, keys)
 
+    def cusum_monitor(
+        self,
+        df: DataFrame,
+        batch_col: str,
+        mu0: float,
+        value_col: str = "value",
+        slack: float = 0.0,
+        h: float = 1.0,
+    ) -> DataFrame:
+        """One-pass batch face of the streaming CUSUM level monitor —
+        Page's two-sided statistic per batch vs the frozen in-control
+        mean mu0, via the prefix-sum identity: (batch_id, n, mean,
+        splus, sminus, alarm)."""
+        from dataquality_ml_spark.operators.drift import cusum_monitor_batch
+
+        return cusum_monitor_batch(df, batch_col, mu0, value_col, slack, h)
+
     def robust_trend(
         self, df: DataFrame, x_col: str, y_col: str, max_points: int = 2000
     ) -> DataFrame:

@@ -1472,6 +1472,72 @@ def cusum_changepoint(
     )
 
 
+def cusum_monitor_batch(
+    df: DataFrame,
+    batch_col: str,
+    mu0: float,
+    value_col: str = "value",
+    slack: float = 0.0,
+    h: float = 1.0,
+) -> DataFrame:
+    """Batch face of the streaming CUSUM level monitor
+    (streaming.score_stream.cusum_monitor_stream): Page's two-sided
+    CUSUM of per-batch means against the FROZEN in-control mean ``mu0``,
+    computed for EVERY batch in ONE pass via the prefix-sum identity
+    S⁺ = P − min(0, min_j P_j) (and the mirrored max form for S⁻) —
+    the same recursion the sequential foreachBatch fold carries as four
+    floats, so the two faces agree row-for-row (differentially tested).
+    Returns (batch_id, n, mean, splus, sminus, alarm), the streaming
+    replay's schema.
+
+    Use THIS face for backfills/audits at fine granularity (a daily
+    replay drives one driver-sequenced fold per batch — ~150 sequential
+    jobs for 5 months; this is one job); the fold remains the production
+    streaming path. Rows with NULL value or batch key are dropped, so
+    an all-null batch does not occupy a batch_id (the replay emits a
+    placeholder row for it — filter nulls before slicing when comparing).
+
+    Scale shape: one grouped aggregation collapses the corpus to the
+    calendar-bounded batch relation; the running windows order by the
+    batch key over that bounded relation only (the documented
+    bounded-window class), so the float accumulation sequence is
+    identical across engines and to the fold's.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(F.col(value_col).isNotNull() & F.col(batch_col).isNotNull())
+        .groupBy(F.col(batch_col).alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(value_col)).alias("mean"),
+        )
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    dev_lo = F.col("mean") - F.lit(float(mu0)) - F.lit(float(slack))
+    dev_hi = F.col("mean") - F.lit(float(mu0)) + F.lit(float(slack))
+    scored = (
+        cells.withColumn("__plo", F.sum(dev_lo).over(w))
+        .withColumn("__phi", F.sum(dev_hi).over(w))
+        .withColumn(
+            "batch_id",
+            (F.row_number().over(Window.orderBy("__b")) - 1).cast("bigint"),
+        )
+    )
+    splus = F.col("__plo") - F.least(F.lit(0.0), F.min("__plo").over(w))
+    sminus = F.greatest(F.lit(0.0), F.max("__phi").over(w)) - F.col("__phi")
+    return scored.select(
+        "batch_id",
+        "n",
+        "mean",
+        splus.alias("splus"),
+        sminus.alias("sminus"),
+        ((splus > F.lit(float(h))) | (sminus > F.lit(float(h))))
+        .cast("int")
+        .alias("alarm"),
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     x_col: str,

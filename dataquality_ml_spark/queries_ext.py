@@ -8529,3 +8529,70 @@ def cusum_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
         "is_changepoint",
     ).orderBy("event_type", "d")
+
+
+# ===========================================================================
+# Round 13
+# ===========================================================================
+@register(
+    "cusum_monitor_batch_events",
+    oracle="""
+    WITH mu AS (
+      SELECT ROUND(AVG(value), 6) AS mu0 FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT d, n, m,
+             ROW_NUMBER() OVER (ORDER BY d) - 1 AS batch_id,
+             SUM(m - mu.mu0 - 1.0) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS plo,
+             SUM(m - mu.mu0 + 1.0) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS phi
+      FROM cells, mu
+    ),
+    s AS (
+      SELECT batch_id, n, m,
+             plo - LEAST(0, MIN(plo) OVER (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)) AS splus,
+             GREATEST(0, MAX(phi) OVER (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)) - phi AS sminus
+      FROM p
+    )
+    SELECT batch_id, n,
+           ROUND(m, 6) + 0 AS mean,
+           ROUND(splus, 6) + 0 AS splus,
+           ROUND(sminus, 6) + 0 AS sminus,
+           CAST(splus > 5.0 OR sminus > 5.0 AS INT) AS alarm
+    FROM s ORDER BY batch_id
+    """,
+)
+def cusum_monitor_batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass batch CUSUM monitor at DAILY granularity (round 13,
+    VERDICT item 5): the same two-sided Page statistic the streaming
+    fold carries (cusum_stream_replay_events), computed for every day
+    in ONE job via the prefix-sum identity — the weekly replay face
+    exists because a daily replay drives ~150 sequential driver folds;
+    this face makes the fine-granularity backfill affordable. Windows
+    run over the calendar-daily bucket relation only (the documented
+    bounded-window class); batch==fold agreement is differentially
+    tested in tests/test_round13_ops.py."""
+    from dataquality_ml_spark.operators import drift as dr13
+
+    ev = _t(spark, sf_dir, "events")
+    mu0 = round(
+        ev.where(F.col("value").isNotNull()).agg(F.avg("value")).first()[0], 6
+    )
+    sliced = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("__day", F.to_date(F.date_trunc("day", F.col("ts"))))
+    out = dr13.cusum_monitor_batch(
+        sliced, "__day", mu0, "value", slack=1.0, h=5.0
+    )
+    return out.select(
+        "batch_id",
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("splus", 6) + F.lit(0.0)).alias("splus"),
+        (F.round("sminus", 6) + F.lit(0.0)).alias("sminus"),
+        "alarm",
+    ).orderBy("batch_id")

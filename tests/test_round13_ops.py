@@ -155,3 +155,32 @@ def test_mann_kendall_distinct_x_contract(spark):
     )
     r = mann_kendall_trend(clean, "x", "y").first()
     assert r["s_stat"] == 28 and r["z"] > 3.0
+
+
+def test_cusum_batch_matches_fold_replay(spark):
+    """VERDICT r13 item 5: the one-pass batch CUSUM (prefix-sum
+    identity) must agree row-for-row with the sequential foreachBatch
+    fold driven over the same slices — same batch ids, same statistics
+    to 9 decimals, same alarms."""
+    from dataquality_ml_spark.operators.drift import cusum_monitor_batch
+    from dataquality_ml_spark.streaming.score_stream import cusum_monitor_replay
+
+    df = spark.range(600).select(
+        (F.col("id") % 30).alias("day"),
+        (
+            F.when(F.col("id") % 30 >= 20, (F.col("id") % 7) + 4.0)
+            .otherwise((F.col("id") % 7) * 1.0)
+        ).alias("value"),
+    )
+    mu0, slack, h = 3.0, 0.5, 2.0
+    batch = cusum_monitor_batch(df, "day", mu0, "value", slack, h).collect()
+    fold = cusum_monitor_replay(df, "day", mu0, "value", slack, h).collect()
+    assert len(batch) == len(fold) == 30
+    for b, f in zip(sorted(batch, key=lambda r: r["batch_id"]), fold):
+        assert b["batch_id"] == f["batch_id"] and b["n"] == f["n"]
+        assert b["mean"] == pytest.approx(f["mean"], abs=1e-9)
+        assert b["splus"] == pytest.approx(f["splus"], abs=1e-9)
+        assert b["sminus"] == pytest.approx(f["sminus"], abs=1e-9)
+        assert b["alarm"] == f["alarm"]
+    # the planted level shift (days 20..29 ride +4) must alarm by the end
+    assert batch[-1]["alarm"] == 1 or fold[-1]["alarm"] == 1

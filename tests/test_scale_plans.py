@@ -713,6 +713,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "lift_table_events": "cumulative gains over <=bins score cells",
     "hill_tail_orders": "rank over the TakeOrdered k+1 tail rows",
     "cusum_daily_value_events": "prefix sums over calendar-daily buckets",
+    "cusum_monitor_batch_events": "one-pass Page statistic over calendar-daily buckets (batch face of the streaming fold)",
     "zipf_fit_docs": "OLS rank regression over exactly top_k=200 token rows",
     "survival_purchase_gap": "KM products over distinct durations under the max_points=65536 loud contract",
 }
