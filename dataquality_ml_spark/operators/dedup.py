@@ -1257,3 +1257,70 @@ def linkage_score_pairs(
         .where(F.col("jw") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jw")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact-Jaccard join via PREFIX FILTERING (round 13) — the
+    AllPairs/PPJoin candidate-generation strategy (Bayardo et al. WWW'07;
+    Xiao et al. WWW'08) re-expressed relationally.
+
+    Where :func:`ngram_jaccard_pairs` joins the FULL shingle inverted
+    index (and needs the ``on_hot_shingle`` cap because boilerplate
+    shingles go quadratic), this operator joins only each document's
+    *prefix* under a global rarest-first token order:
+
+    1. hash-shingle each doc (portable md5 ints, distinct set of size n);
+    2. rank every shingle by corpus document frequency asc (ties by
+       shingle value — engine-portable);
+    3. keep each doc's first ``n - ceil(t*n) + 1`` shingles in that
+       order.  Completeness: two sets with Jaccard >= t must share >=
+       ceil(t*max(|a|,|b|)) tokens, so each side's probe prefix provably
+       intersects the other's (the AllPairs prefix lemma) — candidate
+       recall is exact, no LSH loss;
+    4. equi-join prefixes on the shingle, apply the SIZE filter
+       (den*min(n_a,n_b) >= num*max — Jaccard >= t forces
+       |b| >= t*|a|), distinct the pairs;
+    5. verify exact Jaccard on candidates only (:func:`jaccard_verify`).
+
+    Scale: the join touches only prefix tokens, which are the RAREST
+    tokens by construction — the inverted index the join builds is
+    naturally cold, so no hot-key cap is needed where the full-index
+    form requires one.  The per-doc ranking window partitions by doc.
+    Threshold arithmetic is integer (num/den = round(t*1e6)/1e6), so
+    prefix lengths are bit-identical across engines.  Differentially
+    tested against the exact full-index form in tests/test_round13_ops.
+    """
+    from pyspark.sql import Window
+
+    num, den = int(round(threshold * 1_000_000)), 1_000_000
+    hs = with_hashed_shingles(df, text_col, id_col, k).cache()
+    ex = hs.select(
+        F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("s")
+    )
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfc"))
+    w = Window.partitionBy(id_col).orderBy(F.col("dfc").asc(), F.col("s").asc())
+    pos = ex.join(dfreq, "s").withColumn("pos", F.row_number().over(w))
+    # prefix length = n - ceil(num*n/den) + 1, via exact integer floor-div
+    ceil_tn = ((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)).cast(
+        "long"
+    )
+    pref = pos.where(F.col("pos") <= F.col("n") - ceil_tn + F.lit(1))
+    a = pref.select(F.col(id_col).alias("id_a"), "s", F.col("n").alias("n_a"))
+    b = pref.select(F.col(id_col).alias("id_b"), "s", F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.lit(den) * F.least("n_a", "n_b")
+            >= F.lit(num) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, hs, threshold, id_col).orderBy("id_a", "id_b")

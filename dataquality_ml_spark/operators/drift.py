@@ -1685,3 +1685,189 @@ def mann_kendall_trend(
         [(n, s, float(var_s), float(z))],
         "n_points bigint, s_stat bigint, var_s double, z double",
     )
+
+
+def ewma_control(
+    df: DataFrame,
+    batch_col: str,
+    value_col: str = "value",
+    lam: float = 0.2,
+    nsigma: float = 3.0,
+    keys: list[str] | None = None,
+    mu0: float | None = None,
+    sigma0: float | None = None,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) over
+    per-batch means — the small-persistent-shift monitor between the
+    Shewhart chart (big one-off spikes) and CUSUM (cumulative level
+    shifts): z_t = λ·m_t + (1−λ)·z_{t−1}, z_0 = μ̂, flagged when z_t
+    leaves μ̂ ± L·σ̂·sqrt(λ/(2−λ)·(1−(1−λ)^{2t})) (variance-inflation
+    exact limits, not the asymptotic band — early batches get the
+    tighter bound they deserve).
+
+    ONE pass via the closed form z_t = r^t·(μ̂ + λ·Σ_{i≤t} m_i/r^i)
+    with r = 1−λ — the same prefix-identity trick cusum_monitor_batch
+    uses, so the whole chart is a window expression over the
+    calendar-bounded batch relation (no sequential fold). Numerically
+    sound for bounded horizons: the 1/r^i terms grow, but their sum's
+    absolute error is dominated by the LARGEST (most recent) term,
+    which r^t rescales back to O(m) — error stays ~ulp(m)·t.
+
+    ``keys`` gives one independent chart per key with every window
+    key-partitioned (μ̂, σ̂, the running sum, and t all per key — NO
+    unpartitioned window, same contract as cusum_changepoint(keys=)).
+    Returns (*keys, batch_id, n, mean, ewma, lcl, ucl, ooc).
+
+    ``mu0``/``sigma0`` freeze the in-control reference (the CUSUM-
+    monitor convention) — pass them from a known-good window when the
+    monitored range may CONTAIN the shift, because self-estimated
+    center/scale are contaminated by it (the shift inflates σ̂ and
+    drags μ̂, widening the band and delaying the alarm). Defaults
+    self-estimate per key: μ̂ = mean and σ̂ = sample stddev of per-batch
+    means — keys with one batch have NULL limits and ooc=0.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"ewma_control: lam must be in (0, 1], got {lam}")
+    keys = list(keys or [])
+    r = 1.0 - lam
+    cells = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(batch_col).isNotNull()
+            & ~F.isnan(F.col(value_col))
+        )
+        .groupBy(*keys, F.col(batch_col).alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(value_col)).alias("mean"),
+        )
+    )
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum = (
+        wg.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    center = F.lit(float(mu0)) if mu0 is not None else F.avg("mean").over(wg)
+    scale = (
+        F.lit(float(sigma0))
+        if sigma0 is not None
+        else F.stddev_samp("mean").over(wg)
+    )
+    t = F.row_number().over(wg.orderBy("__b")).cast("double")
+    scored = cells.select(
+        *keys,
+        "__b",
+        "n",
+        "mean",
+        center.alias("__mu0"),
+        scale.alias("__sig0"),
+        t.alias("__t"),
+        F.sum(F.col("mean") / F.pow(F.lit(r), t)).over(cum).alias("__cq"),
+    )
+    z = F.pow(F.lit(r), "__t") * (
+        F.col("__mu0") + F.lit(lam) * F.col("__cq")
+    )
+    half = (
+        F.lit(nsigma)
+        * F.col("__sig0")
+        * F.sqrt(
+            F.lit(lam / (2.0 - lam))
+            * (F.lit(1.0) - F.pow(F.lit(r), F.lit(2.0) * F.col("__t")))
+        )
+    )
+    return scored.select(
+        *keys,
+        (F.col("__t") - 1).cast("bigint").alias("batch_id"),
+        "n",
+        "mean",
+        z.alias("ewma"),
+        (F.col("__mu0") - half).alias("lcl"),
+        (F.col("__mu0") + half).alias("ucl"),
+        F.coalesce(
+            ((z < F.col("__mu0") - half) | (z > F.col("__mu0") + half)).cast(
+                "int"
+            ),
+            F.lit(0),
+        ).alias("ooc"),
+    )
+
+
+def acf_ljung_box(
+    df: DataFrame,
+    batch_col: str,
+    value_col: str = "value",
+    max_lag: int = 7,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sample autocorrelation function + Ljung-Box portmanteau statistic
+    (Box & Pierce 1970; Ljung & Box 1978) of the per-batch mean series —
+    the "is this metric serially dependent?" diagnostic that tells a
+    monitoring stack whether its control-chart independence assumptions
+    hold (a strongly autocorrelated daily mean makes Shewhart/EWMA false
+    alarms, and a lag-7 spike exposes weekly seasonality directly).
+
+    ρ_k = Σ_{t≤T−k}(m_t−m̄)(m_{t+k}−m̄) / Σ_t(m_t−m̄)² (standard biased
+    sample ACF — the estimator with the positive-semidefinite ACF
+    matrix), and Q_k = T(T+2)·Σ_{j≤k} ρ_j²/(T−j) cumulated over lags.
+    Returns (*keys, lag, n_batches, rho, q_lb) for lag 1..max_lag.
+
+    Shape: one grouped agg collapses the corpus to the calendar-bounded
+    batch relation; all ``max_lag`` lead columns come from ONE window
+    pass (same partition+order ⇒ one Window node); one agg to a single
+    row per key; posexplode to (lag, rho); the cumulative Q windows over
+    ≤max_lag rows. With ``keys`` every window is key-partitioned.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError(f"acf_ljung_box: max_lag must be >= 1, got {max_lag}")
+    keys = list(keys or [])
+    cells = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(batch_col).isNotNull()
+            & ~F.isnan(F.col(value_col))
+        )
+        .groupBy(*keys, F.col(batch_col).alias("__b"))
+        .agg(F.avg(F.col(value_col)).alias("m"))
+    )
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    wo = wg.orderBy("__b")
+    dev = F.col("m") - F.avg("m").over(wg)
+    led = cells.select(
+        *keys,
+        dev.alias("d0"),
+        *[F.lead(dev, k).over(wo).alias(f"d{k}") for k in range(1, max_lag + 1)],
+    )
+    agg = led.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("T"),
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    rhos = agg.select(
+        *keys,
+        F.col("T"),
+        F.posexplode(
+            F.array(*[F.col(f"num{k}") / F.col("den") for k in range(1, max_lag + 1)])
+        ).alias("__p", "rho"),
+    ).select(
+        *keys,
+        (F.col("__p") + 1).cast("int").alias("lag"),
+        F.col("T").alias("n_batches"),
+        "rho",
+    )
+    wq = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    q = (
+        F.col("n_batches")
+        * (F.col("n_batches") + 2)
+        * F.sum(
+            F.col("rho") * F.col("rho") / (F.col("n_batches") - F.col("lag"))
+        ).over(wq)
+    )
+    return rhos.select(*keys, "lag", "n_batches", "rho", q.alias("q_lb"))

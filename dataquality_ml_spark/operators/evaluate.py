@@ -764,3 +764,62 @@ def isotonic_calibration(
         ],
         schema,
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str = "value"
+) -> DataFrame:
+    """One-way ANOVA F test across groups (Fisher) — "does the metric's
+    MEAN differ across segments at all?", the omnibus gate that belongs
+    in front of pairwise drift tests (k segments give k(k-1)/2 pairwise
+    comparisons and a multiple-testing problem; one F statistic answers
+    the aggregate question first). Returns one row
+    (n, n_groups, f_stat, df1, df2, eta_sq) — eta² = SSB/SST is the
+    variance-explained effect size the F value alone hides.
+
+    Shape: ONE grouped aggregation to the bounded per-group relation
+    (n_k, Σx, Σx²), one reduce over it; SSB/SSW via the closed forms
+    SSB = Σ s_k²/n_k − S²/N, SSW = Σ ss_k − Σ s_k²/n_k — no second
+    data pass. Loud contract: raises on < 2 groups or zero within-group
+    degrees of freedom (N == g), where F is undefined.
+    """
+    valid = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & F.col(group_col).isNotNull()
+    )
+    cells = valid.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum(value_col).alias("s_k"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("ss_k"),
+    )
+    agg = cells.agg(
+        F.sum("n_k").alias("N"),
+        F.count(F.lit(1)).alias("g"),
+        F.sum("s_k").alias("S"),
+        F.sum("ss_k").alias("SS"),
+        F.sum(F.col("s_k") * F.col("s_k") / F.col("n_k")).alias("A"),
+    )
+    row = agg.first()
+    if row["g"] is None or row["g"] < 2:
+        raise ValueError(
+            f"anova_oneway: need >= 2 groups with data, got {row['g'] or 0}"
+        )
+    if row["N"] <= row["g"]:
+        raise ValueError(
+            "anova_oneway: zero within-group degrees of freedom "
+            f"(N={row['N']}, groups={row['g']}) — F is undefined"
+        )
+    ssb = F.col("A") - F.col("S") * F.col("S") / F.col("N")
+    ssw = F.col("SS") - F.col("A")
+    sst = F.col("SS") - F.col("S") * F.col("S") / F.col("N")
+    df1 = (F.col("g") - 1).cast("bigint")
+    df2 = (F.col("N") - F.col("g")).cast("bigint")
+    return agg.select(
+        F.col("N").alias("n"),
+        F.col("g").alias("n_groups"),
+        ((ssb / df1) / (ssw / df2)).alias("f_stat"),
+        df1.alias("df1"),
+        df2.alias("df2"),
+        (ssb / sst).alias("eta_sq"),
+    )

@@ -284,3 +284,63 @@ def pagerank(
             ),
         ).localCheckpoint(eager=False)
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan
+    et al. 2007) over an undirected edge relation — the soft-clustering
+    complement to :func:`connected_components`: CC merges everything
+    reachable (one bridge edge fuses two template families), LPA keeps
+    densely-linked groups separate because a label must win a majority
+    of a node's neighborhood, not merely touch it.
+
+    Determinism (the published algorithm breaks ties randomly and
+    updates asynchronously — neither survives an oracle): updates are
+    SYNCHRONOUS, every node casts ONE self-vote (damps the two-cycle
+    oscillation synchronous LPA is known for on bipartite structure),
+    ties break (count desc, label asc), and the iteration count is
+    FIXED. Returns (node, community).
+
+    Scale shape per iteration: one equi-join of (node, label) onto the
+    symmetrized edges + one (node, label) count + one per-node argmax —
+    all key-partitioned; each iterate localCheckpoint-ed so the plan
+    stays O(1) deep (same discipline as connected_components/pagerank).
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 1, got {iterations}"
+        )
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=False)
+    for _ in range(int(iterations)):
+        nbr_votes = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        votes = nbr_votes.unionAll(labels)  # one self-vote per node
+        counts = votes.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax with deterministic tie-break: min over (-count, label)
+        best = counts.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+            ).alias("b")
+        )
+        labels = best.select(
+            "node", F.col("b.l").alias("lbl")
+        ).localCheckpoint(eager=False)
+    return labels.select("node", F.col("lbl").alias("community"))

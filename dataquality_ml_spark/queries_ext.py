@@ -8697,3 +8697,325 @@ def quality_score_fixed_weights_docs(spark: SparkSession, sf_dir: str) -> DataFr
         (F.round(prob, 6) + F.lit(0.0)).alias("prob_hq"),
         (prob > F.lit(0.5)).cast("int").alias("pred_hq"),
     ).orderBy("doc_id")
+
+
+@register(
+    "prefix_filter_jaccard_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    ex AS (
+      SELECT doc_id, len(shs) AS n,
+             CAST('0x' || substr(md5(unnest(shs)), 1, 8) AS BIGINT) AS s
+      FROM sh
+    ),
+    dfreq AS (SELECT s, COUNT(*) AS dfc FROM ex GROUP BY 1),
+    pos AS (
+      SELECT e.doc_id, e.n, e.s,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.dfc, e.s)
+               AS pos
+      FROM ex e JOIN dfreq d USING (s)
+    ),
+    pref AS (
+      SELECT * FROM pos
+      WHERE pos <= n - (800000 * n + 999999) // 1000000 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n AS n_a, b.n AS n_b
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE 1000000 * LEAST(a.n, b.n) >= 800000 * GREATEST(a.n, b.n)
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.id_a
+      JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter
+    WHERE ROUND(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 4) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def prefix_filter_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact-Jaccard self-join (round 13):
+    candidates come from each doc's RAREST ``n - ceil(t*n) + 1`` shingles
+    under the global df-asc order, not from the full inverted index — the
+    canonical set-similarity-join strategy that removes the hot-shingle
+    quadratic risk ``ngram_jaccard_pairs`` must cap, at zero recall loss
+    (the prefix lemma is exact, unlike LSH banding).  Hash-gated against
+    a DuckDB replica of the full pipeline (same md5 token hash, same
+    integer prefix arithmetic) and differentially tested equal to the
+    full-index form in tests/test_round13_ops.py."""
+    from dataquality_ml_spark.operators import dedup as dd13
+
+    return dd13.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.8
+    )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation over the sorted-
+    neighborhood candidate graph — one MATERIALIZED CTE per iteration
+    (same anti-inlining discipline as _pagerank_oracle), argmax via
+    ROW_NUMBER (count desc, label asc) mirroring the engine's
+    min-struct tie-break."""
+    parts = [
+        """norm AS (
+      SELECT doc_id, trim(lower(nfc_normalize(text))) AS nt FROM documents
+    ),
+    keyed AS (SELECT doc_id, substr(nt, 1, 24) AS k FROM norm),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS r
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 3
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl)
+                 AS rn
+        FROM (
+          SELECT node, lbl, COUNT(*) AS c FROM (
+            SELECT e.src AS node, l.lbl AS lbl
+            FROM sym e JOIN l{t - 1} l ON l.node = e.dst
+            UNION ALL
+            SELECT node, lbl FROM l{t - 1}
+          ) v GROUP BY 1, 2
+        ) g
+      ) r WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, lbl AS community FROM l{iters} ORDER BY node
+    """
+    )
+
+
+@register("label_prop_communities_docs", oracle=_lpa_oracle())
+def label_prop_communities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities in the sorted-neighborhood candidate
+    graph (round 13, 4 synchronous iterations, self-vote, deterministic
+    ties): the soft-clustering complement to the connected-components
+    dedup clusters — one bridge edge fuses two template families under
+    CC, but under LPA a label must win each node's neighborhood
+    majority, so dense groups stay separate. Same candidate graph as
+    pagerank_dup_candidates_docs; oracle unrolls the same 4 iterations
+    as MATERIALIZED CTEs."""
+    from dataquality_ml_spark.functions.scalar import normalize_text
+    from dataquality_ml_spark.operators import dedup as ddl
+    from dataquality_ml_spark.operators import graph as gr13
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(normalize_text("text"), 1, 24).alias("__k")
+    )
+    pairs = ddl.sorted_neighborhood_pairs(docs, "__k", window=3).select(
+        "id_a", "id_b"
+    )
+    return gr13.label_propagation(pairs, iterations=4).orderBy("node")
+
+
+@register(
+    "ewma_control_by_type_events",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, d, n, m,
+             AVG(m) OVER (PARTITION BY event_type) AS mu0,
+             STDDEV_SAMP(m) OVER (PARTITION BY event_type) AS s0,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS DOUBLE) AS t
+      FROM cells
+    ),
+    c AS (
+      SELECT *,
+             SUM(m / pow(0.8, t)) OVER (PARTITION BY event_type ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS cq
+      FROM p
+    ),
+    z AS (
+      SELECT event_type, t, n, m,
+             pow(0.8, t) * (mu0 + 0.2 * cq) AS ewma,
+             mu0 - 3.0 * s0 * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * t))) AS lcl,
+             mu0 + 3.0 * s0 * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * t))) AS ucl
+      FROM c
+    )
+    SELECT event_type, CAST(t - 1 AS BIGINT) AS batch_id, n,
+           ROUND(m, 6) + 0 AS mean,
+           ROUND(ewma, 6) + 0 AS ewma,
+           ROUND(lcl, 6) + 0 AS lcl,
+           ROUND(ucl, 6) + 0 AS ucl,
+           COALESCE(CAST(ewma < lcl OR ewma > ucl AS INT), 0) AS ooc
+    FROM z ORDER BY event_type, batch_id
+    """,
+)
+def ewma_control_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment EWMA control chart at daily granularity (round 13):
+    one independent chart per event type — the small-persistent-shift
+    monitor that completes the panel between the Shewhart-style outlier
+    faces and the CUSUM level-shift family. Whole chart is ONE pass via
+    the closed-form prefix identity z_t = r^t(mu + lambda*sum m_i/r^i);
+    exact variance-inflation limits, not the asymptotic band. Every
+    window is key-partitioned (NO unpartitioned window anywhere, same
+    contract as cusum_by_type_events)."""
+    from dataquality_ml_spark.operators import drift as dr13b
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    sliced = ev.withColumn(
+        "__day", F.to_date(F.date_trunc("day", F.col("ts")))
+    ).where(F.col("__day").isNotNull())
+    out = dr13b.ewma_control(
+        sliced, "__day", "value", lam=0.2, nsigma=3.0, keys=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        "batch_id",
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("ewma", 6) + F.lit(0.0)).alias("ewma"),
+        (F.round("lcl", 6) + F.lit(0.0)).alias("lcl"),
+        (F.round("ucl", 6) + F.lit(0.0)).alias("ucl"),
+        "ooc",
+    ).orderBy("event_type", "batch_id")
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    leads = ",\n             ".join(
+        f"LEAD(d0, {k}) OVER (PARTITION BY event_type ORDER BY d) AS d{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ",\n             ".join(
+        f"SUM(d0 * d{k}) AS num{k}" for k in range(1, max_lag + 1)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT event_type, T, {k} AS lag, num{k} / den AS rho FROM a"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             AVG(value) AS m
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dv AS (
+      SELECT event_type, d,
+             m - AVG(m) OVER (PARTITION BY event_type) AS d0
+      FROM cells
+    ),
+    led AS (
+      SELECT event_type, d0,
+             {leads}
+      FROM dv
+    ),
+    a AS (
+      SELECT event_type, COUNT(*) AS T, SUM(d0 * d0) AS den,
+             {nums}
+      FROM led GROUP BY 1
+    ),
+    r AS (
+      {unions}
+    )
+    SELECT event_type, lag, T AS n_batches,
+           ROUND(rho, 6) + 0 AS rho,
+           ROUND(T * (T + 2) * SUM(rho * rho / (T - lag))
+                 OVER (PARTITION BY event_type ORDER BY lag
+                       ROWS UNBOUNDED PRECEDING), 6) + 0 AS q_lb
+    FROM r ORDER BY event_type, lag
+    """
+
+
+@register("acf_by_type_events", oracle=_acf_oracle())
+def acf_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment autocorrelation + Ljung-Box panel of the daily mean
+    series (round 13, lags 1..7): the serial-dependence diagnostic that
+    says whether the control-chart family's independence assumptions
+    hold per event type, and exposes weekly seasonality as a lag-7
+    spike. All 7 lead columns come from ONE key-partitioned window
+    pass; no unpartitioned window anywhere."""
+    from dataquality_ml_spark.operators import drift as dr13c
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    sliced = ev.withColumn(
+        "__day", F.to_date(F.date_trunc("day", F.col("ts")))
+    ).where(F.col("__day").isNotNull())
+    out = dr13c.acf_ljung_box(
+        sliced, "__day", "value", max_lag=7, keys=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        "lag",
+        "n_batches",
+        (F.round("rho", 6) + F.lit(0.0)).alias("rho"),
+        (F.round("q_lb", 6) + F.lit(0.0)).alias("q_lb"),
+    ).orderBy("event_type", "lag")
+
+
+@register(
+    "anova_value_by_type",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_k,
+             SUM(value) AS s_k, SUM(value * value) AS ss_k
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS N, CAST(COUNT(*) AS BIGINT) AS g,
+             SUM(s_k) AS S, SUM(ss_k) AS SS, SUM(s_k * s_k / n_k) AS A
+      FROM cells
+    )
+    SELECT N AS n, g AS n_groups,
+           ROUND(((A - S * S / N) / (g - 1))
+                 / ((SS - A) / (N - g)), 6) + 0 AS f_stat,
+           g - 1 AS df1, N - g AS df2,
+           ROUND((A - S * S / N) / (SS - S * S / N), 6) + 0 AS eta_sq
+    FROM t
+    """,
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA omnibus F across event types (round 13): the
+    multiple-testing gate in front of the pairwise drift family — one
+    statistic for "do segment means differ at all", with eta² effect
+    size. One grouped agg to the bounded per-type relation, one
+    reduce."""
+    from dataquality_ml_spark.operators.evaluate import anova_oneway
+
+    out = anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+    return out.select(
+        "n",
+        "n_groups",
+        (F.round("f_stat", 6) + F.lit(0.0)).alias("f_stat"),
+        "df1",
+        "df2",
+        (F.round("eta_sq", 6) + F.lit(0.0)).alias("eta_sq"),
+    )

@@ -184,3 +184,252 @@ def test_cusum_batch_matches_fold_replay(spark):
         assert b["alarm"] == f["alarm"]
     # the planted level shift (days 20..29 ride +4) must alarm by the end
     assert batch[-1]["alarm"] == 1 or fold[-1]["alarm"] == 1
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_pairs (round 13: AllPairs/PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+def test_prefix_filter_matches_full_inverted_index(spark):
+    """The prefix-filtered join must return EXACTLY the pairs of the
+    uncapped full-inverted-index form (the prefix lemma is complete, the
+    verify step is exact — zero recall loss, unlike LSH banding)."""
+    from dataquality_ml_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for k, t in ((5, 0.8), (3, 0.5)):
+        a = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.prefix_filter_jaccard_pairs(
+                docs, k=k, threshold=t
+            ).collect()
+        }
+        b = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dd.ngram_jaccard_pairs(
+                docs, k=k, threshold=t, on_hot_shingle="exact"
+            ).collect()
+        }
+        assert a == b and a
+
+
+def test_prefix_filter_planted_near_dup(spark):
+    """A doc and its one-word-edited copy (high Jaccard) must surface;
+    an unrelated doc must not pair with either."""
+    from dataquality_ml_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    edited = base.replace("lazy", "sleepy", 1)
+    other = "completely different content about spark shuffle partitions " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], ["doc_id", "text"]
+    )
+    got = dd.prefix_filter_jaccard_pairs(df, k=5, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_prefix_filter_prefix_is_smaller_than_full_index(spark):
+    """Scale invariant: the candidate join's input (prefix tokens) must be
+    a strict subset of the full posting list — at t=0.8 each doc posts
+    only ~20% of its shingles (n - ceil(0.8 n) + 1)."""
+    from pyspark.sql import Window
+    from dataquality_ml_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hs = dd.with_hashed_shingles(docs, "text", "doc_id", 5)
+    full = hs.select(F.explode("hs")).count()
+    ex = hs.select("doc_id", F.size("hs").alias("n"), F.explode("hs").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfc"))
+    w = Window.partitionBy("doc_id").orderBy("dfc", "s")
+    pos = ex.join(dfreq, "s").withColumn("pos", F.row_number().over(w))
+    ceil_tn = ((F.lit(800000) * F.col("n") + F.lit(999999)) / F.lit(1000000)).cast("long")
+    pref = pos.where(F.col("pos") <= F.col("n") - ceil_tn + 1).count()
+    assert pref <= 0.25 * full
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected_components
+    fuses them into a single cluster (min-label reachability), but LPA
+    keeps them apart — a label must win each node's neighborhood
+    majority, and one bridge vote never does. The soft-vs-hard
+    clustering contrast the operator exists for."""
+    from dataquality_ml_spark.operators import graph as gr
+
+    clique = lambda ids: [
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+    ]
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([5, 6, 7, 8]) + [(4, 5)],
+        ["id_a", "id_b"],
+    )
+    cc = gr.connected_components(edges)
+    assert cc.select("component").distinct().count() == 1
+    lpa = {r.node: r.community for r in gr.label_propagation(edges, 4).collect()}
+    assert {lpa[n] for n in (1, 2, 3, 4)} == {1}
+    assert {lpa[n] for n in (5, 6, 7, 8)} == {5}
+
+
+def test_label_propagation_deterministic_and_loud(spark):
+    """Fixed iterations + synchronous updates + (count desc, label asc)
+    ties: two runs must agree exactly; iterations < 1 raises."""
+    from dataquality_ml_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    r1 = sorted(map(tuple, gr.label_propagation(edges, 3).collect()))
+    r2 = sorted(map(tuple, gr.label_propagation(edges, 3).collect()))
+    assert r1 == r2
+    with pytest.raises(ValueError, match="iterations"):
+        gr.label_propagation(edges, 0)
+
+
+# ---------------------------------------------------------------------------
+# ewma_control (round 13: one-pass EWMA chart via the prefix identity)
+# ---------------------------------------------------------------------------
+def test_ewma_closed_form_equals_sequential_fold(spark):
+    """The prefix-identity EWMA must match the textbook recursion
+    z_t = lam*m_t + (1-lam)*z_{t-1}, z_0 = mean(m), folded sequentially
+    driver-side, to float precision — same differential contract as the
+    batch CUSUM face."""
+    from dataquality_ml_spark.operators.drift import ewma_control
+
+    vals = [(i, 10.0 + (i % 7) - (3.0 if i > 40 else 0.0)) for i in range(60)]
+    df = spark.createDataFrame(vals, ["b", "value"])
+    got = {
+        r.batch_id: r.ewma
+        for r in ewma_control(df, "b", "value", lam=0.25).collect()
+    }
+    ms = [v for _, v in vals]
+    z = sum(ms) / len(ms)
+    for t, m in enumerate(ms):
+        z = 0.25 * m + 0.75 * z
+        assert math.isclose(got[t], z, rel_tol=1e-9), (t, got[t], z)
+
+
+def test_ewma_flags_planted_level_shift(spark):
+    """With a FROZEN in-control reference (the documented usage when the
+    monitored range may contain the shift), a persistent level shift
+    from batch 50 on must trip the chart shortly after onset and never
+    before; self-estimated params on the same data alarm LATER, because
+    the shift contaminates the estimated center and scale."""
+    from dataquality_ml_spark.operators.drift import ewma_control
+
+    rows = [
+        (i, 100.0 + (0.5 if i % 2 else -0.5) + (8.0 if i >= 50 else 0.0))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["b", "value"])
+    frozen = sorted(
+        (r.batch_id, r.ooc)
+        for r in ewma_control(
+            df, "b", "value", lam=0.2, nsigma=3.0, mu0=100.0, sigma0=0.5
+        ).collect()
+    )
+    first_alarm = min((b for b, o in frozen if o == 1), default=None)
+    assert first_alarm is not None and 50 <= first_alarm <= 52
+    assert all(o == 0 for b, o in frozen if b < 50)
+    selfest = sorted(
+        (r.batch_id, r.ooc)
+        for r in ewma_control(df, "b", "value", lam=0.2, nsigma=3.0).collect()
+    )
+    self_alarm = min((b for b, o in selfest if o == 1), default=None)
+    assert self_alarm is not None and self_alarm > first_alarm
+
+
+def test_ewma_keyed_has_no_global_window_and_loud_lam(spark):
+    """keys= must partition EVERY window (plan contains no empty
+    windowspecdefinition partition), and lam outside (0,1] raises."""
+    from dataquality_ml_spark.operators.drift import ewma_control
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 5)) for i in range(20)], ["k", "b", "value"]
+    )
+    plan = (
+        ewma_control(df, "b", "value", keys=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(k" in plan.replace("#", "").lower() or (
+        "Window" in plan and "partitionBy" not in plan
+    )
+    with pytest.raises(ValueError, match="lam"):
+        ewma_control(df, "b", "value", lam=0.0)
+
+
+# ---------------------------------------------------------------------------
+# acf_ljung_box (round 13)
+# ---------------------------------------------------------------------------
+def test_acf_matches_numpy_reference(spark):
+    """rho_k and Q_k must match the textbook formulas computed in numpy
+    on the same series (deterministic LCG noise, no RNG)."""
+    import numpy as np
+    from dataquality_ml_spark.operators.drift import acf_ljung_box
+
+    x, vals = 7, []
+    for i in range(120):
+        x = (1103515245 * x + 12345) % (2**31)
+        vals.append((i, 50.0 + 10.0 * ((i % 6) == 0) + (x % 1000) / 100.0))
+    df = spark.createDataFrame(vals, ["b", "value"])
+    got = {
+        r.lag: (r.rho, r.q_lb, r.n_batches)
+        for r in acf_ljung_box(df, "b", "value", max_lag=6).collect()
+    }
+    m = np.array([v for _, v in vals])
+    d = m - m.mean()
+    den = float((d * d).sum())
+    T = len(m)
+    q = 0.0
+    for k in range(1, 7):
+        rho = float((d[:-k] * d[k:]).sum()) / den
+        q += rho * rho / (T - k)
+        assert math.isclose(got[k][0], rho, rel_tol=1e-9), k
+        assert math.isclose(got[k][1], T * (T + 2) * q, rel_tol=1e-9), k
+        assert got[k][2] == T
+    # the planted period-6 bump must dominate the ACF at lag 6
+    assert got[6][0] == max(got[k][0] for k in got)
+
+
+def test_acf_keyed_independent_series(spark):
+    """Two keys with different dynamics must get independent ACFs: a
+    constant-plus-alternating series has rho_1 < 0, a trending series
+    rho_1 > 0."""
+    from dataquality_ml_spark.operators.drift import acf_ljung_box
+
+    rows = [("alt", i, 10.0 + (1.0 if i % 2 else -1.0)) for i in range(40)]
+    rows += [("trend", i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "b", "value"])
+    got = {
+        (r.k, r.lag): r.rho
+        for r in acf_ljung_box(df, "b", "value", max_lag=2, keys=["k"]).collect()
+    }
+    assert got[("alt", 1)] < -0.9
+    assert got[("trend", 1)] > 0.9
+    with pytest.raises(ValueError, match="max_lag"):
+        acf_ljung_box(df, "b", "value", max_lag=0)
+
+
+def test_anova_matches_scipy_formula_and_contracts(spark):
+    """F and eta^2 must match the textbook computation on a planted
+    3-group frame (hand-checkable sums); degenerate inputs raise."""
+    from dataquality_ml_spark.operators.evaluate import anova_oneway
+
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0)]
+        + [("b", v) for v in (2.0, 3.0, 4.0)]
+        + [("c", v) for v in (6.0, 7.0, 8.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = anova_oneway(df, "k", "value").first()
+    # groups means 2,3,7; grand 4; SSB=3*(4+1+9)=42; SSW=2+2+2=6
+    assert r["n"] == 9 and r["n_groups"] == 3
+    assert r["df1"] == 2 and r["df2"] == 6
+    assert r["f_stat"] == pytest.approx((42 / 2) / (6 / 6))
+    assert r["eta_sq"] == pytest.approx(42 / 48)
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        anova_oneway(df.where("k = 'a'"), "k", "value")
+    one_per = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, value double"
+    )
+    with pytest.raises(ValueError, match="degrees of freedom"):
+        anova_oneway(one_per, "k", "value")
