@@ -889,3 +889,139 @@ class DQEngine:
         from dataquality_ml_spark.operators.selection import kfold_assign
 
         return kfold_assign(df, k, group_col, id_col, seed)
+
+    # -- round 13 -----------------------------------------------------------
+    def dedup_prefix_filter(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 5,
+        threshold: float = 0.8,
+    ) -> DataFrame:
+        """Exact-Jaccard near-dup pairs via AllPairs/PPJoin prefix
+        filtering — the uncapped-safe alternative to the full shingle
+        inverted index (candidates come from each doc's rarest
+        prefix only)."""
+        from dataquality_ml_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        return prefix_filter_jaccard_pairs(df, text_col, id_col, k, threshold)
+
+    def communities(
+        self, edges: DataFrame, iterations: int = 4
+    ) -> DataFrame:
+        """Label-propagation communities over an undirected edge
+        relation — (node, community); dense groups stay separate where
+        connected components would fuse them across one bridge."""
+        from dataquality_ml_spark.operators.graph import label_propagation
+
+        return label_propagation(edges, iterations)
+
+    def ewma_chart(
+        self,
+        df: DataFrame,
+        batch_col: str,
+        value_col: str = "value",
+        lam: float = 0.2,
+        nsigma: float = 3.0,
+        keys: list[str] | None = None,
+        mu0: float | None = None,
+        sigma0: float | None = None,
+    ) -> DataFrame:
+        """One-pass EWMA control chart of per-batch means (exact
+        variance-inflation limits); pass mu0/sigma0 to freeze the
+        in-control reference."""
+        from dataquality_ml_spark.operators.drift import ewma_control
+
+        return ewma_control(df, batch_col, value_col, lam, nsigma, keys,
+                            mu0, sigma0)
+
+    def autocorrelation(
+        self,
+        df: DataFrame,
+        batch_col: str,
+        value_col: str = "value",
+        max_lag: int = 7,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Sample ACF + Ljung-Box Q of the per-batch mean series —
+        (lag, n_batches, rho, q_lb) per key."""
+        from dataquality_ml_spark.operators.drift import acf_ljung_box
+
+        return acf_ljung_box(df, batch_col, value_col, max_lag, keys)
+
+    def anova(
+        self, df: DataFrame, group_col: str, value_col: str = "value"
+    ) -> DataFrame:
+        """One-way ANOVA omnibus F + eta^2 across groups."""
+        from dataquality_ml_spark.operators.evaluate import anova_oneway
+
+        return anova_oneway(df, group_col, value_col)
+
+    def kruskal(
+        self, df: DataFrame, group_col: str, value_col: str = "value"
+    ) -> DataFrame:
+        """Kruskal-Wallis rank omnibus H (tie-corrected) across groups."""
+        from dataquality_ml_spark.operators.evaluate import kruskal_wallis
+
+        return kruskal_wallis(df, group_col, value_col)
+
+    def fdr_adjust(
+        self, panel: DataFrame, p_col: str = "p_value", m: int | None = None
+    ) -> DataFrame:
+        """Benjamini-Hochberg q-values over a test panel (adds
+        ``q_value``; panel-bounded contract)."""
+        from dataquality_ml_spark.operators.evaluate import fdr_bh
+
+        return fdr_bh(panel, p_col, m)
+
+    def unseen_mass(
+        self, df: DataFrame, text_col: str = "text", max_r: int = 10
+    ) -> DataFrame:
+        """Good-Turing frequency-of-frequencies panel; the r=1 row's
+        token_share is the unseen-token-mass estimate N1/N."""
+        from dataquality_ml_spark.operators.text import good_turing_panel
+
+        return good_turing_panel(df, text_col, max_r=max_r)
+
+    def ranking_quality(
+        self, exact: DataFrame, approx: DataFrame, k: int
+    ) -> DataFrame:
+        """NDCG@k + MRR of an approximate neighbor ranking against the
+        exact baseline — (query_id, dcg, idcg, ndcg, mrr)."""
+        from dataquality_ml_spark.operators.similarity import ranking_quality
+
+        return ranking_quality(exact, approx, k)
+
+    def cluster_bootstrap_ci(
+        self,
+        df: DataFrame,
+        value_col: str,
+        group_col: str,
+        n_boot: int = 64,
+        alpha: float = 0.05,
+    ) -> DataFrame:
+        """Grouped (cluster) Poissonized bootstrap CI of the mean —
+        groups resample together, the correct interval for correlated
+        rows (a user's events, a host's documents)."""
+        from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
+
+        return poisson_bootstrap_ci(
+            df, value_col, group_col, n_boot, alpha, group_col=group_col
+        )
+
+    def embedding_two_sample(
+        self,
+        x_df: DataFrame,
+        y_df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sigma2: float = 1.0,
+    ) -> DataFrame:
+        """Linear-time kernel MMD two-sample test between two embedding
+        sets — (n_quads, mmd2, se, z); z >~ 3 means they differ."""
+        from dataquality_ml_spark.operators.similarity import mmd_linear
+
+        return mmd_linear(x_df, y_df, vec_col, id_col, sigma2)

@@ -582,6 +582,7 @@ def poisson_bootstrap_ci(
     id_col: str,
     n_boot: int = 64,
     alpha: float = 0.05,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Distributed bootstrap CI for the mean via Poissonization (Chamandy
     et al. 2012 — the estimator behind "bootstrapping the big data way"):
@@ -609,14 +610,24 @@ def poisson_bootstrap_ci(
     md5+conv form spent more time in the radix conversion than in the
     whole rest of the query), and exactly replayable in any engine with
     64-bit integer ops. Hash string ids to integers first if needed.
+
+    ``group_col`` makes this the CLUSTER (grouped) bootstrap: the
+    Poisson weight is drawn from the GROUP id, so a group's rows are
+    resampled together — the correct CI when rows within a group are
+    correlated (a user's events, a crawl host's documents); the
+    row-level bootstrap UNDERSTATES the variance of grouped data
+    because it treats within-group copies as independent information
+    (Field & Welsh 2007). Same integral-id contract applies to the
+    group id; rows with a NULL group are dropped.
     """
     from pyspark.sql.types import IntegralType
 
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"poisson_bootstrap_ci: need 0 < alpha < 1, got {alpha}")
-    if not isinstance(df.schema[id_col].dataType, IntegralType):
+    hash_col = group_col if group_col is not None else id_col
+    if not isinstance(df.schema[hash_col].dataType, IntegralType):
         raise ValueError(
-            f"poisson_bootstrap_ci: id_col {id_col!r} must be integral "
+            f"poisson_bootstrap_ci: {hash_col!r} must be integral "
             "(the portable mixer is integer arithmetic) — hash string ids "
             "to integers first"
         )
@@ -624,8 +635,8 @@ def poisson_bootstrap_ci(
     base = df.where(
         F.col(value_col).isNotNull()
         & ~F.isnan(x)
-        & F.col(id_col).isNotNull()
-    ).select(F.col(id_col).cast("bigint").alias("__i"), x.alias("__x"))
+        & F.col(hash_col).isNotNull()
+    ).select(F.col(hash_col).cast("bigint").alias("__i"), x.alias("__x"))
     ex = base.select(
         "__i",
         "__x",
@@ -823,3 +834,112 @@ def anova_oneway(
         df2.alias("df2"),
         (ssb / sst).alias("eta_sq"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str = "value"
+) -> DataFrame:
+    """Kruskal-Wallis H test (1952) — the rank-based omnibus companion
+    to :func:`anova_oneway`: "do the segment DISTRIBUTIONS differ?"
+    without the normality/equal-variance assumptions F needs, robust to
+    the heavy tails real metric columns have. Midranks for ties, with
+    the standard tie correction C = 1 − Σ(t³−t)/(N³−N); H/C is χ²(g−1)
+    under H₀. Returns one row
+    (n, n_groups, df1, h_stat, tie_correction, h_adj).
+
+    Scale shape — NO global sort and NO unpartitioned window: midranks
+    come from the DISTRIBUTED exclusive prefix sum over the distinct-
+    value relation (midrank(v) = #smaller + (ties+1)/2 — the Gini
+    ranking engine, relational.exclusive_prefix_sum), joined back to
+    per-(group, value) counts; everything after is two bounded
+    aggregations. Loud contracts: < 2 groups, zero between-group dof,
+    or ALL values tied (C = 0, H undefined) raise.
+    """
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    valid = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("k"), F.col(value_col).alias("v"))
+    vals = valid.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    ranked = exclusive_prefix_sum(vals, "v", "t", out="cl")
+    mid = F.col("cl") + (F.col("t") + 1) / F.lit(2.0)
+    cells = valid.groupBy("k", "v").agg(F.count(F.lit(1)).alias("n_kv"))
+    gk = (
+        cells.join(ranked.select("v", mid.alias("mid")), "v")
+        .groupBy("k")
+        .agg(
+            F.sum("n_kv").alias("n_k"),
+            F.sum(F.col("n_kv") * F.col("mid")).alias("rk"),
+        )
+    )
+    tie = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("t3")
+    )
+    tot = gk.agg(
+        F.sum("n_k").alias("N"),
+        F.count(F.lit(1)).alias("g"),
+        F.sum(F.col("rk") * F.col("rk") / F.col("n_k")).alias("s"),
+    ).crossJoin(tie)
+    row = tot.first()
+    if row["g"] is None or row["g"] < 2:
+        raise ValueError(
+            f"kruskal_wallis: need >= 2 groups with data, got {row['g'] or 0}"
+        )
+    n, t3 = row["N"], row["t3"]
+    if t3 == n * n * n - n:
+        raise ValueError(
+            "kruskal_wallis: all values tied — H is undefined (tie "
+            "correction is 0)"
+        )
+    h = (
+        F.lit(12.0) / (F.col("N") * (F.col("N") + 1)) * F.col("s")
+        - 3 * (F.col("N") + 1)
+    )
+    c = F.lit(1.0) - F.col("t3") / (
+        F.col("N") * F.col("N") * F.col("N") - F.col("N")
+    )
+    return tot.select(
+        F.col("N").alias("n"),
+        F.col("g").alias("n_groups"),
+        (F.col("g") - 1).cast("bigint").alias("df1"),
+        h.alias("h_stat"),
+        c.alias("tie_correction"),
+        (h / c).alias("h_adj"),
+    )
+
+
+def fdr_bh(df: DataFrame, p_col: str = "p_value", m: int | None = None) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment (1995) over a TEST
+    PANEL — the multiple-testing closer for the per-segment drift
+    families: a panel of k segments tested at α has ~k·α false alarms;
+    BH q-values bound the expected FALSE DISCOVERY fraction instead.
+    Adds ``q_value`` = min_{j≥rank} p_(j)·m/j clamped to 1 — monotone,
+    tie-invariant (equal p always get equal q, whatever order ties
+    land in, because the reverse running min spans the whole tie
+    group's candidates).
+
+    PANEL-BOUNDED CONTRACT: the input is one row per TEST
+    (segment/feature/metric), not per data row — both windows order
+    the whole relation (rank by p, reverse running min by rank), the
+    same documented bounded-window class as the ≤bins faces. ``m``
+    defaults to the panel row count; pass it explicitly when the panel
+    was pre-filtered (BH's m is the number of tests RUN, not kept).
+    """
+    from pyspark.sql import Window
+
+    mm = int(m) if m is not None else df.count()
+    if mm < 1:
+        raise ValueError(f"fdr_bh: need >= 1 test, got m={mm}")
+    ranked = df.withColumn(
+        "__j", F.row_number().over(Window.orderBy(F.col(p_col).asc()))
+    )
+    wmin = Window.orderBy(F.col("__j").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = F.least(
+        F.lit(1.0),
+        F.min(F.col(p_col) * F.lit(float(mm)) / F.col("__j")).over(wmin),
+    )
+    return ranked.withColumn("q_value", q).drop("__j")

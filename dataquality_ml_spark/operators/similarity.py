@@ -1945,3 +1945,158 @@ def embedding_effective_rank(
         [(d, tot, erank, top_share)],
         "d int, total_var double, effective_rank double, top_eig_share double",
     )
+
+
+def ranking_quality(
+    exact: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """NDCG@k + MRR of an approximate neighbor ranking against the
+    exact baseline — the graded complement to recall@k (which only
+    counts membership): NDCG says whether the ANN index returns the
+    right neighbors in the right ORDER (rank-1 misses cost
+    log-discounted mass; a tail swap barely registers), and MRR says
+    where the single best neighbor landed. Graded relevance is the
+    exact list's reversed rank (rel = k+1−rank_exact, 0 for anything
+    outside the exact top-k — the standard Järvelin-Kekäläinen DCG with
+    log2 discount).
+
+    Inputs are the ranked relations the knn operators already emit
+    ((query_id, neighbor_id, rank)); output one row per query:
+    (query_id, dcg, idcg, ndcg, mrr). IDCG comes from the exact list
+    itself, so ndcg = 1 iff the approx list reproduces the exact
+    ordering. Shape: two equi-joins on (query_id, neighbor_id) + two
+    grouped sums over ≤k rows per query — broadcast-sized all the way.
+    """
+    if k < 1:
+        raise ValueError(f"ranking_quality: k must be >= 1, got {k}")
+    rel = exact.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(k + 1) - F.col("rank")).cast("double").alias("rel"),
+        F.col("rank").alias("rank_e"),
+    )
+    dcg = (
+        approx.join(rel, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0.0))
+                / F.log2(F.col("rank") + 1)
+            ).alias("dcg")
+        )
+    )
+    idcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank_e") + 1)).alias("idcg")
+    )
+    mrr = (
+        rel.where(F.col("rank_e") == 1)
+        .join(
+            approx.select(
+                "query_id", "neighbor_id", F.col("rank").alias("rank_a")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.max(F.lit(1.0) / F.col("rank_a")), F.lit(0.0)).alias(
+                "mrr"
+            )
+        )
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .join(mrr, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+            (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias(
+                "ndcg"
+            ),
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+        )
+    )
+
+
+def mmd_linear(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sigma2: float = 1.0,
+) -> DataFrame:
+    """Linear-time MMD² two-sample test between two embedding sets
+    (Gretton et al. 2012, §6) — the KERNEL drift test for embedding
+    columns: per-dimension profiles and centroid drift miss a
+    distribution change that preserves means; MMD with an RBF kernel
+    k(a,b) = exp(−‖a−b‖²/2σ²) is sensitive to ANY moment. The
+    linear-time estimator averages
+    h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁) over disjoint
+    quadruples, so cost is O(m·d) — not the O(m²·d) Gram matrix — and
+    h's sample variance gives an asymptotically normal z-score directly
+    (no permutation loop). Returns one row:
+    (n_quads, mmd2, se, z); z ≳ 3 ⇒ the two sets differ.
+
+    Determinism + scale: pairing aligns the i-th smallest ``id_col`` of
+    each set — ranks come from the DISTRIBUTED exclusive prefix sum
+    (the Gini ranking engine), NOT a global window; quadruples join on
+    the pair index (equi-joins only). Extra rows past the shorter set
+    drop out of the alignment join, and a trailing odd pair drops out
+    of the quadruple join — both documented truncations of the
+    published estimator. ``sigma2`` is an explicit bandwidth (no median
+    heuristic — keep it frozen like any other monitoring reference).
+    """
+    from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
+
+    if sigma2 <= 0:
+        raise ValueError(f"mmd_linear: sigma2 must be > 0, got {sigma2}")
+
+    def _ranked(df, out_vec):
+        base = df.where(
+            F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias(out_vec))
+        return exclusive_prefix_sum(
+            base.withColumn("__one", F.lit(1)), "__id", "__one", out="__r"
+        ).select("__r", out_vec)
+
+    def _sqd(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda p, q: (p.cast("double") - q.cast("double"))
+                * (p.cast("double") - q.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _k(a, b):
+        return F.exp(-_sqd(a, b) / F.lit(2.0 * float(sigma2)))
+
+    pairs = _ranked(x_df, "vx").join(_ranked(y_df, "vy"), "__r")
+    t1 = pairs.where(F.col("__r") % 2 == 0).select(
+        (F.col("__r") / 2).cast("bigint").alias("q"),
+        F.col("vx").alias("x1"),
+        F.col("vy").alias("y1"),
+    )
+    t2 = pairs.where(F.col("__r") % 2 == 1).select(
+        ((F.col("__r") - 1) / 2).cast("bigint").alias("q"),
+        F.col("vx").alias("x2"),
+        F.col("vy").alias("y2"),
+    )
+    h = (
+        _k(F.col("x1"), F.col("x2"))
+        + _k(F.col("y1"), F.col("y2"))
+        - _k(F.col("x1"), F.col("y2"))
+        - _k(F.col("x2"), F.col("y1"))
+    )
+    quads = t1.join(t2, "q").select(h.alias("h"))
+    se = F.sqrt(F.var_samp("h") / F.count(F.lit(1)))
+    # z is NULL when Var(h) = 0 (e.g. x == y elementwise: every h is
+    # exactly 0) — an undefined test statistic, not an error
+    return quads.agg(
+        F.count(F.lit(1)).alias("n_quads"),
+        F.avg("h").alias("mmd2"),
+        se.alias("se"),
+        F.when(F.var_samp("h") > 0, F.avg("h") / se).alias("z"),
+    )

@@ -830,3 +830,53 @@ def lix_readability(
             + F.lit(100.0) * n_long / n_words.cast("double"),
         ).alias("lix"),
     )
+
+
+def good_turing_panel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_r: int = 10,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies panel (Good 1953) — the
+    unseen-mass / rare-token budget of a corpus: the r=1 row's
+    ``token_share`` IS the Good-Turing probability that the NEXT token
+    drawn is previously unseen (N₁/N), and ``r_star`` =
+    (r+1)·N_{r+1}/N_r is the smoothed count that says how much mass
+    each low-frequency band should shed to the unseen — what a
+    tokenizer/vocab decision should look at before trusting raw counts
+    (complements chao1_duplicate_richness, which estimates unseen
+    CONTENT; this estimates unseen token MASS). Returns one row per
+    count r ≤ ``max_r``: (r, n_r, r_star, token_share); r_star is NULL
+    when N_{r+1} = 0 (the band has nothing above it to borrow from).
+
+    Shape: tokenize-explode → term counts → frequency-of-frequencies
+    (≤ O(√N) distinct r, but nothing here assumes that bound) — the
+    r→r+1 lookup is an EQUI-JOIN on the freq-of-freq relation, not a
+    window, so there is no global ordering anywhere; the total-token
+    scalar joins in as a broadcast one-row relation.
+    """
+    from dataquality_ml_spark.operators.relational import ensure_parallelism
+    from dataquality_ml_spark.functions.scalar import tokens
+
+    if max_r < 1:
+        raise ValueError(f"good_turing_panel: max_r must be >= 1, got {max_r}")
+    base = ensure_parallelism(df).select(
+        F.explode(tokens(text_col)).alias("w")
+    )
+    tf = base.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    ff = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = ff.agg(F.sum(F.col("r") * F.col("n_r")).alias("N"))
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_up"))
+    return (
+        ff.where(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "n_r",
+            ((F.col("r") + 1) * F.col("n_up") / F.col("n_r")).alias("r_star"),
+            (F.col("r") * F.col("n_r") / F.col("N")).alias("token_share"),
+        )
+        .orderBy("r")
+    )

@@ -9019,3 +9019,500 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df2",
         (F.round("eta_sq", 6) + F.lit(0.0)).alias("eta_sq"),
     )
+
+
+@register(
+    "kruskal_value_by_type",
+    oracle="""
+    WITH valid AS (
+      SELECT event_type AS k, value AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IS NOT NULL
+    ),
+    vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM valid GROUP BY 1),
+    ranked AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING), 0) AS cl
+      FROM vals
+    ),
+    cells AS (
+      SELECT k, v, CAST(COUNT(*) AS BIGINT) AS n_kv FROM valid GROUP BY 1, 2
+    ),
+    gk AS (
+      SELECT c.k, SUM(c.n_kv) AS n_k,
+             SUM(c.n_kv * (r.cl + (r.t + 1) / 2.0)) AS rk
+      FROM cells c JOIN ranked r USING (v) GROUP BY 1
+    ),
+    tie AS (SELECT SUM(t * t * t - t) AS t3 FROM vals),
+    tot AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS N, CAST(COUNT(*) AS BIGINT) AS g,
+             SUM(rk * rk / n_k) AS s
+      FROM gk
+    )
+    SELECT N AS n, g AS n_groups, g - 1 AS df1,
+           ROUND(12.0 / (N * (N + 1)) * s - 3 * (N + 1), 6) + 0 AS h_stat,
+           ROUND(1.0 - t3 / (CAST(N AS DOUBLE) * N * N - N), 6) + 0
+             AS tie_correction,
+           ROUND((12.0 / (N * (N + 1)) * s - 3 * (N + 1))
+                 / (1.0 - t3 / (CAST(N AS DOUBLE) * N * N - N)), 6) + 0
+             AS h_adj
+    FROM tot, tie
+    """,
+)
+def kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank omnibus across event types (round 13): the
+    distribution-free companion to anova_value_by_type. Midranks via
+    the distributed exclusive prefix sum over the distinct-value
+    relation — no global sort, no unpartitioned window."""
+    from dataquality_ml_spark.operators.evaluate import kruskal_wallis
+
+    out = kruskal_wallis(_t(spark, sf_dir, "events"), "event_type", "value")
+    return out.select(
+        "n",
+        "n_groups",
+        "df1",
+        (F.round("h_stat", 6) + F.lit(0.0)).alias("h_stat"),
+        (F.round("tie_correction", 6) + F.lit(0.0)).alias("tie_correction"),
+        (F.round("h_adj", 6) + F.lit(0.0)).alias("h_adj"),
+    )
+
+
+from dataquality_ml_spark.queries import _TOKS_CTE as _TOKS_CTE13  # noqa: E402
+
+
+@register(
+    "good_turing_unseen_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE13},
+    w AS (SELECT unnest(t) AS w FROM toks),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY 1),
+    ff AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(r * n_r) AS N FROM ff)
+    SELECT a.r, a.n_r,
+           ROUND((a.r + 1) * b.n_r / CAST(a.n_r AS DOUBLE), 6) + 0 AS r_star,
+           ROUND(a.r * a.n_r / CAST(tot.N AS DOUBLE), 6) + 0 AS token_share
+    FROM ff a
+    LEFT JOIN ff b ON b.r = a.r + 1
+    CROSS JOIN tot
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def good_turing_unseen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies panel over the documents
+    corpus (round 13): row r=1's token_share is the unseen-token-mass
+    estimate N1/N, r_star the smoothed band counts — the vocab-budget
+    diagnostic complementing chao1 (unseen CONTENT) and vocab_growth
+    (seen trajectory). Equi-join on the freq-of-freq relation; no
+    global window."""
+    from dataquality_ml_spark.operators import text as tx13
+
+    out = tx13.good_turing_panel(
+        _t(spark, sf_dir, "documents"), max_r=10
+    )
+    return out.select(
+        "r",
+        "n_r",
+        (F.round("r_star", 6) + F.lit(0.0)).alias("r_star"),
+        (F.round("token_share", 6) + F.lit(0.0)).alias("token_share"),
+    ).orderBy("r")
+
+
+@register(
+    "fdr_ks_panel_by_type",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v, 1 AS in_a FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+      UNION ALL
+      SELECT event_type, value AS v, 0 AS in_a FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+      FROM tagged GROUP BY event_type, v
+    ),
+    cdf AS (
+      SELECT event_type,
+             SUM(n_a) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(SUM(n_a) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf_a,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(SUM(n_b) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf_b,
+             SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+      FROM per_v
+    ),
+    ks AS (
+      SELECT event_type, MAX(ABS(cdf_a - cdf_b)) AS d,
+             MAX(tot_a) AS na, MAX(tot_b) AS nb
+      FROM cdf GROUP BY event_type
+    ),
+    panel AS (
+      SELECT event_type, d,
+             LEAST(1.0, 2 * EXP(-2 * pow(
+               d * sqrt(na * nb / CAST(na + nb AS DOUBLE)), 2))) AS p
+      FROM ks
+    ),
+    rankd AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p) AS j,
+             COUNT(*) OVER () AS m
+      FROM panel
+    ),
+    qv AS (
+      SELECT *, LEAST(1.0, MIN(p * m / j) OVER (ORDER BY j DESC
+                    ROWS UNBOUNDED PRECEDING)) AS q
+      FROM rankd
+    )
+    SELECT event_type,
+           ROUND(d, 6) + 0 AS ks_d,
+           ROUND(p, 6) + 0 AS p_raw,
+           ROUND(q, 6) + 0 AS q_value
+    FROM qv ORDER BY event_type
+    """,
+)
+def fdr_ks_panel_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR closure of the per-type KS drift panel
+    (round 13): a k-segment drift report tested at alpha raises ~k*alpha
+    false alarms; this face attaches the Smirnov-approximate p-value
+    p = min(1, 2 exp(-2 lambda^2)) to each segment's D and BH-adjusts
+    across the panel — q_value is what a paging rule should threshold,
+    not p. The BH windows run over the bounded per-event-type panel
+    (allowlisted bounded-window class); the KS statistics themselves
+    come from the keyed prefix-sum engine with no unpartitioned
+    window."""
+    from dataquality_ml_spark.operators import drift as dr
+    from dataquality_ml_spark.operators.evaluate import fdr_bh
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
+    ks = dr.ks_by_group(ref, cur, "value", keys=["event_type"])
+    lam = F.col("ks_d") * F.sqrt(
+        F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    )
+    panel = ks.select(
+        "event_type",
+        "ks_d",
+        F.least(
+            F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam)
+        ).alias("p_raw"),
+    )
+    out = fdr_bh(panel, "p_raw")
+    return out.select(
+        "event_type",
+        (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
+        (F.round("p_raw", 6) + F.lit(0.0)).alias("p_raw"),
+        (F.round("q_value", 6) + F.lit(0.0)).alias("q_value"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ndcg_ivf_vs_exact",
+    oracle=f"""
+    WITH {{IVF_CTES}},
+    bf_scored AS (
+      SELECT q2.query_id, c2.neighbor_id, ROUND(
+        list_dot_product(q2.qv, c2.cv)
+        / (sqrt(list_dot_product(q2.qv, q2.qv))
+           * sqrt(list_dot_product(c2.cv, c2.cv))), 4) + 0 AS sim
+      FROM (SELECT vec_id AS query_id, emb AS qv FROM vecs WHERE vec_id < 10) q2,
+           (SELECT vec_id AS neighbor_id, emb AS cv FROM vecs) c2
+      WHERE c2.neighbor_id != q2.query_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id, rank FROM ivf_ranked WHERE rank <= 5
+    ),
+    dcg AS (
+      SELECT i.query_id,
+             SUM(COALESCE(6 - b.rank, 0) / log2(i.rank + 1)) AS dcg
+      FROM ivf i LEFT JOIN bf b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY 1
+    ),
+    idcg AS (
+      SELECT query_id, SUM((6 - rank) / log2(rank + 1)) AS idcg
+      FROM bf GROUP BY 1
+    ),
+    mrr AS (
+      SELECT b.query_id, COALESCE(MAX(1.0 / i.rank), 0) AS mrr
+      FROM bf b LEFT JOIN ivf i
+        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      WHERE b.rank = 1 GROUP BY 1
+    )
+    SELECT x.query_id,
+           ROUND(COALESCE(d.dcg, 0), 6) + 0 AS dcg,
+           ROUND(x.idcg, 6) + 0 AS idcg,
+           ROUND(COALESCE(d.dcg, 0) / x.idcg, 6) + 0 AS ndcg,
+           ROUND(m.mrr, 6) + 0 AS mrr
+    FROM idcg x
+    LEFT JOIN dcg d ON d.query_id = x.query_id
+    LEFT JOIN mrr m ON m.query_id = x.query_id
+    ORDER BY x.query_id
+    """.replace("{IVF_CTES}", _IVF_NPROBE2_CTES),
+)
+def ndcg_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 + MRR of multi-probe IVF against the exact brute-force
+    ranking, per query (round 13): the graded ORDER-aware companion to
+    ivf_recall_at_k — recall says the right neighbors came back, NDCG
+    says they came back in the right order, MRR says where the single
+    best neighbor landed. Same registered operators on both sides; the
+    comparison is two (query x k)-sized equi-joins."""
+    from dataquality_ml_spark.operators import similarity as sim13
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim13.centroids_by_label(emb)
+    q = _queries_vecs(spark, sf_dir)
+    bf = sim13.knn_bruteforce(emb, q, k=5)
+    ivf = sim13.knn_ivf(emb, q, cents, k=5, nprobe=2)
+    out = sim13.ranking_quality(bf, ivf, k=5)
+    return out.select(
+        "query_id",
+        (F.round("dcg", 6) + F.lit(0.0)).alias("dcg"),
+        (F.round("idcg", 6) + F.lit(0.0)).alias("idcg"),
+        (F.round("ndcg", 6) + F.lit(0.0)).alias("ndcg"),
+        (F.round("mrr", 6) + F.lit(0.0)).alias("mrr"),
+    ).orderBy("query_id")
+
+
+@register(
+    "ewma_stream_replay_events",
+    oracle="""
+    WITH mu AS (
+      SELECT ROUND(AVG(value), 6) AS mu0 FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    sg AS (SELECT ROUND(STDDEV_SAMP(m), 6) AS s0 FROM cells),
+    p AS (
+      SELECT d, n, m,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS t
+      FROM cells
+    ),
+    c AS (
+      SELECT *, SUM(m / pow(0.8, t)) OVER (ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS cq
+      FROM p
+    ),
+    z AS (
+      SELECT t, n, m,
+             pow(0.8, t) * (mu.mu0 + 0.2 * cq) AS ewma,
+             mu.mu0 - 3.0 * sg.s0
+               * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * t))) AS lcl,
+             mu.mu0 + 3.0 * sg.s0
+               * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * t))) AS ucl
+      FROM c, mu, sg
+    )
+    SELECT CAST(t - 1 AS BIGINT) AS batch_id, n,
+           ROUND(m, 6) + 0 AS mean,
+           ROUND(ewma, 6) + 0 AS ewma,
+           ROUND(lcl, 6) + 0 AS lcl,
+           ROUND(ucl, 6) + 0 AS ucl,
+           CAST(ewma < lcl OR ewma > ucl AS INT) AS ooc
+    FROM z ORDER BY batch_id
+    """,
+)
+def ewma_stream_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA control chart, replayed (round 13): the PRODUCTION
+    foreachBatch fold (streaming.score_stream._ewma_monitor_fold —
+    z = lambda*m + (1-lambda)*z vs the frozen training reference, exact
+    variance-inflation limits) driven over WEEKLY micro-batch slices of
+    events, hash-gated against the closed-form prefix identity
+    z_t = r^t(mu0 + lambda*sum m_i/r^i) in SQL — same replay contract
+    as cusum_stream_replay_events; per batch exactly two scalars cross
+    to the driver. The daily-granularity batch face is
+    ewma_control_by_type_events."""
+    from dataquality_ml_spark.streaming import score_stream as ss13
+
+    ev = _t(spark, sf_dir, "events")
+    mu0 = round(
+        ev.where(F.col("value").isNotNull()).agg(F.avg("value")).first()[0], 6
+    )
+    sliced = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("__wk", F.to_date(F.date_trunc("week", F.col("ts"))))
+    sigma0 = round(
+        sliced.groupBy("__wk")
+        .agg(F.avg("value").alias("m"))
+        .agg(F.stddev_samp("m"))
+        .first()[0],
+        6,
+    )
+    out = ss13.ewma_monitor_replay(
+        sliced, "__wk", mu0, sigma0, "value", lam=0.2, nsigma=3.0
+    )
+    return out.select(
+        "batch_id",
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("ewma", 6) + F.lit(0.0)).alias("ewma"),
+        (F.round("lcl", 6) + F.lit(0.0)).alias("lcl"),
+        (F.round("ucl", 6) + F.lit(0.0)).alias("ucl"),
+        "ooc",
+    ).orderBy("batch_id")
+
+
+@register(
+    "cluster_bootstrap_user_value",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id AS BIGINT) AS i, CAST(value AS DOUBLE) AS x
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+    ),
+    ex AS (
+      SELECT i, x, CAST(g.range AS BIGINT) AS b FROM base, range(64) g
+    ),
+    halves AS (
+      SELECT b, x, (i % 4294967296) AS lo, (i >> 32) AS hi FROM ex
+    ),
+    pm1 AS (
+      SELECT b, x, hi,
+             (lo * 1103515245 + hi * 1597334677 + 12345) % 4294967296 AS p
+      FROM halves
+    ),
+    pm2 AS (SELECT b, x, hi, xor(p, p >> 16) AS p FROM pm1),
+    pm3 AS (SELECT b, x, (p * 1597334677 + hi) % 4294967296 AS p FROM pm2),
+    pm4 AS (SELECT b, x, xor(p, p >> 13) AS p FROM pm3),
+    mix AS (
+      SELECT b, x, (p + (b + 1) * 1046527) % 4294967296 AS s FROM pm4
+    ),
+    m1 AS (SELECT b, x, (s * 1103515245 + 12345) % 4294967296 AS h FROM mix),
+    m2 AS (SELECT b, x, xor(h, h >> 16) AS h FROM m1),
+    m3 AS (SELECT b, x, (h * 1597334677) % 4294967296 AS h FROM m2),
+    uw AS (
+      SELECT b, x, xor(h, h >> 16) / 4294967296.0 AS u FROM m3
+    ),
+    w AS (
+      SELECT b, x, CASE
+        WHEN u < 0.36787944117144233 THEN 0
+        WHEN u < 0.7357588823428847 THEN 1
+        WHEN u < 0.9196986029286058 THEN 2
+        WHEN u < 0.9810118431238463 THEN 3
+        WHEN u < 0.9963401531726563 THEN 4
+        WHEN u < 0.9994058151824183 THEN 5
+        WHEN u < 0.999916758850712 THEN 6
+        WHEN u < 0.9999897508033253 THEN 7
+        WHEN u < 0.999998874797402 THEN 8
+        WHEN u < 0.9999998885745216 THEN 9
+        ELSE 10 END AS w
+      FROM uw
+    ),
+    reps AS (
+      SELECT b, SUM(w * x) / SUM(w) AS mean_b FROM w GROUP BY b
+      HAVING SUM(w) > 0
+    ),
+    ci AS (
+      SELECT quantile_cont(mean_b, 0.025) AS boot_lo,
+             quantile_cont(mean_b, 0.5) AS boot_median,
+             quantile_cont(mean_b, 0.975) AS boot_hi
+      FROM reps
+    )
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n,
+           ROUND((SELECT AVG(x) FROM base), 6) + 0 AS mean,
+           ROUND(boot_lo, 6) + 0 AS boot_lo,
+           ROUND(boot_median, 6) + 0 AS boot_median,
+           ROUND(boot_hi, 6) + 0 AS boot_hi,
+           CAST(64 AS INT) AS n_boot
+    FROM ci
+    """,
+)
+def cluster_bootstrap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER (grouped) bootstrap CI of the mean event value (round
+    13): the Poisson weight is drawn from the USER id, so each user's
+    events resample together — the correct interval when rows within a
+    user are correlated; the row-level bootstrap_mean_ci_events
+    understates grouped variance by treating within-user copies as
+    independent. Same one-scan Poissonization engine, same portable
+    integer mixer, whole bootstrap bit-replayed in DuckDB."""
+    from dataquality_ml_spark.operators import evaluate as ev13c
+
+    out = ev13c.poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id",
+        n_boot=64, alpha=0.05, group_col="user_id",
+    )
+    return out.select(
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("boot_lo", 6) + F.lit(0.0)).alias("boot_lo"),
+        (F.round("boot_median", 6) + F.lit(0.0)).alias("boot_median"),
+        (F.round("boot_hi", 6) + F.lit(0.0)).alias("boot_hi"),
+        "n_boot",
+    )
+
+
+@register(
+    "mmd_embeddings_halves",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    xr AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r, e AS vx
+      FROM v WHERE vec_id % 2 = 0
+    ),
+    yr AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r, e AS vy
+      FROM v WHERE vec_id % 2 = 1
+    ),
+    p AS (SELECT xr.r, vx, vy FROM xr JOIN yr ON yr.r = xr.r),
+    t1 AS (
+      SELECT r // 2 AS q, vx AS x1, vy AS y1 FROM p WHERE r % 2 = 0
+    ),
+    t2 AS (
+      SELECT (r - 1) // 2 AS q, vx AS x2, vy AS y2 FROM p WHERE r % 2 = 1
+    ),
+    hq AS (
+      SELECT
+        exp(-(list_dot_product(x1, x1) - 2 * list_dot_product(x1, x2)
+              + list_dot_product(x2, x2)) / 2.0)
+      + exp(-(list_dot_product(y1, y1) - 2 * list_dot_product(y1, y2)
+              + list_dot_product(y2, y2)) / 2.0)
+      - exp(-(list_dot_product(x1, x1) - 2 * list_dot_product(x1, y2)
+              + list_dot_product(y2, y2)) / 2.0)
+      - exp(-(list_dot_product(x2, x2) - 2 * list_dot_product(x2, y1)
+              + list_dot_product(y1, y1)) / 2.0) AS h
+      FROM t1 JOIN t2 USING (q)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_quads,
+           ROUND(AVG(h), 6) + 0 AS mmd2,
+           ROUND(sqrt(var_samp(h) / COUNT(*)), 6) + 0 AS se,
+           ROUND(CASE WHEN var_samp(h) > 0
+                 THEN AVG(h) / sqrt(var_samp(h) / COUNT(*)) END, 6) + 0 AS z
+    FROM hq
+    """,
+)
+def mmd_embeddings_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-time kernel MMD two-sample test between the even/odd
+    vec_id halves of the embeddings table (round 13, RBF sigma^2 = 1 —
+    the corpus's own mean pair distance scale): the moment-free drift
+    test per-dimension profiles and centroid timelines can't replace.
+    Identical halves of one corpus => z near 0 (the calibration check);
+    a drifted serving window replaces one side in production. Ranks
+    from the distributed prefix-sum engine, quadruples by equi-join —
+    no global window, O(m d) total."""
+    from dataquality_ml_spark.operators import similarity as sim13b
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.where(F.col("vec_id") % 2 == 0)
+    y = emb.where(F.col("vec_id") % 2 == 1)
+    out = sim13b.mmd_linear(x, y, sigma2=1.0)
+    return out.select(
+        "n_quads",
+        (F.round("mmd2", 6) + F.lit(0.0)).alias("mmd2"),
+        (F.round("se", 6) + F.lit(0.0)).alias("se"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )

@@ -1235,3 +1235,137 @@ def cusum_monitor_replay(
         ],
         schema,
     )
+
+
+def _ewma_monitor_fold(
+    mu0: float, sigma0: float, value_col: str, lam: float, nsigma: float
+):
+    """The foreachBatch fold behind :func:`ewma_monitor_stream`, exposed
+    so :func:`ewma_monitor_replay` drives the IDENTICAL code over a
+    static frame (the ``_cusum_monitor_fold`` contract).
+
+    EWMA chart vs a FROZEN in-control reference (μ0, σ0 — the artifact
+    a deployment persists at train time): per batch b with mean x̄_b,
+      z_b = λ·x̄_b + (1−λ)·z_{b−1},  z_0 = μ0
+    out-of-control when z_b leaves μ0 ± L·σ0·sqrt(λ/(2−λ)·(1−(1−λ)^{2b}))
+    (exact variance-inflation limits). The recursion is replayable as
+    the closed form z_t = r^t·(μ0 + λ·Σ m_i/r^i) — two window
+    expressions in any SQL engine, the property the oracle uses (float
+    agreement ~ulp; faces round at 6 dp). State = two scalars; per
+    batch exactly TWO scalars (count, mean) cross to the driver.
+    """
+    import math as _math
+
+    reports: list = []
+    applied: set = set()
+    st = {"z": float(mu0), "t": 0}
+    r = 1.0 - lam
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        row = batch_df.agg(
+            F.count(F.when(F.col(value_col).isNotNull(), 1)).alias("n"),
+            F.avg(value_col).alias("m"),
+        ).first()
+        n, m = int(row["n"]), row["m"]
+        if n == 0:
+            reports.append(
+                {"batch_id": batch_id, "n": 0, "mean": None,
+                 "ewma": None, "lcl": None, "ucl": None, "ooc": None}
+            )
+            applied.add(batch_id)
+            return
+        st["t"] += 1
+        st["z"] = lam * m + r * st["z"]
+        half = (
+            nsigma
+            * sigma0
+            * _math.sqrt(lam / (2.0 - lam) * (1.0 - r ** (2 * st["t"])))
+        )
+        reports.append(
+            {
+                "batch_id": batch_id,
+                "n": n,
+                "mean": m,
+                "ewma": st["z"],
+                "lcl": mu0 - half,
+                "ucl": mu0 + half,
+                "ooc": int(st["z"] < mu0 - half or st["z"] > mu0 + half),
+            }
+        )
+        applied.add(batch_id)
+
+    return _batch, reports
+
+
+def ewma_monitor_stream(
+    stream_df: DataFrame,
+    checkpoint: str,
+    mu0: float,
+    sigma0: float,
+    value_col: str = "value",
+    lam: float = 0.2,
+    nsigma: float = 3.0,
+    trigger_once: bool = True,
+):
+    """Streaming EWMA control chart: every micro-batch's mean folds into
+    the exponentially-weighted level vs the frozen training reference
+    (μ0, σ0), alarming on the exact variance-inflation limits. Sits
+    between the per-batch drift panel (one-shot tests) and CUSUM
+    (cumulative level): EWMA reacts to small persistent shifts with a
+    tunable memory λ. Returns (query, reports)."""
+    _batch, reports = _ewma_monitor_fold(mu0, sigma0, value_col, lam, nsigma)
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), reports
+
+
+def ewma_monitor_replay(
+    df: DataFrame,
+    batch_col: str,
+    mu0: float,
+    sigma0: float,
+    value_col: str = "value",
+    lam: float = 0.2,
+    nsigma: float = 3.0,
+) -> DataFrame:
+    """Deterministic replay face of :func:`ewma_monitor_stream`: slice a
+    static frame by ``batch_col`` and drive the exact production fold
+    over each slice — one row per batch:
+    (batch_id, n, mean, ewma, lcl, ucl, ooc). The closed-form prefix
+    identity makes the recursion SQL-replayable, so the streaming
+    operator is hash-gated like any deterministic query."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    fn, reports = _ewma_monitor_fold(mu0, sigma0, value_col, lam, nsigma)
+    for i, b in enumerate(_replay_batches(df, batch_col)):
+        fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("lcl", DoubleType()),
+            StructField("ucl", DoubleType()),
+            StructField("ooc", IntegerType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [
+            (int(r["batch_id"]), int(r["n"]), r["mean"], r["ewma"],
+             r["lcl"], r["ucl"], r["ooc"])
+            for r in reports
+        ],
+        schema,
+    )

@@ -416,3 +416,55 @@ def test_engine_round12_stat_facades(spark):
         spark.range(10).select(F.lit(1.0).alias("w")), "w"
     ).first()
     assert w["ess"] == pytest.approx(10.0)
+
+
+def test_engine_round13_facades(spark):
+    """Round-13 facade surface: dedup_prefix_filter / communities /
+    ewma_chart / autocorrelation / anova / kruskal / fdr_adjust /
+    unseen_mass / ranking_quality delegate to the operators and return
+    the documented shapes."""
+    import pytest
+
+    from dataquality_ml_spark.engine import DQEngine
+
+    eng = DQEngine(spark)
+    base = "the quick brown fox jumps over the lazy dog again and then " * 3
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("lazy", "sleepy", 1)),
+         (3, "completely different text about shuffle partitions here " * 3)],
+        "doc_id long, text string",
+    )
+    pairs = eng.dedup_prefix_filter(docs, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    comm = {r.node: r.community for r in eng.communities(edges).collect()}
+    assert comm[1] == comm[2] == comm[3] and comm[4] == comm[5]
+    assert comm[1] != comm[4]
+    series = spark.createDataFrame(
+        [(i, 5.0 + (i % 3)) for i in range(30)], "b long, value double"
+    )
+    ew = eng.ewma_chart(series, "b")
+    assert {"batch_id", "ewma", "lcl", "ucl", "ooc"} <= set(ew.columns)
+    ac = eng.autocorrelation(series, "b", max_lag=3)
+    assert ac.count() == 3
+    groups = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)],
+        "k string, value double",
+    )
+    assert eng.anova(groups, "k").first()["n_groups"] == 2
+    assert eng.kruskal(groups, "k").first()["n_groups"] == 2
+    panel = spark.createDataFrame(
+        [("t1", 0.01), ("t2", 0.5)], "t string, p_value double"
+    )
+    q = {r.t: r.q_value for r in eng.fdr_adjust(panel).collect()}
+    assert q["t1"] == pytest.approx(0.02) and q["t2"] == pytest.approx(0.5)
+    gt = eng.unseen_mass(docs)
+    assert {"r", "n_r", "r_star", "token_share"} <= set(gt.columns)
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    rq = eng.ranking_quality(ranked, ranked, k=2).first()
+    assert rq["ndcg"] == pytest.approx(1.0) and rq["mrr"] == 1.0

@@ -433,3 +433,198 @@ def test_anova_matches_scipy_formula_and_contracts(spark):
     )
     with pytest.raises(ValueError, match="degrees of freedom"):
         anova_oneway(one_per, "k", "value")
+
+
+def test_kruskal_wallis_hand_computed_with_ties(spark):
+    """Textbook check: a=[1,2] b=[3,4] gives H=2.4 untied; a=[1,1]
+    b=[2,2] gives the same H from midranks but C=0.8 so H_adj=3.0.
+    Degenerate inputs raise loudly."""
+    from dataquality_ml_spark.operators.evaluate import kruskal_wallis
+
+    untied = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "k string, value double",
+    )
+    r = kruskal_wallis(untied, "k", "value").first()
+    assert r["n"] == 4 and r["n_groups"] == 2 and r["df1"] == 1
+    assert r["h_stat"] == pytest.approx(2.4)
+    assert r["tie_correction"] == pytest.approx(1.0)
+    tied = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "k string, value double",
+    )
+    r2 = kruskal_wallis(tied, "k", "value").first()
+    assert r2["h_stat"] == pytest.approx(2.4)
+    assert r2["tie_correction"] == pytest.approx(0.8)
+    assert r2["h_adj"] == pytest.approx(3.0)
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        kruskal_wallis(untied.where("k = 'a'"), "k", "value")
+    allsame = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "k string, value double"
+    )
+    with pytest.raises(ValueError, match="all values tied"):
+        kruskal_wallis(allsame, "k", "value")
+
+
+def test_fdr_bh_known_example_and_tie_invariance(spark):
+    """Hand-checked BH: p=[.005,.01,.03,.04], m=4 -> q=[.02,.02,.04,.04];
+    tied p must get identical q regardless of row order; q is clamped
+    to 1 and monotone in p."""
+    from dataquality_ml_spark.operators.evaluate import fdr_bh
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        "t string, p_value double",
+    )
+    got = {r.t: r.q_value for r in fdr_bh(df, "p_value").collect()}
+    assert got == pytest.approx(
+        {"d": 0.02, "a": 0.02, "c": 0.04, "b": 0.04}
+    )
+    tied = spark.createDataFrame(
+        [("x1", 0.02), ("x2", 0.02), ("y", 0.5), ("z", 1.0)],
+        "t string, p_value double",
+    )
+    q = {r.t: r.q_value for r in fdr_bh(tied, "p_value").collect()}
+    assert q["x1"] == q["x2"] == pytest.approx(0.04)
+    assert q["z"] == 1.0
+    with pytest.raises(ValueError, match="m="):
+        fdr_bh(tied.where("p_value > 2"), "p_value")
+    # m passed explicitly (pre-filtered panel keeps the original test count)
+    sub = fdr_bh(tied.where("t != 'z'"), "p_value", m=4)
+    q2 = {r.t: r.q_value for r in sub.collect()}
+    assert q2["x1"] == pytest.approx(0.04)
+
+
+def test_good_turing_panel_planted_counts(spark):
+    """Corpus with term counts {x:1, y:1, z:2} -> N=4, N1=2, N2=1:
+    r=1 row must show r*=(1+1)*N2/N1=1.0 and token_share=N1/N=0.5 (the
+    Good-Turing unseen-mass estimate); r=2 has nothing above it so
+    r_star is NULL; max_r<1 raises."""
+    from dataquality_ml_spark.operators.text import good_turing_panel
+
+    df = spark.createDataFrame(
+        [(1, "x z"), (2, "y z")], ["doc_id", "text"]
+    )
+    rows = {r.r: r for r in good_turing_panel(df, max_r=10).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_r == 2
+    assert rows[1].r_star == pytest.approx(1.0)
+    assert rows[1].token_share == pytest.approx(0.5)
+    assert rows[2].n_r == 1
+    assert rows[2].r_star is None
+    assert rows[2].token_share == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="max_r"):
+        good_turing_panel(df, max_r=0)
+
+
+def test_ranking_quality_hand_computed(spark):
+    """Perfect agreement -> ndcg=1, mrr=1; reversed top-3 vs exact
+    top-3 -> hand-computed DCG over rel (3,2,1) reversed; missing
+    top-1 -> mrr=0."""
+    from dataquality_ml_spark.operators.similarity import ranking_quality
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    same = ranking_quality(exact, exact, k=3).first()
+    assert same["ndcg"] == pytest.approx(1.0) and same["mrr"] == 1.0
+    rev = spark.createDataFrame(
+        [(1, 12, 1), (1, 11, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    r = ranking_quality(exact, rev, k=3).first()
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    dcg = 1 / math.log2(2) + 2 / math.log2(3) + 3 / math.log2(4)
+    assert r["idcg"] == pytest.approx(idcg)
+    assert r["dcg"] == pytest.approx(dcg)
+    assert r["ndcg"] == pytest.approx(dcg / idcg)
+    assert r["mrr"] == pytest.approx(1.0 / 3.0)
+    disjoint = spark.createDataFrame(
+        [(1, 99, 1), (1, 98, 2), (1, 97, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    d = ranking_quality(exact, disjoint, k=3).first()
+    assert d["ndcg"] == 0.0 and d["mrr"] == 0.0
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_quality(exact, exact, k=0)
+
+
+def test_cluster_bootstrap_wider_on_grouped_data(spark):
+    """On data where every group's rows are identical copies (maximal
+    within-group correlation: 40 groups x 50 copies), the cluster
+    bootstrap must produce a WIDER interval than the row-level
+    bootstrap — the row bootstrap treats the 50 copies as independent
+    information and understates the variance ~sqrt(50)-fold."""
+    from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
+
+    rows = [
+        (g * 50 + j, g, float(g % 7) * 3.0)
+        for g in range(40)
+        for j in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp long, v double")
+    by_row = poisson_bootstrap_ci(df, "v", "id", n_boot=48).first()
+    by_grp = poisson_bootstrap_ci(
+        df, "v", "id", n_boot=48, group_col="grp"
+    ).first()
+    assert by_grp["n"] == by_row["n"] == 2000
+    assert by_grp["mean"] == by_row["mean"]
+    width_row = by_row["boot_hi"] - by_row["boot_lo"]
+    width_grp = by_grp["boot_hi"] - by_grp["boot_lo"]
+    assert width_grp > 2.0 * width_row
+    # null group rows are dropped from the grouped variant
+    with_null = df.union(
+        spark.createDataFrame([(99999, None, 5.0)], "id long, grp long, v double")
+    )
+    assert poisson_bootstrap_ci(
+        with_null, "v", "id", n_boot=8, group_col="grp"
+    ).first()["n"] == 2000
+
+
+def test_mmd_linear_null_vs_shifted(spark):
+    """Same-distribution halves give |z| small; a mean-shifted second
+    sample drives mmd2 and z up decisively. Deterministic LCG vectors,
+    no RNG; truncation contracts (unequal sizes, odd pair count) run
+    clean."""
+    from dataquality_ml_spark.operators.similarity import mmd_linear
+
+    def vecs(n, offset, shift=0.0):
+        out, s = [], 12345 + offset
+        for i in range(n):
+            v = []
+            for _ in range(8):
+                s = (1103515245 * s + 12345) % (2**31)
+                v.append((s % 2000) / 1000.0 - 1.0 + shift)
+            out.append((offset + i, v))
+        return out
+
+    schema = "vec_id long, embedding array<double>"
+    x = spark.createDataFrame(vecs(400, 0), schema)
+    y_same = spark.createDataFrame(vecs(400, 10_000), schema)
+    y_shift = spark.createDataFrame(vecs(400, 20_000, shift=1.5), schema)
+    null = mmd_linear(x, y_same, sigma2=1.0).first()
+    alt = mmd_linear(x, y_shift, sigma2=1.0).first()
+    assert null["n_quads"] == 200
+    assert abs(null["z"]) < 3.0
+    assert alt["z"] > 10.0 and alt["mmd2"] > 10 * abs(null["mmd2"])
+    # unequal sizes + odd alignment truncate, not crash
+    odd = mmd_linear(
+        x.limit(31), spark.createDataFrame(vecs(45, 50_000), schema)
+    ).first()
+    assert odd["n_quads"] == 15
+    with pytest.raises(ValueError, match="sigma2"):
+        mmd_linear(x, y_same, sigma2=0.0)
+
+
+def test_mmd_identical_sets_null_z(spark):
+    """x == y elementwise makes every h exactly 0 — mmd2 = 0 and z is
+    NULL (undefined statistic), never a divide-by-zero error."""
+    from dataquality_ml_spark.operators.similarity import mmd_linear
+
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(40)]
+    schema = "vec_id long, embedding array<double>"
+    x = spark.createDataFrame(rows, schema)
+    y = spark.createDataFrame([(i + 100, v) for i, v in rows], schema)
+    r = mmd_linear(x, y, sigma2=1.0).first()
+    assert r["mmd2"] == 0.0 and r["se"] == 0.0 and r["z"] is None

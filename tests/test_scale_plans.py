@@ -716,6 +716,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "cusum_monitor_batch_events": "one-pass Page statistic over calendar-daily buckets (batch face of the streaming fold)",
     "zipf_fit_docs": "OLS rank regression over exactly top_k=200 token rows",
     "survival_purchase_gap": "KM products over distinct durations under the max_points=65536 loud contract",
+    "fdr_ks_panel_by_type": "BH rank + reverse running min over the per-event-type test panel (bounded categorical enum; fdr_bh's documented panel-bounded contract)",
 }
 
 

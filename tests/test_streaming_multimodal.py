@@ -1800,3 +1800,52 @@ def test_cusum_fold_textbook_recursion(spark):
     n_before = len(reports)
     fn(spark.createDataFrame([(99.0,)], "v double"), 0)
     assert len(reports) == n_before
+
+
+def test_ewma_monitor_replay_equals_live_stream(spark, tmp_path):
+    """ewma_monitor_replay (the registered face, round 13) must emit the
+    EXACT reports a live ewma_monitor_stream produces over the same
+    slices in the same order — EWMA is stateful (z and the batch index
+    drive the limits), so batch ids are aligned by batch size."""
+    schema = "event_id bigint, value double"
+    b1 = [(i, 10.0 + (i % 5)) for i in range(120)]          # mean 12
+    b2 = [(i + 200, 16.0 + (i % 5)) for i in range(150)]    # mean 18
+    in_dir = tmp_path / "ew_in"
+    in_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.json(str(in_dir / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.json(str(in_dir / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir / "*"))
+    )
+    q, live = ss.ewma_monitor_stream(
+        stream, checkpoint=str(tmp_path / "ew_ckpt"),
+        mu0=12.0, sigma0=1.0, value_col="value", lam=0.5, nsigma=3.0,
+    )
+    q.awaitTermination(120)
+    assert len(live) == 2
+
+    order = {rep["n"]: i for i, rep in enumerate(live)}
+    static = spark.createDataFrame(
+        [(i, v, order[120]) for i, v in b1]
+        + [(i, v, order[150]) for i, v in b2],
+        "event_id bigint, value double, batch int",
+    )
+    got = ss.ewma_monitor_replay(
+        static, "batch", 12.0, 1.0, "value", lam=0.5, nsigma=3.0
+    ).collect()
+    assert len(got) == 2
+    for rep, g in zip(live, sorted(got, key=lambda r: r["batch_id"])):
+        for s in ("n", "mean", "ewma", "lcl", "ucl", "ooc"):
+            assert g[s] == rep[s], s
+    # chart semantics: whichever batch carried mean 18 pushes z at least
+    # halfway toward it (lam=0.5) and must be out of control vs sigma0=1
+    by_mean = {round(r["mean"]): r for r in live}
+    assert by_mean[18]["ooc"] == 1
+    # fold idempotence: re-feeding a seen batch id is a no-op
+    fn, reports = ss._ewma_monitor_fold(12.0, 1.0, "v", 0.5, 3.0)
+    fn(spark.createDataFrame([(13.0,)], "v double"), 0)
+    n_before = len(reports)
+    fn(spark.createDataFrame([(99.0,)], "v double"), 0)
+    assert len(reports) == n_before
