@@ -1025,3 +1025,46 @@ class DQEngine:
         from dataquality_ml_spark.operators.similarity import mmd_linear
 
         return mmd_linear(x_df, y_df, vec_col, id_col, sigma2)
+
+    def bootstrap_panel(
+        self,
+        df: DataFrame,
+        value_col: str,
+        id_col: str,
+        keys: list[str],
+        n_boot: int = 32,
+        alpha: float = 0.05,
+    ) -> DataFrame:
+        """Per-segment Poissonized bootstrap CI panel — one CI row per
+        key tuple from a single scan."""
+        from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
+
+        return poisson_bootstrap_ci(
+            df, value_col, id_col, n_boot, alpha, keys=keys
+        )
+
+    def concentration_panel(
+        self,
+        df: DataFrame,
+        key_col: str,
+        weight_col: str | None = None,
+        top_k: int = 4,
+    ) -> DataFrame:
+        """HHI / CR-k / entropy / Theil mix-concentration panel over a
+        bounded categorical key (loud max_groups contract)."""
+        from dataquality_ml_spark.operators.profile import concentration_panel
+
+        return concentration_panel(df, key_col, weight_col, top_k)
+
+    def dup_source_matrix(
+        self,
+        pairs: DataFrame,
+        src_df: DataFrame,
+        id_col: str = "doc_id",
+        source_col: str = "source",
+    ) -> DataFrame:
+        """Fold any near-dup pair relation over the doc->source mapping
+        into the cross-source duplication matrix."""
+        from dataquality_ml_spark.operators.dedup import dup_source_matrix
+
+        return dup_source_matrix(pairs, src_df, id_col, source_col)

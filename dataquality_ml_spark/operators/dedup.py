@@ -1324,3 +1324,38 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(cand, hs, threshold, id_col).orderBy("id_a", "id_b")
+
+
+def dup_source_matrix(
+    pairs: DataFrame,
+    src_df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — WHERE the near-duplication in a
+    corpus lives: fold any near-dup PAIRS relation (minhash, prefix
+    filter, simhash…) over the doc→source mapping into one
+    (source_a, source_b, n_pairs[, avg_jaccard]) row per unordered
+    source pair. The off-diagonal cells are the contamination alarms
+    (train↔benchmark, crawl↔crawl mirror); the diagonal is ordinary
+    within-source boilerplate. Composable by design: pass the pair
+    relation you already computed — this operator adds two broadcast-
+    sized dimension joins and one bounded groupBy, nothing quadratic.
+    """
+    a = src_df.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")
+    )
+    b = src_df.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    lo = F.least("__sa", "__sb")
+    hi = F.greatest("__sa", "__sb")
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if "jaccard" in pairs.columns:
+        aggs.append(F.avg("jaccard").alias("avg_jaccard"))
+    return (
+        j.groupBy(lo.alias("source_a"), hi.alias("source_b"))
+        .agg(*aggs)
+        .orderBy("source_a", "source_b")
+    )

@@ -583,6 +583,7 @@ def poisson_bootstrap_ci(
     n_boot: int = 64,
     alpha: float = 0.05,
     group_col: str | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Distributed bootstrap CI for the mean via Poissonization (Chamandy
     et al. 2012 — the estimator behind "bootstrapping the big data way"):
@@ -619,6 +620,12 @@ def poisson_bootstrap_ci(
     because it treats within-group copies as independent information
     (Field & Welsh 2007). Same integral-id contract applies to the
     group id; rows with a NULL group are dropped.
+
+    ``keys`` gives a PER-SEGMENT CI panel in the same single scan — one
+    (keys…, n, mean, boot_lo, boot_median, boot_hi, n_boot) row per key
+    tuple, every aggregation key-partitioned (replicates group by
+    (keys, b); quantiles group by keys over the bounded n_boot-row
+    relation per key). Rows with a NULL key are dropped.
     """
     from pyspark.sql.types import IntegralType
 
@@ -631,13 +638,20 @@ def poisson_bootstrap_ci(
             "(the portable mixer is integer arithmetic) — hash string ids "
             "to integers first"
         )
+    keys = list(keys or [])
     x = F.col(value_col).cast("double")
-    base = df.where(
+    cond = (
         F.col(value_col).isNotNull()
         & ~F.isnan(x)
         & F.col(hash_col).isNotNull()
-    ).select(F.col(hash_col).cast("bigint").alias("__i"), x.alias("__x"))
+    )
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    base = df.where(cond).select(
+        *keys, F.col(hash_col).cast("bigint").alias("__i"), x.alias("__x")
+    )
     ex = base.select(
+        *keys,
         "__i",
         "__x",
         F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b"),
@@ -667,23 +681,32 @@ def poisson_bootstrap_ci(
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
     reps = (
-        ex.select("__b", (w * F.col("__x")).alias("__wx"), w.alias("__w"))
-        .groupBy("__b")
+        ex.select(
+            *keys, "__b", (w * F.col("__x")).alias("__wx"), w.alias("__w")
+        )
+        .groupBy(*keys, "__b")
         .agg(
             (F.sum("__wx") / F.sum("__w")).alias("mean_b"),
         )
         .where(F.col("mean_b").isNotNull())
     )
     lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
-    ci = reps.agg(
+    ci_aggs = [
         F.expr(f"percentile(mean_b, {lo_q!r})").alias("boot_lo"),
         F.expr("percentile(mean_b, 0.5)").alias("boot_median"),
         F.expr(f"percentile(mean_b, {hi_q!r})").alias("boot_hi"),
-    )
-    overall = base.agg(
+    ]
+    overall_aggs = [
         F.count(F.lit(1)).alias("n"), F.avg("__x").alias("mean")
-    )
-    return overall.join(F.broadcast(ci), F.lit(True)).select(
+    ]
+    if keys:
+        ci = reps.groupBy(*keys).agg(*ci_aggs)
+        joined = base.groupBy(*keys).agg(*overall_aggs).join(ci, keys)
+    else:
+        ci = reps.agg(*ci_aggs)
+        joined = base.agg(*overall_aggs).join(F.broadcast(ci), F.lit(True))
+    return joined.select(
+        *keys,
         "n",
         "mean",
         "boot_lo",

@@ -1347,3 +1347,88 @@ def gpd_tail_fit(
         F.when(ok, (F.lit(1.0) - ratio) / 2).alias("xi"),
         F.when(ok, m * (ratio + 1) / 2).alias("beta"),
     )
+
+
+def concentration_panel(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    top_k: int = 4,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Share-concentration panel over a categorical key — the corpus-mix
+    governance numbers (how dominated is the training mix by its top
+    sources?) in ONE aggregation pass: HHI (Herfindahl Σs², + its
+    0-1 normalization), CR-1/CR-k top-share ratios, Shannon entropy of
+    the mix (nats, + /ln g normalization), and the Theil index
+    (= ln g − H over shares — the inequality view of the same entropy).
+    Weights default to row counts; pass ``weight_col`` (e.g. chars or
+    tokens) to measure MASS concentration rather than document counts.
+    Returns one row: (n_groups, total, hhi, hhi_norm, cr1, crk,
+    entropy, entropy_norm, theil).
+
+    Scale shape + contract: one groupBy collapses the corpus to the
+    per-key relation; the reduce computes every statistic from closed
+    forms (HHI = Σw²/W², H = ln W − Σw·ln w / W) with the CR-k top
+    shares from ONE sort_array over the collected per-key weights — a
+    driver-free but GROUP-BOUNDED step, so the operator enforces the
+    categorical-enum contract loudly: > ``max_groups`` distinct keys
+    raises (an id-like key would make the collect unbounded; that is a
+    different question — use gini_coefficient for high-cardinality
+    inequality).
+    """
+    valid = df.where(F.col(key_col).isNotNull())
+    wexpr = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    if weight_col is not None:
+        valid = valid.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+    approx = valid.agg(
+        F.approx_count_distinct(key_col).alias("g")
+    ).first()["g"]
+    if approx and approx > max_groups:
+        raise ValueError(
+            f"concentration_panel: ~{approx} distinct {key_col!r} values "
+            f"exceed max_groups={max_groups} — the CR-k collect is "
+            "group-bounded; this key looks id-like (use gini_coefficient "
+            "for high-cardinality inequality), or raise max_groups "
+            "deliberately"
+        )
+    cells = valid.groupBy(key_col).agg(F.sum(wexpr).alias("wk"))
+    g = F.count(F.lit(1)).cast("bigint")
+    W = F.sum("wk")
+    sq = F.sum(F.col("wk") * F.col("wk"))
+    slw = F.sum(F.col("wk") * F.log("wk"))
+    topk = F.slice(
+        F.sort_array(F.collect_list("wk"), asc=False), 1, int(top_k)
+    )
+    agg = cells.agg(
+        g.alias("g"),
+        W.alias("W"),
+        (sq / (W * W)).alias("hhi"),
+        F.max("wk").alias("w1"),
+        F.aggregate(topk, F.lit(0.0), lambda a, v: a + v).alias("wk_top"),
+        (F.log(W) - slw / W).alias("entropy"),
+    )
+    hhi_norm = F.when(
+        F.col("g") > 1,
+        (F.col("hhi") - 1.0 / F.col("g")) / (1.0 - 1.0 / F.col("g")),
+    ).otherwise(F.lit(1.0))
+    ent_norm = F.when(
+        F.col("g") > 1, F.col("entropy") / F.log(F.col("g").cast("double"))
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("g").alias("n_groups"),
+        F.col("W").alias("total"),
+        "hhi",
+        hhi_norm.alias("hhi_norm"),
+        (F.col("w1") / F.col("W")).alias("cr1"),
+        (F.col("wk_top") / F.col("W")).alias("crk"),
+        "entropy",
+        ent_norm.alias("entropy_norm"),
+        (F.log(F.col("g").cast("double")) - F.col("entropy")).alias("theil"),
+    )

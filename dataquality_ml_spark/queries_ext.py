@@ -9516,3 +9516,213 @@ def mmd_embeddings_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("se", 6) + F.lit(0.0)).alias("se"),
         (F.round("z", 6) + F.lit(0.0)).alias("z"),
     )
+
+
+@register(
+    "bootstrap_ci_by_type",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS k, CAST(event_id AS BIGINT) AS i,
+             CAST(value AS DOUBLE) AS x
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value) AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    ex AS (
+      SELECT k, i, x, CAST(g.range AS BIGINT) AS b FROM base, range(32) g
+    ),
+    halves AS (
+      SELECT k, b, x, (i % 4294967296) AS lo, (i >> 32) AS hi FROM ex
+    ),
+    pm1 AS (
+      SELECT k, b, x, hi,
+             (lo * 1103515245 + hi * 1597334677 + 12345) % 4294967296 AS p
+      FROM halves
+    ),
+    pm2 AS (SELECT k, b, x, hi, xor(p, p >> 16) AS p FROM pm1),
+    pm3 AS (SELECT k, b, x, (p * 1597334677 + hi) % 4294967296 AS p FROM pm2),
+    pm4 AS (SELECT k, b, x, xor(p, p >> 13) AS p FROM pm3),
+    mix AS (
+      SELECT k, b, x, (p + (b + 1) * 1046527) % 4294967296 AS s FROM pm4
+    ),
+    m1 AS (SELECT k, b, x, (s * 1103515245 + 12345) % 4294967296 AS h FROM mix),
+    m2 AS (SELECT k, b, x, xor(h, h >> 16) AS h FROM m1),
+    m3 AS (SELECT k, b, x, (h * 1597334677) % 4294967296 AS h FROM m2),
+    uw AS (
+      SELECT k, b, x, xor(h, h >> 16) / 4294967296.0 AS u FROM m3
+    ),
+    w AS (
+      SELECT k, b, x, CASE
+        WHEN u < 0.36787944117144233 THEN 0
+        WHEN u < 0.7357588823428847 THEN 1
+        WHEN u < 0.9196986029286058 THEN 2
+        WHEN u < 0.9810118431238463 THEN 3
+        WHEN u < 0.9963401531726563 THEN 4
+        WHEN u < 0.9994058151824183 THEN 5
+        WHEN u < 0.999916758850712 THEN 6
+        WHEN u < 0.9999897508033253 THEN 7
+        WHEN u < 0.999998874797402 THEN 8
+        WHEN u < 0.9999998885745216 THEN 9
+        ELSE 10 END AS w
+      FROM uw
+    ),
+    reps AS (
+      SELECT k, b, SUM(w * x) / SUM(w) AS mean_b FROM w GROUP BY k, b
+      HAVING SUM(w) > 0
+    ),
+    ci AS (
+      SELECT k,
+             quantile_cont(mean_b, 0.025) AS boot_lo,
+             quantile_cont(mean_b, 0.5) AS boot_median,
+             quantile_cont(mean_b, 0.975) AS boot_hi
+      FROM reps GROUP BY k
+    ),
+    ov AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean
+      FROM base GROUP BY k
+    )
+    SELECT ov.k AS event_type, ov.n,
+           ROUND(ov.mean, 6) + 0 AS mean,
+           ROUND(ci.boot_lo, 6) + 0 AS boot_lo,
+           ROUND(ci.boot_median, 6) + 0 AS boot_median,
+           ROUND(ci.boot_hi, 6) + 0 AS boot_hi,
+           CAST(32 AS INT) AS n_boot
+    FROM ov JOIN ci ON ci.k = ov.k
+    ORDER BY event_type
+    """,
+)
+def bootstrap_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Poissonized bootstrap CI panel (round 13): one
+    (n, mean, 95% CI) row per event type from the SAME single scan the
+    corpus-wide bootstrap rides — replicates group by (type, b),
+    quantiles by type over the bounded replicate relation; no window
+    anywhere. The panel form a segment drift report wants next to its
+    point estimates."""
+    from dataquality_ml_spark.operators import evaluate as ev13d
+
+    out = ev13d.poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id",
+        n_boot=32, alpha=0.05, keys=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("boot_lo", 6) + F.lit(0.0)).alias("boot_lo"),
+        (F.round("boot_median", 6) + F.lit(0.0)).alias("boot_median"),
+        (F.round("boot_hi", 6) + F.lit(0.0)).alias("boot_hi"),
+        "n_boot",
+    ).orderBy("event_type")
+
+
+@register(
+    "source_concentration_docs",
+    oracle="""
+    WITH cells AS (
+      SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS wk
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT wk, ROW_NUMBER() OVER (ORDER BY wk DESC) AS rnk FROM cells
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g, SUM(wk) AS W,
+             SUM(wk * wk) AS sq, SUM(wk * ln(wk)) AS slw, MAX(wk) AS w1,
+             (SELECT SUM(wk) FROM ranked WHERE rnk <= 4) AS wtop
+      FROM cells
+    )
+    SELECT g AS n_groups,
+           ROUND(W, 6) + 0 AS total,
+           ROUND(sq / (W * W), 6) + 0 AS hhi,
+           ROUND(CASE WHEN g > 1
+                 THEN (sq / (W * W) - 1.0 / g) / (1.0 - 1.0 / g)
+                 ELSE 1.0 END, 6) + 0 AS hhi_norm,
+           ROUND(w1 / W, 6) + 0 AS cr1,
+           ROUND(wtop / W, 6) + 0 AS crk,
+           ROUND(ln(W) - slw / W, 6) + 0 AS entropy,
+           ROUND(CASE WHEN g > 1 THEN (ln(W) - slw / W) / ln(g)
+                 ELSE 0.0 END, 6) + 0 AS entropy_norm,
+           ROUND(ln(g) - (ln(W) - slw / W), 6) + 0 AS theil
+    FROM t
+    """,
+)
+def source_concentration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix concentration panel over document SOURCES weighted by
+    character mass (round 13): HHI, CR-1/CR-4, entropy, and Theil in
+    one aggregation — the governance header of a training-mix report
+    (complements gini_revenue_customers, which handles high-cardinality
+    inequality via distributed ranks; this is the bounded-categorical
+    panel with the loud max_groups contract)."""
+    from dataquality_ml_spark.operators import profile as prof13
+
+    out = prof13.concentration_panel(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", top_k=4
+    )
+    return out.select(
+        "n_groups",
+        (F.round("total", 6) + F.lit(0.0)).alias("total"),
+        (F.round("hhi", 6) + F.lit(0.0)).alias("hhi"),
+        (F.round("hhi_norm", 6) + F.lit(0.0)).alias("hhi_norm"),
+        (F.round("cr1", 6) + F.lit(0.0)).alias("cr1"),
+        (F.round("crk", 6) + F.lit(0.0)).alias("crk"),
+        (F.round("entropy", 6) + F.lit(0.0)).alias("entropy"),
+        (F.round("entropy_norm", 6) + F.lit(0.0)).alias("entropy_norm"),
+        (F.round("theil", 6) + F.lit(0.0)).alias("theil"),
+    )
+
+
+@register(
+    "dup_source_matrix_docs",
+    oracle=f"""
+    WITH {_TOKS_CTE13},
+    sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ')
+           for i in generate_series(1, len(t)-4)]) AS shs
+           FROM toks WHERE len(t) >= 5),
+    sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(shs)), 1, 15)
+                AS BIGINT) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+            >= 0.8
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(p.jaccard), 6) + 0 AS avg_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def dup_source_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup matrix (round 13): the prefix-filtered
+    exact-Jaccard pairs folded over the doc->source dimension — which
+    source pairs share near-duplicate content (off-diagonal cells are
+    the train/benchmark contamination alarms). Two broadcast dimension
+    joins + one bounded groupBy on top of the pair relation."""
+    from dataquality_ml_spark.operators import dedup as dd13b
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd13b.prefix_filter_jaccard_pairs(docs, k=5, threshold=0.8)
+    out = dd13b.dup_source_matrix(pairs, docs)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (F.round("avg_jaccard", 6) + F.lit(0.0)).alias("avg_jaccard"),
+    ).orderBy("source_a", "source_b")

@@ -628,3 +628,73 @@ def test_mmd_identical_sets_null_z(spark):
     y = spark.createDataFrame([(i + 100, v) for i, v in rows], schema)
     r = mmd_linear(x, y, sigma2=1.0).first()
     assert r["mmd2"] == 0.0 and r["se"] == 0.0 and r["z"] is None
+
+
+def test_bootstrap_keys_panel_equals_per_slice_runs(spark):
+    """keys= must give EXACTLY the CI the corpus-wide operator computes
+    on each key's slice alone — the Poisson weights depend only on
+    (id, b), so the panel is slice-decomposable and this equality is
+    exact, not approximate."""
+    from dataquality_ml_spark.operators.evaluate import poisson_bootstrap_ci
+
+    rows = [(i, "a" if i % 3 else "b", float(i % 13)) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    panel = {
+        r["k"]: r
+        for r in poisson_bootstrap_ci(
+            df, "v", "id", n_boot=24, keys=["k"]
+        ).collect()
+    }
+    for key in ("a", "b"):
+        solo = poisson_bootstrap_ci(
+            df.where(F.col("k") == key), "v", "id", n_boot=24
+        ).first()
+        for c in ("n", "mean", "boot_lo", "boot_median", "boot_hi"):
+            assert panel[key][c] == solo[c], (key, c)
+
+
+def test_concentration_panel_hand_computed(spark):
+    """Shares (0.5, 0.25, 0.25): HHI = 0.375, CR1 = 0.5, CR4 = 1,
+    H = 1.5 ln2, Theil = ln3 - H; an id-like key raises the loud
+    max_groups contract; one group pins the normalized edges."""
+    from dataquality_ml_spark.operators.profile import concentration_panel
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0), ("c", 1.0)], "k string, w double"
+    )
+    r = concentration_panel(df, "k", "w").first()
+    assert r["n_groups"] == 3 and r["total"] == 4.0
+    assert r["hhi"] == pytest.approx(0.375)
+    assert r["hhi_norm"] == pytest.approx((0.375 - 1 / 3) / (1 - 1 / 3))
+    assert r["cr1"] == pytest.approx(0.5)
+    assert r["crk"] == pytest.approx(1.0)
+    h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert r["entropy"] == pytest.approx(h)
+    assert r["entropy_norm"] == pytest.approx(h / math.log(3))
+    assert r["theil"] == pytest.approx(math.log(3) - h)
+    wide = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="max_groups"):
+        concentration_panel(wide, "k", max_groups=100)
+    one = concentration_panel(df.where("k = 'a'"), "k", "w").first()
+    assert one["hhi_norm"] == 1.0 and one["entropy_norm"] == 0.0
+
+
+def test_dup_source_matrix_planted_cross_source(spark):
+    """A near-dup pair straddling sources lands in the off-diagonal
+    cell with canonical (least, greatest) ordering; a within-source
+    pair lands on the diagonal."""
+    from dataquality_ml_spark.operators.dedup import dup_source_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.85)], "id_a long, id_b long, jaccard double"
+    )
+    src = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "web"), (4, "web")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_pairs, r.avg_jaccard)
+        for r in dup_source_matrix(pairs, src).collect()
+    }
+    assert got[("books", "web")] == (1, 0.9)
+    assert got[("web", "web")] == (1, 0.85)
