@@ -1068,3 +1068,29 @@ class DQEngine:
         from dataquality_ml_spark.operators.dedup import dup_source_matrix
 
         return dup_source_matrix(pairs, src_df, id_col, source_col)
+
+    def ks_matrix(
+        self,
+        df: DataFrame,
+        key_col: str,
+        value_col: str = "value",
+        bins: int = 50,
+        lo: float = 0.0,
+        hi: float = 1.0,
+    ) -> DataFrame:
+        """Pairwise binned-KS distance matrix across segments — which
+        segment pairs differ (loud max_keys contract)."""
+        from dataquality_ml_spark.operators.drift import ks_matrix_binned
+
+        return ks_matrix_binned(df, key_col, value_col, bins, lo, hi)
+
+    def rolling_origin(
+        self, df: DataFrame, ts_col: str, n_folds: int = 4
+    ) -> DataFrame:
+        """Expanding-window temporal CV assignment (fold, role) — the
+        no-future-leak backtest split."""
+        from dataquality_ml_spark.operators.selection import (
+            rolling_origin_assign,
+        )
+
+        return rolling_origin_assign(df, ts_col, n_folds)

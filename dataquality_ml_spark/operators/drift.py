@@ -1871,3 +1871,107 @@ def acf_ljung_box(
         ).over(wq)
     )
     return rhos.select(*keys, "lag", "n_batches", "rho", q.alias("q_lb"))
+
+
+def ks_matrix_binned(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    bins: int = 50,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    max_keys: int = 1000,
+) -> DataFrame:
+    """Pairwise binned-KS distance MATRIX across segments — "which
+    segments differ from which": the omnibus tests (anova/kruskal) say
+    *whether* segment distributions differ, the keyed two-window faces
+    say *when*; this says *which pairs*, the input a segment-merge or
+    stratification decision actually needs. D is computed on the
+    frozen ``bins``-cell equi-width CDF grid over [lo, hi] (the
+    roc_auc_binned convention: explicit bracketing bounds, values
+    clamped into the end cells), so it is a lower bound on exact KS
+    with error ≤ the grid's max cell mass. Returns one row per
+    unordered key pair: (key_a, key_b, n_a, n_b, ks_d).
+
+    Scale shape + contract: one grouped count to (key, bin) cells; the
+    CDF window partitions by key over ≤bins spine rows (missing bins
+    zero-filled from the key×bin spine, so the running sum carries
+    forward); the pair join is an equi-join on bin over the bounded
+    spine. k segments emit k(k−1)/2 pairs — loud ``max_keys`` contract
+    (one approx_count_distinct pre-check) since the matrix is
+    quadratic in the key cardinality by definition.
+    """
+    from pyspark.sql import Window
+
+    if bins < 2:
+        raise ValueError(f"ks_matrix_binned: bins must be >= 2, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"ks_matrix_binned: need lo < hi, got ({lo}, {hi})")
+    valid = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & F.col(key_col).isNotNull()
+    )
+    nk = valid.agg(F.approx_count_distinct(key_col).alias("g")).first()["g"]
+    if nk and nk > max_keys:
+        raise ValueError(
+            f"ks_matrix_binned: ~{nk} distinct {key_col!r} values exceed "
+            f"max_keys={max_keys} — the matrix is k(k-1)/2 pairs; "
+            "aggregate the key first or raise max_keys deliberately"
+        )
+    w = (float(hi) - float(lo)) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)).cast(
+                "int"
+            ),
+        ),
+    )
+    cells = valid.groupBy(
+        F.col(key_col).alias("__k"), b.alias("__bin")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    spine = (
+        cells.select("__k")
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(bins).select(
+                F.col("id").cast("int").alias("__bin")
+            )
+        )
+    )
+    grid = spine.join(cells, ["__k", "__bin"], "left").select(
+        "__k", "__bin", F.coalesce("__n", F.lit(0)).alias("__n")
+    )
+    wk = Window.partitionBy("__k")
+    wcum = wk.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = grid.select(
+        "__k",
+        "__bin",
+        F.sum("__n").over(wk).alias("__tot"),
+        (F.sum("__n").over(wcum) / F.sum("__n").over(wk)).alias("__cdf"),
+    )
+    a = cdf.select(
+        F.col("__k").alias("key_a"),
+        "__bin",
+        F.col("__tot").alias("n_a"),
+        F.col("__cdf").alias("__ca"),
+    )
+    bb = cdf.select(
+        F.col("__k").alias("key_b"),
+        "__bin",
+        F.col("__tot").alias("n_b"),
+        F.col("__cdf").alias("__cb"),
+    )
+    return (
+        a.join(bb, "__bin")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(F.abs(F.col("__ca") - F.col("__cb"))).alias("ks_d"),
+        )
+        .orderBy("key_a", "key_b")
+    )

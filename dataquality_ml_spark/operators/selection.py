@@ -463,3 +463,62 @@ def kfold_assign(
         portable_hash32(F.concat_ws("|", F.lit(seed), unit)), F.lit(int(k))
     ).cast("int")
     return df.withColumn("fold", fold)
+
+
+def rolling_origin_assign(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 4,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) time-series cross-validation
+    assignment (Tashman 2000) — the temporal complement to
+    :func:`kfold_assign`: random/hash folds LEAK THE FUTURE for any
+    model consuming time-ordered signal, because a training row may
+    postdate its validation rows. Here fold i trains on everything up
+    to cutoff cᵢ and validates on (cᵢ, cᵢ₊₁], with cutoffs at the
+    exact i/(n_folds+1) time quantiles, so every fold's train strictly
+    precedes its test and successive folds grow the training window —
+    the backtest protocol. Returns the input rows exploded to
+    (fold, role ∈ {train, test}, *row); a row appears once per fold
+    where it plays a part (≤ n_folds copies — the documented expansion
+    factor; assignments are row-count metadata, not a data copy).
+
+    Determinism + scale: cutoffs are ONE exact-percentile aggregation
+    over the epoch-SECOND timestamps — seconds (≤ ~2³¹) interpolate
+    exactly in doubles, where epoch-micros (~10¹⁸ > 2⁵³) would round
+    and could flip boundary rows between engines; sub-second ties land
+    on the same side by construction. The explode joins a
+    ``n_folds``-row literal relation broadcast against the scan — no
+    window, no shuffle beyond the quantile agg.
+    """
+    if n_folds < 1:
+        raise ValueError(
+            f"rolling_origin_assign: n_folds must be >= 1, got {n_folds}"
+        )
+    valid = df.where(F.col(ts_col).isNotNull())
+    secs = F.unix_timestamp(F.col(ts_col))
+    qs = [i / (n_folds + 1.0) for i in range(1, n_folds + 2)]
+    q_sql = ", ".join(repr(q) for q in qs)
+    row = valid.agg(
+        F.expr(f"percentile(unix_timestamp({ts_col}), array({q_sql}))").alias(
+            "c"
+        )
+    ).first()
+    cuts = row["c"]
+    if cuts is None or cuts[0] is None:
+        raise ValueError(
+            f"rolling_origin_assign: no non-null {ts_col!r} rows to split"
+        )
+    folds = df.sparkSession.createDataFrame(
+        [(i + 1, float(cuts[i]), float(cuts[i + 1])) for i in range(n_folds)],
+        "fold int, c_lo double, c_hi double",
+    )
+    j = valid.crossJoin(F.broadcast(folds))
+    role = F.when(secs <= F.col("c_lo"), F.lit("train")).when(
+        secs <= F.col("c_hi"), F.lit("test")
+    )
+    return (
+        j.withColumn("role", role)
+        .where(F.col("role").isNotNull())
+        .drop("c_lo", "c_hi")
+    )

@@ -9726,3 +9726,123 @@ def dup_source_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.round("avg_jaccard", 6) + F.lit(0.0)).alias("avg_jaccard"),
     ).orderBy("source_a", "source_b")
+
+
+@register(
+    "ks_matrix_by_type",
+    oracle="""
+    WITH valid AS (
+      SELECT event_type AS k, value AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT k,
+             LEAST(49, GREATEST(0, CAST(FLOOR((v - 0.0) / 10.0) AS INT)))
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM valid GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT k, CAST(g.range AS INT) AS bin
+      FROM (SELECT DISTINCT k FROM cells), range(50) g
+    ),
+    grid AS (
+      SELECT s.k, s.bin, COALESCE(c.n, 0) AS n
+      FROM spine s LEFT JOIN cells c ON c.k = s.k AND c.bin = s.bin
+    ),
+    cdf AS (
+      SELECT k, bin,
+             SUM(n) OVER (PARTITION BY k) AS tot,
+             SUM(n) OVER (PARTITION BY k ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING)
+               / CAST(SUM(n) OVER (PARTITION BY k) AS DOUBLE) AS cdf
+      FROM grid
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           CAST(MAX(a.tot) AS BIGINT) AS n_a,
+           CAST(MAX(b.tot) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(a.cdf - b.cdf)), 6) + 0 AS ks_d
+    FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.k < b.k
+    GROUP BY 1, 2
+    ORDER BY key_a, key_b
+    """,
+)
+def ks_matrix_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise binned-KS distance matrix across event types (round 13,
+    50-cell frozen grid over [0, 500]): WHICH segment pairs differ —
+    the stratification/merge decision input the omnibus and two-window
+    faces don't give. CDF windows partition by key over the bounded
+    spine; pair join is an equi-join on bin; loud max_keys contract on
+    the quadratic key count."""
+    from dataquality_ml_spark.operators import drift as dr13d
+
+    out = dr13d.ks_matrix_binned(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        bins=50, lo=0.0, hi=500.0,
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_a",
+        "n_b",
+        (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
+    ).orderBy("key_a", "key_b")
+
+
+@register(
+    "rolling_origin_events",
+    oracle="""
+    WITH valid AS (
+      SELECT event_id, CAST(FLOOR(epoch(ts)) AS DOUBLE) AS s
+      FROM events WHERE ts IS NOT NULL
+    ),
+    cuts AS (
+      SELECT quantile_cont(s, 0.2) AS c1, quantile_cont(s, 0.4) AS c2,
+             quantile_cont(s, 0.6) AS c3, quantile_cont(s, 0.8) AS c4,
+             quantile_cont(s, 1.0) AS c5
+      FROM valid
+    ),
+    folds AS (
+      SELECT 1 AS fold, c1 AS c_lo, c2 AS c_hi FROM cuts
+      UNION ALL SELECT 2, c2, c3 FROM cuts
+      UNION ALL SELECT 3, c3, c4 FROM cuts
+      UNION ALL SELECT 4, c4, c5 FROM cuts
+    ),
+    assigned AS (
+      SELECT f.fold,
+             CASE WHEN v.s <= f.c_lo THEN 'train'
+                  WHEN v.s <= f.c_hi THEN 'test' END AS role,
+             v.s
+      FROM valid v CROSS JOIN folds f
+    )
+    SELECT fold, role,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(s) AS BIGINT) AS min_s,
+           CAST(MAX(s) AS BIGINT) AS max_s
+    FROM assigned WHERE role IS NOT NULL
+    GROUP BY fold, role
+    ORDER BY fold, role
+    """,
+)
+def rolling_origin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) temporal CV assignment over
+    events (round 13, 4 folds): fold i trains on everything up to the
+    i/5 time quantile and tests on the next quantile slice — the
+    backtest protocol; hash folds leak the future for time-ordered
+    signal. Face reports per-(fold, role) row counts and the epoch
+    bounds, hashing the cutoffs end-to-end."""
+    from dataquality_ml_spark.operators import selection as sel13
+
+    ev = _t(spark, sf_dir, "events")
+    out = sel13.rolling_origin_assign(ev, "ts", n_folds=4)
+    s = F.unix_timestamp(F.col("ts"))
+    return (
+        out.groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(s).alias("min_s"),
+            F.max(s).alias("max_s"),
+        )
+        .orderBy("fold", "role")
+    )

@@ -698,3 +698,65 @@ def test_dup_source_matrix_planted_cross_source(spark):
     }
     assert got[("books", "web")] == (1, 0.9)
     assert got[("web", "web")] == (1, 0.85)
+
+
+def test_ks_matrix_binned_identical_and_disjoint(spark):
+    """Identical segment distributions -> D = 0; disjoint supports ->
+    D = 1; loud contracts on bins/lo-hi/key-cardinality."""
+    from dataquality_ml_spark.operators.drift import ks_matrix_binned
+
+    rows = (
+        [("a", float(i % 10)) for i in range(200)]
+        + [("b", float(i % 10)) for i in range(300)]
+        + [("c", 80.0 + (i % 10)) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        (r.key_a, r.key_b): r
+        for r in ks_matrix_binned(df, "k", bins=20, lo=0.0, hi=100.0).collect()
+    }
+    assert got[("a", "b")]["ks_d"] == pytest.approx(0.0)
+    assert got[("a", "b")]["n_a"] == 200 and got[("a", "b")]["n_b"] == 300
+    assert got[("a", "c")]["ks_d"] == pytest.approx(1.0)
+    assert got[("b", "c")]["ks_d"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="bins"):
+        ks_matrix_binned(df, "k", bins=1, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        ks_matrix_binned(df, "k", bins=4, lo=1.0, hi=1.0)
+    wide = spark.range(600).select(
+        F.col("id").cast("string").alias("k"), F.lit(1.0).alias("value")
+    )
+    with pytest.raises(ValueError, match="max_keys"):
+        ks_matrix_binned(wide, "k", bins=4, lo=0.0, hi=2.0, max_keys=50)
+
+
+def test_rolling_origin_no_future_leak(spark):
+    """Every fold's max train timestamp must precede its min test
+    timestamp; training windows EXPAND across folds; a row never plays
+    test in an earlier fold than train."""
+    import datetime as dt
+
+    from dataquality_ml_spark.operators.selection import rolling_origin_assign
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i)) for i in range(500)],
+        "id long, ts timestamp",
+    )
+    out = rolling_origin_assign(df, "ts", n_folds=4)
+    cells = {
+        (r.fold, r.role): (r.mn, r.mx, r.n)
+        for r in out.groupBy("fold", "role")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    train_sizes = []
+    for fold in (1, 2, 3, 4):
+        assert cells[(fold, "train")][1] < cells[(fold, "test")][0], fold
+        train_sizes.append(cells[(fold, "train")][2])
+    assert train_sizes == sorted(train_sizes) and train_sizes[0] < train_sizes[-1]
+    # the union of fold-1 train and all test slices covers every row
+    assert out.select("id").distinct().count() == 500
+    with pytest.raises(ValueError, match="n_folds"):
+        rolling_origin_assign(df, "ts", n_folds=0)
