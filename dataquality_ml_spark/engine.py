@@ -1094,3 +1094,26 @@ class DQEngine:
         )
 
         return rolling_origin_assign(df, ts_col, n_folds)
+
+    def stationary_distribution(
+        self,
+        trans: DataFrame,
+        src: str = "prev_t",
+        dst: str = "next_t",
+        weight: str = "n",
+        iterations: int = 16,
+    ) -> DataFrame:
+        """Stationary distribution of a finite Markov chain over a
+        (src, dst, count) transition relation — (state, pi)."""
+        from dataquality_ml_spark.operators.graph import markov_stationary
+
+        return markov_stationary(trans, src, dst, weight, iterations)
+
+    def segment_impact(
+        self, df: DataFrame, key_col: str, value_col: str
+    ) -> DataFrame:
+        """Leave-one-segment-out mean-impact panel — which segment's
+        removal moves the corpus metric, from one closed-form pass."""
+        from dataquality_ml_spark.operators.profile import loso_mean_delta
+
+        return loso_mean_delta(df, key_col, value_col)

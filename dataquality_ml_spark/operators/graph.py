@@ -344,3 +344,65 @@ def label_propagation(
             "node", F.col("b.l").alias("lbl")
         ).localCheckpoint(eager=False)
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def markov_stationary(
+    trans: DataFrame,
+    src: str = "prev_t",
+    dst: str = "next_t",
+    weight: str = "n",
+    iterations: int = 16,
+) -> DataFrame:
+    """Stationary distribution of a finite Markov chain by the power
+    method over a (src, dst, count) transition relation — where a user
+    journey SETTLES: the transition matrix says what follows what; π
+    says what fraction of the long-run stream each state owns, the
+    equilibrium the per-state volumes drift toward. Row-normalizes
+    counts to P(dst|src); π₀ uniform; π_{t+1}(j) = Σ_i π_t(i)·P(i,j)
+    for a FIXED iteration count (deterministic, oracle-replayable —
+    the pagerank convention; error decays with the chain's second
+    eigenvalue). States with no outgoing transitions get a self-loop
+    (the standard absorbing-state patch, documented). Returns
+    (state, pi), π summing to ~1.
+
+    Scale shape: every iteration is one equi-join of the |S|-row π
+    relation onto the |S|²-bounded transition relation + one groupBy —
+    the bounded-categorical contract (state = an enum, not an id);
+    iterates localCheckpoint-ed so the plan stays O(1) deep.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"markov_stationary: iterations must be >= 1, got {iterations}"
+        )
+    states = (
+        trans.select(F.col(src).alias("s"))
+        .union(trans.select(F.col(dst).alias("s")))
+        .distinct()
+    )
+    out_tot = trans.groupBy(F.col(src).alias("s")).agg(
+        F.sum(weight).alias("tot")
+    )
+    p = trans.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    ).join(out_tot, "s").select(
+        "s", "d", (F.col("w") / F.col("tot")).alias("p")
+    )
+    # absorbing-state patch: states with no outgoing edges self-loop
+    dangling = states.join(out_tot, "s", "left_anti").select(
+        "s", F.col("s").alias("d"), F.lit(1.0).alias("p")
+    )
+    p = p.unionByName(dangling).localCheckpoint(eager=False)
+    n_states = states.count()
+    if n_states == 0:
+        return trans.sparkSession.createDataFrame([], "state string, pi double")
+    pi = states.select("s", F.lit(1.0 / n_states).alias("pi")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(int(iterations)):
+        pi = (
+            pi.join(p, "s")
+            .groupBy(F.col("d").alias("s"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(F.col("s").alias("state"), "pi")

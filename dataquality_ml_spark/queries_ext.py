@@ -9846,3 +9846,114 @@ def rolling_origin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "role")
     )
+
+
+def _stationary_oracle(iters: int = 16) -> str:
+    parts = [
+        """seq AS (
+      SELECT user_id, event_type AS next_t,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_t
+      FROM events
+    ),
+    m AS (
+      SELECT prev_t, next_t, COUNT(*) AS n
+      FROM seq WHERE prev_t IS NOT NULL
+      GROUP BY prev_t, next_t
+    ),
+    states AS (
+      SELECT DISTINCT prev_t AS s FROM m
+      UNION SELECT DISTINCT next_t FROM m
+    ),
+    tot AS (SELECT prev_t AS s, SUM(n) AS tot FROM m GROUP BY 1),
+    p AS MATERIALIZED (
+      SELECT m.prev_t AS s, m.next_t AS d, m.n / CAST(t.tot AS DOUBLE) AS p
+      FROM m JOIN tot t ON t.s = m.prev_t
+      UNION ALL
+      SELECT st.s, st.s, 1.0
+      FROM states st LEFT JOIN tot ON tot.s = st.s WHERE tot.s IS NULL
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+    pi0 AS MATERIALIZED (SELECT s, 1.0 / nn.n AS pi FROM states, nn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pi{t} AS MATERIALIZED (
+      SELECT p.d AS s, SUM(pi.pi * p.p) AS pi
+      FROM pi{t - 1} pi JOIN p ON p.s = pi.s GROUP BY 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT s AS state, ROUND(pi, 6) + 0 AS pi FROM pi{iters} ORDER BY state
+    """
+    )
+
+
+@register("event_stationary_dist", oracle=_stationary_oracle())
+def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (round 13, 16 power iterations): the equilibrium share of the event
+    stream each type owns — where the journeys event_transition_matrix
+    describes eventually settle. Bounded-categorical power method, one
+    equi-join + groupBy per iteration; oracle unrolls the same
+    iterations as MATERIALIZED CTEs (the pagerank convention)."""
+    from dataquality_ml_spark.operators import graph as gr13b
+
+    ev = _t(spark, sf_dir, "events")
+    w13 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_t"),
+        F.lag("event_type").over(w13).alias("prev_t"),
+    )
+    m = (
+        seq.where(F.col("prev_t").isNotNull())
+        .groupBy("prev_t", "next_t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = gr13b.markov_stationary(m, iterations=16)
+    return out.select(
+        "state", (F.round("pi", 6) + F.lit(0.0)).alias("pi")
+    ).orderBy("state")
+
+
+@register(
+    "loso_mean_value_by_type",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_k,
+             SUM(CAST(value AS DOUBLE)) AS s_k
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_k) AS N, SUM(s_k) AS S FROM cells)
+    SELECT event_type, n_k,
+           ROUND(s_k / n_k, 6) + 0 AS mean_k,
+           ROUND(CASE WHEN N > n_k THEN (S - s_k) / (N - n_k) END, 6) + 0
+             AS mean_without,
+           ROUND(CASE WHEN N > n_k THEN (S - s_k) / (N - n_k) - S / N END,
+                 6) + 0 AS delta
+    FROM cells, t
+    ORDER BY event_type
+    """,
+)
+def loso_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-segment-out mean-impact panel over event types (round
+    13): the corpus mean without each segment and the delta its removal
+    causes — the closed-form ablation ranking a curation decision reads
+    before paying for a retrain. One groupBy + one broadcast totals
+    join for ALL k leave-one-out corpora."""
+    from dataquality_ml_spark.operators import profile as prof13b
+
+    out = prof13b.loso_mean_delta(_t(spark, sf_dir, "events"), "event_type", "value")
+    return out.select(
+        "event_type",
+        "n_k",
+        (F.round("mean_k", 6) + F.lit(0.0)).alias("mean_k"),
+        (F.round("mean_without", 6) + F.lit(0.0)).alias("mean_without"),
+        (F.round("delta", 6) + F.lit(0.0)).alias("delta"),
+    ).orderBy("event_type")

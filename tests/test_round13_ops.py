@@ -760,3 +760,43 @@ def test_rolling_origin_no_future_leak(spark):
     assert out.select("id").distinct().count() == 500
     with pytest.raises(ValueError, match="n_folds"):
         rolling_origin_assign(df, "ts", n_folds=0)
+
+
+def test_markov_stationary_hand_chain_and_patch(spark):
+    """Two-state chain P(a->b)=1, P(b->a)=0.5, P(b->b)=0.5 has
+    stationary pi = (1/3, 2/3); a dangling state keeps all mass it is
+    fed via the self-loop patch; iterations<1 raises."""
+    from dataquality_ml_spark.operators.graph import markov_stationary
+
+    trans = spark.createDataFrame(
+        [("a", "b", 10), ("b", "a", 5), ("b", "b", 5)],
+        "prev_t string, next_t string, n long",
+    )
+    pi = {r.state: r.pi for r in markov_stationary(trans, iterations=40).collect()}
+    assert pi["a"] == pytest.approx(1 / 3, abs=1e-6)
+    assert pi["b"] == pytest.approx(2 / 3, abs=1e-6)
+    absorbing = spark.createDataFrame(
+        [("a", "z", 1)], "prev_t string, next_t string, n long"
+    )
+    pz = {r.state: r.pi for r in markov_stationary(absorbing, iterations=30).collect()}
+    assert pz["z"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        markov_stationary(trans, iterations=0)
+
+
+def test_loso_mean_delta_hand_computed(spark):
+    """Segments a:(1,1), b:(4): removing b moves the mean 2 -> 1
+    (delta -1); removing a moves it 2 -> 4 (delta +2); a segment that
+    IS the corpus gets NULL mean_without."""
+    from dataquality_ml_spark.operators.profile import loso_mean_delta
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 4.0)], "k string, v double"
+    )
+    got = {r.k: r for r in loso_mean_delta(df, "k", "v").collect()}
+    assert got["b"]["mean_without"] == pytest.approx(1.0)
+    assert got["b"]["delta"] == pytest.approx(-1.0)
+    assert got["a"]["mean_without"] == pytest.approx(4.0)
+    assert got["a"]["delta"] == pytest.approx(2.0)
+    solo = loso_mean_delta(df.where("k = 'a'"), "k", "v").first()
+    assert solo["mean_without"] is None and solo["delta"] is None
