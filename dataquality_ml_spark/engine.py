@@ -1117,3 +1117,30 @@ class DQEngine:
         from dataquality_ml_spark.operators.profile import loso_mean_delta
 
         return loso_mean_delta(df, key_col, value_col)
+
+    def welch_matrix(
+        self,
+        df: DataFrame,
+        key_col: str,
+        value_col: str = "value",
+        max_keys: int = 1000,
+    ) -> DataFrame:
+        """Pairwise Welch t + Cohen's d matrix across segments (loud
+        max_keys contract)."""
+        from dataquality_ml_spark.operators.evaluate import welch_t_matrix
+
+        return welch_t_matrix(df, key_col, value_col, max_keys)
+
+    def entropy_rate(
+        self,
+        trans: DataFrame,
+        src: str = "prev_t",
+        dst: str = "next_t",
+        weight: str = "n",
+        iterations: int = 16,
+    ) -> DataFrame:
+        """Entropy rate of a finite Markov chain — the journey-
+        predictability scalar (0 = deterministic, norm 1 = uniform)."""
+        from dataquality_ml_spark.operators.graph import markov_entropy_rate
+
+        return markov_entropy_rate(trans, src, dst, weight, iterations)

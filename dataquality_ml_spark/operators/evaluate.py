@@ -966,3 +966,88 @@ def fdr_bh(df: DataFrame, p_col: str = "p_value", m: int | None = None) -> DataF
         F.min(F.col(p_col) * F.lit(float(mm)) / F.col("__j")).over(wmin),
     )
     return ranked.withColumn("q_value", q).drop("__j")
+
+
+def welch_t_matrix(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    max_keys: int = 1000,
+) -> DataFrame:
+    """Pairwise Welch t matrix across segments — the MEAN-focused
+    companion to the binned-KS distance matrix: for every unordered
+    segment pair, the unequal-variance t statistic, its
+    Welch–Satterthwaite degrees of freedom, and Cohen's d effect size
+    (the magnitude the t value alone hides at big n — at 10⁸ rows per
+    segment everything is "significant"; d says whether anyone should
+    care). Returns (key_a, key_b, n_a, n_b, mean_diff, t_stat,
+    df_welch, cohens_d).
+
+    Shape + contract: ONE grouped aggregation to the bounded per-key
+    (n, mean, var) relation; the pair join is an explicit-broadcast
+    nested loop over that bounded relation (the theil_sen convention —
+    never a CartesianProduct), k(k−1)/2 rows, with the loud
+    ``max_keys`` pre-check since the matrix is quadratic by
+    definition. Degenerate pairs (a segment with n < 2 or both
+    variances 0) get NULL t/df.
+    """
+    valid = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & F.col(key_col).isNotNull()
+    )
+    nk = valid.agg(F.approx_count_distinct(key_col).alias("g")).first()["g"]
+    if nk and nk > max_keys:
+        raise ValueError(
+            f"welch_t_matrix: ~{nk} distinct {key_col!r} values exceed "
+            f"max_keys={max_keys} — the matrix is k(k-1)/2 pairs; "
+            "aggregate the key first or raise max_keys deliberately"
+        )
+    cells = valid.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("m"),
+        F.var_samp(value_col).alias("v"),
+    )
+    a = cells.select(
+        F.col("__k").alias("key_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = cells.select(
+        F.col("__k").alias("key_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    j = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    sa = F.col("v_a") / F.col("n_a")
+    sb = F.col("v_b") / F.col("n_b")
+    se2 = sa + sb
+    t = F.when(se2 > 0, (F.col("m_a") - F.col("m_b")) / F.sqrt(se2))
+    dfw = F.when(
+        (se2 > 0) & (F.col("n_a") > 1) & (F.col("n_b") > 1),
+        (se2 * se2)
+        / (
+            sa * sa / (F.col("n_a") - 1)
+            + sb * sb / (F.col("n_b") - 1)
+        ),
+    )
+    sp = F.sqrt(
+        (
+            (F.col("n_a") - 1) * F.col("v_a")
+            + (F.col("n_b") - 1) * F.col("v_b")
+        )
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = F.when(sp > 0, (F.col("m_a") - F.col("m_b")) / sp)
+    return j.select(
+        "key_a",
+        "key_b",
+        "n_a",
+        "n_b",
+        (F.col("m_a") - F.col("m_b")).alias("mean_diff"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+        d.alias("cohens_d"),
+    ).orderBy("key_a", "key_b")

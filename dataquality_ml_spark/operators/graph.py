@@ -406,3 +406,56 @@ def markov_stationary(
             .localCheckpoint(eager=False)
         )
     return pi.select(F.col("s").alias("state"), "pi")
+
+
+def markov_entropy_rate(
+    trans: DataFrame,
+    src: str = "prev_t",
+    dst: str = "next_t",
+    weight: str = "n",
+    iterations: int = 16,
+) -> DataFrame:
+    """Entropy rate of a finite Markov chain — how PREDICTABLE the next
+    event is given the current one: H = −Σ_i π_i Σ_j P_ij·ln P_ij
+    (Shannon, nats per transition), the journey-complexity scalar the
+    transition matrix and stationary distribution together imply. A
+    bot replaying one loop scores ~0; uniform wandering scores ln k —
+    so the normalized form is a behavioral-anomaly feature. Returns
+    one row: (n_states, entropy_rate, entropy_rate_norm); the
+    normalizer is ln(n_states) (1.0 = maximally unpredictable).
+
+    Shape: π from :func:`markov_stationary` (bounded-categorical power
+    method), one join of π onto the per-state conditional entropies,
+    one reduce. Self-loop-patched dangling states contribute 0 entropy
+    (ln 1), consistently with their absorbing semantics.
+    """
+    pi = markov_stationary(trans, src, dst, weight, iterations)
+    out_tot = trans.groupBy(F.col(src).alias("s")).agg(
+        F.sum(weight).alias("tot")
+    )
+    hs = (
+        trans.select(
+            F.col(src).alias("s"), (F.col(weight).cast("double")).alias("w")
+        )
+        .join(out_tot, "s")
+        .groupBy("s")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("w") / F.col("tot"))
+                    * F.log(F.col("w") / F.col("tot"))
+                )
+            ).alias("h_s")
+        )
+    )
+    j = pi.join(hs, pi["state"] == hs["s"], "left").select(
+        "state", "pi", F.coalesce("h_s", F.lit(0.0)).alias("h_s")
+    )
+    g = F.count(F.lit(1)).cast("bigint")
+    h = F.sum(F.col("pi") * F.col("h_s"))
+    norm = F.when(g > 1, h / F.log(g.cast("double"))).otherwise(F.lit(0.0))
+    return j.agg(
+        g.alias("n_states"),
+        h.alias("entropy_rate"),
+        norm.alias("entropy_rate_norm"),
+    )

@@ -9957,3 +9957,117 @@ def loso_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("mean_without", 6) + F.lit(0.0)).alias("mean_without"),
         (F.round("delta", 6) + F.lit(0.0)).alias("delta"),
     ).orderBy("event_type")
+
+
+@register(
+    "welch_matrix_by_type",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS m, VAR_SAMP(value) AS v
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT a.k AS key_a, b.k AS key_b, a.n AS n_a, b.n AS n_b,
+             a.m - b.m AS mean_diff,
+             a.v / a.n AS sa, b.v / b.n AS sb,
+             a.v AS v_a, b.v AS v_b, a.n AS na, b.n AS nb
+      FROM cells a JOIN cells b ON a.k < b.k
+    )
+    SELECT key_a, key_b, n_a, n_b,
+           ROUND(mean_diff, 6) + 0 AS mean_diff,
+           ROUND(CASE WHEN sa + sb > 0
+                 THEN mean_diff / sqrt(sa + sb) END, 6) + 0 AS t_stat,
+           ROUND(CASE WHEN sa + sb > 0 AND na > 1 AND nb > 1
+                 THEN (sa + sb) * (sa + sb)
+                      / (sa * sa / (na - 1) + sb * sb / (nb - 1)) END,
+                 6) + 0 AS df_welch,
+           ROUND(CASE WHEN ((na - 1) * v_a + (nb - 1) * v_b)
+                           / (na + nb - 2) > 0
+                 THEN mean_diff / sqrt(((na - 1) * v_a + (nb - 1) * v_b)
+                                       / (na + nb - 2)) END, 6) + 0
+             AS cohens_d
+    FROM p ORDER BY key_a, key_b
+    """,
+)
+def welch_matrix_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch t matrix + Cohen's d across event types (round
+    13): the mean-focused companion to ks_matrix_by_type — which
+    segment PAIRS differ in level, with the effect size big-n t values
+    hide. One grouped agg to the bounded per-type cells; the pair join
+    is an explicit-broadcast nested loop (never a CartesianProduct),
+    loud max_keys contract."""
+    from dataquality_ml_spark.operators.evaluate import welch_t_matrix
+
+    out = welch_t_matrix(_t(spark, sf_dir, "events"), "event_type", "value")
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_a",
+        "n_b",
+        (F.round("mean_diff", 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round("t_stat", 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round("df_welch", 6) + F.lit(0.0)).alias("df_welch"),
+        (F.round("cohens_d", 6) + F.lit(0.0)).alias("cohens_d"),
+    ).orderBy("key_a", "key_b")
+
+
+def _entropy_rate_oracle(iters: int = 16) -> str:
+    base = _stationary_oracle(iters)
+    final = base.rsplit("SELECT s AS state", 1)[0]
+    return (
+        final
+        + f""",
+    hs AS (
+      SELECT m.prev_t AS s,
+             -SUM((m.n / CAST(t.tot AS DOUBLE))
+                  * ln(m.n / CAST(t.tot AS DOUBLE))) AS h_s
+      FROM m JOIN tot t ON t.s = m.prev_t
+      GROUP BY 1
+    ),
+    joined AS (
+      SELECT p.s, p.pi, COALESCE(hs.h_s, 0.0) AS h_s
+      FROM pi{iters} p LEFT JOIN hs ON hs.s = p.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+           ROUND(SUM(pi * h_s), 6) + 0 AS entropy_rate,
+           ROUND(CASE WHEN COUNT(*) > 1
+                 THEN SUM(pi * h_s) / ln(COUNT(*)) ELSE 0.0 END, 6) + 0
+             AS entropy_rate_norm
+    FROM joined
+    """
+    )
+
+
+@register("event_entropy_rate", oracle=_entropy_rate_oracle())
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain (round 13):
+    how predictable the next event is given the current one — the
+    journey-complexity scalar implied by event_transition_matrix +
+    event_stationary_dist together; the normalized form is a
+    behavioral-anomaly feature (0 = deterministic loop, 1 = uniform
+    wandering)."""
+    from dataquality_ml_spark.operators import graph as gr13c
+
+    ev = _t(spark, sf_dir, "events")
+    w13b = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_t"),
+        F.lag("event_type").over(w13b).alias("prev_t"),
+    )
+    m = (
+        seq.where(F.col("prev_t").isNotNull())
+        .groupBy("prev_t", "next_t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = gr13c.markov_entropy_rate(m, iterations=16)
+    return out.select(
+        "n_states",
+        (F.round("entropy_rate", 6) + F.lit(0.0)).alias("entropy_rate"),
+        (F.round("entropy_rate_norm", 6) + F.lit(0.0)).alias(
+            "entropy_rate_norm"
+        ),
+    )

@@ -800,3 +800,53 @@ def test_loso_mean_delta_hand_computed(spark):
     assert got["a"]["delta"] == pytest.approx(2.0)
     solo = loso_mean_delta(df.where("k = 'a'"), "k", "v").first()
     assert solo["mean_without"] is None and solo["delta"] is None
+
+
+def test_welch_matrix_hand_computed(spark):
+    """Welch t/df and Cohen's d against the textbook formulas on two
+    hand segments; equal segments give t=0; the quadratic key contract
+    raises."""
+    from dataquality_ml_spark.operators.evaluate import welch_t_matrix
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (6.0, 8.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = welch_t_matrix(df, "k", "value").first()
+    # a: n=4 m=2.5 v=5/3 ; b: n=2 m=7 v=2
+    sa, sb = (5 / 3) / 4, 2 / 2
+    t = (2.5 - 7) / math.sqrt(sa + sb)
+    dfw = (sa + sb) ** 2 / (sa**2 / 3 + sb**2 / 1)
+    sp = math.sqrt((3 * (5 / 3) + 1 * 2) / 4)
+    assert r["t_stat"] == pytest.approx(t)
+    assert r["df_welch"] == pytest.approx(dfw)
+    assert r["cohens_d"] == pytest.approx((2.5 - 7) / sp)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "k string, value double",
+    )
+    assert welch_t_matrix(same, "k", "value").first()["t_stat"] == pytest.approx(0.0)
+    wide = spark.range(300).select(
+        F.col("id").cast("string").alias("k"), F.lit(1.0).alias("value")
+    )
+    with pytest.raises(ValueError, match="max_keys"):
+        welch_t_matrix(wide, "k", "value", max_keys=10)
+
+
+def test_markov_entropy_rate_deterministic_vs_uniform(spark):
+    """A deterministic 2-cycle has entropy rate 0; a uniform 2-state
+    chain has ln 2 (normalized 1.0)."""
+    from dataquality_ml_spark.operators.graph import markov_entropy_rate
+
+    cycle = spark.createDataFrame(
+        [("a", "b", 7), ("b", "a", 7)], "prev_t string, next_t string, n long"
+    )
+    r = markov_entropy_rate(cycle).first()
+    assert r["n_states"] == 2 and r["entropy_rate"] == pytest.approx(0.0)
+    uniform = spark.createDataFrame(
+        [("a", "a", 5), ("a", "b", 5), ("b", "a", 5), ("b", "b", 5)],
+        "prev_t string, next_t string, n long",
+    )
+    u = markov_entropy_rate(uniform).first()
+    assert u["entropy_rate"] == pytest.approx(math.log(2))
+    assert u["entropy_rate_norm"] == pytest.approx(1.0)
