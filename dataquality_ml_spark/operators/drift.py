@@ -140,55 +140,79 @@ def _ecdf_counts(
         F.sum(1 - F.col("in_a")).alias("n_b"),
     )
     if bins:
+        # Bounded bucket relation: the side totals ride the SAME keyed
+        # window pass as the running counts (full-frame sum over the
+        # identical partitioning — one exchange, zero joins), instead of
+        # re-aggregating the upstream melt/scan a second time just to
+        # attach tot_a/tot_b (the pre-round-13 shape paid the whole
+        # upstream twice; guide §2.4).
         run = (
             Window.partitionBy(*keys)
             .orderBy("v")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cum = per_v.select(
+        full = Window.partitionBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return per_v.select(
             *keys,
             "v",
             "n_a",
             "n_b",
             F.sum("n_a").over(run).alias("ca"),
             F.sum("n_b").over(run).alias("cb"),
+            F.sum("n_a").over(full).alias("tot_a"),
+            F.sum("n_b").over(full).alias("tot_b"),
         )
-    else:
-        from dataquality_ml_spark.operators.relational import (
-            exclusive_prefix_sum,
-        )
+    from dataquality_ml_spark.operators.relational import (
+        exclusive_prefix_sum,
+    )
 
-        cum = exclusive_prefix_sum(
-            per_v, "v", ["n_a", "n_b"], out=["_ba", "_bb"], keys=keys or None
-        ).select(
-            *keys,
-            "v",
-            "n_a",
-            "n_b",
-            (F.col("_ba") + F.col("n_a")).alias("ca"),
-            (F.col("_bb") + F.col("n_b")).alias("cb"),
-        )
+    # Exact mode: the decomposition's driver-side subtotal collect already
+    # holds the per-key grand totals — read them back (with_totals) rather
+    # than re-running the whole upstream scan + union + groupBy for a
+    # tots aggregation (the pre-round-13 shape computed the melted
+    # relation twice per panel; guide §1.2/§2.4).
+    cum, tot_map = exclusive_prefix_sum(
+        per_v,
+        "v",
+        ["n_a", "n_b"],
+        out=["_ba", "_bb"],
+        keys=keys or None,
+        with_totals=True,
+    )
+    cum = cum.select(
+        *keys,
+        "v",
+        "n_a",
+        "n_b",
+        (F.col("_ba") + F.col("n_a")).alias("ca"),
+        (F.col("_bb") + F.col("n_b")).alias("cb"),
+    )
     if keys:
-        tots = per_v.groupBy(*keys).agg(
-            F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+        # eqNullSafe, not a plain equi-join: a NULL-keyed segment is a
+        # real group (GROUP BY semantics on both engines keep it), and a
+        # plain join would silently drop it — round-8 bug class.
+        key_schema = ", ".join(
+            f"__t_{k} {per_v.schema[k].dataType.simpleString()}" for k in keys
         )
-        # eqNullSafe, not a plain equi-join: groupBy KEEPS a NULL-keyed
-        # segment, and a plain join would silently drop it afterwards —
-        # the same null-group bug class fixed in exclusive_prefix_sum and
-        # exact_quantiles_grouped (round 8); GROUP BY semantics on both
-        # engines keep the NULL group, so the oracle would diverge.
-        tots = tots.select(
-            *[F.col(k).alias(f"__t_{k}") for k in keys], "tot_a", "tot_b"
+        tots = per_v.sparkSession.createDataFrame(
+            [(*kt, int(v[0]), int(v[1])) for kt, v in tot_map.items()],
+            f"{key_schema}, tot_a bigint, tot_b bigint",
         )
         cond = None
         for k in keys:
             c = F.col(k).eqNullSafe(F.col(f"__t_{k}"))
             cond = c if cond is None else (cond & c)
-        return cum.join(tots, cond).drop(*[f"__t_{k}" for k in keys])
-    tots = per_v.agg(
-        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+        return cum.join(F.broadcast(tots), cond).drop(
+            *[f"__t_{k}" for k in keys]
+        )
+    ta, tb = tot_map.get((), [0, 0])
+    return cum.select(
+        "*",
+        F.lit(int(ta)).cast("bigint").alias("tot_a"),
+        F.lit(int(tb)).cast("bigint").alias("tot_b"),
     )
-    return cum.crossJoin(F.broadcast(tots))
 
 
 def ks_statistic(
@@ -1586,6 +1610,11 @@ def theil_sen_trend(
             f"{n} points — all pairwise slopes are undefined on a "
             "vertically stacked series; aggregate to distinct buckets first"
         )
+    # contract passed → base is ≤ max_points rows: checkpoint it so the
+    # pair join (both sides), the slope-median job and the intercept agg
+    # read the materialized series instead of re-running the upstream
+    # scan three more times (round 13, guide §2.4)
+    base = base.localCheckpoint(eager=False)
     # non-equi pair join over a contract-bounded series: broadcast the
     # right side explicitly so the plan is a bounded BNLJ, never a
     # CartesianProduct (registry-wide plan gate)
@@ -1656,6 +1685,11 @@ def mann_kendall_trend(
             "tie-corrected variance assumes all n(n-1)/2; aggregate to "
             "unique buckets first"
         )
+    # contract passed → base is ≤ max_points rows: checkpoint it so the
+    # S pair join (both sides) and the tie aggregation read the
+    # materialized series instead of re-running the upstream scan three
+    # more times (round 13, guide §2.4)
+    base = base.localCheckpoint(eager=False)
     rhs = F.broadcast(base.select(F.col("x").alias("x2"), F.col("y").alias("y2")))
     s_row = (
         base.join(rhs, F.col("x2") > F.col("x"))

@@ -833,7 +833,9 @@ def anova_oneway(
         F.sum("s_k").alias("S"),
         F.sum("ss_k").alias("SS"),
         F.sum(F.col("s_k") * F.col("s_k") / F.col("n_k")).alias("A"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the loud-contract first() materializes the 1-row agg; without the
+    #   checkpoint the returned select() re-ran scan + both aggs at collect
     row = agg.first()
     if row["g"] is None or row["g"] < 2:
         raise ValueError(
@@ -897,14 +899,20 @@ def kruskal_wallis(
             F.sum(F.col("n_kv") * F.col("mid")).alias("rk"),
         )
     )
-    tie = vals.agg(
+    # tie sum reads the prefix-sum OUTPUT (checkpoint-backed) rather than
+    # re-aggregating ``vals`` — which would re-run the upstream scan +
+    # distinct-value groupBy a second time (round 13, guide §2.4)
+    tie = ranked.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("t3")
     )
     tot = gk.agg(
         F.sum("n_k").alias("N"),
         F.count(F.lit(1)).alias("g"),
         F.sum(F.col("rk") * F.col("rk") / F.col("n_k")).alias("s"),
-    ).crossJoin(tie)
+    ).crossJoin(tie).localCheckpoint(eager=False)
+    # ^ the loud-contract first() below materializes this 1-row relation;
+    #   without the checkpoint the returned select() re-ran the whole
+    #   rank/join/agg pipeline a second time at collect
     row = tot.first()
     if row["g"] is None or row["g"] < 2:
         raise ValueError(
@@ -996,18 +1004,22 @@ def welch_t_matrix(
         & ~F.isnan(F.col(value_col))
         & F.col(key_col).isNotNull()
     )
-    nk = valid.agg(F.approx_count_distinct(key_col).alias("g")).first()["g"]
-    if nk and nk > max_keys:
-        raise ValueError(
-            f"welch_t_matrix: ~{nk} distinct {key_col!r} values exceed "
-            f"max_keys={max_keys} — the matrix is k(k-1)/2 pairs; "
-            "aggregate the key first or raise max_keys deliberately"
-        )
     cells = valid.groupBy(F.col(key_col).alias("__k")).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(value_col).alias("m"),
         F.var_samp(value_col).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
+    # the max_keys pre-check counts the CELLS relation the matrix is built
+    # from (exact, one row per key) instead of a separate
+    # approx_count_distinct scan over the raw rows — one pass, not two,
+    # and both pair-join branches read the materialized cells (round 13)
+    nk = cells.count()
+    if nk and nk > max_keys:
+        raise ValueError(
+            f"welch_t_matrix: {nk} distinct {key_col!r} values exceed "
+            f"max_keys={max_keys} — the matrix is k(k-1)/2 pairs; "
+            "aggregate the key first or raise max_keys deliberately"
+        )
     a = cells.select(
         F.col("__k").alias("key_a"),
         F.col("n").alias("n_a"),

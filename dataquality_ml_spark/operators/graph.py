@@ -346,12 +346,68 @@ def label_propagation(
     return labels.select("node", F.col("lbl").alias("community"))
 
 
+def _markov_local_rows(
+    trans: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    local_rows_limit: int,
+) -> list | None:
+    """Collect the bounded transition relation for the driver-side power
+    method, or ``None`` when it exceeds ``local_rows_limit`` rows (the
+    caller then falls back to the distributed loop).  Rows are sorted
+    (src, dst, weight) so the driver-side float summation order is
+    deterministic across runs."""
+    rows = (
+        trans.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .limit(local_rows_limit + 1)
+        .collect()
+    )
+    if len(rows) > local_rows_limit:
+        return None
+    none_low = lambda v: (v is None, v)  # noqa: E731 — null sorts first
+    return sorted(rows, key=lambda r: (none_low(r["s"]), none_low(r["d"]), r["w"]))
+
+
+def _markov_local_power(rows: list, iterations: int):
+    """Driver-side replay of the SAME row-normalize + self-loop-patch +
+    fixed-iteration power method the distributed loop runs: returns
+    (states, pi) with states sorted (null first) and pi a dict.  Per-ROW
+    arithmetic is identical to the relational form (duplicate (s, d)
+    rows contribute per-row, exactly like the join + groupBy sum)."""
+    states = sorted(
+        {r["s"] for r in rows} | {r["d"] for r in rows},
+        key=lambda v: (v is None, v),
+    )
+    tot: dict = {}
+    for r in rows:
+        tot[r["s"]] = tot.get(r["s"], 0.0) + r["w"]
+    # (s, d, p) triples; dangling states self-loop with p=1 (absorbing patch)
+    triples = [(r["s"], r["d"], r["w"] / tot[r["s"]]) for r in rows]
+    triples += [(s, s, 1.0) for s in states if s not in tot]
+    n = len(states)
+    pi = {s: 1.0 / n for s in states}
+    for _ in range(int(iterations)):
+        nxt: dict = {}
+        for s, d, p in triples:
+            if s in pi:
+                nxt[d] = nxt.get(d, 0.0) + pi[s] * p
+        pi = nxt  # pure-source states drop out, exactly like the groupBy
+    return states, pi
+
+
 def markov_stationary(
     trans: DataFrame,
     src: str = "prev_t",
     dst: str = "next_t",
     weight: str = "n",
     iterations: int = 16,
+    strategy: str = "auto",
+    local_rows_limit: int = 65536,
 ) -> DataFrame:
     """Stationary distribution of a finite Markov chain by the power
     method over a (src, dst, count) transition relation — where a user
@@ -365,15 +421,54 @@ def markov_stationary(
     (the standard absorbing-state patch, documented). Returns
     (state, pi), π summing to ~1.
 
-    Scale shape: every iteration is one equi-join of the |S|-row π
-    relation onto the |S|²-bounded transition relation + one groupBy —
-    the bounded-categorical contract (state = an enum, not an id);
-    iterates localCheckpoint-ed so the plan stays O(1) deep.
+    Scale shape: the transition relation is |S|²-bounded — the
+    bounded-categorical contract (state = an enum, not an id) — so by
+    default (``strategy='auto'``) it is collected once and the fixed
+    iteration count runs as driver-side float math (the isotonic-PAV /
+    effective-rank convention for bounded relations: model-parameter-
+    sized data should not pay 16 distributed join+groupBy rounds — the
+    relational loop cost ~50 AQE jobs and ~3 s of pure scheduling at
+    sf0.1; the local replay is one collect).  Inputs over
+    ``local_rows_limit`` rows fall back to the distributed loop
+    (``strategy='distributed'`` forces it): one equi-join of the π
+    relation onto the transition relation + one groupBy per iteration,
+    iterates localCheckpoint-ed so the plan stays O(1) deep.  Both
+    strategies replay the SAME per-row arithmetic; they differ only in
+    float summation order, inside the engine-rounding tolerance every
+    face already carries for DuckDB-vs-Spark order differences.
     """
     if iterations < 1:
         raise ValueError(
             f"markov_stationary: iterations must be >= 1, got {iterations}"
         )
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError("strategy must be auto|local|distributed")
+    if strategy != "distributed":
+        rows = _markov_local_rows(trans, src, dst, weight, local_rows_limit)
+        if rows is None and strategy == "local":
+            raise ValueError(
+                "markov_stationary: transition relation exceeds "
+                f"local_rows_limit={local_rows_limit} rows — pass "
+                "strategy='distributed' (or raise the limit)"
+            )
+        if rows is not None:
+            if not rows:
+                return trans.sparkSession.createDataFrame(
+                    [], "state string, pi double"
+                )
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            _, pi = _markov_local_power(rows, iterations)
+            schema = StructType(
+                [
+                    StructField("state", trans.schema[src].dataType),
+                    StructField("pi", DoubleType()),
+                ]
+            )
+            out = sorted(pi.items(), key=lambda t: (t[0] is None, t[0]))
+            return trans.sparkSession.createDataFrame(
+                [(s, float(v)) for s, v in out], schema
+            )
     states = (
         trans.select(F.col(src).alias("s"))
         .union(trans.select(F.col(dst).alias("s")))
@@ -414,6 +509,8 @@ def markov_entropy_rate(
     dst: str = "next_t",
     weight: str = "n",
     iterations: int = 16,
+    strategy: str = "auto",
+    local_rows_limit: int = 65536,
 ) -> DataFrame:
     """Entropy rate of a finite Markov chain — how PREDICTABLE the next
     event is given the current one: H = −Σ_i π_i Σ_j P_ij·ln P_ij
@@ -427,9 +524,66 @@ def markov_entropy_rate(
     Shape: π from :func:`markov_stationary` (bounded-categorical power
     method), one join of π onto the per-state conditional entropies,
     one reduce. Self-loop-patched dangling states contribute 0 entropy
-    (ln 1), consistently with their absorbing semantics.
+    (ln 1), consistently with their absorbing semantics.  Like
+    ``markov_stationary``, the default ``strategy='auto'`` collects the
+    |S|²-bounded transition relation ONCE and finishes π AND the
+    conditional entropies driver-side (one Spark job total instead of
+    ~55 — the stationary face's rationale applies doubly here, since
+    the relational form re-ran the whole 16-iteration power method just
+    to consume π); over-limit inputs fall back to the distributed form.
     """
-    pi = markov_stationary(trans, src, dst, weight, iterations)
+    if iterations < 1:
+        raise ValueError(
+            f"markov_entropy_rate: iterations must be >= 1, got {iterations}"
+        )
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError("strategy must be auto|local|distributed")
+    if strategy != "distributed":
+        rows = _markov_local_rows(trans, src, dst, weight, local_rows_limit)
+        if rows is None and strategy == "local":
+            raise ValueError(
+                "markov_entropy_rate: transition relation exceeds "
+                f"local_rows_limit={local_rows_limit} rows — pass "
+                "strategy='distributed' (or raise the limit)"
+            )
+        if rows is not None:
+            import math as _math
+
+            if not rows:  # empty chain: count 0, NULL rate, norm 0.0
+                return trans.sparkSession.createDataFrame(
+                    [(0, None, 0.0)],
+                    "n_states bigint, entropy_rate double, "
+                    "entropy_rate_norm double",
+                )
+            _, pi = _markov_local_power(rows, iterations)
+            tot: dict = {}
+            for r in rows:
+                tot[r["s"]] = tot.get(r["s"], 0.0) + r["w"]
+            hs: dict = {}
+            for r in rows:  # per-ROW terms, like the relational form
+                q = r["w"] / tot[r["s"]]
+                hs[r["s"]] = hs.get(r["s"], 0.0) - q * _math.log(q)
+            n_states = len(pi)
+            h = (
+                sum(
+                    pi[s] * hs.get(s, 0.0)
+                    for s in sorted(pi, key=lambda v: (v is None, v))
+                )
+                if n_states
+                else None
+            )
+            norm = (
+                h / _math.log(float(n_states))
+                if (n_states or 0) > 1
+                else 0.0
+            )
+            return trans.sparkSession.createDataFrame(
+                [(n_states, h, norm)],
+                "n_states bigint, entropy_rate double, entropy_rate_norm double",
+            )
+    pi = markov_stationary(
+        trans, src, dst, weight, iterations, strategy="distributed"
+    )
     out_tot = trans.groupBy(F.col(src).alias("s")).agg(
         F.sum(weight).alias("tot")
     )

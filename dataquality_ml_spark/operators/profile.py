@@ -315,16 +315,25 @@ def exact_quantiles_grouped(
     # `cum` is bit-identical to the former window.
     from dataquality_ml_spark.operators.relational import exclusive_prefix_sum
 
-    cum = exclusive_prefix_sum(
-        gc, "v", "cnt", out="_before", keys=keys
-    ).withColumn("cum", F.col("_before") + F.col("cnt")).drop("_before")
-    n = gc.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+    # Per-key valid-row totals ride back from the prefix-sum decomposition's
+    # OWN driver-side subtotal collect (with_totals) — the former
+    # ``gc.groupBy(keys).agg(sum)`` branch re-ran the whole upstream scan +
+    # (keys, v) groupBy a second time per quantile call (round 13, guide
+    # §1.2/§2.4: the subtotal job already computed these numbers).
+    cum, tot_map = exclusive_prefix_sum(
+        gc, "v", "cnt", out="_before", keys=keys, with_totals=True
+    )
+    cum = cum.withColumn("cum", F.col("_before") + F.col("cnt")).drop("_before")
     # null-safe join: a NULL group key is a real group (grouped
     # ``percentile`` keeps it; a plain equi-join silently dropped it —
     # latent until round 8's grouped-selection differential caught it)
-    nn = n
-    for k in keys:
-        nn = nn.withColumnRenamed(k, f"_n_{k}")
+    key_schema = ", ".join(
+        f"_n_{k} {gc.schema[k].dataType.simpleString()}" for k in keys
+    )
+    nn = df.sparkSession.createDataFrame(
+        [(*kt, int(v[0])) for kt, v in tot_map.items()],
+        f"{key_schema}, n bigint",
+    )
     cond = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"_n_{k}"))

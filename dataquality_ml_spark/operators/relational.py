@@ -414,6 +414,7 @@ def exclusive_prefix_sum(
     out: str | list[str] = "_before",
     descending: bool = False,
     keys: list[str] | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Distributed exclusive prefix sum of ``val_col`` in ``order_col``
     order: every row gains ``out`` = sum of val over all rows strictly
@@ -446,6 +447,16 @@ def exclusive_prefix_sum(
     integral (counts/tokens — subtotals are exact-summed driver-side).
     Adds one range shuffle; the result keeps the range partitioning, so
     a downstream orderBy(order_col) is nearly free.
+
+    ``with_totals=True`` returns ``(result, totals)`` where ``totals``
+    maps each key tuple (``()`` when unkeyed) to the exact grand total
+    of every val column.  The decomposition already collects per-
+    partition subtotals to the driver — the grand totals are their final
+    accumulator values, FREE of any extra job.  Callers that previously
+    re-aggregated the *upstream* relation just to attach totals (the
+    ``_ecdf_counts`` tot_a/tot_b join) re-ran the whole upstream scan;
+    reading them from the subtotals removes that second computation
+    (guide §1/§2.4: don't recompute what a pass already produced).
     """
     val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
     outs = [out] if isinstance(out, str) else list(out)
@@ -519,4 +530,7 @@ def exclusive_prefix_sum(
         res = res.withColumn(
             o, F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(f"_off_{i}")
         )
-    return res.drop("_pid", *[f"_off_{i}" for i in range(len(val_cols))])
+    res = res.drop("_pid", *[f"_off_{i}" for i in range(len(val_cols))])
+    if with_totals:
+        return res, {kt: list(acc) for kt, acc in accs.items()}
+    return res

@@ -850,3 +850,51 @@ def test_markov_entropy_rate_deterministic_vs_uniform(spark):
     u = markov_entropy_rate(uniform).first()
     assert u["entropy_rate"] == pytest.approx(math.log(2))
     assert u["entropy_rate_norm"] == pytest.approx(1.0)
+
+
+def test_markov_local_vs_distributed_strategies(spark):
+    """The driver-side bounded power method (strategy='local'/'auto')
+    replays the distributed relational loop exactly: same states, same
+    pi/entropy to float tolerance, on a chain with dangling states and
+    a pure-source state (which must DROP OUT of pi in both forms); the
+    over-limit local contract raises loudly."""
+    from dataquality_ml_spark.operators.graph import (
+        markov_entropy_rate,
+        markov_stationary,
+    )
+
+    trans = spark.createDataFrame(
+        [
+            ("a", "b", 10),
+            ("b", "a", 5),
+            ("b", "b", 5),
+            ("b", "c", 2),
+            ("c", "d", 1),  # d is dangling -> self-loop patch
+            ("x", "a", 3),  # x is a pure source -> drops out of pi
+        ],
+        "prev_t string, next_t string, n long",
+    )
+    loc = {
+        r.state: r.pi
+        for r in markov_stationary(trans, iterations=7, strategy="local").collect()
+    }
+    dist = {
+        r.state: r.pi
+        for r in markov_stationary(
+            trans, iterations=7, strategy="distributed"
+        ).collect()
+    }
+    assert set(loc) == set(dist) and "x" not in loc
+    for s in dist:
+        assert loc[s] == pytest.approx(dist[s], abs=1e-12), s
+    el = markov_entropy_rate(trans, iterations=7, strategy="local").first()
+    ed = markov_entropy_rate(trans, iterations=7, strategy="distributed").first()
+    assert el["n_states"] == ed["n_states"]
+    assert el["entropy_rate"] == pytest.approx(ed["entropy_rate"], abs=1e-12)
+    assert el["entropy_rate_norm"] == pytest.approx(
+        ed["entropy_rate_norm"], abs=1e-12
+    )
+    with pytest.raises(ValueError, match="local_rows_limit"):
+        markov_stationary(trans, strategy="local", local_rows_limit=2)
+    with pytest.raises(ValueError, match="local_rows_limit"):
+        markov_entropy_rate(trans, strategy="local", local_rows_limit=2)
