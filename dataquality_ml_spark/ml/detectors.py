@@ -307,12 +307,16 @@ class IsolationForest:
                 rights.append(t["right"] + off)
                 sizes.append(t["size"])
                 off += len(t["feat"])
+            # int32 node/feature indices: total node count is bounded by
+            # n_estimators * 2^(height+1) (~25k at the defaults), so the
+            # (T, n) descent matrices allocate/touch half the bytes —
+            # index arithmetic is exact, scores bit-identical (round 13)
             self._packed = (
-                np.array(offs, dtype=np.int64),
-                np.concatenate(feats),
+                np.array(offs, dtype=np.int32),
+                np.concatenate(feats).astype(np.int32),
                 np.concatenate(splits),
-                np.concatenate(lefts),
-                np.concatenate(rights),
+                np.concatenate(lefts).astype(np.int32),
+                np.concatenate(rights).astype(np.int32),
                 np.concatenate(sizes).astype(np.int64),
             )
         return self._packed
@@ -320,7 +324,7 @@ class IsolationForest:
     def path_lengths(self, x: np.ndarray) -> np.ndarray:
         offs, feat_a, split_a, left_a, right_a, size_a = self._pack()
         n = len(x)
-        rows = np.arange(n)
+        rows = np.arange(n, dtype=np.int32)
         node = np.repeat(offs[:, None], n, axis=1)  # (T, n)
         depth = np.zeros((len(offs), n))
         for _ in range(self.height_limit + 1):
@@ -394,7 +398,12 @@ def score_distributed(
     @pandas_udf(DoubleType())
     def score_udf(feats: pd.Series) -> pd.Series:
         model = bc.value
-        x = np.array(feats.tolist(), dtype=np.float64)
+        if len(feats) == 0:
+            return pd.Series([], dtype="float64")
+        # np.stack over the Arrow-decoded ndarray elements: one
+        # allocation + memcpy per batch, vs tolist()'s per-row Python
+        # list round-trip (guide §4.2 — keep the batch in native code)
+        x = np.stack(feats.to_numpy()).astype(np.float64, copy=False)
         s = (
             model.reconstruction_error(x)
             if hasattr(model, "reconstruction_error")

@@ -414,18 +414,22 @@ def quantile_map(
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pre = exclusive_prefix_sum(cur, "value", "n", out="__cum")
-    tot = cur.agg(F.sum("n").alias("__N"))
-    pr = F.when(
-        F.col("__N") > 1,
-        F.col("__cum").cast("double") / (F.col("__N") - 1),
-    ).otherwise(F.lit(0.0))
+    # round 13: N rides back from the prefix-sum decomposition's subtotal
+    # collect (with_totals) — the former ``cur.agg(sum)`` branch re-ran
+    # the corpus scan + groupBy a second time (guide §1.2/§2.4)
+    pre, _tots = exclusive_prefix_sum(
+        cur, "value", "n", out="__cum", with_totals=True
+    )
+    n_total = int(_tots.get((), [0])[0])
+    pr = (
+        (F.col("__cum").cast("double") / F.lit(float(n_total - 1)))
+        if n_total > 1
+        else F.lit(0.0)
+    )
     t = pr * knots
     i = F.least(F.lit(knots - 1), F.floor(t).cast("int"))
     frac = t - i
     mapped = F.element_at(karr, i + 1) * (1 - frac) + F.element_at(
         karr, i + 2
     ) * frac
-    return pre.crossJoin(F.broadcast(tot)).select(
-        "value", "n", mapped.alias("mapped")
-    )
+    return pre.select("value", "n", mapped.alias("mapped"))

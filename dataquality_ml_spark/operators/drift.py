@@ -1260,10 +1260,14 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     Same shape as chi2: one scan to the contingency table, margins from
     the table, the final sum over ≤|A|·|B| rows.
     """
+    # four consumers (both margins, the total, the cells join) — without
+    # the checkpoint each re-ran the corpus scan + contingency groupBy
+    # (round 13, guide §2.4)
     cont = (
         df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
     )
     ma = cont.groupBy(col_a).agg(F.sum("o").alias("ma"))
     mb = cont.groupBy(col_b).agg(F.sum("o").alias("mb"))
@@ -1292,10 +1296,13 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     exactly when dependence is strongest. The raw data is scanned once
     regardless of table size. Expected count e = row_margin·col_margin/n.
     """
+    # three consumers (both margins + the grid join-back) — checkpoint so
+    # the corpus scan + contingency groupBy run once (round 13, guide §2.4)
     cont = (
         df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
     )
     ma = cont.groupBy(col_a).agg(F.sum("o").alias("ma"))
     mb = cont.groupBy(col_b).agg(F.sum("o").alias("mb"))

@@ -225,10 +225,13 @@ def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # two consumers (total + the pruned top-k path) — checkpoint so the
+    # corpus scan + groupBy run once (round 13, guide §2.4)
     counts = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("n").alias("_tot"))
     order = [F.desc("n"), F.asc("value")]
@@ -419,9 +422,11 @@ def join_skew_report(
     rc = right.groupBy(F.col(right_key).alias("key")).agg(
         F.count(F.lit(1)).alias("n_right")
     )
+    # two consumers (total + the ranked report) — checkpoint so both key
+    # aggregations + their join run once (round 13, guide §2.4)
     both = lc.join(rc, "key").select(
         "key", "n_left", "n_right", (F.col("n_left") * F.col("n_right")).alias("out_rows")
-    )
+    ).localCheckpoint(eager=False)
     tot = both.agg(F.sum("out_rows").alias("total_out"))
     return (
         both.crossJoin(F.broadcast(tot))
@@ -1462,10 +1467,12 @@ def loso_mean_delta(
         & ~F.isnan(F.col(value_col))
         & F.col(key_col).isNotNull()
     )
+    # two consumers (totals + the per-key report) — checkpoint so the
+    # corpus scan + groupBy run once (round 13, guide §2.4)
     cells = valid.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_k"),
         F.sum(F.col(value_col).cast("double")).alias("s_k"),
-    )
+    ).localCheckpoint(eager=False)
     tot = cells.agg(
         F.sum("n_k").alias("N"), F.sum("s_k").alias("S")
     )

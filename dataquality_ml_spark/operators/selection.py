@@ -99,8 +99,15 @@ def dsir_log_weights(
         eager=False
     )
 
-    tgt_counts = _bucket_model(tgt_feats).withColumnRenamed("cnt", "ct")
-    raw_counts = _bucket_model(raw_feats).withColumnRenamed("cnt", "cr")
+    # each counts relation has two consumers (the bucket join + its
+    # total): checkpoint so each side's featurize + groupBy runs once
+    # (round 13, guide §2.4); both are <= num_buckets rows
+    tgt_counts = _bucket_model(tgt_feats).withColumnRenamed(
+        "cnt", "ct"
+    ).localCheckpoint(eager=False)
+    raw_counts = _bucket_model(raw_feats).withColumnRenamed(
+        "cnt", "cr"
+    ).localCheckpoint(eager=False)
 
     # Raw-side buckets are complete for candidate features by construction;
     # target-side counts coalesce to 0 where the target never saw the bucket.
@@ -193,9 +200,11 @@ def domain_reweight(
     scalars (corpus mean, normalizer).  Output rounded 4 dp:
     (source, n_docs, mean_nll, excess, weight), weights summing to 1.
     """
+    # two consumers (per-source cells + the corpus mean) — checkpoint so
+    # the score/source join runs once (round 13, guide §2.4)
     per_doc = doc_scores.select(F.col(id_col), F.col(nll_col)).join(
         doc_source.select(F.col(id_col), F.col(source_col)), id_col
-    )
+    ).localCheckpoint(eager=False)
     per_src = per_doc.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(nll_col).alias("_mean_nll"),
@@ -394,7 +403,11 @@ def neyman_allocation(
     )
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
     sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
-    scored = agg.select(stratum_col, "n", sigma.alias("sigma"))
+    # two consumers (normalizer + the allocation rows) — checkpoint so
+    # the corpus scan + stratum groupBy run once (round 13, guide §2.4)
+    scored = agg.select(stratum_col, "n", sigma.alias("sigma")).localCheckpoint(
+        eager=False
+    )
     tot = scored.agg(
         F.sum(F.col("n") * F.col("sigma")).alias("__tot")
     )

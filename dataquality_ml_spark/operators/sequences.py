@@ -224,9 +224,13 @@ def pair_cooccurrence(
         raise ValueError(
             f"on_hot_basket must be 'error' or 'exact', got {on_hot_basket!r}"
         )
+    # six consumers (hot-basket pre-check, basket total, singles — used
+    # twice — and both pair-join sides): materialize the deduped basket
+    # relation once; the pre-check's first() pays the upstream scan, the
+    # rest read executor-local partitions (round 13, guide §2.4)
     b = df.select(*basket_cols, F.col(item_col).alias("__it")).where(
         F.col("__it").isNotNull()
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     if on_hot_basket == "error":
         hottest = (
             b.groupBy(*basket_cols)

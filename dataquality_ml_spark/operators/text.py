@@ -454,9 +454,13 @@ def token_drift(
     """
 
     def freqs(df, side):
+        # two consumers (top-k + total): checkpoint the vocab-sized count
+        # relation so each side tokenizes its corpus once (round 13)
         tok = df.select(
             F.explode(tokens(text_col)).alias("token")
-        ).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        ).groupBy("token").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=False
+        )
         top = tok.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
         total = tok.agg(F.sum("n").alias("_tot"))
         return top.crossJoin(F.broadcast(total)).select(
@@ -505,14 +509,20 @@ def bigram_logprob(
         F.slice(t, 2, n - 1),
         lambda a, b: F.struct(a.alias("v"), b.alias("w")),
     )
+    # two consumers each (bgc + the scoring join; the two unigram lookups
+    # + the total): checkpoint so the corpus is tokenized/exploded ONCE
+    # per relation instead of once per consumer (round 13, guide §2.4)
     docs_bg = (
         df.where(n >= 2)
         .select(F.col(id_col), F.explode(bg).alias("b"))
         .select(id_col, F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+        .localCheckpoint(eager=False)
     )
     bgc = docs_bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
     ex = df.select(F.explode(t).alias("w"))
-    uni = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    uni = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).localCheckpoint(
+        eager=False
+    )
     total = uni.agg(F.sum("c_w").alias("_tot"))
     p_big = F.col("c_vw") / F.col("c_v")
     p_uni = F.col("c_w") / F.col("_tot")
@@ -865,6 +875,12 @@ def good_turing_panel(
         F.explode(tokens(text_col)).alias("w")
     )
     tf = base.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    # ff has three consumers (total N, the shifted join side, the main
+    # rows); a materialize-once checkpoint here was A/B-measured SLOWER
+    # twice (1.5 s → 3.4 s min-of-4) — the three duplicated subtrees are
+    # independent stages that overlap across idle cores, while the
+    # checkpoint serializes them behind a barrier (round 13; the same
+    # trade the spearman fusion measurement documented)
     ff = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
     tot = ff.agg(F.sum(F.col("r") * F.col("n_r")).alias("N"))
     nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_up"))

@@ -138,28 +138,171 @@ def _occurrences(
     return ex.join(F.broadcast(probs.select("piece", "prob")), "piece")
 
 
+def _em_expected_counts_array(
+    words: DataFrame, plist: list[tuple[str, float]], max_piece_len: int
+) -> DataFrame:
+    """Single-pass array-DP E-step body (see ``em_expected_counts``):
+    per-word forward/backward vectors as array columns built by nested
+    higher-order ``aggregate``; the piece table rides as a map literal.
+    ``plist`` is the collected (piece, prob) model, sorted for a
+    deterministic literal."""
+    spark = words.sparkSession
+    if not plist:
+        return spark.createDataFrame([], "piece string, ecnt double")
+    m = F.map_from_arrays(
+        F.lit([p for p, _ in plist]), F.lit([v for _, v in plist])
+    )
+    mpl = max_piece_len
+    wl = F.length("word")
+    # alpha as a 1-based array: a[k] = alpha(position k-1); alpha(0)=1,
+    # alpha(i) = sum_l alpha(i-l)·p(word[i-l+1..i]), l ascending — the
+    # same incoming-edge terms the relational groupBy sums per position
+    alpha = F.aggregate(
+        F.sequence(F.lit(1), wl),
+        F.array(F.lit(1.0)),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.least(F.lit(mpl), i)),
+                    F.lit(0.0),
+                    lambda s, l: s
+                    + F.coalesce(
+                        F.element_at(acc, i - l + 1)
+                        * F.element_at(m, F.col("word").substr(i - l + 1, l)),
+                        F.lit(0.0),
+                    ),
+                )
+            ),
+        ),
+    )
+    # beta stored REVERSED: rb[k+1] = beta(wl-k); beta(wl)=1,
+    # beta(j) = sum_l p(word[j+1..j+l])·beta(j+l) = rb entries k-l+1
+    rbeta = F.aggregate(
+        F.sequence(F.lit(1), wl),
+        F.array(F.lit(1.0)),
+        lambda acc, k: F.concat(
+            acc,
+            F.array(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.least(F.lit(mpl), k)),
+                    F.lit(0.0),
+                    lambda s, l: s
+                    + F.coalesce(
+                        F.element_at(m, F.col("word").substr(wl - k + 1, l))
+                        * F.element_at(acc, k - l + 1),
+                        F.lit(0.0),
+                    ),
+                )
+            ),
+        ),
+    )
+    base = (
+        words.where(wl > 0)
+        .select("word", "cnt", wl.alias("_wl"), alpha.alias("_a"), rbeta.alias("_rb"))
+        .withColumn("_z", F.element_at(F.col("_a"), F.col("_wl") + 1))
+        .where(F.col("_z") > 0)
+    )
+    # every occurrence (start s 1-based, length l): contribution
+    # cnt·alpha[s-1]·p·beta[s-1+l], divided by Z — the exact relational
+    # term order (cnt * a * p * b / z)
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_wl")),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(mpl), F.col("_wl") - s + 1)
+                ),
+                lambda l: F.struct(
+                    F.col("word").substr(s, l).alias("piece"),
+                    (
+                        F.col("cnt")
+                        * F.element_at(F.col("_a"), s)
+                        * F.element_at(m, F.col("word").substr(s, l))
+                        * F.element_at(
+                            F.col("_rb"), F.col("_wl") - (s - 1 + l) + 1
+                        )
+                        / F.col("_z")
+                    ).alias("contrib"),
+                ),
+            ),
+        )
+    )
+    return (
+        base.select(F.explode(spans).alias("sp"))
+        .where(F.col("sp.contrib").isNotNull() & (F.col("sp.contrib") > 0))
+        .groupBy(F.col("sp.piece").alias("piece"))
+        .agg(F.sum("sp.contrib").alias("ecnt"))
+    )
+
+
 def em_expected_counts(
     words: DataFrame,
     probs: DataFrame,
     max_piece_len: int = 4,
     max_word_len: int | None = None,
+    strategy: str = "auto",
+    local_pieces_limit: int = 4096,
 ) -> DataFrame:
     """One E-step: expected piece counts under the current unigram LM via
     forward-backward over each word's segmentation lattice.
+    Output: (piece, ecnt).
 
-    Relational DP: ``alpha(pos)`` / ``beta(pos)`` tables are built by one
-    bounded join per character position (max_word_len steps), every
-    relation is vocab-sized, and the piece table rides broadcast — which
-    is exactly why the unrolled-CTE DuckDB oracle can replay the step
-    verbatim.  Output: (piece, ecnt).
+    Two strategies (round 13, guide §1.2 — the per-position join loop was
+    the whole cost of the E-step at bench scale: 65 sequential Spark jobs
+    for a 12-step lattice):
+
+    - ``'array'`` (default via ``'auto'`` when the piece table fits
+      ``local_pieces_limit``): the piece table is MODEL PARAMETERS — it
+      is collected once and inlined as a map literal, and the entire
+      forward-backward DP runs per word inside ONE codegen'd projection
+      (nested higher-order ``aggregate`` over the ≤max_word_len
+      positions, each summing its ≤max_piece_len incoming lattice edges
+      in deterministic short-to-long order).  One scan of the
+      Heaps-bounded word relation, one explode, one groupBy — zero
+      joins, zero checkpoints, embarrassingly parallel, and the shape
+      that actually survives 100 TB (no 2·L sequential barriers).
+    - ``'relational'``: the original position-step joins against the
+      broadcast piece table (one bounded join per character position,
+      lazily checkpointed every 2 steps).  The fallback when the piece
+      table exceeds ``local_pieces_limit`` (a map-literal lookup is a
+      linear scan per probe, so very large vocabularies want the
+      broadcast hash join), and the form the unrolled-CTE DuckDB oracle
+      replays verbatim.
+
+    Both strategies sum the exact same per-occurrence terms
+    cnt·α(s)·p·β(e)/Z over the same occurrence set; they can differ only
+    in float summation order (the same nondeterminism any shuffled
+    aggregation already has).  Microscopic documented edge: a lattice
+    position whose α/β underflows to exactly 0.0 keeps its piece row
+    (ecnt 0.0) under ``'relational'`` but is filtered under ``'array'``
+    — unreachable with any non-degenerate model (probs ~1e-2, words
+    ≤32 chars).
 
     The lattice depth is capped (``DEFAULT_MAX_WORD_LEN``): words longer
     than the cap are filtered out of the DP relation up front — they
     could never reach the final-position normalizer join anyway, so this
     changes no output row, only bounds the plan loop and skips their
     occurrence explosion."""
+    if strategy not in ("auto", "array", "relational"):
+        raise ValueError("strategy must be auto|array|relational")
     max_word_len = _effective_max_word_len(words, max_word_len)
     words = words.where(F.length("word") <= max_word_len)
+    if strategy != "relational":
+        plist = sorted(
+            (r["piece"], float(r["prob"]))
+            for r in probs.select("piece", "prob").collect()
+        )
+        if len(plist) <= local_pieces_limit:
+            return _em_expected_counts_array(
+                words, plist, max_piece_len
+            )
+        if strategy == "array":
+            raise ValueError(
+                "em_expected_counts: piece table exceeds "
+                f"local_pieces_limit={local_pieces_limit} — use "
+                "strategy='relational' (or raise the limit)"
+            )
     occ = _occurrences(words, probs, max_piece_len).localCheckpoint(eager=False)
 
     # forward: alpha(0) = 1; alpha(i) = sum_j alpha(j) * p(word[j..i]).

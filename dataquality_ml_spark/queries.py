@@ -1819,17 +1819,25 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ev_df.select(
         F.col("value").alias("s"), (F.col("event_type") == "error").alias("y")
     )
-    tot = scored.agg(
-        F.count(F.when(F.col("y"), 1)).alias("p"),
-        F.count(F.when(~F.col("y"), 1)).alias("n"),
-    ).first()
     by_s = scored.groupBy("s").agg(
         F.count(F.when(F.col("y"), 1)).alias("pos"),
         F.count(F.when(~F.col("y"), 1)).alias("neg"),
     )
-    per_s = exclusive_prefix_sum(
-        by_s, "s", ["pos", "neg"], out=["_tp_above", "_fp_above"], descending=True
-    ).select(
+    # round 13: the P/N grand totals ride back from the prefix-sum
+    # decomposition's subtotal collect (with_totals) — the former
+    # ``scored.agg`` pre-pass re-scanned the fact table just to count
+    # positives/negatives (guide §1.2/§2.4); groupBy keeps the NULL-score
+    # group, so the per-group sums equal the former whole-table counts
+    per_s, _tots = exclusive_prefix_sum(
+        by_s,
+        "s",
+        ["pos", "neg"],
+        out=["_tp_above", "_fp_above"],
+        descending=True,
+        with_totals=True,
+    )
+    tot_p, tot_n = (int(v) for v in _tots.get((), [0, 0]))
+    per_s = per_s.select(
         "s",
         (F.col("_tp_above") + F.col("pos")).alias("tp"),
         (F.col("_fp_above") + F.col("neg")).alias("fp"),
@@ -1837,7 +1845,7 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per_s.select(
         F.col("s"),
         F.round(
-            F.col("tp").cast("double") / tot["p"] - F.col("fp").cast("double") / tot["n"], 4
+            F.col("tp").cast("double") / tot_p - F.col("fp").cast("double") / tot_n, 4
         ).alias("youden_j"),
     )
     return (
@@ -3101,9 +3109,15 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gs = ev.groupBy("value", "_salt").agg(F.count(F.lit(1)).alias("_c"))
     g = gs.groupBy("value").agg(F.sum("_c").alias("_cnt"))
-    cum_v = exclusive_prefix_sum(g, "value", "_cnt", out="_before_v").select(
-        "value", "_before_v"
+    # round 13: the global row count n rides back from the prefix-sum
+    # decomposition's subtotal collect (with_totals) — the former
+    # ``g.agg(sum)`` 1-row relation recomputed the whole ev→gs→g
+    # pipeline a second time just to count rows (guide §1.2/§2.4)
+    cum_v, _tots = exclusive_prefix_sum(
+        g, "value", "_cnt", out="_before_v", with_totals=True
     )
+    cum_v = cum_v.select("value", "_before_v")
+    n_val = int(_tots.get((), [0])[0])
     w_salt = (
         Window.partitionBy("value")
         .orderBy("_salt")
@@ -3114,7 +3128,6 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_salt",
         F.coalesce(F.sum("_c").over(w_salt), F.lit(0)).alias("_before_s"),
     )
-    n_row = g.agg(F.sum("_cnt").cast("bigint").alias("_n"))
     w_in = Window.partitionBy("value", "_salt").orderBy("event_id")
     decile = F.expr(
         "CASE WHEN _i <= _r * _big THEN (_i - 1) div _big + 1 "
@@ -3128,7 +3141,7 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("_rn", F.row_number().over(w_in).cast("bigint"))
         .join(off_s, ["value", "_salt"])
         .join(cum_v, "value")
-        .crossJoin(F.broadcast(n_row))
+        .withColumn("_n", F.lit(n_val).cast("bigint"))
         .withColumn("_i", F.col("_before_v") + F.col("_before_s") + F.col("_rn"))
         .withColumn("_q", F.expr("_n div 10"))
         .withColumn("_r", F.col("_n") % 10)

@@ -1701,11 +1701,13 @@ def linreg_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     c = s.select(slope.alias("b"), ((F.col("sy") - slope * F.col("sx")) / n).alias("a"))
+    # two consumers (sigma + the standardized output) — checkpoint so the
+    # lineitem scan + residual projection run once (round 13, guide §2.4)
     r = li.crossJoin(F.broadcast(c)).select(
         "l_orderkey",
         "l_linenumber",
         (y - (F.col("a") + F.col("b") * x)).alias("resid"),
-    )
+    ).localCheckpoint(eager=False)
     sd = r.agg(F.stddev_samp("resid").alias("sigma"))
     return (
         r.crossJoin(F.broadcast(sd))
@@ -5842,7 +5844,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", (F.col("ps_costc") * F.col("ps_availqty")).alias("vc"))
     )
-    byp = filt.groupBy("ps_partkey").agg(F.sum("vc").alias("vcents"))
+    # two consumers (threshold total + the filtered report) — checkpoint
+    # so the partsupp/supplier join + groupBy run once (round 13)
+    byp = filt.groupBy("ps_partkey").agg(F.sum("vc").alias("vcents")).localCheckpoint(
+        eager=False
+    )
     tot = byp.agg(F.sum("vcents").alias("tcents"))
     return (
         byp.crossJoin(F.broadcast(tot))
