@@ -1030,6 +1030,12 @@ def categorical_drift_report(
         F.coalesce("n_c", F.lit(0)).alias("n_c"),
     )
     if max_categories is not None:
+        # the overflow check below evaluates `joined` (2 melts + 2
+        # groupBys + the category join) as its own job, and the returned
+        # plan reads it again — checkpoint so the check materializes the
+        # SAME relation the statistics consume (guide §2.4; the
+        # round-13 materialize-once class)
+        joined = joined.localCheckpoint(eager=False)
         if on_overflow == "error":
             # one bounded reduction over the category counts — never
             # materializes the category relation anywhere central
@@ -1179,6 +1185,13 @@ def feature_drift_report(
                 )
             rows = [(c, float(lo), float(hi)) for c, (lo, hi) in bounds.items()]
         else:
+            # inferring bounds evaluates both melts once for the min/max
+            # collect and the panel evaluates them again — checkpoint so
+            # the bounds job materializes the relation the bucketing
+            # reads (guide §2.4). Production avoids this pass entirely by
+            # passing frozen training-time bounds=.
+            ma = ma.localCheckpoint(eager=False)
+            mb = mb.localCheckpoint(eager=False)
             rows = [
                 (r["column"], float(r["lo"]), float(r["hi"]))
                 for r in ma.unionByName(mb)

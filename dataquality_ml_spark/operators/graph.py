@@ -27,6 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Lineage-cut cadence for the FIXED-iteration loops (pagerank, label
+# propagation): a checkpoint per iterate costs one scheduled job per
+# round — the dominant fixed cost at bench scale — while a handful of
+# join+groupBy rounds pipeline fine as one query. Loops longer than
+# this still truncate their plans periodically (the connected_components
+# driver-OOM class the per-iterate discipline was built for).
+_CHECKPOINT_EVERY = 8
+
 
 def connected_components(
     edges: DataFrame,
@@ -234,9 +242,11 @@ def pagerank(
     every node in the relation has degree ≥ 1).
 
     Scale shape per iteration: ONE equi-join of the (node, rank/deg)
-    relation onto the symmetrized edges + one groupBy — the standard
-    relational PageRank; each iterate is localCheckpoint-ed so the plan
-    stays O(1) deep (same discipline as connected_components). A FIXED
+    relation onto the symmetrized edges + ONE groupBy (the zero-
+    contribution union restores isolated-in-degree nodes inside the same
+    aggregation — no join-back) — the standard relational PageRank; the
+    iterates form a linear chain, pipelined as one query with a lineage
+    cut every ``_CHECKPOINT_EVERY`` rounds. A FIXED
     iteration count keeps the operator deterministic and oracle-
     replayable; PageRank error decays as d^t, so 5 iterations bound the
     sup error by d⁵ ≈ 0.44·‖r₀−r*‖ — pass more for tighter ranks.
@@ -261,28 +271,46 @@ def pagerank(
             [], "node long, rank double"
         )
     base = F.lit((1.0 - damping) / n_nodes)
-    sym = sym.localCheckpoint(eager=False)
-    deg_c = deg.localCheckpoint(eager=False)
-    # ranks carries deg so each iteration is ONE edge join + ONE groupBy
-    # + the left join-back — not a second deg join per round
+    # EAGER: the pipelined loop below reads sym from FIVE joins inside
+    # one query — a lazy checkpoint materializes on first touch, and
+    # concurrent map stages that race ahead of the persist re-run the
+    # whole pair-generator upstream; eager materialization makes the
+    # loop-invariant relations single-evaluation by construction.
+    sym = sym.localCheckpoint(eager=True)
+    deg_c = deg.localCheckpoint(eager=True)
+    # One zero-contribution row per node, carrying deg: unioned into the
+    # contribution relation each round so the SAME groupBy that sums the
+    # in-flow also restores isolated-in-degree nodes AND re-attaches deg
+    # — each iteration is ONE edge join + ONE groupBy, with no second
+    # join-back per round (guide §2.4; the +0.0 term is float-exact).
+    zero = deg_c.select(
+        "src", F.col("deg").alias("z_deg"), F.lit(0.0).alias("c")
+    )
+    # ranks carries deg so the edge join needs no deg lookup
     ranks = deg_c.select("src", "deg", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(int(iterations)):
-        contrib = (
-            ranks.join(sym, "src")
-            .select(
-                F.col("dst").alias("src"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
-            .groupBy("src")
-            .agg(F.sum("c").alias("in_sum"))
+    for it in range(int(iterations)):
+        contrib = ranks.join(sym, "src").select(
+            F.col("dst").alias("src"),
+            F.lit(None).cast("long").alias("z_deg"),
+            (F.col("rank") / F.col("deg")).alias("c"),
         )
-        ranks = deg_c.join(contrib, "src", "left").select(
-            "src",
-            "deg",
-            (base + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        ).localCheckpoint(eager=False)
+        ranks = (
+            contrib.unionAll(zero)
+            .groupBy("src")
+            .agg(F.max("z_deg").alias("deg"), F.sum("c").alias("in_sum"))
+            .select(
+                "src",
+                "deg",
+                (base + F.lit(damping) * F.col("in_sum")).alias("rank"),
+            )
+        )
+        # Cut lineage only every few rounds: a per-iterate checkpoint
+        # costs one scheduled job per round (the dominant fixed cost of
+        # the loop — 55 jobs for 5 iterations measured at sf0.1), while
+        # a small fixed iteration count pipelines fine as ONE query.
+        # Long loops still truncate the plan periodically.
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("src").alias("node"), "rank")
 
 
@@ -307,9 +335,11 @@ def label_propagation(
     FIXED. Returns (node, community).
 
     Scale shape per iteration: one equi-join of (node, label) onto the
-    symmetrized edges + one (node, label) count + one per-node argmax —
-    all key-partitioned; each iterate localCheckpoint-ed so the plan
-    stays O(1) deep (same discipline as connected_components/pagerank).
+    self-loop-augmented symmetrized edges + one (node, label) count +
+    one per-node argmax — all key-partitioned; the iterates form a
+    linear chain, pipelined as one query with a lineage cut every
+    ``_CHECKPOINT_EVERY`` rounds (connected_components keeps its
+    per-iterate discipline — its labels relation is read twice a round).
     """
     if iterations < 1:
         raise ValueError(
@@ -323,14 +353,24 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint(eager=False)
-    for _ in range(int(iterations)):
-        nbr_votes = sym.join(
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # The self-vote rides the edge relation as ONE explicit self-loop per
+    # node (appended unconditionally — exactly the one vote the previous
+    # `votes = nbr_votes ∪ labels` union contributed), so each iteration
+    # consumes `labels` exactly ONCE. That linearizes the lineage: the
+    # old shape read labels twice per round, which forced a checkpoint
+    # every iterate (one scheduled job per round — 33 jobs for 4
+    # iterations measured at sf0.1) to stop the plan doubling.
+    # EAGER for the same reason as pagerank: the pipelined loop reads
+    # sym2 from every iteration's join inside one query
+    sym2 = sym.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for it in range(int(iterations)):
+        votes = sym2.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "lbl")
-        votes = nbr_votes.unionAll(labels)  # one self-vote per node
         counts = votes.groupBy("node", "lbl").agg(
             F.count(F.lit(1)).alias("c")
         )
@@ -340,9 +380,9 @@ def label_propagation(
                 F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
             ).alias("b")
         )
-        labels = best.select(
-            "node", F.col("b.l").alias("lbl")
-        ).localCheckpoint(eager=False)
+        labels = best.select("node", F.col("b.l").alias("lbl")).localCheckpoint(
+            eager=False
+        )
     return labels.select("node", F.col("lbl").alias("community"))
 
 

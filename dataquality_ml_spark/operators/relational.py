@@ -469,12 +469,20 @@ def exclusive_prefix_sum(
     sort_exprs = [F.asc(k) for k in keys] + [
         F.desc(order_col) if descending else F.asc(order_col)
     ]
-    # Lazy-checkpoint the range-partitioned relation: it is consumed
+    # Lazy-checkpoint the INPUT before range-partitioning it:
+    # repartitionByRange runs a separate boundary-sampling job over its
+    # child, then the exchange map stage recomputes the child again — an
+    # un-checkpointed upstream (scan + melt + groupBy in the ECDF
+    # callers) therefore executes TWICE per decomposition (guide §2.4:
+    # remove recomputation before tuning anything else).  The sampling
+    # job materializes the persisted blocks; the exchange reads them.
+    df = df.localCheckpoint(eager=False)
+    # Lazy-checkpoint the range-partitioned relation too: it is consumed
     # twice (the subtotal collect below is its own job, then the final
-    # plan reads it again) — without the checkpoint the upstream scan +
-    # range shuffle run twice.  The subtotal job materializes it; the
-    # second pass reads executor-local partitions.  Also load-bearing
-    # for determinism: both passes must see identical range boundaries.
+    # plan reads it again) — without the checkpoint the range shuffle
+    # runs twice.  The subtotal job materializes it; the second pass
+    # reads executor-local partitions.  Also load-bearing for
+    # determinism: both passes must see identical range boundaries.
     parts = (
         df.repartitionByRange(*rng_exprs)
         .sortWithinPartitions(*sort_exprs)

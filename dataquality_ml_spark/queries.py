@@ -1374,10 +1374,7 @@ def iforest_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle app/IsolationForest_AE.py:191-290 re-expressed)."""
     from dataquality_ml_spark.operators import thresholds as th_ops
 
-    # same caching rationale as pca_ae_anomalies: 3 consumers of the
-    # feature projection (count, sample, score)
     transformed, _ = _lineitem_features(spark, sf_dir)
-    transformed = transformed.cache()
     # the sampled fit is deterministic (hash-ranked sample, seeded
     # forest), so it is memoized per sf_dir generation like
     # _lineitem_features: production fits a detector ONCE and scores
@@ -1386,6 +1383,11 @@ def iforest_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (sf_dir, _parquet_fingerprint(f"{sf_dir}/lineitem.parquet"))
     forest = _IFOREST_MEMO.get(memo_key)
     if forest is None:
+        # cache only on the fit path, where the projection has TWO
+        # consumers (sample + score); with the forest memoized the only
+        # consumer is the scoring pass and the cache write is pure
+        # overhead (round 13, guide §5 — persist only reused relations)
+        transformed = transformed.cache()
         x = det.collect_feature_sample(transformed, max_rows=20_000)
         forest = det.IsolationForest(
             n_estimators=50, max_samples=256, seed=42

@@ -765,6 +765,12 @@ def drift_monitor_replay(
     )
 
     fn, reports = _drift_monitor_fold(ref_hist, value_col, lo, hi)
+    # One materialization, N cheap slice jobs: a replay drives one
+    # sequential fold job per batch, and without the checkpoint every
+    # one of those jobs re-runs the upstream scan (≈|batches| parquet
+    # passes; guide §2.4). The _replay_batches distinct-collect
+    # materializes the blocks.
+    df = df.localCheckpoint(eager=False)
     batches = _replay_batches(df, batch_col)
     for i, b in enumerate(batches):
         fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
@@ -962,6 +968,9 @@ def drift_panel_replay(
     fn, reports = _drift_panel_fold(
         ref_hists, value_col, key_col, lo, hi, max_segments
     )
+    # see drift_monitor_replay: one materialization vs one upstream
+    # re-run per sequential batch job
+    df = df.localCheckpoint(eager=False)
     batches = _replay_batches(df, batch_col)
     for i, b in enumerate(batches):
         fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
@@ -1215,6 +1224,9 @@ def cusum_monitor_replay(
     )
 
     fn, reports = _cusum_monitor_fold(mu0, value_col, slack, h)
+    # see drift_monitor_replay: one materialization vs one upstream
+    # re-run per sequential batch job
+    df = df.localCheckpoint(eager=False)
     for i, b in enumerate(_replay_batches(df, batch_col)):
         fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
     schema = StructType(
@@ -1348,6 +1360,9 @@ def ewma_monitor_replay(
     )
 
     fn, reports = _ewma_monitor_fold(mu0, sigma0, value_col, lam, nsigma)
+    # see drift_monitor_replay: one materialization vs one upstream
+    # re-run per sequential batch job
+    df = df.localCheckpoint(eager=False)
     for i, b in enumerate(_replay_batches(df, batch_col)):
         fn(df.where(F.col(batch_col).eqNullSafe(F.lit(b))), i)
     schema = StructType(
