@@ -109,7 +109,11 @@ def fit_quality_classifier(docs: DataFrame, reg_param: float = 0.01):
     """
     from pyspark.ml.classification import LogisticRegression
 
-    feats = _quality_features(docs)
+    # the fit evaluates the stats relation several times (scaler fit, LR
+    # instance build; LR caches only its own internal RDD) and each
+    # evaluation re-runs BOTH tokenization passes + the join — checkpoint
+    # the ~7-doubles-per-doc relation once (guide §2.4, round 13)
+    feats = _quality_features(docs).localCheckpoint(eager=False)
     assembler = VectorAssembler(
         inputCols=_QUALITY_FEATURE_COLS, outputCol="_fv", handleInvalid="skip"
     )

@@ -489,6 +489,13 @@ def _shingle_intersections(
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         ex = ex.join(freq.where(F.col("df") <= max_df).select("s"), "s")
     elif on_hot_shingle == "error":
+        # the loud-contract pre-check below evaluates ex (tokenize +
+        # shingle + explode + hash) as its own job and the main plan
+        # evaluates it again — checkpoint so the check materializes what
+        # the join consumes. Unlike the string-array cache this comment
+        # block used to warn about, ex is two longs per row (~16 B), so
+        # the persist is cheap (guide §2.4, round 13).
+        ex = ex.localCheckpoint(eager=False)
         hottest = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -135,11 +135,25 @@ def _ecdf_counts(
     tagged = a.select(*keys, key.alias("v"), F.lit(1).alias("in_a")).unionAll(
         b.select(*keys, key.alias("v"), F.lit(0).alias("in_a"))
     )
+    return _ecdf_from_tagged(tagged, keys, bounded=bool(bins))
+
+
+def _ecdf_from_tagged(
+    tagged: DataFrame, keys: list[str], bounded: bool
+) -> DataFrame:
+    """ECDF build over a PRE-TAGGED (``*keys``, v, in_a) relation — the
+    shared back half of :func:`_ecdf_counts`, exposed so single-scan
+    callers (``feature_drift_report(split=)``) can tag one scan instead
+    of unioning two filtered scans of the same source (guide §2.3/§6:
+    at 100 TB the second scan is the cost). ``bounded=True`` selects the
+    bounded-window path (correct whenever |distinct v| is bounded by a
+    knob — bucket ids); ``bounded=False`` the distributed prefix-sum
+    decomposition. Both produce identical integer ca/cb/tot columns."""
     per_v = tagged.groupBy(*keys, "v").agg(
         F.sum("in_a").alias("n_a"),
         F.sum(1 - F.col("in_a")).alias("n_b"),
     )
-    if bins:
+    if bounded:
         # Bounded bucket relation: the side totals ride the SAME keyed
         # window pass as the running counts (full-frame sum over the
         # identical partitioning — one exchange, zero joins), instead of
@@ -257,6 +271,7 @@ def ks_by_group(
     bins: int | None = None,
     lo: float | None = None,
     hi: float | None = None,
+    ecdf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-segment two-sample KS in ONE pass: (``*keys``, ks_d, n_a, n_b),
     one row per key combination present on either side.
@@ -269,8 +284,14 @@ def ks_by_group(
     totals join per key, and parallelism grows with segment count.
     Segments where one side is empty yield ks_d = 1.0 by convention
     (every pooled value has |F_a − F_b| = 1 there — that, too, is drift).
+
+    ``ecdf``: a prebuilt (possibly checkpoint-memoized) keyed
+    ``_ecdf_counts`` relation — same sharing contract as the
+    ``ks_statistic``/``cvm_statistic``/``drift_panel`` siblings.
     """
-    cdf = _ecdf_counts(a, b, col, bins, lo, hi, keys=keys).select(
+    cdf = (
+        ecdf if ecdf is not None else _ecdf_counts(a, b, col, bins, lo, hi, keys=keys)
+    ).select(
         *keys,
         F.when(F.col("tot_a") > 0, F.col("ca") / F.col("tot_a"))
         .otherwise(F.lit(0.0))
@@ -936,23 +957,27 @@ def drift_panel(
 
 def categorical_drift_report(
     ref: DataFrame,
-    cur: DataFrame,
+    cur: DataFrame | None,
     columns: list[str],
     keys: list[str] | None = None,
     max_categories: int | None = 65536,
     on_overflow: str = "error",
+    split=None,
 ) -> DataFrame:
     """WHICH CATEGORICAL column drifted: PSI, Jensen-Shannon divergence,
     and the two-sample chi² homogeneity statistic for EVERY string column
     in ONE pass — (column, psi, jsd, chi2, n_a, n_b), one row per column.
 
     The categorical companion of :func:`feature_drift_report` (round 10,
-    VERDICT r9 item 5): both sides melt to (column, category) — a narrow
-    generate, no shuffle — ONE groupBy per side collapses to
-    O(Σ|categories|) rows, a null-safe full-outer category join aligns
-    the two distributions (NULL is a real category, absent categories
-    count 0), and every statistic is a per-column window/agg over that
-    bounded relation. Formulas are shared with the standalone operators:
+    VERDICT r9 item 5): both sides melt to a TAGGED (column, category,
+    in_r) relation — a narrow generate, no shuffle — and ONE groupBy
+    (sum of tags / anti-tags per cell) aligns the two distributions in a
+    single shuffle (NULL is a real category, absent categories count 0 —
+    identical cells to the pre-round-13 two-groupBy + null-safe
+    full-outer shape, minus the join), and every statistic is a
+    per-column window/agg over that bounded relation. ``split=`` makes
+    the tag a predicate over ONE scan of a shared source (``cur=None``).
+    Formulas are shared with the standalone operators:
     PSI uses the same EPS clamp as :func:`psi_categorical`, JSD the same
     0-handling as :func:`js_divergence`; chi² is the textbook
     homogeneity sum (zero cells contribute (0−e)²/e, so a category
@@ -982,11 +1007,21 @@ def categorical_drift_report(
             "categorical_drift_report: on_overflow must be 'error' or "
             f"'keep', got {on_overflow!r}"
         )
+    if (split is not None) and cur is not None:
+        raise ValueError(
+            "categorical_drift_report: pass EITHER cur (two frames) OR "
+            "split (one tagged scan), not both"
+        )
+    if split is None and cur is None:
+        raise ValueError(
+            "categorical_drift_report: cur is required without split"
+        )
     keys = list(keys or [])
 
-    def _melt(df: DataFrame) -> DataFrame:
+    def _melt(df: DataFrame, tag) -> DataFrame:
         return df.select(
             *[F.col(k) for k in keys],
+            tag.alias("in_r"),
             F.explode(
                 F.array(
                     *[
@@ -998,36 +1033,27 @@ def categorical_drift_report(
                     ]
                 )
             ).alias("p"),
-        ).select(*keys, "p.*")
+        ).select(*keys, "in_r", "p.*")
 
-    r = _melt(ref).groupBy(*keys, "column", "category").agg(
-        F.count(F.lit(1)).alias("n_r")
-    )
-    c = (
-        _melt(cur)
-        .groupBy(*keys, "column", "category")
-        .agg(F.count(F.lit(1)).alias("n_c"))
-        .select(
-            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
-            F.col("column").alias("__cc"),
-            F.col("category").alias("__ccat"),
-            "n_c",
-        )
-    )
-    cond = (F.col("column") == F.col("__cc")) & F.col("category").eqNullSafe(
-        F.col("__ccat")
-    )
-    for i, k in enumerate(keys):
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__k{i}"))
-    joined = r.join(c, cond, "full_outer").select(
-        *[
-            F.coalesce(F.col(k), F.col(f"__k{i}")).alias(k)
-            for i, k in enumerate(keys)
-        ],
-        F.coalesce("column", "__cc").alias("column"),
-        F.coalesce("category", "__ccat").alias("category"),
-        F.coalesce("n_r", F.lit(0)).alias("n_r"),
-        F.coalesce("n_c", F.lit(0)).alias("n_c"),
+    # ONE tagged relation and ONE groupBy build the aligned category
+    # counts — sum(in_r)/sum(1-in_r) per cell is exactly what the old
+    # two-groupBy + null-safe full-outer + coalesce(0) shape computed,
+    # minus one shuffle and the join (guide §2.4; round 13). With
+    # ``split`` the tag is a predicate over a SINGLE scan (rows where it
+    # is NULL belong to neither side and drop — the two-filter
+    # semantics); otherwise the two frames union with literal tags.
+    if split is not None:
+        # (no ensure_parallelism here, unlike the numeric panel: the
+        # categorical melt is a cheap Generate whose groupBy collapses
+        # map-side — the repartition shuffle measured SLOWER at sf0.1)
+        tagged = _melt(
+            ref, F.when(split, 1).when(~split, 0)
+        ).where(F.col("in_r").isNotNull())
+    else:
+        tagged = _melt(ref, F.lit(1)).unionAll(_melt(cur, F.lit(0)))
+    joined = tagged.groupBy(*keys, "column", "category").agg(
+        F.sum("in_r").alias("n_r"),
+        F.sum(1 - F.col("in_r")).alias("n_c"),
     )
     if max_categories is not None:
         # the overflow check below evaluates `joined` (2 melts + 2
@@ -1115,13 +1141,14 @@ def categorical_drift_report(
 
 def feature_drift_report(
     ref: DataFrame,
-    cur: DataFrame,
+    cur: DataFrame | None,
     columns: list[str],
     categorical_columns: list[str] | None = None,
     bins: int | None = None,
     bounds: dict | None = None,
     max_categories: int | None = 65536,
     on_overflow: str = "error",
+    split=None,
 ) -> DataFrame:
     """WHICH FEATURE drifted: the full two-sample panel (KS D,
     Mann-Whitney U/z, CvM T, AD A²) for EVERY numeric column in ONE
@@ -1158,9 +1185,31 @@ def feature_drift_report(
     (identical IEEE sequence to the standalone ``_bucket``, so per-column
     results equal ``ks_statistic(..., bins=, lo=, hi=)`` & co exactly).
     Constant columns (hi == lo) collapse to bucket 0.
+
+    ``split`` (round 13, optimization): a boolean Column over ``ref``
+    naming the two-sample split — ``cur`` must then be None. The panel
+    reads the source ONCE and tags rows (1 where the predicate holds,
+    0 where its negation holds, dropped where it is NULL) instead of
+    unioning two filtered scans of the same table — at 100 TB the
+    second scan is pure I/O waste (guide §2.3/§6). Results are
+    row-identical to ``feature_drift_report(ref.where(p),
+    ref.where(~p), ...)`` for a null-free predicate.
     """
-    def _melt(df: DataFrame) -> DataFrame:
-        return df.select(
+    if (split is not None) and cur is not None:
+        raise ValueError(
+            "feature_drift_report: pass EITHER cur (two frames) OR "
+            "split (one tagged scan), not both"
+        )
+    if split is None and cur is None:
+        raise ValueError("feature_drift_report: cur is required without split")
+
+    def _melt(df: DataFrame, tag=None) -> DataFrame:
+        # tag (split mode): 1 where the predicate holds, 0 where its
+        # negation holds, NULL (dropped) where it is NULL — exactly the
+        # rows the two-filter form keeps on each side
+        pre = [F.when(tag, 1).when(~tag, 0).alias("in_a")] if tag is not None else []
+        m = df.select(
+            *pre,
             F.explode(
                 F.array(
                     *[
@@ -1171,10 +1220,17 @@ def feature_drift_report(
                         for c in columns
                     ]
                 )
-            ).alias("p")
-        ).select("p.*").where(~F.isnan("v") | F.col("v").isNull())
+            ).alias("p"),
+        ).select(*(["in_a"] if tag is not None else []), "p.*").where(
+            ~F.isnan("v") | F.col("v").isNull()
+        )
+        if tag is not None:
+            # the split form feeds _ecdf_from_tagged directly, so apply
+            # the null-v filter _ecdf_counts would have applied per side
+            m = m.where(F.col("in_a").isNotNull() & F.col("v").isNotNull())
+        return m
 
-    def _bucketize(ma: DataFrame, mb: DataFrame):
+    def _bucketize(ms: list, extra: list):
         if bounds is not None:
             missing = [c for c in columns if c not in bounds]
             if missing:
@@ -1185,21 +1241,24 @@ def feature_drift_report(
                 )
             rows = [(c, float(lo), float(hi)) for c, (lo, hi) in bounds.items()]
         else:
-            # inferring bounds evaluates both melts once for the min/max
+            # inferring bounds evaluates the melt(s) once for the min/max
             # collect and the panel evaluates them again — checkpoint so
             # the bounds job materializes the relation the bucketing
             # reads (guide §2.4). Production avoids this pass entirely by
             # passing frozen training-time bounds=.
-            ma = ma.localCheckpoint(eager=False)
-            mb = mb.localCheckpoint(eager=False)
+            ms = [m.localCheckpoint(eager=False) for m in ms]
+            pooled = ms[0]
+            for m in ms[1:]:
+                pooled = pooled.select("column", "v").unionByName(
+                    m.select("column", "v")
+                )
             rows = [
                 (r["column"], float(r["lo"]), float(r["hi"]))
-                for r in ma.unionByName(mb)
-                .groupBy("column")
+                for r in pooled.groupBy("column")
                 .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
                 .collect()
             ]
-        spec = ma.sparkSession.createDataFrame(
+        spec = ms[0].sparkSession.createDataFrame(
             rows, "column string, __lo double, __hi double"
         )
         w = F.when(
@@ -1222,15 +1281,49 @@ def feature_drift_report(
         )
         def bk(m):
             return m.join(F.broadcast(spec), "column").select(
-                "column", b.alias("v")
+                "column", b.alias("v"), *extra
             )
-        return bk(ma), bk(mb)
+        return [bk(m) for m in ms]
 
     if columns:
-        ma, mb = _melt(ref), _melt(cur)
-        if bins:
-            ma, mb = _bucketize(ma, mb)
-        num = drift_panel(ma, mb, "v", keys=["column"])
+        if split is not None:
+            # ONE scan of the source, tagged by the split predicate —
+            # the two-filter form reads the same table twice (guide
+            # §2.3/§6: at 100 TB the second scan is the cost). Bucket
+            # ids are knob-bounded, so the binned panel also takes the
+            # bounded-window ECDF (no decomposition, no driver collect).
+            # ensure_parallelism: a few-fat-files source would otherwise
+            # run the whole melt in 1-2 tasks now that there is only one
+            # scan pipeline; no-op when the scan already parallelizes.
+            # Only worth the (possible) repartition when the melt
+            # multiplies rows — a single-column "melt" is a projection
+            # and the shuffle measured slower than the 1-task pipeline.
+            src = ref
+            if len(columns) > 1:
+                from dataquality_ml_spark.operators.relational import (
+                    ensure_parallelism,
+                )
+
+                src = ensure_parallelism(ref)
+            mt = _melt(src, tag=split)
+            if bins:
+                (mt,) = _bucketize([mt], ["in_a"])
+            num = drift_panel(
+                None,
+                None,
+                "v",
+                keys=["column"],
+                ecdf=_ecdf_from_tagged(
+                    mt.select("column", "v", "in_a"),
+                    ["column"],
+                    bounded=bool(bins),
+                ),
+            )
+        else:
+            ma, mb = _melt(ref), _melt(cur)
+            if bins:
+                ma, mb = _bucketize([ma, mb], [])
+            num = drift_panel(ma, mb, "v", keys=["column"])
     else:
         num = None
     if not categorical_columns:
@@ -1244,6 +1337,7 @@ def feature_drift_report(
     cat = categorical_drift_report(
         ref, cur, categorical_columns,
         max_categories=max_categories, on_overflow=on_overflow,
+        split=split,
     ).select(
         "column",
         *[F.lit(None).cast("double").alias(s) for s in ncols],

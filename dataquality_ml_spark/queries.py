@@ -4477,12 +4477,12 @@ def feature_drift_mixed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators import drift as dr
 
     li = _t(spark, sf_dir, "lineitem")
-    split = F.lit(_MIX_SPLIT).cast("timestamp")
-    a = li.where(F.col("l_shipdate") < split)
-    b = li.where(F.col("l_shipdate") >= split)
+    # split=: one tagged scan feeds BOTH the numeric panel and the
+    # categorical pass instead of two filtered scans each (round 13)
     out = dr.feature_drift_report(
-        a, b, ["l_quantity"],
+        li, None, ["l_quantity"],
         categorical_columns=["l_returnflag", "l_linestatus"],
+        split=F.col("l_shipdate") < F.lit(_MIX_SPLIT).cast("timestamp"),
     )
     r6 = lambda c: (F.round(c, 6) + F.lit(0.0)).alias(c)  # noqa: E731
     return out.select(
@@ -4699,11 +4699,11 @@ def feature_drift_binned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     from dataquality_ml_spark.operators import drift as dr
 
     li = _t(spark, sf_dir, "lineitem")
-    split = F.lit(_MIX_SPLIT).cast("timestamp")
-    a = li.where(F.col("l_shipdate") < split)
-    b = li.where(F.col("l_shipdate") >= split)
+    # split=: one tagged scan; the knob-bounded bucket ids also take the
+    # bounded-window ECDF (no decomposition, no driver collect) (round 13)
     out = dr.feature_drift_report(
-        a, b, ["l_quantity", "l_extendedprice", "l_discount"], bins=32
+        li, None, ["l_quantity", "l_extendedprice", "l_discount"], bins=32,
+        split=F.col("l_shipdate") < F.lit(_MIX_SPLIT).cast("timestamp"),
     )
     r6 = lambda c: (F.round(c, 6) + F.lit(0.0)).alias(c)  # noqa: E731
     return out.select(

@@ -6001,16 +6001,27 @@ def _events_ecdf(spark: SparkSession, sf_dir: str):
     deterministic-artifact memo contract: _TOK_MEMO entries are dropped
     by ``clear_feature_model_memo`` and invalidate on the parquet
     fingerprint)."""
-    from dataquality_ml_spark.operators.drift import _ecdf_counts
+    from dataquality_ml_spark.operators.drift import _ecdf_from_tagged
     from dataquality_ml_spark.queries import _parquet_fingerprint
 
     key = ("ecdf_ev", sf_dir, _parquet_fingerprint(f"{sf_dir}/events.parquet"))
     hit = _TOK_MEMO.get(key)
     if hit is None:
+        # single tagged scan (round 13, §18): identical rows to the
+        # two-filter union — NULL ts belongs to neither side either way
         ev = _t(spark, sf_dir, "events")
-        ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-        cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-        hit = _ecdf_counts(ref, cur, "value").localCheckpoint(eager=False)
+        tag = F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS))
+        tagged = (
+            ev.where(F.col("value").isNotNull())
+            .select(
+                F.col("value").alias("v"),
+                F.when(tag, 1).when(~tag, 0).alias("in_a"),
+            )
+            .where(F.col("in_a").isNotNull())
+        )
+        hit = _ecdf_from_tagged(tagged, [], bounded=False).localCheckpoint(
+            eager=False
+        )
         _TOK_MEMO[key] = hit
     return hit
 
@@ -6284,10 +6295,10 @@ def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment drift report without a per-segment job loop."""
     from dataquality_ml_spark.operators import drift as dr
 
-    ev = _t(spark, sf_dir, "events")
-    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    out = dr.ks_by_group(ref, cur, "value", keys=["event_type"])
+    out = dr.ks_by_group(
+        None, None, "value", keys=["event_type"],
+        ecdf=_events_ecdf_by_type(spark, sf_dir),
+    )
     return out.select(
         "event_type",
         (F.round("ks_d", 6) + F.lit(0.0)).alias("ks_d"),
@@ -6406,18 +6417,27 @@ def corr_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_ecdf_by_type(spark: SparkSession, sf_dir: str):
     """Memoized KEYED ECDF relation (keys=[event_type]) shared by the
     per-segment drift queries — same memo contract as _events_ecdf."""
-    from dataquality_ml_spark.operators.drift import _ecdf_counts
+    from dataquality_ml_spark.operators.drift import _ecdf_from_tagged
     from dataquality_ml_spark.queries import _parquet_fingerprint
 
     key = ("ecdf_ev_k", sf_dir, _parquet_fingerprint(f"{sf_dir}/events.parquet"))
     hit = _TOK_MEMO.get(key)
     if hit is None:
+        # single tagged scan — see _events_ecdf
         ev = _t(spark, sf_dir, "events")
-        ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-        cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-        hit = _ecdf_counts(ref, cur, "value", keys=["event_type"]).localCheckpoint(
-            eager=False
+        tag = F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS))
+        tagged = (
+            ev.where(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.col("value").alias("v"),
+                F.when(tag, 1).when(~tag, 0).alias("in_a"),
+            )
+            .where(F.col("in_a").isNotNull())
         )
+        hit = _ecdf_from_tagged(
+            tagged, ["event_type"], bounded=False
+        ).localCheckpoint(eager=False)
         _TOK_MEMO[key] = hit
     return hit
 
@@ -7429,10 +7449,14 @@ def feature_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators import drift as dr
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.where(F.col("l_shipdate") < F.lit(_CORR_SPLIT).cast("timestamp"))
-    b = li.where(F.col("l_shipdate") >= F.lit(_CORR_SPLIT).cast("timestamp"))
+    # split=: ONE lineitem scan, tagged by the shipdate predicate —
+    # row-identical to the two-filter form (NULL shipdate belongs to
+    # neither side either way), at half the input I/O (round 13)
     out = dr.feature_drift_report(
-        a, b, ["l_quantity", "l_extendedprice", "l_discount"]
+        li,
+        None,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        split=F.col("l_shipdate") < F.lit(_CORR_SPLIT).cast("timestamp"),
     )
     return out.select(
         "column",
@@ -9192,10 +9216,10 @@ def fdr_ks_panel_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators import drift as dr
     from dataquality_ml_spark.operators.evaluate import fdr_bh
 
-    ev = _t(spark, sf_dir, "events")
-    ref = ev.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    cur = ev.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT_TS)))
-    ks = dr.ks_by_group(ref, cur, "value", keys=["event_type"])
+    ks = dr.ks_by_group(
+        None, None, "value", keys=["event_type"],
+        ecdf=_events_ecdf_by_type(spark, sf_dir),
+    )
     lam = F.col("ks_d") * F.sqrt(
         F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
     )
