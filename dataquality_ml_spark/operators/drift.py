@@ -61,11 +61,12 @@ def _bin_props(df: DataFrame, col: str, lo: float, hi: float, bins: int, out: st
 
 def psi_bins(
     ref: DataFrame,
-    cur: DataFrame,
+    cur: DataFrame | None,
     col: str,
     lo: float,
     hi: float,
     bins: int = 10,
+    split=None,
 ) -> DataFrame:
     """Per-bin PSI decomposition: (bin, p_ref, p_cur, psi_term, psi_total).
 
@@ -76,20 +77,73 @@ def psi_bins(
 
     Cost at any scale: one scan per side → ≤2·bins rows. Missing bins are
     restored from a generated spine so both engines agree on row count.
+
+    ``split`` (round 14, the ``feature_drift_report(split=)`` contract):
+    a boolean Column over ``ref`` naming the two-sample split — ``cur``
+    must then be None. ONE scan, tagged per row (1/0/NULL-dropped),
+    ONE groupBy(bin) carrying both sides' counts — at 100 TB the second
+    scan of the same table is pure I/O (guide §2.3/§6). Proportions are
+    the same integer-count divisions, so results are bit-identical to
+    the two-frame form for a null-free predicate.
     """
+    if (split is not None) and cur is not None:
+        raise ValueError(
+            "psi_bins: pass EITHER cur (two frames) OR split (one "
+            "tagged scan), not both"
+        )
+    if split is None and cur is None:
+        raise ValueError("psi_bins: cur is required without split")
     spark = ref.sparkSession
     spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
-    r = _bin_props(ref, col, lo, hi, bins, "p_ref")
-    c = _bin_props(cur, col, lo, hi, bins, "p_cur")
-    joined = (
-        spine.join(r, "bin", "left")
-        .join(c, "bin", "left")
-        .select(
+    if split is not None:
+        counts = (
+            ref.where(F.col(col).isNotNull())
+            .select(
+                _bucket(F.col(col), lo, hi, bins).alias("bin"),
+                F.when(split, 1).when(~split, 0).alias("in_r"),
+            )
+            .where(F.col("in_r").isNotNull())
+            .groupBy("bin")
+            .agg(
+                F.sum("in_r").alias("n_r"),
+                F.sum(1 - F.col("in_r")).alias("n_c"),
+            )
+        )
+        # per-side proportions over the same ≤bins-row relation; the
+        # when() guards keep an entirely-empty side at p=0 instead of a
+        # division by zero (unreachable in the two-frame form only
+        # because an empty side contributes no rows at all there)
+        tot = Window.partitionBy()
+        tot_r, tot_c = F.sum("n_r").over(tot), F.sum("n_c").over(tot)
+        joined = spine.join(
+            counts.select(
+                "bin",
+                F.when(tot_r > 0, F.col("n_r") / tot_r)
+                .otherwise(F.lit(0.0))
+                .alias("p_ref"),
+                F.when(tot_c > 0, F.col("n_c") / tot_c)
+                .otherwise(F.lit(0.0))
+                .alias("p_cur"),
+            ),
+            "bin",
+            "left",
+        ).select(
             "bin",
             F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
             F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
         )
-    )
+    else:
+        r = _bin_props(ref, col, lo, hi, bins, "p_ref")
+        c = _bin_props(cur, col, lo, hi, bins, "p_cur")
+        joined = (
+            spine.join(r, "bin", "left")
+            .join(c, "bin", "left")
+            .select(
+                "bin",
+                F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+                F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+            )
+        )
     pr = F.greatest(F.col("p_ref"), F.lit(EPS))
     pc = F.greatest(F.col("p_cur"), F.lit(EPS))
     term = (pc - pr) * F.log(pc / pr)
@@ -1056,13 +1110,15 @@ def categorical_drift_report(
         F.sum(1 - F.col("in_r")).alias("n_c"),
     )
     if max_categories is not None:
-        # the overflow check below evaluates `joined` (2 melts + 2
-        # groupBys + the category join) as its own job, and the returned
-        # plan reads it again — checkpoint so the check materializes the
-        # SAME relation the statistics consume (guide §2.4; the
-        # round-13 materialize-once class)
-        joined = joined.localCheckpoint(eager=False)
         if on_overflow == "error":
+            # the overflow pre-check below evaluates `joined` (the tagged
+            # melt + one groupBy) as its own job, and the returned plan
+            # reads it again — checkpoint so the check materializes the
+            # SAME relation the statistics consume (guide §2.4; the
+            # round-13 materialize-once class). 'keep' mode has no
+            # separate pre-evaluation job (joined has ONE consumer
+            # there), so it skips the persist (ADVICE r13).
+            joined = joined.localCheckpoint(eager=False)
             # one bounded reduction over the category counts — never
             # materializes the category relation anywhere central
             worst = (
@@ -1203,11 +1259,20 @@ def feature_drift_report(
     if split is None and cur is None:
         raise ValueError("feature_drift_report: cur is required without split")
 
-    def _melt(df: DataFrame, tag=None) -> DataFrame:
+    def _melt(df: DataFrame, tag=None, tag_col: str | None = None) -> DataFrame:
         # tag (split mode): 1 where the predicate holds, 0 where its
         # negation holds, NULL (dropped) where it is NULL — exactly the
-        # rows the two-filter form keeps on each side
-        pre = [F.when(tag, 1).when(~tag, 0).alias("in_a")] if tag is not None else []
+        # rows the two-filter form keeps on each side.  tag_col names an
+        # ALREADY-computed 0/1/NULL tag column (the split path computes
+        # it before the parallelism repartition so the exchange carries
+        # only the tag + panel columns, guide §2.3).
+        tagged = (tag is not None) or (tag_col is not None)
+        if tag is not None:
+            pre = [F.when(tag, 1).when(~tag, 0).alias("in_a")]
+        elif tag_col is not None:
+            pre = [F.col(tag_col).alias("in_a")]
+        else:
+            pre = []
         m = df.select(
             *pre,
             F.explode(
@@ -1221,10 +1286,10 @@ def feature_drift_report(
                     ]
                 )
             ).alias("p"),
-        ).select(*(["in_a"] if tag is not None else []), "p.*").where(
+        ).select(*(["in_a"] if tagged else []), "p.*").where(
             ~F.isnan("v") | F.col("v").isNull()
         )
-        if tag is not None:
+        if tagged:
             # the split form feeds _ecdf_from_tagged directly, so apply
             # the null-v filter _ecdf_counts would have applied per side
             m = m.where(F.col("in_a").isNotNull() & F.col("v").isNotNull())
@@ -1298,14 +1363,33 @@ def feature_drift_report(
             # Only worth the (possible) repartition when the melt
             # multiplies rows — a single-column "melt" is a projection
             # and the shuffle measured slower than the 1-task pipeline.
+            # Round 14 (VERDICT r13 item 1): (a) the tag + panel columns
+            # are PROJECTED before the exchange so it never carries the
+            # source's other columns (guide §2.3), and (b) the width is
+            # sized from the input-bytes estimate, not the core count —
+            # the defaultParallelism-wide shuffle of a ~10 MB scan made
+            # the flagship panel 2× slower cold and slower at 32 cores
+            # than 8 (guide §2.1).
             src = ref
-            if len(columns) > 1:
+            tag_kw: dict = {"tag": split}
+            if len(columns) > 1 and "__in_a" not in columns:
                 from dataquality_ml_spark.operators.relational import (
                     ensure_parallelism,
+                    size_scaled_parallelism,
                 )
 
-                src = ensure_parallelism(ref)
-            mt = _melt(src, tag=split)
+                src = ref.select(
+                    F.when(split, 1).when(~split, 0).alias("__in_a"),
+                    *columns,
+                )
+                src = ensure_parallelism(
+                    src,
+                    min_partitions=size_scaled_parallelism(
+                        src, row_multiplier=float(len(columns))
+                    ),
+                )
+                tag_kw = {"tag_col": "__in_a"}
+            mt = _melt(src, **tag_kw)
             if bins:
                 (mt,) = _bucketize([mt], ["in_a"])
             num = drift_panel(

@@ -337,9 +337,10 @@ def label_propagation(
     Scale shape per iteration: one equi-join of (node, label) onto the
     self-loop-augmented symmetrized edges + one (node, label) count +
     one per-node argmax — all key-partitioned; the iterates form a
-    linear chain, pipelined as one query with a lineage cut every
-    ``_CHECKPOINT_EVERY`` rounds (connected_components keeps its
-    per-iterate discipline — its labels relation is read twice a round).
+    linear chain with `labels` LAZILY localCheckpointed each round (the
+    fully pipelined variant measured slower at bench scale — the
+    12-exchange single query pays AQE replanning per stage; unlike
+    pagerank there is no ``_CHECKPOINT_EVERY`` cadence here).
     """
     if iterations < 1:
         raise ValueError(

@@ -48,6 +48,34 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def size_scaled_parallelism(
+    df: DataFrame,
+    row_multiplier: float = 1.0,
+    bytes_per_task: int = 32 << 20,
+) -> int:
+    """Partition width derived from the optimizer's input-size estimate,
+    NOT the core count: ceil(estimated bytes × row_multiplier /
+    bytes_per_task), clamped to [2, defaultParallelism].
+
+    For operators whose per-row work is LIGHT (melts, projections), a
+    defaultParallelism-wide repartition of a tiny input pays one task
+    launch per core for no compute win — the round-13 driver bench
+    measured the flagship drift panel running FASTER at 8 cores than 32
+    because of exactly that (VERDICT r13 item 1; guide §2.1: a shuffle's
+    cost is fixed per task, so width must follow data volume).
+    ``row_multiplier`` accounts for row-multiplying downstream work
+    (e.g. a melt of k columns). At data scale the estimate exceeds
+    ``defaultParallelism × bytes_per_task`` and the clamp returns
+    defaultParallelism — i.e. the guard only narrows SMALL inputs."""
+    sc = df.sparkSession.sparkContext
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats introspection is best-effort
+        return sc.defaultParallelism
+    want = int(est * row_multiplier + bytes_per_task - 1) // bytes_per_task
+    return max(2, min(sc.defaultParallelism, want))
+
+
 def project(df: DataFrame, columns: list[str]) -> DataFrame:
     """Explicit column projection (reference P1, app/IsolationForest_AE.py:25-75).
 
@@ -476,7 +504,16 @@ def exclusive_prefix_sum(
     # callers) therefore executes TWICE per decomposition (guide §2.4:
     # remove recomputation before tuning anything else).  The sampling
     # job materializes the persisted blocks; the exchange reads them.
-    df = df.localCheckpoint(eager=False)
+    # Skip it when the input IS already a materialized/local relation
+    # (a caller-checkpointed frame or a createDataFrame literal): a
+    # second persist would double the executor memory/disk footprint of
+    # every decomposition for zero recompute saved (ADVICE r13).
+    try:
+        _root = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    except Exception:  # noqa: BLE001 — plan introspection is best-effort
+        _root = ""
+    if _root not in ("LogicalRDD", "LocalRelation"):
+        df = df.localCheckpoint(eager=False)
     # Lazy-checkpoint the range-partitioned relation too: it is consumed
     # twice (the subtotal collect below is its own job, then the final
     # plan reads it again) — without the checkpoint the range shuffle

@@ -289,11 +289,15 @@ def em_expected_counts(
     max_word_len = _effective_max_word_len(words, max_word_len)
     words = words.where(F.length("word") <= max_word_len)
     if strategy != "relational":
-        plist = sorted(
-            (r["piece"], float(r["prob"]))
-            for r in probs.select("piece", "prob").collect()
-        )
-        if len(plist) <= local_pieces_limit:
+        # Limit-probe BEFORE collecting (guide §5: never collect an
+        # unbounded relation to find out it was too big): fetch at most
+        # limit+1 rows, so an over-limit vocabulary costs one bounded
+        # job instead of a full driver collect. When the probe returns
+        # <= limit rows the limit never truncated, so `head` IS the
+        # complete piece table.
+        head = probs.select("piece", "prob").limit(local_pieces_limit + 1).collect()
+        if len(head) <= local_pieces_limit:
+            plist = sorted((r["piece"], float(r["prob"])) for r in head)
             return _em_expected_counts_array(
                 words, plist, max_piece_len
             )

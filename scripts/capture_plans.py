@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into plans/$PLANS_ROUND/ (default r14).
 
 Usage: python scripts/capture_plans.py before q1 q2 ...  (suffix = before|after)
 With no names, captures the default optimization-target cohort.
@@ -49,7 +49,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or DEFAULT_COHORT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r13")
+    out_dir = os.path.join(HERE, "plans", os.environ.get("PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     from dataquality_ml_spark import get_spark

@@ -131,6 +131,62 @@ def test_train_adversarial_repeats(spark):
         assert abs(tot - 1.0) < 1e-9  # a normalized distribution
 
 
+def test_em_over_limit_probe_is_bounded(spark, monkeypatch):
+    """Over-limit vocabularies must be detected by a bounded limit-probe
+    (<= limit+1 rows), never a full collect of the piece table
+    (VERDICT r13 item 5): 'auto' falls back to relational with identical
+    results, 'array' raises the loud contract."""
+    import pytest
+
+    wc = ug.word_counts(_docs(spark, ["ab ab b"]))
+    _, pdf = _seed_probs(spark, wc)  # 3 pieces: a, b, ab
+    limit = 2  # vocab (3) exceeds it
+
+    # patch the CONCRETE class (Spark 4 splits the public DataFrame into
+    # an abstract base + classic/connect implementations)
+    DataFrame = type(pdf)
+    sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+    # array: loud contract, after only the bounded probe
+    with pytest.raises(ValueError, match="local_pieces_limit"):
+        ug.em_expected_counts(
+            wc, pdf, 3, strategy="array", local_pieces_limit=limit
+        )
+    assert sizes and max(sizes) <= limit + 1, sizes
+
+    # auto: falls back to the relational DP; every internal collect stays
+    # bounded by the probe size (the result itself has <= 3 piece rows)
+    sizes.clear()
+    got_rel = {
+        r["piece"]: r["ecnt"]
+        for r in orig_collect(
+            ug.em_expected_counts(
+                wc, pdf, 3, strategy="auto", local_pieces_limit=limit
+            )
+        )
+    }
+    assert sizes and max(sizes) <= limit + 1, sizes
+
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    got_arr = {
+        r["piece"]: r["ecnt"]
+        for r in ug.em_expected_counts(
+            wc, pdf, 3, strategy="array", local_pieces_limit=4096
+        ).collect()
+    }
+    assert set(got_rel) >= {p for p, c in got_arr.items() if c > 0}
+    for p, c in got_arr.items():
+        assert abs(got_rel.get(p, 0.0) - c) < 1e-12, (p, c)
+
+
 def test_tokenizer_artifact_roundtrip_and_segment(spark, tmp_path):
     df = _docs(spark, ["hash hash hashing table", "tab table hash"])
     tok = ug.train_unigram_tokenizer(df, vocab_size=14, n_iters=2, max_piece_len=4)
