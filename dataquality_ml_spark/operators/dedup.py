@@ -1317,7 +1317,19 @@ def prefix_filter_jaccard_pairs(
     ceil_tn = ((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)).cast(
         "long"
     )
-    pref = pos.where(F.col("pos") <= F.col("n") - ceil_tn + F.lit(1))
+    # Materialize the ranked prefix ONCE (round 14, guide §2.4): both
+    # sides of the candidate self-join consume `pref`, and without a
+    # barrier Spark re-evaluates the whole subtree per side — the dfreq
+    # groupBy, its join, and the per-doc rank window each ran TWICE
+    # (visible as duplicated Exchange/Sort pairs in the r14 before-plan).
+    # EAGER because two joins inside one query race a lazy persist (the
+    # r13 pagerank lesson); the relation is the prefix tokens only
+    # (~(1-t)·|shingles| rows of two longs + an int).
+    pref = (
+        pos.where(F.col("pos") <= F.col("n") - ceil_tn + F.lit(1))
+        .select(F.col(id_col), "s", "n")
+        .localCheckpoint(eager=True)
+    )
     a = pref.select(F.col(id_col).alias("id_a"), "s", F.col("n").alias("n_a"))
     b = pref.select(F.col(id_col).alias("id_b"), "s", F.col("n").alias("n_b"))
     cand = (

@@ -1350,6 +1350,46 @@ def feature_drift_report(
             )
         return [bk(m) for m in ms]
 
+    # Mixed panels, split mode (round 14, VERDICT r13 item 7): ONE
+    # materialized projection of the tag + every panel column feeds BOTH
+    # the numeric and the categorical branch — previously each branch
+    # scanned the source separately (2 scans; at 100 TB the second scan
+    # is pure I/O, guide §2.3/§6). The persisted relation is exactly the
+    # columns the panels read (narrower than the source), and each
+    # branch's algorithm is UNCHANGED — only its input relation is the
+    # shared materialization, so per-branch results are identical by
+    # construction. EAGER: the two branches are consumed inside one
+    # union query, and a lazy persist read by concurrent subtrees races
+    # and recomputes (the r13 pagerank lesson).
+    shared = None
+    if (
+        split is not None
+        and columns
+        and categorical_columns
+        and "__in_a" not in set(columns) | set(categorical_columns)
+    ):
+        from dataquality_ml_spark.operators.relational import (
+            ensure_parallelism,
+            size_scaled_parallelism,
+        )
+
+        extra_cats = [c for c in categorical_columns if c not in columns]
+        shared = ref.select(
+            F.when(split, 1).when(~split, 0).alias("__in_a"),
+            *columns,
+            *extra_cats,
+        )
+        if len(columns) > 1:
+            shared = ensure_parallelism(
+                shared,
+                min_partitions=size_scaled_parallelism(
+                    shared,
+                    row_multiplier=float(
+                        len(columns) + len(categorical_columns)
+                    ),
+                ),
+            )
+        shared = shared.localCheckpoint(eager=True)
     if columns:
         if split is not None:
             # ONE scan of the source, tagged by the split predicate —
@@ -1372,7 +1412,9 @@ def feature_drift_report(
             # than 8 (guide §2.1).
             src = ref
             tag_kw: dict = {"tag": split}
-            if len(columns) > 1 and "__in_a" not in columns:
+            if shared is not None:
+                src, tag_kw = shared, {"tag_col": "__in_a"}
+            elif len(columns) > 1 and "__in_a" not in columns:
                 from dataquality_ml_spark.operators.relational import (
                     ensure_parallelism,
                     size_scaled_parallelism,
@@ -1419,9 +1461,14 @@ def feature_drift_report(
     ncols = ["ks_d", "u_stat", "z_score", "cvm_t", "ad_a2"]
     ccols = ["psi", "jsd", "chi2"]
     cat = categorical_drift_report(
-        ref, cur, categorical_columns,
-        max_categories=max_categories, on_overflow=on_overflow,
-        split=split,
+        shared if shared is not None else ref,
+        cur,
+        categorical_columns,
+        max_categories=max_categories,
+        on_overflow=on_overflow,
+        # over the shared materialization the tag is already a 0/1/NULL
+        # column; == 1 reproduces the predicate's three-way semantics
+        split=(F.col("__in_a") == 1) if shared is not None else split,
     ).select(
         "column",
         *[F.lit(None).cast("double").alias(s) for s in ncols],

@@ -1969,6 +1969,15 @@ def ranking_quality(
     """
     if k < 1:
         raise ValueError(f"ranking_quality: k must be >= 1, got {k}")
+    # Materialize-once (round 14, guide §2.4/§5): `exact` feeds THREE plan
+    # branches below (dcg's relevance join, idcg, mrr) and `approx` two
+    # (dcg, mrr) — without a checkpoint every branch re-runs the entire
+    # upstream knn pipeline (scan + assignment + rank window). Both
+    # relations are bounded at ≤ |queries|·k rows, so the persist is
+    # trivial; EAGER because several joins inside ONE query race a lazy
+    # persist and recompute upstream anyway (the r13 pagerank lesson).
+    exact = exact.localCheckpoint(eager=True)
+    approx = approx.localCheckpoint(eager=True)
     rel = exact.select(
         "query_id",
         "neighbor_id",

@@ -2792,9 +2792,18 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events month over fixed equi-width value bins — the per-bin drift
     decomposition plus the headline scalar in one O(bins) result."""
     ev_df = _t(spark, sf_dir, "events")
-    ref = ev_df.where(F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT)))
-    cur = ev_df.where(F.col("ts") >= F.to_timestamp(F.lit(_DRIFT_SPLIT)))
-    out = dr_ops.psi_bins(ref, cur, "value", lo=0.0, hi=500.0, bins=10)
+    # split=: ONE events scan, tagged by the ts predicate — bit-identical
+    # proportions to the two-filter form (NULL ts belongs to neither side
+    # either way), at half the input I/O (round 14, guide §2.3/§6)
+    out = dr_ops.psi_bins(
+        ev_df,
+        None,
+        "value",
+        lo=0.0,
+        hi=500.0,
+        bins=10,
+        split=F.col("ts") < F.to_timestamp(F.lit(_DRIFT_SPLIT)),
+    )
     return out.select(
         "bin",
         *[
@@ -4856,7 +4865,14 @@ def drift_panel_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators.sketch import qsketch_build
     from dataquality_ml_spark.streaming.score_stream import drift_monitor_replay
 
-    ev_df = _t(spark, sf_dir, "events")
+    # ONE materialized (ts, value, event_id) projection feeds both the
+    # frozen-reference histogram build and the replay (round 14, guide
+    # §2.3/§6 — previously two scans of the same table; in production
+    # the reference histogram is a frozen training artifact, so only
+    # this demo face ever paid the second scan)
+    ev_df = _t(spark, sf_dir, "events").select(
+        "ts", "value", "event_id"
+    ).localCheckpoint(eager=True)
     split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
     ref = ev_df.where(F.col("ts") < split)
     hist = {
@@ -5506,10 +5522,19 @@ def quantile_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation; percent ranks come from the distributed prefix sum."""
     ev_df = _t(spark, sf_dir, "events")
     split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    # ONE materialized (value, side) projection feeds both sides
+    # (round 14, guide §2.3/§6): the reference side's selection engine
+    # makes SEVERAL refinement passes over its input, so without the
+    # barrier this face re-scanned events once per refinement pass plus
+    # once for the current side. Rows per side are identical to the
+    # two-filter form (NULL ts belongs to neither side either way).
+    base = ev_df.select(
+        "value", (F.col("ts") >= split).alias("__cur")
+    ).localCheckpoint(eager=True)
     out = feat.quantile_map(
-        ev_df.where(F.col("ts") >= split),
+        base.where(F.col("__cur")).select("value"),
         "value",
-        ev_df.where(F.col("ts") < split).select("value"),
+        base.where(~F.col("__cur")).select("value"),
         knots=16,
     )
     return out.select(
@@ -5605,7 +5630,12 @@ def keyed_drift_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_ml_spark.operators.sketch import qsketch_build
     from dataquality_ml_spark.streaming.score_stream import drift_panel_replay
 
-    ev_df = _t(spark, sf_dir, "events")
+    # one materialized projection for both the frozen per-segment
+    # histograms and the replay — same rationale as
+    # drift_panel_stream_replay (round 14)
+    ev_df = _t(spark, sf_dir, "events").select(
+        "ts", "value", "event_id", "event_type"
+    ).localCheckpoint(eager=True)
     split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
     ref = ev_df.where(F.col("ts") < split)
     hists: dict = {}

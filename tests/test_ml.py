@@ -118,6 +118,40 @@ def test_iforest_detects_planted_outlier(spark):
     assert np.allclose(s, s2)
 
 
+def test_iforest_chunked_descent_bit_identical():
+    """The round-14 preallocated-buffer chunked descent must reproduce the
+    unchunked (T, n)-matrix form BIT-identically at any chunk size,
+    including chunks that don't divide the row count."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1003, 5))
+    x[:9] += 7.0
+    f = det.IsolationForest(n_estimators=40, max_samples=128, seed=3).fit(x)
+
+    # reference: the pre-round-14 all-rows descent, replayed verbatim
+    offs, feat_a, split_a, left_a, right_a, size_a = f._pack()
+    n = len(x)
+    rows = np.arange(n, dtype=np.int32)
+    node = np.repeat(offs[:, None], n, axis=1)
+    depth = np.zeros((len(offs), n))
+    for _ in range(f.height_limit + 1):
+        feat = feat_a[node]
+        internal = feat >= 0
+        if not internal.any():
+            break
+        vals = x[rows[None, :], np.where(internal, feat, 0)]
+        go_left = vals < split_a[node]
+        nxt = np.where(go_left, left_a[node], right_a[node])
+        node = np.where(internal, nxt, node)
+        depth += internal
+    depth += f._c_table[size_a[node]]
+    ref = depth.sum(axis=0) / f.n_estimators
+
+    for chunk in (4096, 257, 1003, 1):
+        got = f.path_lengths(x, chunk=chunk)
+        assert np.array_equal(ref, got), chunk
+    assert f.path_lengths(x[:0]).shape == (0,)
+
+
 def test_score_distributed_matches_local(spark):
     rng = np.random.default_rng(2)
     x = rng.normal(0, 1, size=(200, 3))
